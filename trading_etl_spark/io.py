@@ -1,0 +1,81 @@
+"""Parquet IO + the reference's signature write semantics (SURVEY.md §2.7).
+
+- W1 insert-once / first-wins append: the reference's ``INSERT … ON CONFLICT
+  DO NOTHING`` (``src/etl/flows/transform_services.py:88,122,212,290,369``)
+  re-expressed as a left-anti join against existing primary keys. First write
+  of a PK wins; re-runs add zero rows (contract tested like the reference's
+  ``tests/acceptance/_test_transform_idempotency.py:110-120``).
+- W2 incremental recompute cursor: MAX(time) per group
+  (``transform_services.py:146-156``) so only new rows are recomputed.
+
+Scale notes: a naive anti-join against a 100 TB fact table would shuffle the
+whole table per append. ``first_wins_append`` therefore prunes the existing
+side to the incoming batch's time range first — with time-partitioned parquet
+that is partition pruning, so the anti-join touches only the overlapping
+partitions. The incoming side of an append is typically small → Catalyst/AQE
+broadcasts it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def first_wins(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``incoming`` whose key is absent from ``existing`` (W1).
+
+    Equivalent to Postgres ``ON CONFLICT DO NOTHING``: recomputed rows that
+    collide with an existing PK are dropped, freezing partially-complete
+    trailing buckets exactly like the reference does.
+    """
+    return incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
+
+
+def first_wins_append(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    prune_on: str = "time",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Idempotently append ``incoming`` to the parquet table at ``path``.
+
+    Returns the number of rows actually written. The existing side is pruned
+    to the incoming batch's ``prune_on`` range (partition/row-group pruning at
+    scale) before the anti-join.
+    """
+    incoming = incoming.cache()
+    try:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            if prune_on and prune_on in incoming.columns:
+                bounds = incoming.agg(
+                    F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
+                ).first()
+                if bounds and bounds["lo"] is not None:
+                    existing = existing.filter(
+                        (F.col(prune_on) >= bounds["lo"])
+                        & (F.col(prune_on) <= bounds["hi"])
+                    )
+            fresh = first_wins(existing, incoming, keys)
+        else:
+            fresh = incoming.dropDuplicates(keys)
+        fresh = fresh.cache()
+        n = fresh.count()
+        if n:
+            writer = fresh.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        return n
+    finally:
+        incoming.unpersist()
+
+
+def max_time_cursor(df: DataFrame, group_keys: list[str], time_col: str = "time") -> DataFrame:
+    """A3/W2: per-group MAX(time) watermark for incremental recompute."""
+    return df.groupBy(*group_keys).agg(F.max(time_col).alias("max_time"))

@@ -1,0 +1,146 @@
+"""Technical indicators with TA-Lib-faithful semantics (SURVEY.md §2.5).
+
+The reference pulls time-ordered closes out of Postgres into NumPy and calls
+``talib.SMA/EMA/RSI`` driver-side (``src/etl/flows/transform_services.py:
+186-188,268-270,347-349``) — a per-run DB→Python boundary crossing. Here:
+
+- SMA is a native frame window (JVM-side, whole-stage codegen) — no UDF.
+- EMA and RSI are order-sensitive recursions, not expressible as Spark frame
+  windows → grouped ``applyInPandas`` per (pair, timeframe): each group's
+  series lands in one task in time order, vectorized via Arrow.
+
+TA-Lib semantics reproduced exactly (FIXTURES.md §8 golden vectors), with one
+representation choice: TA-Lib's warm-up NaN is stored as NULL — the
+Spark-idiomatic value for a nullable DoubleType column (and what NaN becomes
+across the Arrow pandas→Spark boundary anyway):
+- SMA: NULL for the first period−1 rows, then plain rolling mean.
+- EMA: seed = SMA of the first ``period`` closes; then
+  ``ema = prev + k·(close − prev)`` with ``k = 2/(period+1)``; NaN before.
+- RSI: Wilder smoothing — seed = simple mean of the first ``period``
+  gains/losses, then ``avg = (prev·(period−1) + cur)/period``;
+  ``rsi = 100·avgGain/(avgGain+avgLoss)`` (0 when the denominator is 0,
+  matching TA-Lib's guard); NaN for the first ``period`` rows.
+
+Scale notes: groups are (pair, timeframe) — thousands of independent series,
+each modest in length; ``applyInPandas`` shuffles once on the group key and
+the recursion is O(n) NumPy per group. Skew across pairs is bounded by the
+time-bucket grain. The indicator output is written with W1 first-wins append
++ the W2 MAX(time) cursor, so incremental runs recompute only trailing rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GROUP_KEYS = ["currency_pair_code", "timeframe_code"]
+
+INDICATOR_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, period int, "
+    "calc_version string, time timestamp, value double"
+)
+
+
+def sma(ohlc: DataFrame, period: int, calc_version: str = "0") -> DataFrame:
+    """Simple moving average as a native window — warm-up rows are NULL."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    frame = w.rowsBetween(-(period - 1), 0)
+    rn = F.row_number().over(w)
+    return (
+        ohlc.withColumn("_rn", rn)
+        .withColumn(
+            "value",
+            F.when(F.col("_rn") >= period, F.avg("close").over(frame)),
+        )
+        .select(
+            *GROUP_KEYS,
+            F.lit(period).cast("int").alias("period"),
+            F.lit(calc_version).alias("calc_version"),
+            "time",
+            "value",
+        )
+    )
+
+
+def _ema_series(closes: np.ndarray, period: int) -> np.ndarray:
+    out = np.full(len(closes), np.nan)
+    if len(closes) < period:
+        return out
+    k = 2.0 / (period + 1.0)
+    ema = float(np.mean(closes[:period]))
+    out[period - 1] = ema
+    for i in range(period, len(closes)):
+        ema = ema + k * (closes[i] - ema)
+        out[i] = ema
+    return out
+
+
+def _rsi_series(closes: np.ndarray, period: int) -> np.ndarray:
+    out = np.full(len(closes), np.nan)
+    if len(closes) <= period:
+        return out
+    diff = np.diff(closes)
+    gains = np.where(diff > 0, diff, 0.0)
+    losses = np.where(diff < 0, -diff, 0.0)
+    avg_gain = float(np.mean(gains[:period]))
+    avg_loss = float(np.mean(losses[:period]))
+    denom = avg_gain + avg_loss
+    out[period] = 100.0 * avg_gain / denom if denom != 0.0 else 0.0
+    # Wilder recursion for rows after the seed
+    for i in range(period + 1, len(closes)):
+        avg_gain = (avg_gain * (period - 1) + gains[i - 1]) / period
+        avg_loss = (avg_loss * (period - 1) + losses[i - 1]) / period
+        denom = avg_gain + avg_loss
+        out[i] = 100.0 * avg_gain / denom if denom != 0.0 else 0.0
+    return out
+
+
+def _grouped_indicator(ohlc: DataFrame, period: int, calc_version: str, fn) -> DataFrame:
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        values = fn(pdf["close"].to_numpy(dtype=np.float64), period)
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "period": np.int32(period),
+                "calc_version": calc_version,
+                "time": pdf["time"].to_numpy(),
+                "value": values,
+            }
+        )
+
+    return ohlc.select(*GROUP_KEYS, "time", "close").groupBy(*GROUP_KEYS).applyInPandas(
+        compute, INDICATOR_OUT_SCHEMA
+    )
+
+
+def ema(ohlc: DataFrame, period: int, calc_version: str = "0") -> DataFrame:
+    """Exponential moving average, TA-Lib seeding (recursive → applyInPandas)."""
+    return _grouped_indicator(ohlc, period, calc_version, _ema_series)
+
+
+def rsi(ohlc: DataFrame, period: int, calc_version: str = "0") -> DataFrame:
+    """Relative Strength Index, Wilder smoothing (recursive → applyInPandas)."""
+    return _grouped_indicator(ohlc, period, calc_version, _rsi_series)
+
+
+def indicators_all(
+    ohlc: DataFrame, periods: Iterable[int], calc_version: str = "0"
+) -> dict[str, DataFrame]:
+    """All three indicator fact relations for a set of periods (the
+    set-based replacement for the reference's nested loops,
+    ``transform.py:85-119``)."""
+    out: dict[str, DataFrame] = {}
+    for name, fn in (("sma", sma), ("ema", ema), ("rsi", rsi)):
+        parts = [fn(ohlc, p, calc_version) for p in periods]
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
+        out[name] = df
+    return out

@@ -1,0 +1,123 @@
+"""OHLC candle aggregation (SURVEY.md §2.3 A1/A2).
+
+Reference semantics:
+- A1 base 1-minute OHLC from ticks: bucket ``date_trunc('minute', time)``;
+  open = first bid by time, high = MAX, low = MIN, close = last bid by time
+  (``src/etl/flows/transform_services.py:56-90``). The reference's
+  ``(array_agg(bid ORDER BY time))[1]`` is exactly ``min_by``/``max_by`` —
+  ties are impossible after the 1-second dedup.
+- A2 derived timeframes re-aggregated from the 1m table with epoch-floor
+  buckets ``to_timestamp(floor(epoch/duration)*duration)``
+  (``transform_services.py:92-124``).
+
+Scale notes: the reference loops pair×timeframe issuing one INSERT..SELECT
+each (``transform.py:46-76``); here each is ONE shuffle over the natural
+grouping key. Derived timeframes aggregate from the (much smaller) 1m relation
+— not from raw ticks — and all five timeframes are produced in a single pass
+by cross-joining the 6-row timeframe dim (broadcast, no shuffle) so the fact
+data is shuffled once, not five times. Partial (map-side) aggregation applies
+to MAX/MIN/min_by/max_by automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OHLC_COLS = ["currency_pair_code", "timeframe_code", "time", "open", "high", "low", "close"]
+
+
+def ohlc_base(ticks: DataFrame) -> DataFrame:
+    """A1: ticks → 1-minute candles."""
+    return (
+        ticks.groupBy(
+            "currency_pair_code", F.date_trunc("minute", "time").alias("time")
+        )
+        .agg(
+            F.min_by("bid", "time").alias("open"),
+            F.max("bid").alias("high"),
+            F.min("bid").alias("low"),
+            F.max_by("bid", "time").alias("close"),
+        )
+        .select(
+            "currency_pair_code",
+            F.lit("1m").alias("timeframe_code"),
+            "time",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
+def ohlc_derived(ohlc_1m: DataFrame, timeframes: DataFrame) -> DataFrame:
+    """A2: 1m candles → all non-1m timeframes in one shuffle.
+
+    ``timeframes``: dim_timeframe rows to produce (timeframe_code,
+    duration_seconds). Epoch-floor bucketing matches the reference formula
+    bit-for-bit (transform_services.py:108-110).
+    """
+    tfs = timeframes.filter(F.col("duration_seconds") != 60).select(
+        F.col("timeframe_code").alias("_tf"), "duration_seconds"
+    )
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("time") / F.col("duration_seconds"))
+        * F.col("duration_seconds")
+    )
+    return (
+        ohlc_1m.crossJoin(F.broadcast(tfs))
+        .groupBy(
+            "currency_pair_code",
+            F.col("_tf").alias("timeframe_code"),
+            bucket.alias("time"),
+        )
+        .agg(
+            F.min_by("open", "time").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "time").alias("close"),
+        )
+    )
+
+
+def ohlc_all(ticks: DataFrame, timeframes: DataFrame) -> DataFrame:
+    """Base + derived candles as one relation keyed by timeframe_code."""
+    base = ohlc_base(ticks)
+    return base.unionByName(ohlc_derived(base, timeframes)).select(*OHLC_COLS)
+
+
+# --- DuckDB oracle twins -----------------------------------------------------
+
+OHLC_1M_SQL = """
+ohlc_1m AS (
+  SELECT currency_pair_code,
+         '1m' AS timeframe_code,
+         CAST(date_trunc('minute', time) AS TIMESTAMP) AS time,
+         arg_min(bid, time) AS "open",
+         max(bid) AS high,
+         min(bid) AS low,
+         arg_max(bid, time) AS "close"
+  FROM ticks
+  GROUP BY 1, 3
+)
+""".strip()
+
+
+def ohlc_derived_sql(timeframe_values: str) -> str:
+    """Derived-timeframe oracle; ``timeframe_values`` is the dim CTE name."""
+    return f"""
+ohlc_derived AS (
+  SELECT o.currency_pair_code,
+         t.timeframe_code,
+         CAST(TIMESTAMP '1970-01-01 00:00:00'
+              + to_seconds(CAST(floor(epoch(o.time) / t.duration_seconds) * t.duration_seconds AS BIGINT)) AS TIMESTAMP) AS time,
+         arg_min(o."open", o.time) AS "open",
+         max(o.high) AS high,
+         min(o.low) AS low,
+         arg_max(o."close", o.time) AS "close"
+  FROM ohlc_1m o
+  CROSS JOIN (SELECT * FROM {timeframe_values} WHERE duration_seconds <> 60) t
+  GROUP BY 1, 2, 3
+)
+""".strip()

@@ -1,0 +1,334 @@
+"""Trading-engine query surface: one (queries, oracle) pair per operator from
+SURVEY.md §2, run against the shared parquet corpus.
+
+Conventions shared with the DuckDB oracles:
+- all float aggregates that involve arithmetic (averages, EMA/RSI values,
+  PnL sums) are rounded to 6 decimals on BOTH sides so summation-order
+  differences between engines cannot flip the value hash;
+- indicator warm-up (NaN) rows are excluded from query outputs (NaN vs NULL
+  cannot hash-compare) — warm-up semantics are unit-tested in pytest instead;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import indicators, ohlc, signals
+from ..operators.backtest import backtest_pnl
+from ..sources import dims, ticks
+
+CURSOR = "2024-01-15 00:00:00"  # literal incremental-scan cursor (S11)
+
+
+# --- Spark-side builders -----------------------------------------------------
+
+def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc.ohlc_base(ticks.load_ticks(spark, sf_dir))
+
+
+def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf_1h = dims.dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
+    return ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), tf_1h)
+
+
+def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFrame:
+    """SMA facts on 1h candles, values rounded to 6dp so the cross predicate
+    decides identically in both engines."""
+    candles = _ohlc_1h(spark, sf_dir)
+    parts = [
+        indicators.sma(candles, p).withColumn("value", F.round("value", 6))
+        for p in periods
+    ]
+    df = parts[0]
+    for part in parts[1:]:
+        df = df.unionByName(part)
+    return df
+
+
+def q_ticks_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P6-P9: parsed/validated ticks with mid price, pre-dedup."""
+    return ticks.raw_ticks(spark, sf_dir).select(
+        "currency_pair_code",
+        "time",
+        "bid",
+        "ask",
+        ((F.col("bid") + F.col("ask")) / 2).alias("mid"),
+    )
+
+
+def q_ticks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: 1-second dedup, first tick wins."""
+    return ticks.load_ticks(spark, sf_dir)
+
+
+def q_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: base 1-minute OHLC (the flagship query)."""
+    return _ohlc_1m(spark, sf_dir)
+
+
+def q_ohlc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: all derived timeframes (5m..4h) in one pass."""
+    return ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), dims.dim_timeframe(spark))
+
+
+def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/O2: top-1 by time desc per pair (relay bootstrap lookup)."""
+    w = Window.partitionBy("currency_pair_code").orderBy(F.desc("time"))
+    return (
+        ticks.load_ticks(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("currency_pair_code", "time", "bid", "ask")
+    )
+
+
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/P3: poll-based CDC — ticks strictly after the cursor."""
+    return ticks.load_ticks(spark, sf_dir).filter(F.col("time") > F.lit(CURSOR))
+
+
+def q_watermark_max_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-group MAX(time) incremental-recompute cursor."""
+    return (
+        _ohlc_1m(spark, sf_dir)
+        .groupBy("currency_pair_code", "timeframe_code")
+        .agg(F.max("time").alias("max_time"))
+    )
+
+
+def q_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dim join — candle counts enriched with dim attributes."""
+    d = dims.dim_currency(spark)
+    return (
+        _ohlc_1m(spark, sf_dir)
+        .join(F.broadcast(d), "currency_pair_code", "inner")
+        .groupBy("currency_pair_code", "base_currency", "quote_currency")
+        .agg(F.count("*").alias("n_candles"))
+    )
+
+
+def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA(14) on 1h candles, warm-up rows excluded."""
+    out = indicators.sma(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("value").isNotNull()).withColumn("value", F.round("value", 6))
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA(14) on 1h candles via grouped pandas UDF (TA-Lib seeding)."""
+    out = indicators.ema(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("value").isNotNull()).withColumn("value", F.round("value", 6))
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14), Wilder smoothing, via grouped pandas UDF."""
+    out = indicators.rsi(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("value").isNotNull()).withColumn("value", F.round("value", 6))
+
+
+def q_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+W0+P5: SMA(14/28) golden-cross BUY events on 1h candles."""
+    return signals.golden_cross(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+
+
+def q_dead_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELL events where SMA(14) crosses below SMA(28)."""
+    return signals.dead_cross(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+
+
+def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest replay: realized PnL from alternating BUY/SELL events."""
+    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    return backtest_pnl(events)
+
+
+QUERIES = {
+    "ticks_parse_validate": q_ticks_parse_validate,
+    "ticks_dedup_second": q_ticks_dedup,
+    "ohlc_1m": q_ohlc_1m,
+    "ohlc_derived_multi_tf": q_ohlc_derived,
+    "latest_tick_per_pair": q_latest_tick,
+    "incremental_cursor_scan": q_incremental_scan,
+    "watermark_max_time": q_watermark_max_time,
+    "dim_broadcast_enrich": q_dim_enrich,
+    "sma_14_1h": q_sma,
+    "ema_14_1h": q_ema,
+    "rsi_14_1h": q_rsi,
+    "sma_golden_cross": q_golden_cross,
+    "sma_dead_cross": q_dead_cross,
+    "backtest_pnl": q_backtest,
+}
+
+
+# --- DuckDB oracle twins -----------------------------------------------------
+
+_OHLC_1H_SQL = """
+ohlc_1h AS (
+  SELECT currency_pair_code,
+         '1h' AS timeframe_code,
+         CAST(TIMESTAMP '1970-01-01 00:00:00'
+              + to_seconds(CAST(floor(epoch(time) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP) AS time,
+         arg_min("open", time) AS "open",
+         max(high) AS high,
+         min(low) AS low,
+         arg_max("close", time) AS "close"
+  FROM ohlc_1m
+  GROUP BY 1, 3
+)
+""".strip()
+
+_CLOSES_1H_SQL = """
+closes AS (
+  SELECT currency_pair_code AS pair, time, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+)
+""".strip()
+
+
+def _with(*parts: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} " + ",\n".join(parts)
+
+
+_BASE = ticks.TICKS_SQL  # dim_currency + raw_ticks + ticks
+_TO_1M = (_BASE, ohlc.OHLC_1M_SQL)
+_TO_1H = (*_TO_1M, _OHLC_1H_SQL)
+
+_SMA_PAIRED_SQL = """
+sma_all AS (
+  SELECT currency_pair_code, timeframe_code, time,
+         round(avg("close") OVER (PARTITION BY currency_pair_code ORDER BY time
+                                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS short_value,
+         round(avg("close") OVER (PARTITION BY currency_pair_code ORDER BY time
+                                  ROWS BETWEEN 27 PRECEDING AND CURRENT ROW), 6) AS long_value,
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+),
+paired AS (
+  SELECT currency_pair_code, timeframe_code, time, short_value, long_value,
+         lag(short_value) OVER (PARTITION BY currency_pair_code ORDER BY time) AS prev_short,
+         lag(long_value) OVER (PARTITION BY currency_pair_code ORDER BY time) AS prev_long
+  FROM sma_all WHERE rn >= 28
+)
+""".strip()
+
+
+def _cross_event_sql(pred: str, event_type: str) -> str:
+    return f"""
+SELECT time AS event_datetime,
+       currency_pair_code,
+       short_value AS price,
+       0 AS quantity,
+       '{event_type}' AS event_type,
+       'SMA' AS trigger_indicator_name,
+       short_value AS trigger_indicator_value,
+       timeframe_code AS trigger_indicator_timeframe,
+       14 AS trigger_indicator_period
+FROM paired
+WHERE prev_short IS NOT NULL AND {pred}
+""".strip()
+
+
+_GOLDEN_SQL = _cross_event_sql("prev_short <= prev_long AND short_value > long_value", "BUY")
+_DEAD_SQL = _cross_event_sql("prev_short >= prev_long AND short_value < long_value", "SELL")
+
+ORACLES = {
+    "ticks_parse_validate": _with(_BASE)
+    + "\nSELECT currency_pair_code, time, bid, ask, (bid + ask) / 2 AS mid FROM raw_ticks",
+    "ticks_dedup_second": _with(_BASE) + "\nSELECT * FROM ticks",
+    "ohlc_1m": _with(*_TO_1M) + "\nSELECT * FROM ohlc_1m",
+    "ohlc_derived_multi_tf": _with(
+        _BASE,
+        dims.timeframe_values_sql(),
+        ohlc.OHLC_1M_SQL,
+        ohlc.ohlc_derived_sql("dim_timeframe"),
+    )
+    + "\nSELECT * FROM ohlc_derived",
+    "latest_tick_per_pair": _with(_BASE)
+    + """
+SELECT currency_pair_code, time, bid, ask FROM ticks
+QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time DESC) = 1""",
+    "incremental_cursor_scan": _with(_BASE)
+    + f"\nSELECT * FROM ticks WHERE time > TIMESTAMP '{CURSOR}'",
+    "watermark_max_time": _with(*_TO_1M)
+    + """
+SELECT currency_pair_code, timeframe_code, max(time) AS max_time
+FROM ohlc_1m GROUP BY 1, 2""",
+    "dim_broadcast_enrich": _with(*_TO_1M)
+    + """
+SELECT o.currency_pair_code, d.base_currency, d.quote_currency, count(*) AS n_candles
+FROM ohlc_1m o JOIN dim_currency d USING (currency_pair_code)
+GROUP BY 1, 2, 3""",
+    "sma_14_1h": _with(*_TO_1H)
+    + """
+SELECT currency_pair_code, timeframe_code, 14 AS period, '0' AS calc_version, time,
+       round(avg("close") OVER (PARTITION BY currency_pair_code ORDER BY time
+                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS value
+FROM ohlc_1h
+QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) >= 14""",
+    "ema_14_1h": _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True)
+    + """,
+seed AS (
+  SELECT pair, avg("close") AS ema FROM closes WHERE rn <= 14
+  GROUP BY pair HAVING count(*) = 14
+),
+ema_rec(pair, rn, time, ema) AS (
+  SELECT c.pair, c.rn, c.time, s.ema
+  FROM seed s JOIN closes c ON c.pair = s.pair AND c.rn = 14
+  UNION ALL
+  SELECT c.pair, c.rn, c.time, e.ema + (2.0 / 15.0) * (c."close" - e.ema)
+  FROM ema_rec e JOIN closes c ON c.pair = e.pair AND c.rn = e.rn + 1
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
+       '0' AS calc_version, time, round(ema, 6) AS value
+FROM ema_rec""",
+    "rsi_14_1h": _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True)
+    + """,
+gl AS (
+  SELECT pair, time, rn,
+         CASE WHEN d > 0 THEN d ELSE 0.0 END AS gain,
+         CASE WHEN d < 0 THEN -d ELSE 0.0 END AS loss
+  FROM (SELECT pair, time, rn,
+               "close" - lag("close") OVER (PARTITION BY pair ORDER BY rn) AS d
+        FROM closes)
+),
+rsi_seed AS (
+  SELECT pair, avg(gain) AS ag, avg(loss) AS al FROM gl
+  WHERE rn BETWEEN 2 AND 15 GROUP BY pair HAVING count(*) = 14
+),
+rsi_rec(pair, rn, time, ag, al) AS (
+  SELECT g.pair, g.rn, g.time, s.ag, s.al
+  FROM rsi_seed s JOIN gl g ON g.pair = s.pair AND g.rn = 15
+  UNION ALL
+  SELECT g.pair, g.rn, g.time, (r.ag * 13 + g.gain) / 14.0, (r.al * 13 + g.loss) / 14.0
+  FROM rsi_rec r JOIN gl g ON g.pair = r.pair AND g.rn = r.rn + 1
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
+       '0' AS calc_version, time,
+       round(CASE WHEN ag + al = 0 THEN 0.0 ELSE 100.0 * ag / (ag + al) END, 6) AS value
+FROM rsi_rec""",
+    "sma_golden_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _GOLDEN_SQL,
+    "sma_dead_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _DEAD_SQL,
+    "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
+trades AS (
+  SELECT currency_pair_code, trigger_indicator_timeframe, trigger_indicator_period,
+         event_type, price,
+         lag(event_type) OVER w AS prev_type,
+         lag(price) OVER w AS prev_price
+  FROM sig_events
+  WINDOW w AS (PARTITION BY currency_pair_code, trigger_indicator_timeframe,
+               trigger_indicator_period ORDER BY event_datetime)
+)
+SELECT currency_pair_code,
+       trigger_indicator_timeframe AS timeframe_code,
+       trigger_indicator_period AS period,
+       count(*) AS n_trades,
+       round(sum(price - prev_price), 6) AS total_pnl
+FROM trades
+WHERE event_type = 'SELL' AND prev_type = 'BUY'
+GROUP BY 1, 2, 3""",
+}

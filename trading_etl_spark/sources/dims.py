@@ -1,0 +1,61 @@
+"""Dimension tables (seed rows are part of the reference's schema).
+
+dim_currency seed: alembic e2444ebd2a06_baseline_current_schema.py:125-133.
+dim_timeframe seed: e2444ebd2a06:135-141 + 0a3601d18004_add_timeframe.py:23-27.
+
+Dims are tiny — always broadcast-joined (replacing the reference's driver-side
+scalar code→id lookups, ``src/etl/flows/transform_helpers.py:18-42``). At
+100 TB the fact side scales; the dim side stays 6 rows, so these joins never
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import DIM_CURRENCY_SCHEMA, DIM_TIMEFRAME_SCHEMA
+
+CURRENCY_SEED: list[tuple] = [
+    (1, "USD", "JPY", "USD/JPY", "USD_JPY"),
+    (2, "EUR", "JPY", "EUR/JPY", "EUR_JPY"),
+    (3, "GBP", "JPY", "GBP/JPY", "GBP_JPY"),
+    (4, "AUD", "JPY", "AUD/JPY", "AUD_JPY"),
+    (5, "CAD", "JPY", "CAD/JPY", "CAD_JPY"),
+    (6, "CHF", "JPY", "CHF/JPY", "CHF_JPY"),
+]
+
+TIMEFRAME_SEED: list[tuple] = [
+    (1, "1m", "1min", 60),
+    (2, "5m", "5min", 300),
+    (3, "15m", "15min", 900),
+    (4, "30m", "30min", 1800),
+    (5, "1h", "1hour", 3600),
+    (6, "4h", "4hour", 14400),
+]
+
+
+def dim_currency(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CURRENCY_SEED, DIM_CURRENCY_SCHEMA)
+
+
+def dim_timeframe(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TIMEFRAME_SEED, DIM_TIMEFRAME_SCHEMA)
+
+
+def currency_values_sql() -> str:
+    """dim_currency as an inline VALUES clause for the DuckDB oracle."""
+    rows = ", ".join(
+        f"({i}, '{b}', '{q}', '{c}', '{s}')" for i, b, q, c, s in CURRENCY_SEED
+    )
+    return (
+        "dim_currency(id, base_currency, quote_currency, currency_pair_code,"
+        f" currency_pair_symbol) AS (VALUES {rows})"
+    )
+
+
+def timeframe_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{c}', '{n}', {d})" for i, c, n, d in TIMEFRAME_SEED)
+    return (
+        "dim_timeframe(id, timeframe_code, timeframe_name, duration_seconds)"
+        f" AS (VALUES {rows})"
+    )

@@ -1,0 +1,111 @@
+"""Tick source: the driver's ``events`` table adapted into the reference's
+tick-feed shape (FIXTURES.md: ts→time, value→bid, props JSON→spread key,
+user_id→currency pair).
+
+Reproduces the reference's ingest semantics end-to-end (SURVEY.md §2.1/§2.2):
+
+- S2 JSON parse + casts            src/gmo/ws-connection.py:131-160
+- P6 mid price                     src/gmo/ws_ticker_server.py:164
+- P7/P8 UTC + second truncation    src/gmo/ws-connection.py:56-57,147
+- P9 tick validity filter          docs/ws_ticker_spec.md:95
+- S3 1-second dedup, first wins    src/gmo/ws-connection.py:47-57
+- J2 dim lookup join (broadcast)   src/etl/flows/transform_helpers.py:18-42
+
+Scale notes: the dedup is a window over (pair, second) — at 100 TB this
+shuffles once on the natural key and every downstream OHLC agg reuses that
+partitioning. The dim join is an explicit ``broadcast()``: 6 rows never
+justify a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dims import currency_values_sql, dim_currency
+
+# events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark parquet
+# reader rejects; read raw int64 and convert ns→µs with integer division
+# (double division would lose precision above 2^53).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as a proper TimestampType (µs, UTC)."""
+    return (
+        spark.read.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed, validated ticks before dedup (S2 + P6-P9 + J2).
+
+    bid = event value; ask = bid + spread derived from the props JSON key
+    (exercising the JSON-parse path the reference applies to websocket
+    frames); pair = user_id mod 6 joined against dim_currency.
+    """
+    events = load_events(spark, sf_dir)
+    dim = dim_currency(spark)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
+        .join(F.broadcast(dim), F.col("pair_id") == dim.id, "inner")
+        .withColumn("bid", F.col("value"))
+        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("time", F.date_trunc("second", F.col("ts")))
+        .filter((F.col("bid") > 0) & (F.col("ask") > 0) & (F.col("bid") <= F.col("ask")))
+        .select("currency_pair_code", "time", "bid", "ask", "ts", "event_id")
+    )
+
+
+def load_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated tick table (S3): first tick per (pair, second) wins,
+    ordered by original event time then event_id for determinism."""
+    w = Window.partitionBy("currency_pair_code", "time").orderBy("ts", "event_id")
+    return (
+        raw_ticks(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("currency_pair_code", "time", "bid", "ask")
+    )
+
+
+# --- DuckDB oracle twins (same semantics, ANSI SQL over the driver's views) ---
+
+RAW_TICKS_SQL = f"""
+{currency_values_sql()},
+raw_ticks AS (
+  SELECT d.currency_pair_code,
+         CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS time,
+         e.value AS bid,
+         e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 AS ask,
+         e.ts AS _ts,
+         e.event_id AS _event_id
+  FROM events e
+  JOIN dim_currency d ON d.id = CAST(e.user_id % 6 AS INTEGER) + 1
+  WHERE e.value > 0
+    AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 > 0
+    AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001
+)
+""".strip()
+
+TICKS_SQL = f"""
+{RAW_TICKS_SQL},
+ticks AS (
+  SELECT currency_pair_code, time, bid, ask
+  FROM raw_ticks
+  QUALIFY row_number() OVER (PARTITION BY currency_pair_code, time ORDER BY _ts, _event_id) = 1
+)
+""".strip()
