@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into a noop sink (full plan, no driver
+collect). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the operators that dominate real workloads. Trading core +
+# (as implemented) LLM-pipeline ops. Keep in sync with registry keys.
+HEADLINE = [
+    "ohlc_1m",
+    "ohlc_derived_multi_tf",
+    "sma_14_1h",
+    "ema_14_1h",
+    "rsi_14_1h",
+    "sma_golden_cross",
+    "backtest_pnl",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "embedding_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from trading_etl_spark.registry import build_queries
+    from trading_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = build_queries()
+
+    # Warm the JVM/codegen/parquet-footer caches so timings reflect
+    # steady-state query execution, not first-query startup.
+    first = next((n for n in HEADLINE if n in queries), None)
+    if first:
+        queries[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+import pytest
+
+from trading_etl_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()

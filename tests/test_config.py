@@ -1,0 +1,43 @@
+"""Config env-parsing parity with the reference
+(tests/config/test_config.py:21-75 in /root/reference)."""
+
+import pytest
+
+from trading_etl_spark.config import EngineConfig
+
+
+def test_defaults():
+    cfg = EngineConfig.from_env({})
+    assert cfg.timeframes["1m"] == 60
+    assert cfg.timeframes["4h"] == 14400
+    assert cfg.indicator_periods == [14, 28, 56]
+    assert cfg.cross_short_period == 14
+    assert cfg.cross_long_period == 28
+    assert cfg.calc_version == "0"
+
+
+def test_env_overrides():
+    cfg = EngineConfig.from_env(
+        {
+            "ETL_INDICATOR_PERIODS": "7, 21",
+            "ETL_CROSS_SHORT_PERIOD": "7",
+            "ETL_CROSS_LONG_PERIOD": "21",
+            "ETL_CALC_VERSION": "v2",
+        }
+    )
+    assert cfg.indicator_periods == [7, 21]
+    assert cfg.cross_short_period == 7
+    assert cfg.cross_long_period == 21
+    assert cfg.calc_version == "v2"
+
+
+def test_bad_int_raises():
+    with pytest.raises(ValueError):
+        EngineConfig.from_env({"ETL_CROSS_SHORT_PERIOD": "seven"})
+
+
+def test_bad_list_raises():
+    with pytest.raises(ValueError):
+        EngineConfig.from_env({"ETL_INDICATOR_PERIODS": "14,x,56"})
+    with pytest.raises(ValueError):
+        EngineConfig.from_env({"ETL_INDICATOR_PERIODS": " , "})

@@ -1,0 +1,77 @@
+"""W1 first-wins idempotent append contract (mirrors the reference's
+tests/acceptance/_test_transform_idempotency.py:110-120: a second run of the
+same insert adds zero rows, and recomputation never overwrites)."""
+
+from datetime import datetime
+
+from trading_etl_spark.io import first_wins, first_wins_append, max_time_cursor
+from trading_etl_spark.schemas import TICK_SCHEMA
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, TICK_SCHEMA)
+
+
+def test_first_wins_drops_existing_keys(spark):
+    existing = _df(spark, [("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 100.0, 100.1)])
+    incoming = _df(
+        spark,
+        [
+            ("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 999.0, 999.1),  # collision
+            ("USD/JPY", datetime(2024, 1, 1, 10, 0, 1), 101.0, 101.2),  # fresh
+        ],
+    )
+    out = first_wins(existing, incoming, ["currency_pair_code", "time"]).collect()
+    assert len(out) == 1
+    assert out[0]["bid"] == 101.0  # the colliding recompute was dropped
+
+
+def test_append_twice_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ticks")
+    batch = _df(
+        spark,
+        [
+            ("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 100.0, 100.1),
+            ("EUR/JPY", datetime(2024, 1, 1, 10, 0, 0), 160.0, 160.1),
+        ],
+    )
+    keys = ["currency_pair_code", "time"]
+    n1 = first_wins_append(spark, path, batch, keys)
+    n2 = first_wins_append(spark, path, batch, keys)
+    assert (n1, n2) == (2, 0)
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_append_freezes_first_value(spark, tmp_path):
+    """Recomputed rows colliding with an existing PK are dropped — the first
+    write wins, exactly like ON CONFLICT DO NOTHING."""
+    path = str(tmp_path / "ohlc")
+    keys = ["currency_pair_code", "time"]
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    first_wins_append(spark, path, _df(spark, [("USD/JPY", t, 100.0, 100.1)]), keys)
+    first_wins_append(
+        spark,
+        path,
+        _df(spark, [("USD/JPY", t, 555.0, 555.1), ("USD/JPY", datetime(2024, 1, 1, 10, 0, 1), 101.0, 101.1)]),
+        keys,
+    )
+    rows = {r["time"]: r["bid"] for r in spark.read.parquet(path).collect()}
+    assert rows[t] == 100.0  # frozen
+    assert len(rows) == 2
+
+
+def test_max_time_cursor(spark):
+    df = _df(
+        spark,
+        [
+            ("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 1.0, 1.1),
+            ("USD/JPY", datetime(2024, 1, 1, 12, 0, 0), 1.0, 1.1),
+            ("EUR/JPY", datetime(2024, 1, 1, 11, 0, 0), 1.0, 1.1),
+        ],
+    )
+    out = {
+        r["currency_pair_code"]: r["max_time"]
+        for r in max_time_cursor(df, ["currency_pair_code"]).collect()
+    }
+    assert out["USD/JPY"] == datetime(2024, 1, 1, 12, 0, 0)
+    assert out["EUR/JPY"] == datetime(2024, 1, 1, 11, 0, 0)

@@ -1,0 +1,83 @@
+"""OHLC aggregation semantics (SURVEY.md A1/A2) on hand-built tick frames."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from trading_etl_spark.operators.ohlc import ohlc_base, ohlc_derived
+from trading_etl_spark.schemas import TICK_SCHEMA
+from trading_etl_spark.sources.dims import dim_timeframe
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _ticks(spark):
+    rows = [
+        # USD/JPY, minute 10:00 — open=100 (first), high=103, low=99, close=101 (last)
+        ("USD/JPY", _ts("2024-01-01 10:00:01"), 100.0, 100.1),
+        ("USD/JPY", _ts("2024-01-01 10:00:20"), 103.0, 103.1),
+        ("USD/JPY", _ts("2024-01-01 10:00:40"), 99.0, 99.1),
+        ("USD/JPY", _ts("2024-01-01 10:00:59"), 101.0, 101.1),
+        # USD/JPY, minute 10:01 — single tick
+        ("USD/JPY", _ts("2024-01-01 10:01:30"), 102.0, 102.1),
+        # EUR/JPY, same minutes — isolation across pairs
+        ("EUR/JPY", _ts("2024-01-01 10:00:05"), 160.0, 160.1),
+        ("EUR/JPY", _ts("2024-01-01 10:00:55"), 158.0, 158.1),
+    ]
+    return spark.createDataFrame(rows, TICK_SCHEMA)
+
+
+def test_ohlc_base_first_last_semantics(spark):
+    out = {
+        (r["currency_pair_code"], r["time"]): r
+        for r in ohlc_base(_ticks(spark)).collect()
+    }
+    usd = out[("USD/JPY", _ts("2024-01-01 10:00:00"))]
+    assert (usd["open"], usd["high"], usd["low"], usd["close"]) == (100.0, 103.0, 99.0, 101.0)
+    assert usd["timeframe_code"] == "1m"
+    single = out[("USD/JPY", _ts("2024-01-01 10:01:00"))]
+    assert (single["open"], single["high"], single["low"], single["close"]) == (102.0,) * 4
+    eur = out[("EUR/JPY", _ts("2024-01-01 10:00:00"))]
+    assert (eur["open"], eur["close"]) == (160.0, 158.0)
+
+
+def test_ohlc_derived_buckets_and_first_last(spark):
+    base = ohlc_base(_ticks(spark))
+    tfs = dim_timeframe(spark)
+    derived = ohlc_derived(base, tfs)
+    by_tf = {
+        (r["timeframe_code"], r["currency_pair_code"], r["time"]): r
+        for r in derived.collect()
+    }
+    # 5m bucket 10:00 contains both USD minutes: open from 10:00, close from 10:01
+    r = by_tf[("5m", "USD/JPY", _ts("2024-01-01 10:00:00"))]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (100.0, 103.0, 99.0, 102.0)
+    # every non-1m timeframe present, no 1m rows
+    tf_codes = {k[0] for k in by_tf}
+    assert tf_codes == {"5m", "15m", "30m", "1h", "4h"}
+
+
+def test_derived_equals_direct_aggregation(spark):
+    """Re-aggregating 1m candles must equal aggregating raw ticks directly."""
+    ticks = _ticks(spark)
+    tfs = dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
+    derived = ohlc_derived(ohlc_base(ticks), tfs)
+    direct = (
+        ticks.groupBy(
+            "currency_pair_code",
+            F.window("time", "1 hour")["start"].alias("time"),
+        )
+        .agg(
+            F.min_by("bid", "time").alias("open"),
+            F.max("bid").alias("high"),
+            F.min("bid").alias("low"),
+            F.max_by("bid", "time").alias("close"),
+        )
+    )
+    d = {(r["currency_pair_code"], r["time"]): r for r in derived.collect()}
+    for r in direct.collect():
+        got = d[(r["currency_pair_code"], r["time"])]
+        for c in ("open", "high", "low", "close"):
+            assert got[c] == r[c]
