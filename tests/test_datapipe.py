@@ -1,0 +1,128 @@
+"""LLM-data-pipeline operators (dedup / similarity / text analysis) on
+hand-built document and embedding frames with known-by-construction answers."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from trading_etl_spark.operators import similarity as sim
+from trading_etl_spark.operators import text as tx
+
+DOC_SCHEMA = "doc_id long, text string, lang string"
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog", "en"),  # near dup of 0
+        (3, "el perro y el gato que corren de la casa", "es"),
+        (4, "completely different words entirely here now", "en"),
+        (5, "hi", "en"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = tx.shingles(_docs(spark)).filter(F.col("doc_id") == 5)
+    assert sh.count() == 0
+
+
+def test_dedup_exact_first_wins(spark):
+    out = {r["content_hash"]: r for r in tx.dedup_exact(_docs(spark)).collect()}
+    dup = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_doc_id"] == 0
+    assert sum(r["n_copies"] for r in out.values()) == 6
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in tx.dedup_ngram_jaccard(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # doc 2 differs in 1 of 9 tokens → 2 of 7 shingles changed: j = 5/9
+    assert math.isclose(pairs[(0, 2)], round(5 / 9, 6), abs_tol=1e-6)
+    raised = tx.dedup_ngram_jaccard(_docs(spark), threshold=0.6).collect()
+    assert (0, 2) not in {(r["doc_a"], r["doc_b"]) for r in raised}
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in tx.dedup_minhash_lsh(_docs(spark), threshold=0.5).collect()
+    }
+    # identical docs share every band → always a candidate; jaccard exact
+    assert pairs[(0, 1)] == 1.0
+    # verification step guarantees no false positives below threshold
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in tx.simhash(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == tx.SIMHASH_BITS and set(sigs[0]) <= {"0", "1"}
+    assert sigs[0] != sigs[4]
+
+
+def test_token_count_and_fingerprint(spark):
+    tc = {r["doc_id"]: r for r in tx.token_count(_docs(spark)).collect()}
+    assert tc[0]["n_tokens"] == 9
+    assert tc[5]["n_tokens"] == 1
+    fp = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(_docs(spark)).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_lang_id_heuristic(spark):
+    out = {r["doc_id"]: r for r in tx.lang_id(_docs(spark)).collect()}
+    assert out[0]["pred_lang"] == "en"  # 'the' ×2, 'over'… en hits dominate
+    assert out[3]["pred_lang"] == "es"
+    assert out[5]["pred_lang"] == "unknown"  # zero stopword hits
+
+
+def test_quality_score_bounds(spark):
+    for r in tx.quality_score(_docs(spark)).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0], 0),
+        (2, [1.0, 1.0, 0.0], 0),
+        (3, [0.9, 0.1, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    return spark.createDataFrame(rows, EMB_SCHEMA).withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_knn_bruteforce_exact_neighbors(spark):
+    out = sim.knn_bruteforce(_emb(spark), k=2, n_queries=1).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # cos(e0, v3)=0.9939 > cos(e0, v2)=0.7071 > others
+    assert ranked == [3, 2]
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert math.isclose(sims[2], round(1 / math.sqrt(2), 6), abs_tol=1e-6)
+
+
+def test_knn_ivf_prunes_to_cell(spark):
+    out = sim.knn_ivf(_emb(spark), k=2, n_queries=1).collect()
+    # query 0 is in cell 0 → only neighbors 1 and 2 are reachable
+    assert {r["neighbor_id"] for r in out} == {1, 2}
+    top = min(out, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 2  # best same-cell neighbor
+
+
+def test_embedding_near_dup_threshold(spark):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in sim.embedding_near_dup(_emb(spark), threshold=0.99).collect()
+    }
+    assert set(pairs) == {(0, 3)}
+    assert pairs[(0, 3)] > 0.99

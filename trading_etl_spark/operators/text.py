@@ -1,0 +1,322 @@
+"""Text-analysis + deduplication operators over the ``documents`` table —
+the LLM-training-data-pipeline surface (north-star extension; no reference
+analog — BASELINE.json mandates these as first-class components).
+
+All hashing shared with the DuckDB oracles uses md5 hex strings (both engines
+ship md5 with identical output), so minhash signatures and simhash bits are
+engine-independent. Tokenization is a literal single-space split in both.
+
+Scale notes (the point of each design):
+- exact dedup: one hash-groupBy shuffle on md5(text) — never on raw text
+  (100 TB of text never leaves the scan projection).
+- minhash LSH: candidate generation is an equi-join on (band_idx, band_key)
+  buckets — O(collisions), not O(n²); only candidates pay the exact-jaccard
+  verification join. This is the scale path for near-dedup.
+- ngram jaccard: the exact quadratic baseline, expressed as a shingle
+  self-join (co-shingled pairs only, never a true cross join). Use for
+  verification / small corpora; at 100 TB use the LSH path.
+- simhash: per-doc signature via 16 independent bit-aggregations — a single
+  groupBy, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --- tokenization / shingles -------------------------------------------------
+
+SHINGLE_N = 3
+
+# language-ID stopword lists (tiny n-gram-free heuristic; argmax of hit
+# counts with deterministic alphabetical tie-break).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist"],
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.split("text", " "))
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct token n-gram shingles per document: (doc_id, shingle)."""
+    # NB: guard short docs explicitly — Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not an empty array like generate_series.
+    expr = (
+        f"IF(size(toks) >= {n},"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> array_join(slice(toks, i, {n}), ' ')),"
+        f" array())"
+    )
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+# --- per-document analysis ---------------------------------------------------
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (alnum runs)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_words"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lowercased text."""
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("fingerprint")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score (length, mean token
+    length, stopword ratio) — the classic pre-training quality filter."""
+    en = LANG_STOPWORDS["en"]
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("n_tokens"),
+        F.length("text").cast("double").alias("n_chars"),
+        F.size(F.filter(F.col("toks"), lambda t: t.isin(en)))
+        .cast("double")
+        .alias("stop_hits"),
+    )
+    n_tok = F.col("n_tokens")
+    mean_tok_len = (F.col("n_chars") - (n_tok - 1)) / n_tok
+    stop_ratio = F.col("stop_hits") / n_tok
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 8.0), 0.3).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-breaks: highest hit
+    count wins, ties broken alphabetically; zero hits → 'unknown'.
+
+    The argmax is a chained CASE (first lang that is >= all later ones, in
+    alphabetical order) — the exact construction the oracle SQL mirrors.
+    """
+    d = with_tokens(docs)
+    langs = sorted(LANG_STOPWORDS)
+    for lang in langs:
+        # NB: a 2-arg lambda (even via default args) selects filter's
+        # (element, index) variant — build the predicate with expr instead.
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        d = d.withColumn(
+            f"hits_{lang}", F.size(F.expr(f"filter(toks, x -> x IN ({lst}))"))
+        )
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs[langs.index(lang) + 1 :]:
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    any_hits = F.greatest(*[F.col(f"hits_{la}") for la in langs]) > 0
+    return d.select(
+        "doc_id",
+        "lang",
+        *[f"hits_{la}" for la in langs],
+        F.when(any_hits, pred).otherwise("unknown").alias("pred_lang"),
+    )
+
+
+# --- deduplication -----------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup on content hash: keeper = min doc_id per md5(text)."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies", F.col("h").alias("content_hash"))
+    )
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard over shingle sets for candidate (doc_a, doc_b) pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram-jaccard near-dup pairs (quadratic baseline): candidate
+    pairs are docs sharing ≥1 shingle (self-join on shingle), then exact
+    jaccard ≥ threshold."""
+    sh = shingles(docs)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh, threshold)
+
+
+MINHASH_SEEDS = 12
+MINHASH_BANDS = 6  # 6 bands × 2 rows
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """12 md5-based minhashes per doc (min over shingles of md5(seed:shingle)
+    as a hex string — engine-independent)."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(MINHASH_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → 12 minhashes → 6 bands of 2 →
+    band-bucket equi-join for candidates → exact-jaccard verification.
+
+    Candidate recall at j=0.7 is 1−(1−0.7²)⁴ ≈ 0.98 per the banding bound;
+    verification removes false positives exactly.
+    """
+    sig = minhash_signatures(docs)
+    r = MINHASH_SEEDS // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    doc_bands = sig.select("doc_id", F.explode(bands).alias("bd")).select(
+        "doc_id", "bd.band_idx", "bd.band_key"
+    )
+    cand = (
+        doc_bands.alias("a")
+        .join(doc_bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, shingles(docs), threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """16-bit simhash over distinct tokens: bit j comes from hex digit
+    j÷4 of md5(token) (bit 3−j%4), contributions ±1, sign → bit."""
+    toks = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok")).distinct()
+    toks = toks.withColumn("th", F.md5("tok"))
+    bit_sums = []
+    for j in range(SIMHASH_BITS):
+        digit = F.expr(f"instr('0123456789abcdef', substr(th, {j // 4 + 1}, 1)) - 1")
+        bit = F.floor(digit / (2 ** (3 - j % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    )
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# --- DuckDB oracle fragments -------------------------------------------------
+
+DOCS_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS t
+  FROM documents
+)
+""".strip()
+
+SHINGLES_SQL = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0))) AS g(i)
+)
+""".strip()
+
+
+def minhash_sig_sql() -> str:
+    aggs = ",\n         ".join(
+        f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(MINHASH_SEEDS)
+    )
+    return f"sig AS (\n  SELECT doc_id,\n         {aggs}\n  FROM shingles GROUP BY doc_id\n)"
+
+
+def band_sql() -> str:
+    r = MINHASH_SEEDS // MINHASH_BANDS
+    sep = " || '|' || "
+    selects = []
+    for b in range(MINHASH_BANDS):
+        cols = sep.join(f"h{b * r + j}" for j in range(r))
+        selects.append(
+            f"  SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    body = "\n  UNION ALL\n".join(selects)
+    return f"doc_bands AS (\n{body}\n)"
+
+
+JACCARD_VERIFY_SQL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+""".strip()

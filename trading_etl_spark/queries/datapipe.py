@@ -1,0 +1,270 @@
+"""LLM-training-data-pipeline query surface: deduplication, similarity
+search, and text analysis over the ``documents`` / ``embeddings`` tables
+(north-star extensions — no reference analog; see SURVEY.md §7 phase 8).
+
+Same conventions as queries/trading.py: identical column aliases on both
+sides, 6dp rounding on arithmetic floats, integer counts cast to BIGINT on
+the Spark side (DuckDB len()/count() return int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+from ..operators import text as tx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.load_documents(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.load_embeddings(spark, sf_dir)
+
+
+def _as_long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# --- deduplication ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
+    return tx.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (bands → bucket join → jaccard verify)."""
+    return tx.dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-jaccard near-dup pairs (quadratic verification baseline)."""
+    return tx.dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit simhash signature per document."""
+    return tx.simhash(_docs(spark, sf_dir))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold."""
+    return sim.embedding_near_dup(_emb(spark, sf_dir))
+
+
+# --- similarity search --------------------------------------------------------
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vectors (exact baseline)."""
+    return _as_long(sim.knn_bruteforce(_emb(spark, sf_dir)), "rank")
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (label column)."""
+    return _as_long(sim.knn_ivf(_emb(spark, sf_dir)), "rank")
+
+
+# --- text analysis ------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(
+        tx.token_count(_docs(spark, sf_dir)), "n_tokens", "n_words", "n_chars_measured"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    langs = sorted(tx.LANG_STOPWORDS)
+    return _as_long(tx.lang_id(_docs(spark, sf_dir)), *[f"hits_{la}" for la in langs])
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "text_simhash": q_simhash,
+    "embedding_near_dup": q_emb_near_dup,
+    "embedding_knn_bruteforce": q_knn_brute,
+    "embedding_knn_ivf": q_knn_ivf,
+    "text_token_count": q_token_count,
+    "text_fingerprint": q_fingerprint,
+    "text_quality_score": q_quality,
+    "text_lang_id": q_lang_id,
+}
+
+
+# --- DuckDB oracle twins -------------------------------------------------------
+
+def _with(*parts: str) -> str:
+    return "WITH " + ",\n".join(parts)
+
+
+def _sql_in(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+_EN = _sql_in(tx.LANG_STOPWORDS["en"])
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       len(t)::DOUBLE AS n_tokens,
+       round((length(text)::DOUBLE - (len(t) - 1)) / len(t), 6) AS mean_token_len,
+       round(len(list_filter(t, x -> x IN {_EN}))::DOUBLE / len(t), 6) AS stopword_ratio,
+       round(least(len(t) / 100.0, 1.0) * 0.4
+             + least(len(list_filter(t, x -> x IN {_EN}))::DOUBLE / len(t) * 5.0, 1.0) * 0.3
+             + CASE WHEN (length(text)::DOUBLE - (len(t) - 1)) / len(t) BETWEEN 3.0 AND 8.0
+                    THEN 0.3 ELSE 0.0 END, 6) AS quality
+FROM toks
+""".strip()
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)
+    hits = ",\n         ".join(
+        f"len(list_filter(t, x -> x IN {_sql_in(tx.LANG_STOPWORDS[la])})) AS hits_{la}"
+        for la in langs
+    )
+    # chained-CASE argmax, alphabetical tie-break — mirrors text.lang_id
+    cases = []
+    for i, la in enumerate(langs[:-1]):
+        cond = " AND ".join(f"hits_{la} >= hits_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {cond} THEN '{la}'")
+    argmax = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    any_hits = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ") > 0"
+    return f"""
+hits AS (
+  SELECT doc_id, lang, {hits}
+  FROM toks
+)
+SELECT doc_id, lang, {", ".join(f"hits_{la}" for la in langs)},
+       CASE WHEN {any_hits} THEN {argmax} ELSE 'unknown' END AS pred_lang
+FROM hits
+""".strip()
+
+
+def _simhash_sql() -> str:
+    bits = []
+    for j in range(tx.SIMHASH_BITS):
+        p = 2 ** (3 - j % 4)
+        digit = f"(instr('0123456789abcdef', substr(th, {j // 4 + 1}, 1)) - 1)"
+        bits.append(f"sum((({digit} // {p}) % 2) * 2 - 1) AS s{j}")
+    concat = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(tx.SIMHASH_BITS)
+    )
+    return f"""
+dtoks AS (
+  SELECT DISTINCT doc_id, md5(tok) AS th
+  FROM toks, unnest(t) AS u(tok)
+),
+bit_sums AS (
+  SELECT doc_id, {", ".join(bits)}
+  FROM dtoks GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash FROM bit_sums
+""".strip()
+
+
+_KNN_RANK_SQL = """
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""".strip()
+
+ORACLES = {
+    "dedup_exact": """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS content_hash
+FROM documents GROUP BY md5(text)
+""".strip(),
+    "dedup_minhash_lsh": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        tx.minhash_sig_sql(),
+        tx.band_sql(),
+        """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM doc_bands a
+  JOIN doc_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+""".strip(),
+        tx.JACCARD_VERIFY_SQL,
+    )
+    + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    "dedup_ngram_jaccard": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+)
+""".strip(),
+        tx.JACCARD_VERIFY_SQL,
+    )
+    + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    "text_simhash": _with(tx.DOCS_TOKS_SQL) + ",\n" + _simhash_sql(),
+    "embedding_near_dup": _with(sim.EMB_SQL)
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sim.COS_SQL.format(a="a.v", b="b.v")} AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
+""".strip(),
+    "embedding_knn_bruteforce": _with(
+        sim.EMB_SQL,
+        f"""
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sim.COS_SQL.format(a="q.v", b="c.v")} AS cos_sim
+  FROM emb q, emb c
+  WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+)
+""".strip(),
+    )
+    + "\n"
+    + _KNN_RANK_SQL,
+    "embedding_knn_ivf": _with(
+        sim.EMB_SQL,
+        f"""
+scored AS (
+  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+         {sim.COS_SQL.format(a="q.v", b="c.v")} AS cos_sim
+  FROM emb q JOIN emb c ON q.label = c.label
+  WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+)
+""".strip(),
+    )
+    + """
+SELECT query_id, label, neighbor_id, rank, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""".strip(),
+    "text_token_count": _with(tx.DOCS_TOKS_SQL)
+    + """
+SELECT doc_id, len(t) AS n_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_words,
+       length(text) AS n_chars_measured
+FROM toks
+""".strip(),
+    "text_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    "text_quality_score": _with(tx.DOCS_TOKS_SQL) + "\n" + _QUALITY_SQL,
+    "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
+}

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .queries import trading
+from .queries import datapipe, trading
 
-_DOMAINS = [trading]
+_DOMAINS = [trading, datapipe]
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
