@@ -1,0 +1,75 @@
+"""Structured Streaming tick path (SURVEY.md §2.8): parse → validate →
+watermark dedup → append sink, plus the latest-value cache (R3)."""
+
+import json
+
+from trading_etl_spark.streaming.ticks import start_latest_value_cache, start_tick_ingest
+
+
+def _frame(symbol, ts, bid, ask, type_="ticker"):
+    return json.dumps(
+        {"type": type_, "symbol": symbol, "timestamp": ts, "bid": str(bid), "ask": str(ask)}
+    )
+
+
+FRAMES = [
+    _frame("USD_JPY", "2024-01-01T10:00:00.100Z", 100.0, 100.2),
+    _frame("USD_JPY", "2024-01-01T10:00:00.900Z", 101.0, 101.2),  # same second → dropped
+    _frame("USD_JPY", "2024-01-01T10:00:01.000Z", 102.0, 102.2),
+    _frame("EUR_JPY", "2024-01-01T10:00:00.500Z", 160.0, 160.2),  # other symbol kept
+    _frame("USD_JPY", "2024-01-01T10:00:02.000Z", -1.0, 100.0),  # invalid: bid <= 0
+    _frame("USD_JPY", "2024-01-01T10:00:03.000Z", 105.0, 104.0),  # invalid: bid > ask
+    json.dumps({"type": "subscribe-ack"}),  # non-ticker frame → dropped
+    "not json at all",  # unparseable → dropped
+]
+
+
+def _write_frames(dir_path, frames, name="frames-0.jsonl"):
+    src = dir_path / "in"
+    src.mkdir(exist_ok=True)
+    (src / name).write_text("\n".join(frames) + "\n")
+    return str(src)
+
+
+def test_stream_ingest_parse_validate_dedup(spark, tmp_path):
+    src = _write_frames(tmp_path, FRAMES)
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    start_tick_ingest(spark, src, sink, ckpt).awaitTermination()
+
+    rows = sorted(
+        spark.read.parquet(sink).collect(),
+        key=lambda r: (r["currency_pair_symbol"], r["time"]),
+    )
+    got = [(r["currency_pair_symbol"], r["time"].isoformat(), r["bid"], r["mid"]) for r in rows]
+    assert got == [
+        ("EUR_JPY", "2024-01-01T10:00:00", 160.0, 160.1),
+        ("USD_JPY", "2024-01-01T10:00:00", 100.0, 100.1),  # first tick of second wins
+        ("USD_JPY", "2024-01-01T10:00:01", 102.0, 102.1),
+    ]
+
+
+def test_stream_ingest_is_incremental(spark, tmp_path):
+    """Restarting over the same checkpoint processes only new files (R1/R2)."""
+    src = _write_frames(tmp_path, FRAMES[:1])
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    start_tick_ingest(spark, src, sink, ckpt).awaitTermination()
+    assert spark.read.parquet(sink).count() == 1
+
+    _write_frames(tmp_path, [_frame("USD_JPY", "2024-01-01T10:00:05.000Z", 103.0, 103.2)],
+                  name="frames-1.jsonl")
+    start_tick_ingest(spark, src, sink, ckpt).awaitTermination()
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_latest_value_cache(spark, tmp_path):
+    src = _write_frames(tmp_path, FRAMES)
+    start_latest_value_cache(
+        spark, src, str(tmp_path / "ckpt2"), view_name="t_latest"
+    ).awaitTermination()
+
+    latest = {
+        r["currency_pair_symbol"]: (r["time"].isoformat(), r["bid"])
+        for r in spark.table("global_temp.t_latest").collect()
+    }
+    assert latest["USD_JPY"] == ("2024-01-01T10:00:01", 102.0)  # newest valid tick
+    assert latest["EUR_JPY"] == ("2024-01-01T10:00:00", 160.0)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
 
@@ -90,6 +91,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(tx.lang_id(_docs(spark, sf_dir)), *[f"hits_{la}" for la in langs])
 
 
+# --- multimodal ---------------------------------------------------------------
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads → typed metadata via Arrow-batched mapInPandas
+    (decode kernel is a deterministic fake — codecs absent in container)."""
+    return mm.extract_media_meta(mm.media_from_documents(_docs(spark, sf_dir)))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling of video payloads (frame bytes summarized as md5 so
+    the result is hash-comparable)."""
+    frames = mm.sample_frames(mm.media_from_documents(_docs(spark, sf_dir)))
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("frame_md5")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -102,6 +120,8 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_quality_score": q_quality,
     "text_lang_id": q_lang_id,
+    "media_extract_meta": q_media_meta,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 
@@ -267,4 +287,17 @@ FROM toks
     "text_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
     "text_quality_score": _with(tx.DOCS_TOKS_SQL) + "\n" + _QUALITY_SQL,
     "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
+    "media_extract_meta": _with(mm.MEDIA_META_SQL),
+    # text is ASCII so byte slices == char slices; md5(string) == md5(bytes)
+    "media_frame_sample": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         text
+  FROM documents
+)
+SELECT media_id, i::INT AS frame_idx, md5(substr(text, (i * 256 + 1)::INT, 16)) AS frame_md5
+FROM media, unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) AS g(i)
+WHERE media_type = 'video'
+""".strip(),
 }

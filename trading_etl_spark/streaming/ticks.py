@@ -1,0 +1,158 @@
+"""Structured Streaming tick path (SURVEY.md §2.8 R1-R7).
+
+The reference hand-rolls this with asyncio: a websocket client ingests JSON
+tick frames (``src/gmo/ws-connection.py:131-160``), dedups to 1-second grain
+with a count()==0 gate (``:47-57``), and a relay server polls the table on a
+1 s cursor and pushes the latest value to subscribers
+(``src/gmo/ws_ticker_server.py:192-243``). Here the same semantics are one
+declarative streaming pipeline:
+
+- R1 continuous ingest + restart   → readStream + checkpointing
+- S2 JSON parse/validate           → from_json(TICK_MESSAGE_SCHEMA) + filters
+- P6-P9 mid/UTC/trunc/validity     → same expressions as the batch path
+- S3/R6 1-second dedup, late drop  → withWatermark + dropDuplicates
+- R2 poll-based delivery           → trigger(processingTime=...) micro-batches
+- R3 latest-value cache/replay-1   → foreachBatch upsert into a keyed view
+- R4/R5 heartbeat / error retry    → sink-side concerns (foreachBatch hooks)
+
+Scale notes: dropDuplicates keys on (pair, second) so streaming state is
+bounded by watermark horizon × tick rate, not history; the stateful exchange
+hash-partitions on the dedup key, which is the same key every downstream
+OHLC window agg groups on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import TICK_MESSAGE_SCHEMA
+
+
+def read_tick_frames(spark: SparkSession, path: str) -> DataFrame:
+    """R1: file-source stream of raw JSON tick frames (one frame per line).
+
+    In production this is the websocket connector's landing zone (or a Kafka
+    topic with the same ``value`` column); the file source gives identical
+    downstream semantics plus exactly-once replay via checkpointing.
+    """
+    return spark.readStream.format("text").load(path).withColumnRenamed("value", "frame")
+
+
+def parse_ticks(frames: DataFrame) -> DataFrame:
+    """S2+P6-P9: parse JSON frames → typed, validated ticks with mid price.
+
+    Mirrors ``on_message`` (ws-connection.py:131-160): drop non-ticker frames,
+    numeric-cast bid/ask (the feed sends numeric strings), ISO-8601→UTC
+    timestamp, drop invalid quotes (docs/ws_ticker_spec.md:95).
+    """
+    t = F.col("tick")
+    return (
+        frames.withColumn("tick", F.from_json("frame", TICK_MESSAGE_SCHEMA))
+        .filter(t["type"].isNull() | (t["type"] == "ticker"))
+        .filter(t["symbol"].isNotNull())
+        .select(
+            t["symbol"].alias("currency_pair_symbol"),
+            F.to_timestamp(t["timestamp"]).alias("ts"),
+            t["bid"].cast("double").alias("bid"),
+            t["ask"].cast("double").alias("ask"),
+        )
+        .filter(
+            F.col("ts").isNotNull()
+            & (F.col("bid") > 0)
+            & (F.col("ask") > 0)
+            & (F.col("bid") <= F.col("ask"))
+        )
+        .withColumn("mid", (F.col("bid") + F.col("ask")) / 2)
+        .withColumn("time", F.date_trunc("second", F.col("ts")))
+    )
+
+
+def dedup_ticks(parsed: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """S3/R6: keep one tick per (symbol, second); late arrivals for an
+    already-emitted second are dropped once past the watermark — the explicit
+    version of the reference's silent count()==0 insert gate."""
+    return (
+        parsed.withWatermark("time", watermark)
+        .dropDuplicates(["currency_pair_symbol", "time"])
+        .select("currency_pair_symbol", "time", "bid", "ask", "mid")
+    )
+
+
+def start_tick_ingest(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """End-to-end ingest: frames → parse → validate → dedup → parquet append.
+
+    ``available_now=True`` drains the backlog and stops (test/batch-catchup
+    mode); otherwise micro-batches on ``processing_time`` — the streaming
+    equivalent of the relay's 1 s poll cadence (ws_ticker_server.py:53).
+    """
+    ticks = dedup_ticks(parse_ticks(read_tick_frames(spark, source_path)))
+    writer = (
+        ticks.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_latest_value_cache(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    view_name: str = "latest_ticks",
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """R3: per-symbol latest-value cache for replay-1 to new subscribers.
+
+    ``max_by(struct(...), time)`` per symbol inside foreachBatch, merged
+    newest-wins into a keyed view — the websocket server's
+    ``latest_row_store`` (ws_ticker_server.py:88-99) without the process-local
+    mutable dict. A real relay would push the same micro-batch to clients
+    (R4 heartbeat / R5 retry live in this hook too). The view is a GLOBAL
+    temp view (read it as ``global_temp.<view_name>``): foreachBatch runs on
+    a cloned micro-batch session, so a plain temp view would be invisible to
+    the caller's session.
+    """
+    parsed = parse_ticks(read_tick_frames(spark, source_path))
+
+    def upsert_latest(batch: DataFrame, _batch_id: int) -> None:
+        latest = (
+            batch.groupBy("currency_pair_symbol")
+            .agg(F.max_by(F.struct("time", "bid", "ask", "mid"), "time").alias("r"))
+            .select("currency_pair_symbol", "r.time", "r.bid", "r.ask", "r.mid")
+        )
+        s = batch.sparkSession
+        if s.catalog.tableExists(f"global_temp.{view_name}"):
+            prev = s.table(f"global_temp.{view_name}")
+            merged = (
+                prev.unionByName(latest)
+                .groupBy("currency_pair_symbol")
+                .agg(F.max_by(F.struct("time", "bid", "ask", "mid"), "time").alias("r"))
+                .select("currency_pair_symbol", "r.time", "r.bid", "r.ask", "r.mid")
+            )
+        else:
+            merged = latest
+        merged.cache().count()  # materialize before replacing the view
+        merged.createOrReplaceGlobalTempView(view_name)
+
+    writer = parsed.writeStream.foreachBatch(upsert_latest).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
