@@ -184,8 +184,13 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram-jaccard near-dup pairs (quadratic baseline): candidate
     pairs are docs sharing ≥1 shingle (self-join on shingle), then exact
-    jaccard ≥ threshold."""
-    sh = shingles(docs)
+    jaccard ≥ threshold.
+
+    The shingle relation feeds the candidate self-join AND the verify pass
+    (intersections + both size sides) — cache it once instead of re-exploding
+    the corpus 4×; at 100 TB this is a materialized shingle table.
+    """
+    sh = shingles(docs).cache()
     cand = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -205,7 +210,10 @@ MINHASH_BANDS = 6  # 6 bands × 2 rows
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """12 md5-based minhashes per doc (min over shingles of md5(seed:shingle)
     as a hex string — engine-independent)."""
-    sh = shingles(docs)
+    return _minhash_from_shingles(shingles(docs))
+
+
+def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
         for s in range(MINHASH_SEEDS)
@@ -218,9 +226,12 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     band-bucket equi-join for candidates → exact-jaccard verification.
 
     Candidate recall at j=0.7 is 1−(1−0.7²)⁴ ≈ 0.98 per the banding bound;
-    verification removes false positives exactly.
+    verification removes false positives exactly. The shingle relation is
+    cached: signatures, intersection, and size lookups all reuse one
+    explode+distinct instead of recomputing it 4× (materialized at scale).
     """
-    sig = minhash_signatures(docs)
+    sh = shingles(docs).cache()
+    sig = _minhash_from_shingles(sh)
     r = MINHASH_SEEDS // MINHASH_BANDS
     bands = F.array(
         *[
@@ -243,7 +254,7 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_verify(cand, shingles(docs), threshold)
+    return _jaccard_verify(cand, sh, threshold)
 
 
 SIMHASH_BITS = 16

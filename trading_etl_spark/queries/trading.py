@@ -12,7 +12,7 @@ Conventions shared with the DuckDB oracles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import indicators, ohlc, signals
@@ -28,9 +28,24 @@ def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc.ohlc_base(ticks.load_ticks(spark, sf_dir))
 
 
+# The reference materializes OHLC into tables BEFORE indicators read them
+# (transform.py flow ordering: update_ohlc_tables → indicator flow). The 1h
+# candle relation is likewise materialized here — cached per (app, sf_dir) —
+# so the 6 indicator/signal/backtest queries (and the two sides of the SMA
+# self-join) reuse one tick-scan+dedup+agg chain instead of re-deriving it
+# per union branch. At 100 TB this is a written parquet table; in-session,
+# cache() is the equivalent.
+_CANDLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf_1h = dims.dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
-    return ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), tf_1h)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CANDLE_CACHE.get(key)
+    if df is None:
+        tf_1h = dims.dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
+        df = ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), tf_1h).cache()
+        _CANDLE_CACHE[key] = df
+    return df
 
 
 def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFrame:
@@ -74,13 +89,14 @@ def q_ohlc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10/O2: top-1 by time desc per pair (relay bootstrap lookup)."""
-    w = Window.partitionBy("currency_pair_code").orderBy(F.desc("time"))
+    """S10/O2: top-1 by time desc per pair (relay bootstrap lookup) —
+    max_by hash-agg (partial-aggregable) instead of a row_number window."""
+    latest = F.max_by(F.struct("time", "bid", "ask"), "time").alias("r")
     return (
         ticks.load_ticks(spark, sf_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("currency_pair_code", "time", "bid", "ask")
+        .groupBy("currency_pair_code")
+        .agg(latest)
+        .select("currency_pair_code", F.col("r.time"), F.col("r.bid"), F.col("r.ask"))
     )
 
 

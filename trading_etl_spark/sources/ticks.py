@@ -19,7 +19,7 @@ justify a shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -72,13 +72,20 @@ def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated tick table (S3): first tick per (pair, second) wins,
-    ordered by original event time then event_id for determinism."""
-    w = Window.partitionBy("currency_pair_code", "time").orderBy("ts", "event_id")
+    ordered by original event time then event_id for determinism.
+
+    Expressed as ``min_by(struct(values), struct(order))`` hash-agg rather
+    than a row_number window: hash aggregation gets map-side partial combine
+    (each input partition pre-reduces to one row per (pair, second) before
+    the exchange), so shuffle volume is bounded by distinct keys — a window
+    would shuffle and sort every raw tick.
+    """
+    first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
     return (
         raw_ticks(spark, sf_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("currency_pair_code", "time", "bid", "ask")
+        .groupBy("currency_pair_code", "time")
+        .agg(first)
+        .select("currency_pair_code", "time", F.col("f.bid"), F.col("f.ask"))
     )
 
 
