@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_bucket
+
 OHLC_COLS = ["currency_pair_code", "timeframe_code", "time", "open", "high", "low", "close"]
 
 
@@ -61,10 +63,7 @@ def ohlc_derived(ohlc_1m: DataFrame, timeframes: DataFrame) -> DataFrame:
     tfs = timeframes.filter(F.col("duration_seconds") != 60).select(
         F.col("timeframe_code").alias("_tf"), "duration_seconds"
     )
-    bucket = F.timestamp_seconds(
-        F.floor(F.unix_timestamp("time") / F.col("duration_seconds"))
-        * F.col("duration_seconds")
-    )
+    bucket = epoch_bucket("time", "duration_seconds")
     return (
         ohlc_1m.crossJoin(F.broadcast(tfs))
         .groupBy(

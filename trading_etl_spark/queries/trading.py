@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import first_wins
 from ..operators import indicators, ohlc, signals
 from ..operators.backtest import backtest_pnl
 from ..sources import dims, ticks
 
 CURSOR = "2024-01-15 00:00:00"  # literal incremental-scan cursor (S11)
+LOOKBACK = "2024-01-14 20:00:00"  # W2 recompute-window start (cursor − lookback)
 
 
 # --- Spark-side builders -----------------------------------------------------
@@ -153,6 +155,23 @@ def q_dead_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signals.dead_cross(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
 
 
+def q_idempotent_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: the rows an incremental recompute would actually append.
+
+    existing = the materialized candle table up to the cursor; incoming = the
+    recomputed window starting a lookback before the cursor (overlap is
+    intentional — the reference recomputes 2×period rows back). The
+    first-wins anti-join drops every overlap row, reproducing ON CONFLICT
+    DO NOTHING exactly.
+    """
+    candles = _ohlc_1m(spark, sf_dir)
+    existing = candles.filter(F.col("time") <= F.lit(CURSOR))
+    incoming = candles.filter(F.col("time") >= F.lit(LOOKBACK))
+    return first_wins(
+        existing, incoming, ["currency_pair_code", "timeframe_code", "time"]
+    )
+
+
 def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest replay: realized PnL from alternating BUY/SELL events."""
     events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
@@ -173,6 +192,7 @@ QUERIES = {
     "rsi_14_1h": q_rsi,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
+    "idempotent_append_fresh": q_idempotent_fresh,
     "backtest_pnl": q_backtest,
 }
 
@@ -327,6 +347,16 @@ SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
 FROM rsi_rec""",
     "sma_golden_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _GOLDEN_SQL,
     "sma_dead_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _DEAD_SQL,
+    "idempotent_append_fresh": _with(*_TO_1M)
+    + f"""
+SELECT i.* FROM ohlc_1m i
+WHERE i.time >= TIMESTAMP '{LOOKBACK}'
+  AND NOT EXISTS (
+    SELECT 1 FROM ohlc_1m e
+    WHERE e.time <= TIMESTAMP '{CURSOR}'
+      AND e.currency_pair_code = i.currency_pair_code
+      AND e.timeframe_code = i.timeframe_code
+      AND e.time = i.time)""",
     "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),

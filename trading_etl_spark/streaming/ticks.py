@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..functions.scalars import mid_price, utc_second
 from ..schemas import TICK_MESSAGE_SCHEMA
 
 
@@ -64,8 +65,8 @@ def parse_ticks(frames: DataFrame) -> DataFrame:
             & (F.col("ask") > 0)
             & (F.col("bid") <= F.col("ask"))
         )
-        .withColumn("mid", (F.col("bid") + F.col("ask")) / 2)
-        .withColumn("time", F.date_trunc("second", F.col("ts")))
+        .withColumn("mid", mid_price())
+        .withColumn("time", utc_second())
     )
 
 
