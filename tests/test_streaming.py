@@ -3,7 +3,11 @@ watermark dedup → append sink, plus the latest-value cache (R3)."""
 
 import json
 
-from trading_etl_spark.streaming.ticks import start_latest_value_cache, start_tick_ingest
+from trading_etl_spark.streaming.ticks import (
+    start_latest_value_cache,
+    start_ohlc_stream,
+    start_tick_ingest,
+)
 
 
 def _frame(symbol, ts, bid, ask, type_="ticker"):
@@ -59,6 +63,63 @@ def test_stream_ingest_is_incremental(spark, tmp_path):
                   name="frames-1.jsonl")
     start_tick_ingest(spark, src, sink, ckpt).awaitTermination()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_stream_ohlc_window_agg(spark, tmp_path):
+    """R7: dedup → tumbling 1-minute OHLC; append mode emits only windows the
+    watermark has closed, with batch-identical first/last semantics."""
+    frames = [
+        _frame("USD_JPY", "2024-01-01T10:00:01Z", 100.0, 100.2),
+        _frame("USD_JPY", "2024-01-01T10:00:30Z", 103.0, 103.2),
+        _frame("USD_JPY", "2024-01-01T10:00:59Z", 101.0, 101.2),
+        _frame("USD_JPY", "2024-01-01T10:01:10Z", 102.0, 102.2),
+        _frame("USD_JPY", "2024-01-01T10:02:10Z", 104.0, 104.2),  # closes 10:01
+    ]
+    src = _write_frames(tmp_path, frames)
+    sink, ckpt = str(tmp_path / "ohlc"), str(tmp_path / "ckpt-ohlc")
+    start_ohlc_stream(spark, src, sink, ckpt).awaitTermination()
+
+    rows = {
+        r["time"].isoformat(): (r["open"], r["high"], r["low"], r["close"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {
+        "2024-01-01T10:00:00": (100.0, 103.0, 100.0, 101.0),
+        "2024-01-01T10:01:00": (102.0, 102.0, 102.0, 102.0),
+        # 10:02 window still open (watermark hasn't passed it) — not emitted
+    }
+
+
+def test_custom_tick_datasource(spark, tmp_path):
+    """S1: the gmo_ticks Python DataSource feeds the same parse→dedup
+    pipeline as the file feed; deterministic synthetic frames, offset-based
+    replay."""
+    from trading_etl_spark.sources.tick_ws_source import GmoTickDataSource
+    from trading_etl_spark.streaming.ticks import dedup_ticks, parse_ticks
+
+    spark.dataSource.register(GmoTickDataSource)
+    frames = (
+        spark.readStream.format("gmo_ticks")
+        .option("pairs", "USD_JPY,EUR_JPY")
+        .option("frames_per_batch", "20")
+        .option("max_frames", "40")
+        .load()
+    )
+    ticks = dedup_ticks(parse_ticks(frames))
+    q = (
+        ticks.writeStream.format("memory")
+        .queryName("t_ws_ticks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from t_ws_ticks").collect()
+    # 20 frames over 2 pairs → 10 distinct seconds each, all deduped-unique
+    assert len(rows) == 20
+    keys = {(r["currency_pair_symbol"], r["time"]) for r in rows}
+    assert len(keys) == 20
+    assert all(r["bid"] < r["ask"] for r in rows)
 
 
 def test_latest_value_cache(spark, tmp_path):

@@ -16,25 +16,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def backtest_pnl(events: DataFrame) -> DataFrame:
-    """Per (pair, timeframe, period): number of closed trades + realized PnL."""
+def backtest_trades(events: DataFrame) -> DataFrame:
+    """Per-trade listing: each SELL whose immediately preceding event is a
+    BUY closes one round trip (buy/sell time + prices + realized PnL)."""
     w = Window.partitionBy(
         "currency_pair_code", "trigger_indicator_timeframe", "trigger_indicator_period"
     ).orderBy("event_datetime")
-    trades = (
+    return (
         events.withColumn("prev_type", F.lag("event_type").over(w))
         .withColumn("prev_price", F.lag("price").over(w))
+        .withColumn("prev_time", F.lag("event_datetime").over(w))
         .filter((F.col("event_type") == "SELL") & (F.col("prev_type") == "BUY"))
-        .withColumn("pnl", F.col("price") - F.col("prev_price"))
-    )
-    return (
-        trades.groupBy(
+        .select(
             "currency_pair_code",
             F.col("trigger_indicator_timeframe").alias("timeframe_code"),
             F.col("trigger_indicator_period").alias("period"),
+            F.col("prev_time").alias("buy_time"),
+            F.col("event_datetime").alias("sell_time"),
+            F.col("prev_price").alias("buy_price"),
+            F.col("price").alias("sell_price"),
+            F.round(F.col("price") - F.col("prev_price"), 6).alias("pnl"),
         )
+    )
+
+
+def backtest_pnl(events: DataFrame) -> DataFrame:
+    """Per (pair, timeframe, period): number of closed trades + realized PnL."""
+    return (
+        backtest_trades(events)
+        .groupBy("currency_pair_code", "timeframe_code", "period")
         .agg(
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.sum("pnl"), 6).alias("total_pnl"),
+            F.round(F.sum(F.col("sell_price") - F.col("buy_price")), 6).alias("total_pnl"),
         )
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
-from ..operators.backtest import backtest_pnl
+from ..operators.backtest import backtest_pnl, backtest_trades
 from ..sources import dims, ticks
 
 CURSOR = "2024-01-15 00:00:00"  # literal incremental-scan cursor (S11)
@@ -178,6 +178,12 @@ def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backtest_pnl(events)
 
 
+def q_backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-trade round-trip listing (buy/sell time + prices + PnL)."""
+    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    return backtest_trades(events)
+
+
 QUERIES = {
     "ticks_parse_validate": q_ticks_parse_validate,
     "ticks_dedup_second": q_ticks_dedup,
@@ -194,6 +200,7 @@ QUERIES = {
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
     "backtest_pnl": q_backtest,
+    "backtest_trades": q_backtest_trades,
 }
 
 
@@ -377,4 +384,27 @@ SELECT currency_pair_code,
 FROM trades
 WHERE event_type = 'SELL' AND prev_type = 'BUY'
 GROUP BY 1, 2, 3""",
+    "backtest_trades": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
+trades AS (
+  SELECT currency_pair_code, trigger_indicator_timeframe, trigger_indicator_period,
+         event_datetime, event_type, price,
+         lag(event_type) OVER w AS prev_type,
+         lag(price) OVER w AS prev_price,
+         lag(event_datetime) OVER w AS prev_time
+  FROM sig_events
+  WINDOW w AS (PARTITION BY currency_pair_code, trigger_indicator_timeframe,
+               trigger_indicator_period ORDER BY event_datetime)
+)
+SELECT currency_pair_code,
+       trigger_indicator_timeframe AS timeframe_code,
+       trigger_indicator_period AS period,
+       prev_time AS buy_time,
+       event_datetime AS sell_time,
+       prev_price AS buy_price,
+       price AS sell_price,
+       round(price - prev_price, 6) AS pnl
+FROM trades
+WHERE event_type = 'SELL' AND prev_type = 'BUY'""",
 }

@@ -81,6 +81,54 @@ def dedup_ticks(parsed: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     )
 
 
+def stream_ohlc_1m(ticks: DataFrame) -> DataFrame:
+    """R7: streaming 1-minute OHLC — tumbling window over the deduped stream.
+
+    Chained stateful operators (dedup → windowed agg) share the event-time
+    watermark; a bucket is emitted once the watermark passes its end, so late
+    ticks inside the horizon still update open/close correctly and ticks
+    past it are dropped — the streaming twin of the batch A1 aggregation
+    (operators/ohlc.ohlc_base), same min_by/max_by first/last semantics.
+    """
+    return (
+        ticks.groupBy(
+            "currency_pair_symbol", F.window("time", "1 minute").alias("w")
+        )
+        .agg(
+            F.min_by("bid", "time").alias("open"),
+            F.max("bid").alias("high"),
+            F.min("bid").alias("low"),
+            F.max_by("bid", "time").alias("close"),
+        )
+        .select(
+            "currency_pair_symbol",
+            F.col("w.start").alias("time"),
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
+def start_ohlc_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Frames → parse → dedup → 1-minute OHLC → parquet append."""
+    candles = stream_ohlc_1m(dedup_ticks(parse_ticks(read_tick_frames(spark, source_path))))
+    return (
+        candles.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_tick_ingest(
     spark: SparkSession,
     source_path: str,
