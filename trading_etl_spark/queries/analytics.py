@@ -1,0 +1,134 @@
+"""General OLAP queries over the TPC-H-ish star schema — SURVEY.md §2.4 J3
+(the star joins the reference documents but never implemented:
+``docs/dimensional_modeling.md:37-48``), realized Spark-first.
+
+Scale design on display:
+- dims (region/nation, and customer relative to lineitem) broadcast — no
+  shuffle on the fact side for dimension enrichment;
+- the fact-fact join (lineitem ⨝ orders) is the one legitimate shuffle,
+  on the join key both sides; AQE picks/rewrites the physical join at
+  runtime;
+- aggregates are partial (map-side) before the exchange — sums/counts of
+  6dp-rounded expressions so the DuckDB twin hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: one hash-agg pass over lineitem with
+    pushed-down shipdate predicate and fully partial-aggregable measures."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 star join: fact lineitem ⨝ orders, enriched through broadcast
+    customer → nation → region, revenue per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner"
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select("c_custkey", "n_name", "r_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(revenue), 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + top-k: the 10 customers with highest open-order value
+    (exercises the anti/semi family the reference gets from ON CONFLICT)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = _t(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("open_value"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        totals.join(cust, totals.o_custkey == cust.c_custkey, "inner")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "open_value",
+            "n_orders",
+        )
+        .orderBy(F.desc("open_value"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "tpch_pricing_summary": q_pricing_summary,
+    "star_join_revenue": q_star_revenue,
+    "top_customers_by_open_value": q_top_customers,
+}
+
+ORACLES = {
+    "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""".strip(),
+    "star_join_revenue": """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""".strip(),
+    "top_customers_by_open_value": """
+SELECT c.c_custkey AS custkey, c.c_name,
+       round(sum(o.o_totalprice), 6) AS open_value,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1, 2
+ORDER BY open_value DESC, custkey
+LIMIT 10
+""".strip(),
+}

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .queries import datapipe, trading
+from .queries import analytics, datapipe, trading
 
-_DOMAINS = [trading, datapipe]
+_DOMAINS = [trading, datapipe, analytics]
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
