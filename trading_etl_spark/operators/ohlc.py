@@ -86,6 +86,70 @@ def ohlc_all(ticks: DataFrame, timeframes: DataFrame) -> DataFrame:
     return base.unionByName(ohlc_derived(base, timeframes)).select(*OHLC_COLS)
 
 
+COARSE_SECONDS = 14400  # 4h — the coarsest timeframe; every other divides it
+
+
+def ohlc_chain_single_shuffle(
+    raw_ticks: DataFrame, timeframes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(deduped-1m, derived) computed with ONE exchange for the whole chain.
+
+    Every aggregation key in the tick→dedup→1m→derived chain nests inside the
+    coarsest (4h) epoch bucket, so pre-partitioning on (pair, 4h-bucket) and
+    carrying that bucket in each groupBy makes dedup, the 1m agg, and the
+    derived agg all partition-local: Catalyst sees the grouping keys as a
+    superset of the hash-partitioning keys and inserts no further exchange.
+    (The dependency is only *functional* — bucket = f(time) — which Spark's
+    syntactic `satisfies` check can't infer, hence the explicit column.)
+
+    Parallelism scales as pairs × time-range/4h — unlike repartitioning on
+    pair alone, which caps at the pair count. ``raw_ticks`` needs columns
+    (currency_pair_code, time, bid, ask, ts, event_id).
+    """
+    b = F.floor(F.unix_timestamp("time") / COARSE_SECONDS).alias("_b")
+    first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
+    deduped = (
+        raw_ticks.withColumn("_b", b)
+        .repartition("currency_pair_code", "_b")
+        .groupBy("currency_pair_code", "_b", "time")
+        .agg(first)
+        .select("currency_pair_code", "_b", "time", F.col("f.bid"), F.col("f.ask"))
+    )
+    base = (
+        deduped.groupBy(
+            "currency_pair_code", "_b", F.date_trunc("minute", "time").alias("time")
+        )
+        .agg(
+            F.min_by("bid", "time").alias("open"),
+            F.max("bid").alias("high"),
+            F.min("bid").alias("low"),
+            F.max_by("bid", "time").alias("close"),
+        )
+        .select("currency_pair_code", "_b", F.lit("1m").alias("timeframe_code"),
+                "time", "open", "high", "low", "close")
+    )
+    tfs = timeframes.filter(F.col("duration_seconds") != 60).select(
+        F.col("timeframe_code").alias("_tf"), "duration_seconds"
+    )
+    derived = (
+        base.crossJoin(F.broadcast(tfs))
+        .groupBy(
+            "currency_pair_code",
+            "_b",
+            F.col("_tf").alias("timeframe_code"),
+            epoch_bucket("time", "duration_seconds").alias("time"),
+        )
+        .agg(
+            F.min_by("open", "time").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "time").alias("close"),
+        )
+        .select(*OHLC_COLS)
+    )
+    return base.select(*OHLC_COLS), derived
+
+
 # --- DuckDB oracle twins -----------------------------------------------------
 
 OHLC_1M_SQL = """

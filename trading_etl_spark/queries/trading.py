@@ -26,8 +26,16 @@ LOOKBACK = "2024-01-14 20:00:00"  # W2 recompute-window start (cursor − lookba
 
 # --- Spark-side builders -----------------------------------------------------
 
+def _chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(1m, derived) candles via the single-shuffle chain (ohlc.py): dedup,
+    base agg, and derived agg share one (pair, 4h-bucket) partitioning."""
+    return ohlc.ohlc_chain_single_shuffle(
+        ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
+    )
+
+
 def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ohlc.ohlc_base(ticks.load_ticks(spark, sf_dir))
+    return _chain(spark, sf_dir)[0]
 
 
 # The reference materializes OHLC into tables BEFORE indicators read them
@@ -86,8 +94,8 @@ def q_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ohlc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: all derived timeframes (5m..4h) in one pass."""
-    return ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), dims.dim_timeframe(spark))
+    """A2: all derived timeframes (5m..4h) in one pass, single-shuffle chain."""
+    return _chain(spark, sf_dir)[1]
 
 
 def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
