@@ -79,3 +79,26 @@ def first_wins_append(
 def max_time_cursor(df: DataFrame, group_keys: list[str], time_col: str = "time") -> DataFrame:
     """A3/W2: per-group MAX(time) watermark for incremental recompute."""
     return df.groupBy(*group_keys).agg(F.max(time_col).alias("max_time"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S9 DDL + co-located joins: persist as a bucketed catalog table.
+
+    Two relations bucketed identically on their join key sort-merge-join with
+    NO exchange — the pre-computed partitioning replaces the shuffle. This is
+    the Spark equivalent of the reference's planned-but-unbuilt index work
+    (docs/devops-tasks/t10-performance-index.md) and the right layout for the
+    repeatedly-joined fact tables (fact_sma self-join, lineitem⨝orders) at
+    100 TB: pay the shuffle once at write time, never at read time.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

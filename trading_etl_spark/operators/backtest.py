@@ -40,6 +40,26 @@ def backtest_trades(events: DataFrame) -> DataFrame:
     )
 
 
+def equity_curve(events: DataFrame) -> DataFrame:
+    """Running cumulative PnL per (pair, timeframe, period), ordered by trade
+    close time — the equity curve a backtest UI plots (running-total window
+    over the trade stream)."""
+    w = (
+        Window.partitionBy("currency_pair_code", "timeframe_code", "period")
+        .orderBy("sell_time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    trades = backtest_trades(events)
+    return trades.select(
+        "currency_pair_code",
+        "timeframe_code",
+        "period",
+        "sell_time",
+        "pnl",
+        F.round(F.sum("pnl").over(w), 6).alias("cum_pnl"),
+    )
+
+
 def backtest_pnl(events: DataFrame) -> DataFrame:
     """Per (pair, timeframe, period): number of closed trades + realized PnL."""
     return (

@@ -143,6 +143,28 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def top_terms_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Heavy-hitter terms: token frequencies per declared language, top-k by
+    count (ties broken alphabetically).
+
+    The classic explode→count→rank pattern: the token count gets map-side
+    partial aggregation (the explode never shuffles raw text), and only the
+    tiny per-language count relation reaches the rank window.
+    """
+    counts = (
+        with_tokens(docs)
+        .select("lang", F.explode("toks").alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "term", "n", "rank")
+    )
+
+
 # --- deduplication -----------------------------------------------------------
 
 def dedup_exact(docs: DataFrame) -> DataFrame:

@@ -91,6 +91,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(tx.lang_id(_docs(spark, sf_dir)), *[f"hits_{la}" for la in langs])
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms per language (explode → count → rank top-k)."""
+    return tx.top_terms_per_lang(_docs(spark, sf_dir))
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +125,7 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_quality_score": q_quality,
     "text_lang_id": q_lang_id,
+    "text_top_terms_per_lang": q_top_terms,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
 }
@@ -287,6 +293,18 @@ FROM toks
     "text_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
     "text_quality_score": _with(tx.DOCS_TOKS_SQL) + "\n" + _QUALITY_SQL,
     "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
+    "text_top_terms_per_lang": _with(tx.DOCS_TOKS_SQL)
+    + """,
+counts AS (
+  SELECT lang, term, count(*) AS n
+  FROM toks, unnest(t) AS u(term)
+  GROUP BY 1, 2
+)
+SELECT lang, term, n, rank FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+  FROM counts
+) WHERE rank <= 5""",
     "media_extract_meta": _with(mm.MEDIA_META_SQL),
     # text is ASCII so byte slices == char slices; md5(string) == md5(bytes)
     "media_frame_sample": """

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
-from ..operators.backtest import backtest_pnl, backtest_trades
+from ..operators.backtest import backtest_pnl, backtest_trades, equity_curve
 from ..sources import dims, ticks
 
 CURSOR = "2024-01-15 00:00:00"  # literal incremental-scan cursor (S11)
@@ -192,6 +192,12 @@ def q_backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backtest_trades(events)
 
 
+def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative PnL per (pair, timeframe, period) over trades."""
+    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    return equity_curve(events)
+
+
 QUERIES = {
     "ticks_parse_validate": q_ticks_parse_validate,
     "ticks_dedup_second": q_ticks_dedup,
@@ -209,6 +215,7 @@ QUERIES = {
     "idempotent_append_fresh": q_idempotent_fresh,
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
+    "backtest_equity_curve": q_equity_curve,
 }
 
 
@@ -415,4 +422,30 @@ SELECT currency_pair_code,
        round(price - prev_price, 6) AS pnl
 FROM trades
 WHERE event_type = 'SELL' AND prev_type = 'BUY'""",
+    "backtest_equity_curve": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
+trades AS (
+  SELECT currency_pair_code, trigger_indicator_timeframe, trigger_indicator_period,
+         event_datetime, event_type, price,
+         lag(event_type) OVER w AS prev_type,
+         lag(price) OVER w AS prev_price
+  FROM sig_events
+  WINDOW w AS (PARTITION BY currency_pair_code, trigger_indicator_timeframe,
+               trigger_indicator_period ORDER BY event_datetime)
+),
+closed AS (
+  SELECT currency_pair_code,
+         trigger_indicator_timeframe AS timeframe_code,
+         trigger_indicator_period AS period,
+         event_datetime AS sell_time,
+         round(price - prev_price, 6) AS pnl
+  FROM trades
+  WHERE event_type = 'SELL' AND prev_type = 'BUY'
+)
+SELECT currency_pair_code, timeframe_code, period, sell_time, pnl,
+       round(sum(pnl) OVER (PARTITION BY currency_pair_code, timeframe_code, period
+                            ORDER BY sell_time
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_pnl
+FROM closed""",
 }
