@@ -1,0 +1,66 @@
+"""As-of backward join semantics on hand-built frames: latest-at-or-before
+match, exact-time ties, no-match NULLs, per-key isolation."""
+
+from datetime import datetime
+
+import pytest
+
+from trading_etl_spark.operators.asof import asof_join_backward
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:05"), 101.0),
+            ("A", _ts("2024-01-01 10:00:10"), 102.0),
+            ("B", _ts("2024-01-01 10:00:03"), 200.0),
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:07"), "e1"),  # between quotes → 101
+            ("A", _ts("2024-01-01 10:00:05"), "e2"),  # exact tie → 101
+            ("A", _ts("2024-01-01 09:59:59"), "e3"),  # before all → NULL
+            ("B", _ts("2024-01-01 10:00:09"), "e4"),  # other key → 200, not A's
+        ],
+        "k string, time timestamp, tag string",
+    )
+    out = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"]
+        ).collect()
+    }
+    assert out == {"e1": 101.0, "e2": 101.0, "e3": None, "e4": 200.0}
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([("A", _ts("2024-01-01 10:00:00"), 1.0)],
+                               "k string, time timestamp, bid double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(df, df, on="time", by=["k"], value_cols=["bid"])
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The construction must plan exactly one hash-partition exchange (on the
+    key) — no range cross-product, no nested loop."""
+    quotes = spark.range(100).selectExpr(
+        "cast(id % 4 as string) as k",
+        "timestamp_seconds(1704100000 + id) as time",
+        "cast(id as double) as bid",
+    )
+    probes = spark.range(20).selectExpr(
+        "cast(id % 4 as string) as k",
+        "timestamp_seconds(1704100010 + id * 3) as time",
+        "concat('e', id) as tag",
+    )
+    out = asof_join_backward(probes, quotes, on="time", by=["k"], value_cols=["bid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

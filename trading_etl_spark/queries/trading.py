@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
+from ..operators.asof import asof_join_backward
 from ..operators.backtest import backtest_pnl, backtest_trades, equity_curve
 from ..sources import dims, ticks
 
@@ -135,6 +136,25 @@ def q_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sma_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full indicator workload shape — every timeframe ×
+    every period (14/28/56) — as ONE set-based pass over the unified candle
+    relation (the loop elimination of SURVEY §7.1; reference loops in
+    transform.py:85-119). Warm-up rows excluded."""
+    base, derived = _chain(spark, sf_dir)
+    candles = base.unionByName(derived)
+    parts = [
+        indicators.sma(candles, p)
+        .filter(F.col("value").isNotNull())
+        .withColumn("value", F.round("value", 6))
+        for p in (14, 28, 56)
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMA(14) on 1h candles, warm-up rows excluded."""
     out = indicators.sma(_ohlc_1h(spark, sf_dir), 14)
@@ -198,6 +218,25 @@ def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equity_curve(events)
 
 
+def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each signal event matched to the last tick bid at or
+    before its event time (union + ordered-window construction, one shuffle)."""
+    events = (
+        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        .select("event_datetime", "currency_pair_code", "event_type", "price")
+        .withColumn("time", F.col("event_datetime"))
+    )
+    quotes = ticks.load_ticks(spark, sf_dir).select(
+        "currency_pair_code", "time", "bid"
+    )
+    out = asof_join_backward(
+        events, quotes, on="time", by=["currency_pair_code"], value_cols=["bid"]
+    )
+    return out.select(
+        "event_datetime", "currency_pair_code", "event_type", "price", "bid"
+    )
+
+
 QUERIES = {
     "ticks_parse_validate": q_ticks_parse_validate,
     "ticks_dedup_second": q_ticks_dedup,
@@ -208,6 +247,7 @@ QUERIES = {
     "watermark_max_time": q_watermark_max_time,
     "dim_broadcast_enrich": q_dim_enrich,
     "sma_14_1h": q_sma,
+    "sma_fanout_all_tf": q_sma_fanout,
     "ema_14_1h": q_ema,
     "rsi_14_1h": q_rsi,
     "sma_golden_cross": q_golden_cross,
@@ -216,6 +256,7 @@ QUERIES = {
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
+    "event_asof_tick": q_event_asof_tick,
 }
 
 
@@ -319,6 +360,25 @@ FROM ohlc_1m GROUP BY 1, 2""",
 SELECT o.currency_pair_code, d.base_currency, d.quote_currency, count(*) AS n_candles
 FROM ohlc_1m o JOIN dim_currency d USING (currency_pair_code)
 GROUP BY 1, 2, 3""",
+    "sma_fanout_all_tf": _with(
+        _BASE,
+        dims.timeframe_values_sql(),
+        ohlc.OHLC_1M_SQL,
+        ohlc.ohlc_derived_sql("dim_timeframe"),
+        "ohlc_all AS (SELECT * FROM ohlc_1m UNION ALL SELECT * FROM ohlc_derived)",
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT currency_pair_code, timeframe_code, {p} AS period, '0' AS calc_version, time,
+       round(avg("close") OVER (PARTITION BY currency_pair_code, timeframe_code
+                                ORDER BY time
+                                ROWS BETWEEN {p - 1} PRECEDING AND CURRENT ROW), 6) AS value
+FROM ohlc_all
+QUALIFY row_number() OVER (PARTITION BY currency_pair_code, timeframe_code
+                           ORDER BY time) >= {p}""".strip()
+        for p in (14, 28, 56)
+    ),
     "sma_14_1h": _with(*_TO_1H)
     + """
 SELECT currency_pair_code, timeframe_code, 14 AS period, '0' AS calc_version, time,
@@ -448,4 +508,12 @@ SELECT currency_pair_code, timeframe_code, period, sell_time, pnl,
                             ORDER BY sell_time
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_pnl
 FROM closed""",
+    "event_asof_tick": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})
+SELECT e.event_datetime, e.currency_pair_code, e.event_type, e.price, t.bid
+FROM sig_events e
+ASOF LEFT JOIN ticks t
+  ON e.currency_pair_code = t.currency_pair_code
+ AND t.time <= e.event_datetime""",
 }
