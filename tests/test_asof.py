@@ -1,11 +1,13 @@
-"""As-of backward join semantics on hand-built frames: latest-at-or-before
-match, exact-time ties, no-match NULLs, per-key isolation."""
+"""As-of backward and interval join semantics on hand-built frames:
+latest-at-or-before match, exact-time ties, no-match NULLs, per-key
+isolation, and inclusive range bounds."""
 
 from datetime import datetime
 
 import pytest
 
 from trading_etl_spark.operators.asof import asof_join_backward
+from trading_etl_spark.operators.rangejoin import interval_join
 
 
 def _ts(s):
@@ -45,6 +47,43 @@ def test_asof_rejects_column_collision(spark):
                                "k string, time timestamp, bid double")
     with pytest.raises(ValueError, match="collide"):
         asof_join_backward(df, df, on="time", by=["k"], value_cols=["bid"])
+
+
+def test_interval_join_inclusive_bounds(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1.0),
+            ("A", _ts("2024-01-01 10:05:00"), 2.0),  # exactly at upper bound
+            ("A", _ts("2024-01-01 10:05:01"), 3.0),  # just past it
+            ("B", _ts("2024-01-01 10:01:00"), 4.0),  # other key
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), "e1")],
+        "k string, t timestamp, tag string",
+    )
+    out = interval_join(
+        probes, quotes, left_on="t", right_on="time",
+        by=["k"], lower_seconds=0, upper_seconds=300,
+    )
+    bids = sorted(r["bid"] for r in out.collect())
+    assert bids == [1.0, 2.0]  # inclusive bounds, key-isolated, no past-window row
+
+
+def test_interval_join_no_duplicate_matches(spark):
+    """Rows matched across the bucket boundary must appear exactly once."""
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:04:59"), 1.0)], "k string, time timestamp, bid double"
+    )
+    probes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:30"), "e1")], "k string, t timestamp, tag string"
+    )
+    out = interval_join(
+        probes, quotes, left_on="t", right_on="time",
+        by=["k"], lower_seconds=0, upper_seconds=300,
+    )
+    assert out.count() == 1
 
 
 def test_asof_single_shuffle_plan(spark):

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
 from ..operators.asof import asof_join_backward
+from ..operators.rangejoin import interval_join
 from ..operators.backtest import backtest_pnl, backtest_trades, equity_curve
 from ..sources import dims, ticks
 
@@ -183,6 +184,48 @@ def q_dead_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signals.dead_cross(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
 
 
+def q_event_reaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each signal event, the tick activity in the 5
+    minutes that follow (bucketized range join — equi-join, no cross
+    product), aggregated per event."""
+    events = signals.buysell_events(
+        _fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28
+    ).select("event_datetime", "currency_pair_code", "event_type")
+    quotes = ticks.load_ticks(spark, sf_dir).select(
+        "currency_pair_code", "time", "bid"
+    )
+    j = interval_join(
+        events, quotes,
+        left_on="event_datetime", right_on="time",
+        by=["currency_pair_code"], lower_seconds=0, upper_seconds=300,
+    )
+    return j.groupBy("event_datetime", "currency_pair_code", "event_type").agg(
+        F.count("*").alias("n_ticks"), F.round(F.avg("bid"), 6).alias("avg_bid")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: bursts of ticks separated by ≥30 min of
+    silence become trading sessions (``session_window`` — merge-on-overlap
+    state, a window class the reference lacks; R7 lists only tumbling)."""
+    t = ticks.load_ticks(spark, sf_dir)
+    w = F.session_window("time", f"{SESSION_GAP_MIN} minutes")
+    return (
+        t.groupBy("currency_pair_code", w.alias("w"))
+        .agg(F.count("*").alias("n_ticks"), F.round(F.avg("bid"), 6).alias("avg_bid"))
+        .select(
+            "currency_pair_code",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+            "avg_bid",
+        )
+    )
+
+
 def q_idempotent_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+W2: the rows an incremental recompute would actually append.
 
@@ -253,6 +296,8 @@ QUERIES = {
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
+    "tick_sessions": q_tick_sessions,
+    "event_reaction_window": q_event_reaction,
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
@@ -439,6 +484,31 @@ WHERE i.time >= TIMESTAMP '{LOOKBACK}'
       AND e.currency_pair_code = i.currency_pair_code
       AND e.timeframe_code = i.timeframe_code
       AND e.time = i.time)""",
+    # gap-island construction: a session break is a gap STRICTLY greater
+    # than the session gap (Spark merges exactly-touching windows);
+    # session_window's end = last event + gap, mirrored with max(time)+gap.
+    "tick_sessions": _with(_BASE)
+    + f""",
+marked AS (
+  SELECT currency_pair_code, time, bid,
+         CASE WHEN lag(time) OVER w IS NULL
+                OR time - lag(time) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM ticks
+  WINDOW w AS (PARTITION BY currency_pair_code ORDER BY time)
+),
+islands AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY currency_pair_code ORDER BY time
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT currency_pair_code,
+       min(time) AS session_start,
+       max(time) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_ticks,
+       round(avg(bid), 6) AS avg_bid
+FROM islands
+GROUP BY currency_pair_code, sid""",
     "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
@@ -516,4 +586,15 @@ FROM sig_events e
 ASOF LEFT JOIN ticks t
   ON e.currency_pair_code = t.currency_pair_code
  AND t.time <= e.event_datetime""",
+    "event_reaction_window": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})
+SELECT e.event_datetime, e.currency_pair_code, e.event_type,
+       count(*) AS n_ticks, round(avg(t.bid), 6) AS avg_bid
+FROM sig_events e
+JOIN ticks t
+  ON t.currency_pair_code = e.currency_pair_code
+ AND t.time >= e.event_datetime
+ AND t.time <= e.event_datetime + INTERVAL 300 SECOND
+GROUP BY 1, 2, 3""",
 }
