@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) — the reference has none (SURVEY §5);
+these pin the algebraic invariants the example-based tests can't sweep.
+
+NumPy indicator kernels get wide random sweeps (no Spark, fast); Spark-side
+properties run few examples with a session-scoped fixture."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from trading_etl_spark.operators.indicators import _ema_series, _rsi_series
+
+prices = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=0,
+    max_size=200,
+)
+periods = st.integers(min_value=2, max_value=30)
+
+
+@given(prices, periods)
+@settings(max_examples=200, deadline=None)
+def test_ema_warmup_and_bounds(xs, period):
+    out = _ema_series(np.array(xs, dtype=np.float64), period)
+    assert len(out) == len(xs)
+    n_nan = int(np.isnan(out).sum())
+    if len(xs) < period:
+        assert n_nan == len(xs)
+    else:
+        assert n_nan == period - 1
+        valid = out[~np.isnan(out)]
+        # EMA is a convex combination of observed prices — never escapes range
+        assert valid.min() >= min(xs) - 1e-6
+        assert valid.max() <= max(xs) + 1e-6
+
+
+@given(prices, periods)
+@settings(max_examples=200, deadline=None)
+def test_rsi_warmup_and_bounds(xs, period):
+    out = _rsi_series(np.array(xs, dtype=np.float64), period)
+    assert len(out) == len(xs)
+    n_nan = int(np.isnan(out).sum())
+    if len(xs) <= period:
+        assert n_nan == len(xs)
+    else:
+        assert n_nan == period
+        valid = out[~np.isnan(out)]
+        assert (valid >= 0.0 - 1e-9).all() and (valid <= 100.0 + 1e-9).all()
+
+
+@given(st.lists(st.floats(min_value=1, max_value=100, allow_nan=False), min_size=2, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_ema_constant_series_is_constant(xs):
+    """EMA of a constant series equals the constant from the seed row on."""
+    c = xs[0]
+    arr = np.full(len(xs), c)
+    out = _ema_series(arr, min(4, len(xs)))
+    valid = out[~np.isnan(out)]
+    assert np.allclose(valid, c)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),  # second offset
+            st.floats(min_value=1, max_value=1000, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_ohlc_invariants(spark_prop, ticks_raw):
+    """For any tick set: low ≤ open/close ≤ high per bucket, and candle
+    counts equal distinct minutes."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.ohlc import ohlc_base
+    from trading_etl_spark.schemas import TICK_SCHEMA
+
+    base_t = datetime(2024, 1, 1, 10, 0, 0)
+    seen = set()
+    rows = []
+    for off, bid in ticks_raw:
+        if off in seen:  # respect the 1-second-dedup precondition
+            continue
+        seen.add(off)
+        rows.append(("X/Y", base_t + timedelta(seconds=off), float(bid), float(bid) + 0.1))
+    df = spark_prop.createDataFrame(rows, TICK_SCHEMA)
+    out = ohlc_base(df).collect()
+    minutes = {(r[0], r[1].replace(second=0)) for r in [(p, t) for p, t, _, _ in rows]}
+    assert len(out) == len(minutes)
+    for r in out:
+        assert r["low"] <= min(r["open"], r["close"]) + 1e-9
+        assert r["high"] >= max(r["open"], r["close"]) - 1e-9
+        assert not math.isnan(r["open"])
