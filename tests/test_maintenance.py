@@ -1,0 +1,52 @@
+"""Retention (partition drop) and small-file compaction on a date-partitioned
+parquet table."""
+
+from pyspark.sql import functions as F
+
+from trading_etl_spark.plans.maintenance import (
+    compact_partition,
+    drop_partitions_before,
+    list_partitions,
+)
+
+
+def _write_partitioned(spark, path, n_files=6):
+    df = spark.range(600).select(
+        F.element_at(
+            F.array(F.lit("2024-01-01"), F.lit("2024-01-02"), F.lit("2024-01-03")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("dt"),
+        F.col("id").alias("v"),
+    )
+    df.repartition(n_files).write.mode("overwrite").partitionBy("dt").parquet(path)
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path)
+    assert list_partitions(path, "dt") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    dropped = drop_partitions_before(path, "dt", "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    assert list_partitions(path, "dt") == ["2024-01-03"]
+    left = spark.read.parquet(path)
+    assert left.count() == 200
+    assert left.filter(F.col("dt") != "2024-01-03").count() == 0
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=8)
+    part = f"{path}/dt=2024-01-01"
+    before_rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    n_files_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_files_before > 1
+
+    nb, na = compact_partition(spark, path, "dt", "2024-01-01", target_file_bytes=10**9)
+    assert (nb, na) == (n_files_before, 1)
+    after_rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    assert after_rows == before_rows
+    # whole-table read still sees every partition
+    assert spark.read.parquet(path).count() == 600

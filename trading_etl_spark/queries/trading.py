@@ -204,6 +204,29 @@ def q_event_reaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup over the full candle relation: counts and price extremes
+    at (pair, timeframe), (pair), and grand-total levels in one pass
+    (grouping sets — absent from the reference, §2.3)."""
+    base, derived = _chain(spark, sf_dir)
+    candles = base.unionByName(derived)
+    return (
+        candles.rollup("currency_pair_code", "timeframe_code")
+        .agg(
+            F.count("*").alias("n_candles"),
+            F.round(F.max("high"), 6).alias("max_high"),
+            F.round(F.min("low"), 6).alias("min_low"),
+        )
+        .select(
+            F.coalesce("currency_pair_code", F.lit("ALL")).alias("currency_pair_code"),
+            F.coalesce("timeframe_code", F.lit("ALL")).alias("timeframe_code"),
+            "n_candles",
+            "max_high",
+            "min_low",
+        )
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -298,6 +321,7 @@ QUERIES = {
     "idempotent_append_fresh": q_idempotent_fresh,
     "tick_sessions": q_tick_sessions,
     "event_reaction_window": q_event_reaction,
+    "candle_rollup": q_candle_rollup,
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
@@ -509,6 +533,21 @@ SELECT currency_pair_code,
        round(avg(bid), 6) AS avg_bid
 FROM islands
 GROUP BY currency_pair_code, sid""",
+    "candle_rollup": _with(
+        _BASE,
+        dims.timeframe_values_sql(),
+        ohlc.OHLC_1M_SQL,
+        ohlc.ohlc_derived_sql("dim_timeframe"),
+        "ohlc_all AS (SELECT * FROM ohlc_1m UNION ALL SELECT * FROM ohlc_derived)",
+    )
+    + """
+SELECT coalesce(currency_pair_code, 'ALL') AS currency_pair_code,
+       coalesce(timeframe_code, 'ALL') AS timeframe_code,
+       count(*) AS n_candles,
+       round(max(high), 6) AS max_high,
+       round(min(low), 6) AS min_low
+FROM ohlc_all
+GROUP BY ROLLUP (currency_pair_code, timeframe_code)""",
     "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
