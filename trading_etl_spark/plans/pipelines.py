@@ -26,7 +26,11 @@ appends prune the anti-join's existing side by the incoming time range
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+
+import os
+
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_INDICATOR_PERIODS
 from ..io import first_wins_append
@@ -71,22 +75,83 @@ def ohlc_pipeline(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str,
     return {"ohlc_base_rows": n_base, "ohlc_derived_rows": n_derived}
 
 
+LOOKBACK_PERIODS = 4  # warm-up window = 4×period buckets (reference uses 2×:
+# transform_services.py:161-175; doubled because EMA's exponential tail is
+# still ~6e-4 of full weight at 2×period — W1 keeps old rows either way)
+
+
+def _candles_after_cursor(
+    candles: DataFrame, fact: DataFrame, period: int
+) -> DataFrame:
+    """W2: prune the candle input to each group's new rows plus a
+    ``LOOKBACK_PERIODS × period``-ROW warm-up before the MAX(time) cursor —
+    row-based like the reference (``OFFSET 2×period ROWS``,
+    transform_services.py:161-175), because candle streams have gaps and a
+    time-based lookback can under-fill the warm-up window.
+
+    new-row count per group is a windowed conditional sum; keep rank ≤
+    new_count + lookback_rows ranked by time desc. Groups with no cursor
+    (first run) keep full history. At 100 TB a generous coarse time filter
+    (partition pruning) precedes this ranking pass.
+    """
+    cursors = (
+        fact.filter(F.col("period") == period)
+        .groupBy("currency_pair_code", "timeframe_code")
+        .agg(F.max("time").alias("_max_time"))
+    )
+    grp = Window.partitionBy("currency_pair_code", "timeframe_code")
+    rank_desc = F.row_number().over(grp.orderBy(F.desc("time")))
+    n_new = F.sum(
+        F.when(F.col("time") > F.col("_max_time"), 1).otherwise(0)
+    ).over(grp)
+    return (
+        candles.join(
+            F.broadcast(cursors), ["currency_pair_code", "timeframe_code"], "left"
+        )
+        .withColumn("_rank", rank_desc)
+        .withColumn("_n_new", n_new)
+        .filter(
+            F.col("_max_time").isNull()
+            | (F.col("_rank") <= F.col("_n_new") + LOOKBACK_PERIODS * period)
+        )
+        .drop("_max_time", "_rank", "_n_new")
+    )
+
+
 def indicator_pipeline(
     spark: SparkSession,
     warehouse: str,
     periods: list[int] | None = None,
     calc_version: str = "0",
+    incremental: bool = True,
 ) -> dict[str, int]:
     """SMA/EMA/RSI facts over every (pair, timeframe, period) in one set-based
-    pass each (transform.py:79-121 without the nested Python loops)."""
+    pass each (transform.py:79-121 without the nested Python loops).
+
+    With ``incremental`` and an existing fact table, each (pair, tf, period)
+    group recomputes only from its W2 cursor-minus-lookback onward; the W1
+    first-wins append drops the overlap — the reference's exact incremental
+    contract (recomputed warm-up rows never overwrite history).
+    """
     periods = periods or DEFAULT_INDICATOR_PERIODS
     candles = spark.read.parquet(f"{warehouse}/ohlc")
     out: dict[str, int] = {}
-    facts = indicators.indicators_all(candles, periods, calc_version)
-    for name, df in facts.items():
+    for name, fn in (("sma", indicators.sma), ("ema", indicators.ema), ("rsi", indicators.rsi)):
+        path = f"{warehouse}/fact_{name}"
+        fact = spark.read.parquet(path) if os.path.exists(path) else None
+        parts = []
+        for p in periods:
+            cand_p = (
+                _candles_after_cursor(candles, fact, p)
+                if (incremental and fact is not None)
+                else candles
+            )
+            parts.append(fn(cand_p, p, calc_version))
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
         out[f"fact_{name}_rows"] = first_wins_append(
-            spark, f"{warehouse}/fact_{name}", df, IND_KEYS,
-            partition_by=["timeframe_code"],
+            spark, path, df, IND_KEYS, partition_by=["timeframe_code"]
         )
     return out
 
