@@ -65,6 +65,19 @@ def test_simhash_identical_docs_same_signature(spark):
     assert sigs[0] != sigs[4]
 
 
+def test_dedup_simhash_bands_lossless_for_near_dups(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in tx.dedup_simhash(_docs(spark), max_hamming=3).collect()
+    }
+    # identical docs: hamming 0, and banding can never lose a ≤3-bit pair
+    # (pigeonhole: 4 bands, ≤3 differing bits → ≥1 band agrees exactly)
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    # unrelated docs (0 vs 4) must not appear at a tight threshold
+    assert (0, 4) not in pairs
+
+
 def test_token_count_and_fingerprint(spark):
     tc = {r["doc_id"]: r for r in tx.token_count(_docs(spark)).collect()}
     assert tc[0]["n_tokens"] == 9

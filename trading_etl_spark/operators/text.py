@@ -21,6 +21,9 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -279,12 +282,18 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return _jaccard_verify(cand, sh, threshold)
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 bands × 16 bits — candidates must agree on ≥1 whole band
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit simhash over distinct tokens: bit j comes from hex digit
-    j÷4 of md5(token) (bit 3−j%4), contributions ±1, sign → bit."""
+    """64-bit simhash over distinct tokens: bit j comes from hex digit
+    j÷4 of md5(token) (bit 3−j%4), contributions ±1, sign → bit.
+
+    64 bits (vs a smaller hash) is the scale choice: it makes hamming ≤ 3 a
+    tight near-dup threshold AND gives the banded candidate join 2¹⁶
+    distinct band keys, so bucket collisions — and thus candidate-join
+    fan-out — stay proportional to true near-dups, not corpus size."""
     toks = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok")).distinct()
     toks = toks.withColumn("th", F.md5("tok"))
     bit_sums = []
@@ -297,6 +306,59 @@ def simhash(docs: DataFrame) -> DataFrame:
         *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
     )
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signature → 4 bands of 4 bits →
+    band-bucket equi-join for candidates → exact hamming-distance verify.
+
+    By pigeonhole, any pair within hamming ≤ 3 agrees exactly on ≥1 of the
+    4 bands, so banding loses no true pair (unlike MinHash's probabilistic
+    recall). The candidate join is an equi-join on (band_idx, band_bits) —
+    shuffle keyed on 4-bit buckets, never the quadratic cross product; at
+    100 TB the signature relation is tiny (one 16-char string per doc) and
+    the bucket join is the only data movement.
+    """
+    w = SIMHASH_BITS // SIMHASH_BANDS
+    sh = simhash(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring("simhash", b * w + 1, w).alias("band_bits"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    db = sh.select("doc_id", "simhash", F.explode(bands).alias("bd")).select(
+        "doc_id", "simhash", "bd.band_idx", "bd.band_bits"
+    )
+    cand = (
+        db.alias("a")
+        .join(db.alias("b"), ["band_idx", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = reduce(
+        add,
+        [
+            (F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1)).cast(
+                "long"
+            )
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # --- DuckDB oracle fragments -------------------------------------------------

@@ -91,10 +91,82 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (TPC-H-Q4 shape): count orders per priority having at
+    least one returned lineitem. The semi join never materializes the match
+    side — lineitem is reduced to distinct orderkeys shuffle-side, so the
+    probe payload is one key column at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join per market segment: customers with no open ('O')
+    order — the same anti-join primitive the idempotent-append library (W1)
+    uses, exposed as a query."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_urgent_not_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (UNION / EXCEPT): customers who placed urgent- or high-
+    priority orders, minus those with any finished ('F') order. Spark plans
+    EXCEPT DISTINCT as an aggregate+anti pattern — no driver-side sets."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.union(high).subtract(finished)  # subtract ≡ EXCEPT DISTINCT
+
+
+def q_top_customers_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-limit pagination (SURVEY §2.6 O3): ranks 11–20 of the
+    open-order-value standings via DataFrame.offset — Spark plans a global
+    TakeOrderedAndProject of offset+limit rows, not a full sort."""
+    return (
+        q_top_customers_unlimited(spark, sf_dir)
+        .orderBy(F.desc("open_value"), F.asc("custkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+def q_top_customers_unlimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = _t(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 6).alias("open_value"),
+        F.count("*").alias("n_orders"),
+    )
+    return totals.join(cust, totals.o_custkey == cust.c_custkey, "inner").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "open_value", "n_orders"
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "star_join_revenue": q_star_revenue,
     "top_customers_by_open_value": q_top_customers,
+    "returned_order_priority_semi": q_late_order_priority,
+    "customers_no_open_orders_anti": q_customers_no_open_orders,
+    "urgent_not_finished_setops": q_urgent_not_finished,
+    "top_customers_page2_offset": q_top_customers_page2,
 }
 
 ORACLES = {
@@ -130,5 +202,40 @@ WHERE o.o_orderstatus = 'O'
 GROUP BY 1, 2
 ORDER BY open_value DESC, custkey
 LIMIT 10
+""".strip(),
+    "returned_order_priority_semi": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY 1
+""".strip(),
+    "customers_no_open_orders_anti": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+GROUP BY 1
+""".strip(),
+    "urgent_not_finished_setops": """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""".strip(),
+    "top_customers_page2_offset": """
+SELECT c.c_custkey AS custkey, c.c_name,
+       round(sum(o.o_totalprice), 6) AS open_value,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY 1, 2
+ORDER BY open_value DESC, custkey
+LIMIT 10 OFFSET 10
 """.strip(),
 }

@@ -53,6 +53,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket join + exact hamming verify
+    (lossless for hamming ≤ 3 by pigeonhole over 4 bands)."""
+    return tx.dedup_simhash(_docs(spark, sf_dir))
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold."""
     return sim.embedding_near_dup(_emb(spark, sf_dir))
@@ -113,10 +119,20 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload resize through the Arrow-batched kernel (stub codec);
+    the resized binary comes back md5-summarized for hash comparison."""
+    resized = mm.resize_images(mm.media_from_documents(_docs(spark, sf_dir)))
+    return resized.select(
+        "media_id", F.md5("payload").alias("payload_md5"), "byte_len"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_knn_bruteforce": q_knn_brute,
@@ -128,6 +144,7 @@ QUERIES = {
     "text_top_terms_per_lang": q_top_terms,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
+    "media_resize": q_media_resize,
 }
 
 
@@ -180,7 +197,8 @@ FROM hits
 """.strip()
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTEs ending in ``sims(doc_id, simhash)`` — mirrors text.simhash."""
     bits = []
     for j in range(tx.SIMHASH_BITS):
         p = 2 ** (3 - j % 4)
@@ -197,8 +215,41 @@ dtoks AS (
 bit_sums AS (
   SELECT doc_id, {", ".join(bits)}
   FROM dtoks GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, {concat} AS simhash FROM bit_sums
 )
-SELECT doc_id, {concat} AS simhash FROM bit_sums
+""".strip()
+
+
+def _simhash_band_sql(max_hamming: int = 3) -> str:
+    """Banded candidate join + hamming verify over ``sims`` — mirrors
+    text.dedup_simhash."""
+    w = tx.SIMHASH_BITS // tx.SIMHASH_BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band_idx,"
+        f" substr(simhash, {b * w + 1}, {w}) AS band_bits FROM sims"
+        for b in range(tx.SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sim_a, {j + 1}, 1) != substr(sim_b, {j + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for j in range(tx.SIMHASH_BITS)
+    )
+    return f"""
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, ({ham})::BIGINT AS hamming FROM cand
+) WHERE hamming <= {max_hamming}
 """.strip()
 
 
@@ -244,7 +295,15 @@ cand AS (
         tx.JACCARD_VERIFY_SQL,
     )
     + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
-    "text_simhash": _with(tx.DOCS_TOKS_SQL) + ",\n" + _simhash_sql(),
+    "text_simhash": _with(tx.DOCS_TOKS_SQL)
+    + ",\n"
+    + _simhash_cte()
+    + "\nSELECT doc_id, simhash FROM sims",
+    "dedup_simhash": _with(tx.DOCS_TOKS_SQL)
+    + ",\n"
+    + _simhash_cte()
+    + ",\n"
+    + _simhash_band_sql(),
     "embedding_near_dup": _with(sim.EMB_SQL)
     + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -306,6 +365,18 @@ SELECT lang, term, n, rank FROM (
   FROM counts
 ) WHERE rank <= 5""",
     "media_extract_meta": _with(mm.MEDIA_META_SQL),
+    # text is ASCII so char-substr == byte-truncation; md5(string) == md5(bytes)
+    "media_resize": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         text
+  FROM documents
+)
+SELECT media_id, md5(substr(text, 1, 4096)) AS payload_md5,
+       least(octet_length(encode(text)), 4096)::BIGINT AS byte_len
+FROM media WHERE media_type = 'image'
+""".strip(),
     # text is ASCII so byte slices == char slices; md5(string) == md5(bytes)
     "media_frame_sample": """
 WITH media AS (
