@@ -6,8 +6,8 @@ import json
 import numpy as np
 import pytest
 
-from trading_etl_spark.operators.indicators import _ema_series
-from trading_etl_spark.streaming.indicators import stream_ema
+from trading_etl_spark.operators.indicators import _ema_series, _rsi_series
+from trading_etl_spark.streaming.indicators import stream_ema, stream_rsi
 from trading_etl_spark.streaming.ticks import parse_ticks, read_tick_frames
 
 PERIOD = 4
@@ -64,5 +64,44 @@ def test_stream_ema_matches_batch_series_across_restarts(spark, tmp_path):
     )
     got2 = _run(spark, src, sink, ckpt)
     assert set(got2) == {3, 4, 5, 6, 7}
+    for i in got2:
+        assert got2[i] == pytest.approx(expected[i], abs=1e-9)
+
+
+def test_stream_rsi_matches_batch_series_across_restarts(spark, tmp_path):
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+
+    def run():
+        ticks = parse_ticks(read_tick_frames(spark, src))
+        q = (
+            stream_rsi(ticks, period=PERIOD)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["time"].second: r["rsi"] for r in spark.read.parquet(sink).collect()}
+
+    (tmp_path / "in" / "a.jsonl").write_text(
+        "\n".join(_frame(i, p) for i, p in enumerate(PRICES[:6])) + "\n"
+    )
+    got1 = run()
+
+    expected = _rsi_series(np.array(MIDS), PERIOD)
+    # first RSI value appears at index `period` (after `period` diffs)
+    assert set(got1) == {4, 5}
+    for i in got1:
+        assert got1[i] == pytest.approx(expected[i], abs=1e-9)
+
+    # Wilder state must continue from the checkpoint, not re-seed
+    (tmp_path / "in" / "b.jsonl").write_text(
+        "\n".join(_frame(i + 6, p) for i, p in enumerate(PRICES[6:])) + "\n"
+    )
+    got2 = run()
+    assert set(got2) == {4, 5, 6, 7}
     for i in got2:
         assert got2[i] == pytest.approx(expected[i], abs=1e-9)

@@ -76,6 +76,43 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.knn_ivf(_emb(spark, sf_dir)), "rank")
 
 
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means 'update' step / IVF coarse
+    codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
+    aggregation bounds the shuffle at |labels|×dim rows regardless of corpus
+    size — the scalable form of vector averaging."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality gate → exact dedup over the
+    survivors — the filter→dedup chain every corpus build runs, as ONE
+    lineage (quality hash-agg feeds the dedup hash-agg; no intermediate
+    materialization)."""
+    docs = _docs(spark, sf_dir)
+    passing = tx.quality_score(docs).filter(
+        (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    kept = docs.join(passing.select("doc_id", "quality"), "doc_id")
+    return (
+        kept.select("doc_id", "quality", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
 # --- text analysis ------------------------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +174,8 @@ QUERIES = {
     "embedding_near_dup": q_emb_near_dup,
     "embedding_knn_bruteforce": q_knn_brute,
     "embedding_knn_ivf": q_knn_ivf,
+    "embedding_label_centroids": q_emb_centroids,
+    "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
     "text_quality_score": q_quality,
@@ -341,6 +380,26 @@ SELECT query_id, label, neighbor_id, rank, cos_sim FROM (
                                ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 3
+""".strip(),
+    "embedding_label_centroids": _with(sim.EMB_SQL)
+    + """
+SELECT label, (i - 1)::BIGINT AS pos,
+       round(avg(v[i]), 6) AS centroid_val,
+       count(*) AS n_members
+FROM emb, unnest(generate_series(1, len(v))) AS g(i)
+GROUP BY 1, 2
+""".strip(),
+    "corpus_clean_pipeline": _with(
+        tx.DOCS_TOKS_SQL, "q AS (\n" + _QUALITY_SQL + "\n)"
+    )
+    + """
+SELECT md5(d.text) AS content_hash,
+       min(d.doc_id) AS keeper_doc_id,
+       count(*) AS n_copies,
+       round(avg(q.quality), 6) AS avg_quality
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+WHERE q.quality >= 0.5 AND q.n_tokens >= 5
+GROUP BY 1
 """.strip(),
     "text_token_count": _with(tx.DOCS_TOKS_SQL)
     + """

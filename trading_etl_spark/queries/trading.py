@@ -12,7 +12,7 @@ Conventions shared with the DuckDB oracles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import first_wins
@@ -227,6 +227,39 @@ def q_candle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family the reference lacks (§2.5 'absent'): lead for
+    next-hour return, a 6-hour RANGE frame for rolling volatility, and ntile
+    quartiles of returns — all on the cached 1h candle relation, one
+    window-sort shuffle per distinct (partition, order) spec."""
+    candles = _ohlc_1h(spark, sf_dir)
+    w = Window.partitionBy("currency_pair_code").orderBy("time")
+    wr = (
+        Window.partitionBy("currency_pair_code")
+        .orderBy(F.col("time").cast("long"))
+        .rangeBetween(-6 * 3600, Window.currentRow)
+    )
+    df = (
+        candles.select("currency_pair_code", "time", "close")
+        .withColumn(
+            "next_ret_pct",
+            F.round(
+                (F.lead("close", 1).over(w) - F.col("close")) / F.col("close") * 100, 6
+            ),
+        )
+        .withColumn(
+            # nanvl: Spark yields NaN for a 1-row sample stddev, SQL yields NULL
+            "stddev_6h",
+            F.round(
+                F.nanvl(F.stddev_samp("close").over(wr), F.lit(None).cast("double")), 6
+            ),
+        )
+        .filter(F.col("next_ret_pct").isNotNull())
+    )
+    wq = Window.partitionBy("currency_pair_code").orderBy("next_ret_pct", "time")
+    return df.withColumn("ret_quartile", F.ntile(4).over(wq).cast("long"))
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -320,6 +353,7 @@ QUERIES = {
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
     "tick_sessions": q_tick_sessions,
+    "candle_returns_quartile": q_candle_returns,
     "event_reaction_window": q_event_reaction,
     "candle_rollup": q_candle_rollup,
     "backtest_pnl": q_backtest,
@@ -496,6 +530,25 @@ SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
        '0' AS calc_version, time,
        round(CASE WHEN ag + al = 0 THEN 0.0 ELSE 100.0 * ag / (ag + al) END, 6) AS value
 FROM rsi_rec""",
+    "candle_returns_quartile": _with(
+        *_TO_1H,
+        """
+r AS (
+  SELECT currency_pair_code, time, "close",
+         round((lead("close") OVER (PARTITION BY currency_pair_code ORDER BY time)
+                - "close") / "close" * 100, 6) AS next_ret_pct,
+         round(stddev_samp("close") OVER (
+               PARTITION BY currency_pair_code ORDER BY epoch(time)
+               RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 6) AS stddev_6h
+  FROM ohlc_1h
+)
+""".strip(),
+    )
+    + """
+SELECT currency_pair_code, time, "close", next_ret_pct, stddev_6h,
+       ntile(4) OVER (PARTITION BY currency_pair_code
+                      ORDER BY next_ret_pct, time) AS ret_quartile
+FROM r WHERE next_ret_pct IS NOT NULL""",
     "sma_golden_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _GOLDEN_SQL,
     "sma_dead_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _DEAD_SQL,
     "idempotent_append_fresh": _with(*_TO_1M)

@@ -58,6 +58,90 @@ EMA_STATE_SCHEMA = StructType(
 )
 
 
+RSI_OUT_SCHEMA = StructType(
+    [
+        StructField("currency_pair_symbol", StringType()),
+        StructField("time", TimestampType()),
+        StructField("price", DoubleType()),
+        StructField("rsi", DoubleType()),
+    ]
+)
+
+RSI_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_price", DoubleType()),
+        StructField("n_diffs", IntegerType()),
+        StructField("gain_sum", DoubleType()),
+        StructField("loss_sum", DoubleType()),
+        StructField("avg_gain", DoubleType()),
+        StructField("avg_loss", DoubleType()),
+    ]
+)
+
+
+def stream_rsi(ticks: DataFrame, period: int = 14, price_col: str = "mid") -> DataFrame:
+    """Per-symbol incremental RSI (Wilder smoothing, matching
+    operators/indicators._rsi_series): the recursion is a two-accumulator
+    state machine — (avg_gain, avg_loss) plus the previous price — so state
+    stays O(1) per symbol across micro-batches and restarts.
+
+    Warm-up: the first ``period`` price diffs accumulate into the seed means
+    (no output); the seed row emits 100·g/(g+l); every later diff applies
+    ``avg = (avg·(period−1) + x)/period`` and emits.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            prev, n_diffs, gain_sum, loss_sum, avg_gain, avg_loss = state.get
+        else:
+            prev, n_diffs, gain_sum, loss_sum = None, 0, 0.0, 0.0
+            avg_gain = avg_loss = float("nan")
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time")
+            for t, x in zip(pdf["time"], pdf[price_col]):
+                x = float(x)
+                if prev is None:
+                    prev = x
+                    continue
+                diff = x - prev
+                prev = x
+                gain, loss = max(diff, 0.0), max(-diff, 0.0)
+                if n_diffs < period:
+                    n_diffs += 1
+                    gain_sum += gain
+                    loss_sum += loss
+                    if n_diffs == period:
+                        avg_gain = gain_sum / period
+                        avg_loss = loss_sum / period
+                    else:
+                        continue
+                else:
+                    avg_gain = (avg_gain * (period - 1) + gain) / period
+                    avg_loss = (avg_loss * (period - 1) + loss) / period
+                denom = avg_gain + avg_loss
+                rsi = 100.0 * avg_gain / denom if denom != 0.0 else 0.0
+                rows.append((symbol, t, x, rsi))
+        state.update((prev, n_diffs, gain_sum, loss_sum, avg_gain, avg_loss))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["currency_pair_symbol", "time", "price", "rsi"]
+            )
+
+    return ticks.groupBy("currency_pair_symbol").applyInPandasWithState(
+        update,
+        outputStructType=RSI_OUT_SCHEMA,
+        stateStructType=RSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ema(ticks: DataFrame, period: int = 14, price_col: str = "mid") -> DataFrame:
     """Per-symbol incremental EMA over a streaming tick DataFrame.
 
