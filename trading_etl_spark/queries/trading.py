@@ -260,6 +260,40 @@ def q_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ret_quartile", F.ntile(4).over(wq).cast("long"))
 
 
+def q_spread_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates (absent in reference §2.3): per-pair
+    median / p90 / max of the bid-ask spread. F.percentile is the exact
+    linear-interpolation aggregate — partial-aggregable JVM-side, matching
+    DuckDB's quantile_cont bit-for-bit on 6dp-rounded inputs."""
+    t = ticks.load_ticks(spark, sf_dir).withColumn(
+        "spread", F.round(F.col("ask") - F.col("bid"), 6)
+    )
+    return t.groupBy("currency_pair_code").agg(
+        F.round(F.percentile("spread", F.lit(0.5)), 6).alias("median_spread"),
+        F.round(F.percentile("spread", F.lit(0.9)), 6).alias("p90_spread"),
+        F.round(F.max("spread"), 6).alias("max_spread"),
+        F.count("*").alias("n_ticks"),
+    )
+
+
+def q_close_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (absent in reference): avg close per timeframe × pair, pairs as
+    columns. Explicit pivot values keep the plan a single hash-agg pass —
+    no extra distinct-values job, same one shuffle as a plain groupBy."""
+    base, derived = _chain(spark, sf_dir)
+    candles = base.unionByName(derived)
+    pairs = [code for _, _, _, code, _ in dims.CURRENCY_SEED]
+    piv = (
+        candles.groupBy("timeframe_code")
+        .pivot("currency_pair_code", pairs)
+        .agg(F.round(F.avg("close"), 6))
+    )
+    cols = [F.col("timeframe_code")] + [
+        F.col(f"`{p}`").alias(p.replace("/", "_").lower()) for p in pairs
+    ]
+    return piv.select(*cols)
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -354,6 +388,8 @@ QUERIES = {
     "idempotent_append_fresh": q_idempotent_fresh,
     "tick_sessions": q_tick_sessions,
     "candle_returns_quartile": q_candle_returns,
+    "spread_quantiles": q_spread_quantiles,
+    "avg_close_pivot": q_close_pivot,
     "event_reaction_window": q_event_reaction,
     "candle_rollup": q_candle_rollup,
     "backtest_pnl": q_backtest,
@@ -549,6 +585,29 @@ SELECT currency_pair_code, time, "close", next_ret_pct, stddev_6h,
        ntile(4) OVER (PARTITION BY currency_pair_code
                       ORDER BY next_ret_pct, time) AS ret_quartile
 FROM r WHERE next_ret_pct IS NOT NULL""",
+    "spread_quantiles": _with(_BASE)
+    + """
+SELECT currency_pair_code,
+       round(quantile_cont(spread, 0.5), 6) AS median_spread,
+       round(quantile_cont(spread, 0.9), 6) AS p90_spread,
+       round(max(spread), 6) AS max_spread,
+       count(*) AS n_ticks
+FROM (SELECT currency_pair_code, round(ask - bid, 6) AS spread FROM ticks)
+GROUP BY 1""",
+    "avg_close_pivot": _with(
+        _BASE,
+        dims.timeframe_values_sql(),
+        ohlc.OHLC_1M_SQL,
+        ohlc.ohlc_derived_sql("dim_timeframe"),
+        "ohlc_all AS (SELECT * FROM ohlc_1m UNION ALL SELECT * FROM ohlc_derived)",
+    )
+    + "\nSELECT timeframe_code,\n"
+    + ",\n".join(
+        f"""       round(avg(CASE WHEN currency_pair_code = '{c}' THEN "close" END), 6)"""
+        f""" AS {c.replace("/", "_").lower()}"""
+        for _, _, _, c, _ in dims.CURRENCY_SEED
+    )
+    + "\nFROM ohlc_all GROUP BY timeframe_code",
     "sma_golden_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _GOLDEN_SQL,
     "sma_dead_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _DEAD_SQL,
     "idempotent_append_fresh": _with(*_TO_1M)
