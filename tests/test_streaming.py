@@ -134,3 +134,30 @@ def test_latest_value_cache(spark, tmp_path):
     }
     assert latest["USD_JPY"] == ("2024-01-01T10:00:01", 102.0)  # newest valid tick
     assert latest["EUR_JPY"] == ("2024-01-01T10:00:00", 160.0)
+
+
+def test_streaming_gate_matches_batch(spark):
+    """The correctness-gate streaming query (availableNow drain of the events
+    stream) must equal the identical batch aggregation over raw ticks."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.queries.streamgate import q_streaming_ohlc_1m
+    from trading_etl_spark.sources.ticks import raw_ticks
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {tuple(r) for r in q_streaming_ohlc_1m(spark, sf).collect()}
+    batch = {
+        tuple(r)
+        for r in raw_ticks(spark, sf)
+        .groupBy("currency_pair_code", F.window("time", "1 minute").alias("w"))
+        .agg(
+            F.round(F.min_by("bid", "ts"), 6).alias("open"),
+            F.round(F.max("bid"), 6).alias("high"),
+            F.round(F.min("bid"), 6).alias("low"),
+            F.round(F.max_by("bid", "ts"), 6).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select("currency_pair_code", F.col("w.start").alias("time"), "open", "high", "low", "close", "n_ticks")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0

@@ -159,8 +159,30 @@ def q_top_customers_unlimited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (absent in reference §2.3): distinct users per
+    (day, event_type). Expands to a two-phase plan: partial dedup on
+    (day, type, user) map-side, then the distinct-count agg — shuffle volume
+    bounded by distinct triples, not events."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "daily_active_users": q_daily_active_users,
     "star_join_revenue": q_star_revenue,
     "top_customers_by_open_value": q_top_customers,
     "returned_order_priority_semi": q_late_order_priority,
@@ -170,6 +192,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_active_users": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""".strip(),
     "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,

@@ -1,0 +1,83 @@
+"""Structured Streaming inside the correctness gate (SURVEY.md §2.8 R1/R7).
+
+The other streaming paths (tick ingest, watermarked dedup, stateful EMA/RSI/
+SMA-cross) are pytest-covered; this module runs a REAL streaming job whose
+bounded result hash-matches a batch DuckDB oracle, so the driver's gate
+exercises the streaming engine too:
+
+  file-stream events → stream-static broadcast dim join (tickify) →
+  tumbling 1-minute OHLC agg → availableNow drain → memory sink → DataFrame.
+
+Determinism: the feed has a unique ``ts`` per currency pair (verified over
+the test data; the reference's second-dedup S3 guarantees the same upstream,
+``src/gmo/ws-connection.py:47-57``), so ``min_by/max_by(bid, ts)`` is
+order-insensitive regardless of micro-batch boundaries.
+
+Scale notes: ``availableNow`` is the batch-catchup trigger — the identical
+query under ``processingTime`` is the continuous production path
+(streaming/ticks.py). Streaming state is bounded by distinct (pair, minute)
+keys. Complete mode exists only for the memory sink here; durable sinks run
+append + watermark so state is reclaimed at the horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import ticks
+
+_SINK = "gate_streaming_ohlc_1m"
+
+
+def q_streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 streaming OHLC as a gate query: drain the event stream with
+    availableNow and return the complete-mode aggregate (A1 semantics over
+    raw validated ticks, pre-dedup)."""
+    t = ticks.tickify(ticks.stream_events(spark, sf_dir))
+    candles = (
+        t.groupBy("currency_pair_code", F.window("time", "1 minute").alias("w"))
+        .agg(
+            F.round(F.min_by("bid", "ts"), 6).alias("open"),
+            F.round(F.max("bid"), 6).alias("high"),
+            F.round(F.min("bid"), 6).alias("low"),
+            F.round(F.max_by("bid", "ts"), 6).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "currency_pair_code",
+            F.col("w.start").alias("time"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
+    q = (
+        candles.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SINK)
+
+
+QUERIES = {"streaming_ohlc_1m": q_streaming_ohlc_1m}
+
+ORACLES = {
+    "streaming_ohlc_1m": "WITH "
+    + ticks.RAW_TICKS_SQL
+    + """
+SELECT currency_pair_code,
+       CAST(date_trunc('minute', time) AS TIMESTAMP) AS time,
+       round(arg_min(bid, _ts), 6) AS "open",
+       round(max(bid), 6) AS high,
+       round(min(bid), 6) AS low,
+       round(arg_max(bid, _ts), 6) AS "close",
+       count(*) AS n_ticks
+FROM raw_ticks
+GROUP BY 1, 2""",
+}

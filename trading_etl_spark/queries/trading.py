@@ -227,6 +227,27 @@ def q_candle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candle_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the candle relation — all four grouping-set combinations
+    (pair×tf, pair, tf, grand total) in one hash-agg pass; completes the
+    grouping-sets family next to ``q_candle_rollup``."""
+    base, derived = _chain(spark, sf_dir)
+    candles = base.unionByName(derived)
+    return (
+        candles.cube("currency_pair_code", "timeframe_code")
+        .agg(
+            F.count("*").alias("n_candles"),
+            F.round(F.avg("close"), 6).alias("avg_close"),
+        )
+        .select(
+            F.coalesce("currency_pair_code", F.lit("ALL")).alias("currency_pair_code"),
+            F.coalesce("timeframe_code", F.lit("ALL")).alias("timeframe_code"),
+            "n_candles",
+            "avg_close",
+        )
+    )
+
+
 def q_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window family the reference lacks (§2.5 'absent'): lead for
     next-hour return, a 6-hour RANGE frame for rolling volatility, and ntile
@@ -392,6 +413,7 @@ QUERIES = {
     "avg_close_pivot": q_close_pivot,
     "event_reaction_window": q_event_reaction,
     "candle_rollup": q_candle_rollup,
+    "candle_cube": q_candle_cube,
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
@@ -660,6 +682,20 @@ SELECT coalesce(currency_pair_code, 'ALL') AS currency_pair_code,
        round(min(low), 6) AS min_low
 FROM ohlc_all
 GROUP BY ROLLUP (currency_pair_code, timeframe_code)""",
+    "candle_cube": _with(
+        _BASE,
+        dims.timeframe_values_sql(),
+        ohlc.OHLC_1M_SQL,
+        ohlc.ohlc_derived_sql("dim_timeframe"),
+        "ohlc_all AS (SELECT * FROM ohlc_1m UNION ALL SELECT * FROM ohlc_derived)",
+    )
+    + """
+SELECT coalesce(currency_pair_code, 'ALL') AS currency_pair_code,
+       coalesce(timeframe_code, 'ALL') AS timeframe_code,
+       count(*) AS n_candles,
+       round(avg("close"), 6) AS avg_close
+FROM ohlc_all
+GROUP BY CUBE (currency_pair_code, timeframe_code)""",
     "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),

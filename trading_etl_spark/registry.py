@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .queries import analytics, datapipe, trading
+from .queries import analytics, datapipe, streamgate, trading
 
-_DOMAINS = [trading, datapipe, analytics]
+_DOMAINS = [trading, datapipe, analytics, streamgate]
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):

@@ -49,15 +49,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parsed, validated ticks before dedup (S2 + P6-P9 + J2).
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_events``: file-source stream over the same
+    parquet, same ns→µs conversion. In production the path is a landing zone
+    the websocket connector appends to (or a Kafka topic with this schema)."""
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # the file stream source wants a directory; glob-filter to the events
+        # table so sibling tables in the sf dir are not picked up
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def tickify(events: DataFrame) -> DataFrame:
+    """Parse/validate events into the tick shape (S2 + P6-P9 + J2).
 
     bid = event value; ask = bid + spread derived from the props JSON key
     (exercising the JSON-parse path the reference applies to websocket
-    frames); pair = user_id mod 6 joined against dim_currency.
+    frames); pair = user_id mod 6 joined against dim_currency. Works on
+    batch AND streaming inputs — the dim join is stream-static broadcast.
     """
-    events = load_events(spark, sf_dir)
-    dim = dim_currency(spark)
+    dim = dim_currency(events.sparkSession)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         events.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
@@ -68,6 +82,11 @@ def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("bid") > 0) & (F.col("ask") > 0) & (F.col("bid") <= F.col("ask")))
         .select("currency_pair_code", "time", "bid", "ask", "ts", "event_id")
     )
+
+
+def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed, validated ticks before dedup — batch entry point."""
+    return tickify(load_events(spark, sf_dir))
 
 
 def load_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
