@@ -21,6 +21,8 @@ from trading_etl_spark.registry import build_oracles, build_queries  # noqa: E40
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # sf0.001 is tiny — 200 default shuffle partitions would be task overhead
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     from trading_etl_spark.queries.trading import q_ohlc_1m
 
     return q_ohlc_1m(spark, "/root/testdata/sf0.001")

@@ -51,6 +51,15 @@ def main() -> None:
     if first:
         queries[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Warm the Python/Arrow worker pool too: the first pandas-UDF query would
+    # otherwise pay worker fork + Arrow init — startup cost, not query cost.
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(64).withColumn("g", F.col("id") % 4)
+    tiny.groupBy("g").applyInPandas(lambda p: p, "id long, g long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

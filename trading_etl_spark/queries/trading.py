@@ -28,12 +28,29 @@ LOOKBACK = "2024-01-14 20:00:00"  # W2 recompute-window start (cursor − lookba
 
 # --- Spark-side builders -----------------------------------------------------
 
+# The reference materializes every OHLC table once, and all downstream
+# consumers read the materialized tables (transform.py flow ordering). The
+# in-session equivalent is caching the chain per (app, sf_dir): the tick
+# scan + dedup + base/derived aggs run once, and the ~10 consumer queries
+# (derived, fanout, pivot, cube, rollup, indicators, signals, backtest)
+# read the cached candle relations. At 100 TB these are written parquet
+# tables; candle rows are ~3 orders of magnitude smaller than ticks, so
+# the cache is small relative to the input.
+_CHAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(1m, derived) candles via the single-shuffle chain (ohlc.py): dedup,
     base agg, and derived agg share one (pair, 4h-bucket) partitioning."""
-    return ohlc.ohlc_chain_single_shuffle(
-        ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pair = _CHAIN_CACHE.get(key)
+    if pair is None:
+        base, derived = ohlc.ohlc_chain_single_shuffle(
+            ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
+        )
+        pair = (base.cache(), derived.cache())
+        _CHAIN_CACHE[key] = pair
+    return pair
 
 
 def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
