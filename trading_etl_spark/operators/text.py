@@ -78,6 +78,25 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over the token stream (order-sensitive):
+    h ← (h·31 + tok_h) mod p per token, tok_h = 17·len + first-char code.
+
+    Runs entirely inside whole-stage codegen via the higher-order
+    ``aggregate`` — no explode, no shuffle: one pass over each row's token
+    array. Unlike the md5 content fingerprint, equal token multisets in
+    different ORDER produce different hashes (shingle-order sensitivity —
+    the property dedup pipelines want from a rolling hash)."""
+    th = "CAST(length(x) * 17 + ascii(substr(x, 1, 1)) AS BIGINT)"
+    expr = f"aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + {th}) % {FP_MOD}L)"
+    return with_tokens(docs).select(
+        "doc_id", F.expr(expr).alias("rolling_fp"), F.size("toks").alias("n_tokens")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of the lowercased text."""
     return docs.select(

@@ -125,6 +125,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(_docs(spark, sf_dir))
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_long(tx.rolling_fingerprint(_docs(spark, sf_dir)), "n_tokens")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split by md5 hash bucket of doc_id —
+    stable across runs/engines/cluster sizes (the property a training
+    pipeline needs; random sampling is none of those). Hex strings compare
+    lexicographically identically in Spark and DuckDB, so the threshold
+    'e6' (= 230/256 ≈ 89.8% train) needs no hex→int conversion."""
+    docs = _docs(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h < "e6", "train").otherwise("test").alias("split"),
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_score(_docs(spark, sf_dir))
 
@@ -178,6 +196,8 @@ QUERIES = {
     "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
+    "text_rolling_fingerprint": q_rolling_fingerprint,
+    "train_test_split": q_train_test_split,
     "text_quality_score": q_quality,
     "text_lang_id": q_lang_id,
     "text_top_terms_per_lang": q_top_terms,
@@ -409,6 +429,20 @@ SELECT doc_id, len(t) AS n_tokens,
 FROM toks
 """.strip(),
     "text_fingerprint": "SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents",
+    "text_rolling_fingerprint": _with(tx.DOCS_TOKS_SQL)
+    + """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(t, x -> CAST(length(x) * 17 + ascii(substr(x, 1, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+       len(t) AS n_tokens
+FROM toks""",
+    "train_test_split": """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents""",
     "text_quality_score": _with(tx.DOCS_TOKS_SQL) + "\n" + _QUALITY_SQL,
     "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
     "text_top_terms_per_lang": _with(tx.DOCS_TOKS_SQL)
