@@ -139,3 +139,20 @@ def test_embedding_near_dup_threshold(spark):
     }
     assert set(pairs) == {(0, 3)}
     assert pairs[(0, 3)] > 0.99
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (1, "alpha beta gamma", "en"),  # same order → same fp
+        (2, "gamma beta alpha", "en"),  # same tokens, different order → differs
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    fp = {r["doc_id"]: r["rolling_fp"] for r in tx.rolling_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    # hand-rolled expected value for doc 0
+    p, h = 1_000_000_007, 0
+    for tok in "alpha beta gamma".split(" "):
+        h = (h * 31 + len(tok) * 17 + ord(tok[0])) % p
+    assert fp[0] == h
