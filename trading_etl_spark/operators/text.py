@@ -328,15 +328,15 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit signature → 4 bands of 4 bits →
+    """SimHash near-dup pairs: 64-bit signature → 4 bands of 16 bits →
     band-bucket equi-join for candidates → exact hamming-distance verify.
 
     By pigeonhole, any pair within hamming ≤ 3 agrees exactly on ≥1 of the
     4 bands, so banding loses no true pair (unlike MinHash's probabilistic
     recall). The candidate join is an equi-join on (band_idx, band_bits) —
-    shuffle keyed on 4-bit buckets, never the quadratic cross product; at
-    100 TB the signature relation is tiny (one 16-char string per doc) and
-    the bucket join is the only data movement.
+    shuffle keyed on 16-bit buckets, never the quadratic cross product; at
+    100 TB the signature relation is tiny (one 64-char bit string per doc)
+    and the bucket join is the only data movement.
     """
     w = SIMHASH_BITS // SIMHASH_BANDS
     sh = simhash(docs)
