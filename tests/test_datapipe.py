@@ -156,3 +156,64 @@ def test_rolling_fingerprint_order_sensitive(spark):
     for tok in "alpha beta gamma".split(" "):
         h = (h * 31 + len(tok) * 17 + ord(tok[0])) % p
     assert fp[0] == h
+
+
+def test_near_dup_lsh_matches_exact(spark):
+    """Gate regime: near-orthogonal vectors, low threshold — the banded
+    candidate join must still recover exactly the all-pairs result."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)], i % 3) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, EMB_SCHEMA).withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in sim.embedding_near_dup(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in sim.embedding_near_dup_lsh(emb, threshold=0.35, dim=16).collect()
+    }
+    assert exact  # the fixture must actually produce qualifying pairs
+    assert lsh == exact
+
+
+def test_near_dup_lsh_prunes_true_dup_corpus(spark):
+    """Production regime: dups at cosine ≥ 0.98, wide bands (16 bits) —
+    candidate generation must admit far fewer than all pairs while keeping
+    every true near-dup pair."""
+    import random
+
+    rnd = random.Random(11)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    # one jittered near-copy per base vector → 40 true near-dup pairs
+    rows += [
+        (100 + i, [x + rnd.gauss(0, 0.02) for x in v], 0)
+        for i, v in enumerate(base)
+    ]
+    emb = spark.createDataFrame(rows, EMB_SCHEMA).withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    banded = sim.srp_banded(emb, dim=16, n_bands=8, band_bits=16)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    n_cand = cand.count()
+    all_pairs = 80 * 79 // 2
+    assert n_cand < all_pairs * 0.2, f"LSH admitted {n_cand}/{all_pairs} pairs"
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_near_dup_lsh(
+            emb, threshold=0.98, dim=16, n_bands=8, band_bits=16
+        ).collect()
+    }
+    assert {(i, 100 + i) for i in range(40)} <= found

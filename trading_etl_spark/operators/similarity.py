@@ -20,11 +20,20 @@ Scale notes:
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_QUERIES = 16  # vec_id < 16 are the demo query vectors
 TOP_K = 3
+
+EMB_DIM = 64
+SRP_BANDS = 96
+SRP_BAND_BITS = 4
+SRP_SEED = "srp-v1"
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,12 +99,126 @@ def knn_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataF
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """All vector pairs with cosine ≥ threshold (embedding near-dedup)."""
+    """All vector pairs with cosine ≥ threshold — the EXACT all-pairs form.
+
+    Quadratic verification baseline ONLY (O(n²) compare — a scale-killer on a
+    real corpus). The production path is :func:`embedding_near_dup_lsh`,
+    whose banded candidate join replaces the cross product.
+    """
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, seed: str = SRP_SEED) -> list[list[float]]:
+    """Deterministic Rademacher (±1) random hyperplanes.
+
+    Coefficient (p, d) is +1 when the first hex digit of
+    ``md5(f"{seed}:{p}:{d}")`` is even, else −1 — reproducible across
+    engines/cluster sizes with no RNG state, same trick as the md5-bucket
+    train/test split. Rademacher projections satisfy the same sign-hash
+    property as Gaussian ones (Goemans–Williamson / Charikar SRP):
+    P[sign(h·a) = sign(h·b)] ≈ 1 − θ(a,b)/π.
+    """
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def _srp_band_keys_udf(dim: int, n_bands: int, band_bits: int, seed: str = SRP_SEED):
+    """Arrow-vectorized SRP signature: one ``V @ Hᵀ`` matmul per batch.
+
+    Spark's higher-order array functions (``transform``/``aggregate``) are
+    evaluated INTERPRETED (no whole-stage codegen), so expressing the
+    384-projection signature with them costs seconds per few hundred rows —
+    measured 5.3 s for 500×64 at 96×4 bits. The Pandas UDF does the same
+    math as one NumPy matmul per Arrow batch (~µs), which is exactly the
+    "vectorized kernel" case the repo reserves Python for (cf. the
+    indicator recursions in operators/indicators.py).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array(_srp_planes(dim, n_bands * band_bits, seed))  # (P, dim)
+    weights = 1 << np.arange(band_bits - 1, -1, -1)  # MSB-first bit packing
+
+    @pandas_udf("array<int>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        V = np.vstack(emb.to_numpy())  # (n, dim)
+        bits = (V @ H.T) > 0  # (n, P) sign bits
+        keys = bits.reshape(len(V), n_bands, band_bits) @ weights  # (n, n_bands)
+        return pd.Series(list(keys.astype("int32")))
+
+    return band_keys
+
+
+def srp_banded(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    n_bands: int = SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """(vec_id, band_idx, band_key) — SRP sign-bit signature, banded."""
+    keys = _srp_band_keys_udf(dim, n_bands, band_bits)
+    return emb.select(
+        "vec_id", keys(F.col("emb")).alias("keys")
+    ).select("vec_id", F.posexplode("keys").alias("band_idx", "band_key"))
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    dim: int = EMB_DIM,
+    n_bands: int = SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """Bucketed embedding near-dup: SRP-LSH candidates → exact cosine verify.
+
+    Random-hyperplane sign bits (``n_bands × band_bits`` of them) are banded
+    exactly like ``dedup_simhash``: a candidate pair must agree on ≥1 whole
+    band, so candidate generation is an equi-join on (band_idx, band_key) —
+    shuffle keyed on buckets, never a cross product. Candidates then get the
+    exact cosine filter, so precision is exact; recall is probabilistic:
+    a pair at cosine c collides per band with p = (1 − θ(c)/π)^band_bits,
+    and is missed with (1−p)^n_bands. At the defaults (96 bands × 4 bits)
+    a worst-case qualifying pair at c = 0.35 (p_bit ≈ 0.614) is missed with
+    probability (1 − 0.614⁴)^96 ≈ 4e-7 — effectively total recall, which is
+    why this query hash-matches the exact all-pairs oracle.
+
+    Scale note (honest): the pruning power depends on the gap between the
+    threshold and the background cosine. The test corpus is near-orthogonal
+    noise (background c ≈ 0, p_band = 2⁻⁴), so ~99.8% of pairs still become
+    candidates somewhere across 96 bands — on THIS data LSH adds little over
+    the cross product. On a real near-dup corpus (dups at c ≥ 0.9, p_bit ≈
+    0.966) the same machinery with n_bands=8, band_bits=16 keeps recall
+    ≈ 1-(1-0.76)^8 ≈ 0.99999 while admitting only ~2⁻¹⁶ of random pairs per
+    band — the quadratic term vanishes. tests/test_datapipe.py demonstrates
+    both regimes.
+    """
+    banded = srp_banded(emb, dim=dim, n_bands=n_bands, band_bits=band_bits)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")

@@ -49,7 +49,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit simhash signature per document."""
+    """64-bit simhash signature per document."""
     return tx.simhash(_docs(spark, sf_dir))
 
 
@@ -60,8 +60,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold."""
+    """Embedding-cosine near-dup pairs above threshold (exact all-pairs
+    baseline — quadratic; the LSH twin below is the production path)."""
     return sim.embedding_near_dup(_emb(spark, sf_dir))
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup: SRP-LSH banded candidates → exact cosine
+    verify. Tuned so recall is certain at the 0.35 threshold (miss ≈ 4e-7
+    per pair) — the oracle is the exact all-pairs SQL."""
+    return sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
 # --- similarity search --------------------------------------------------------
@@ -190,6 +198,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
+    "embedding_near_dup_lsh": q_emb_near_dup_lsh,
     "embedding_knn_bruteforce": q_knn_brute,
     "embedding_knn_ivf": q_knn_ivf,
     "embedding_label_centroids": q_emb_centroids,
@@ -364,6 +373,15 @@ cand AS (
     + ",\n"
     + _simhash_band_sql(),
     "embedding_near_dup": _with(sim.EMB_SQL)
+    + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sim.COS_SQL.format(a="a.v", b="b.v")} AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
+""".strip(),
+    # The LSH path is tuned for certain recall at the 0.35 threshold
+    # (per-pair miss ≈ 4e-7), so its oracle IS the exact all-pairs query.
+    "embedding_near_dup_lsh": _with(sim.EMB_SQL)
     + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {sim.COS_SQL.format(a="a.v", b="b.v")} AS cos_sim
