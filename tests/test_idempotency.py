@@ -75,3 +75,50 @@ def test_max_time_cursor(spark):
     }
     assert out["USD/JPY"] == datetime(2024, 1, 1, 12, 0, 0)
     assert out["EUR/JPY"] == datetime(2024, 1, 1, 11, 0, 0)
+
+
+def test_append_dedupes_batch_internal_duplicates(spark, tmp_path):
+    """An incoming batch that itself contains PK duplicates writes exactly
+    one copy per key — on BOTH the fresh-table and existing-table paths."""
+    path = str(tmp_path / "dup")
+    keys = ["currency_pair_code", "time"]
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    t1 = datetime(2024, 1, 1, 10, 0, 1)
+    dup_batch = _df(
+        spark,
+        [("USD/JPY", t0, 100.0, 100.1), ("USD/JPY", t0, 200.0, 200.1)],
+    )
+    n1 = first_wins_append(spark, path, dup_batch, keys)
+    assert n1 == 1
+    dup_batch2 = _df(
+        spark,
+        [("USD/JPY", t1, 101.0, 101.1), ("USD/JPY", t1, 202.0, 202.1)],
+    )
+    n2 = first_wins_append(spark, path, dup_batch2, keys)
+    assert n2 == 1
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_append_no_prune_when_prune_col_not_key(spark, tmp_path):
+    """Pruning must be skipped when prune_on is not part of the PK —
+    otherwise an existing key outside the batch's range gets re-inserted."""
+    path = str(tmp_path / "nk")
+    keys = ["currency_pair_code"]  # time is NOT part of the key
+    early = _df(spark, [("USD/JPY", datetime(2024, 1, 1, 9, 0, 0), 1.0, 1.1)])
+    late = _df(spark, [("USD/JPY", datetime(2024, 1, 1, 18, 0, 0), 2.0, 2.1)])
+    assert first_wins_append(spark, path, early, keys, prune_on="time") == 1
+    # same key, disjoint time range: a range-pruned existing side would miss
+    # the collision and write a duplicate key
+    assert first_wins_append(spark, path, late, keys, prune_on="time") == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_append_through_file_scheme_uri(spark, tmp_path):
+    """W1 contract holds through an explicit Hadoop file:/ URI (the
+    existence probe goes through the Hadoop FileSystem, not os.path)."""
+    path = "file://" + str(tmp_path / "uri")
+    keys = ["currency_pair_code", "time"]
+    batch = _df(spark, [("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 100.0, 100.1)])
+    assert first_wins_append(spark, path, batch, keys) == 1
+    assert first_wins_append(spark, path, batch, keys) == 0
+    assert spark.read.parquet(path).count() == 1

@@ -1,5 +1,6 @@
 """Retention (partition drop) and small-file compaction on a date-partitioned
-parquet table."""
+parquet table — exercised through the Hadoop FileSystem API, including an
+explicit ``file:/``-scheme path (the same code path serves hdfs:// / s3a://)."""
 
 from pyspark.sql import functions as F
 
@@ -24,11 +25,15 @@ def _write_partitioned(spark, path, n_files=6):
 def test_retention_drops_old_partitions(spark, tmp_path):
     path = str(tmp_path / "t")
     _write_partitioned(spark, path)
-    assert list_partitions(path, "dt") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert list_partitions(spark, path, "dt") == [
+        "2024-01-01",
+        "2024-01-02",
+        "2024-01-03",
+    ]
 
-    dropped = drop_partitions_before(path, "dt", "2024-01-03")
+    dropped = drop_partitions_before(spark, path, "dt", "2024-01-03")
     assert dropped == ["2024-01-01", "2024-01-02"]
-    assert list_partitions(path, "dt") == ["2024-01-03"]
+    assert list_partitions(spark, path, "dt") == ["2024-01-03"]
     left = spark.read.parquet(path)
     assert left.count() == 200
     assert left.filter(F.col("dt") != "2024-01-03").count() == 0
@@ -50,3 +55,41 @@ def test_compaction_preserves_rows(spark, tmp_path):
     assert after_rows == before_rows
     # whole-table read still sees every partition
     assert spark.read.parquet(path).count() == 600
+
+
+def test_maintenance_through_file_scheme_uri(spark, tmp_path):
+    """Same contract through an explicit Hadoop URI, not a bare local path."""
+    path = "file://" + str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=6)
+    assert list_partitions(spark, path, "dt") == [
+        "2024-01-01",
+        "2024-01-02",
+        "2024-01-03",
+    ]
+    nb, na = compact_partition(spark, path, "dt", "2024-01-02", target_file_bytes=10**9)
+    assert nb > 1 and na == 1
+    dropped = drop_partitions_before(spark, path, "dt", "2024-01-02")
+    assert dropped == ["2024-01-01"]
+    assert spark.read.parquet(path).count() == 400
+
+
+def test_no_posix_path_calls_in_write_path():
+    """The write path must never touch os.path/shutil — it has to run
+    against hdfs:///s3a:// tables where those operate on the wrong world."""
+    import ast
+    import inspect
+
+    from trading_etl_spark import io
+    from trading_etl_spark.plans import maintenance
+
+    for mod in (io, maintenance):
+        tree = ast.parse(inspect.getsource(mod))
+        offenders = [
+            node.names[0].name
+            for node in ast.walk(tree)
+            if isinstance(node, (ast.Import, ast.ImportFrom))
+            for alias in node.names
+            if (alias.name or "").split(".")[0] in ("os", "shutil")
+            or (getattr(node, "module", "") or "").split(".")[0] in ("os", "shutil")
+        ]
+        assert not offenders, f"{mod.__name__} imports {offenders}"

@@ -18,10 +18,10 @@ broadcasts it.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import fs
 
 
 def first_wins(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
@@ -46,13 +46,19 @@ def first_wins_append(
 
     Returns the number of rows actually written. The existing side is pruned
     to the incoming batch's ``prune_on`` range (partition/row-group pruning at
-    scale) before the anti-join.
+    scale) before the anti-join — but ONLY when ``prune_on`` is itself one of
+    the PK ``keys``: pruning on a non-key column could hide an existing key
+    that lives outside the batch's range and re-insert it. The incoming batch
+    is deduped on the keys on BOTH paths so an internally-duplicated batch
+    can never write two copies of a PK (the ON CONFLICT contract). The table
+    existence probe goes through the Hadoop FileSystem for the path's scheme
+    (file:/, hdfs://, s3a://) — never ``os.path``.
     """
-    incoming = incoming.cache()
+    incoming = incoming.dropDuplicates(keys).cache()
     try:
-        if os.path.exists(path):
+        if fs.exists(spark, path):
             existing = spark.read.parquet(path)
-            if prune_on and prune_on in incoming.columns:
+            if prune_on and prune_on in keys and prune_on in incoming.columns:
                 bounds = incoming.agg(
                     F.min(prune_on).alias("lo"), F.max(prune_on).alias("hi")
                 ).first()
@@ -63,7 +69,7 @@ def first_wins_append(
                     )
             fresh = first_wins(existing, incoming, keys)
         else:
-            fresh = incoming.dropDuplicates(keys)
+            fresh = incoming
         fresh = fresh.cache()
         n = fresh.count()
         if n:

@@ -12,28 +12,33 @@ operations:
   accrete small files; scans pay per-file overhead until compacted).
 
 Both operate on one partition at a time so they can run incrementally and
-idempotently alongside the pipelines.
+idempotently alongside the pipelines. All path operations go through the
+Hadoop ``FileSystem`` API (fs.py) — the same code runs against ``file:/``,
+``hdfs://`` and ``s3a://`` tables, which is where 100 TB actually lives.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import SparkSession
 
+from .. import fs
 
-def list_partitions(path: str, column: str) -> list[str]:
+
+def list_partitions(spark: SparkSession, path: str, column: str) -> list[str]:
     """Hive-style partition values present under ``path`` for ``column``."""
     prefix = f"{column}="
-    if not os.path.isdir(path):
+    if not fs.is_dir(spark, path):
         return []
     return sorted(
-        d[len(prefix):] for d in os.listdir(path) if d.startswith(prefix)
+        name[len(prefix):]
+        for name in fs.list_names(spark, path)
+        if name.startswith(prefix)
     )
 
 
-def drop_partitions_before(path: str, column: str, cutoff: str) -> list[str]:
+def drop_partitions_before(
+    spark: SparkSession, path: str, column: str, cutoff: str
+) -> list[str]:
     """Retention: remove partition directories with value < ``cutoff``
     (string comparison — use zero-padded / ISO-formatted partition values).
 
@@ -41,9 +46,9 @@ def drop_partitions_before(path: str, column: str, cutoff: str) -> list[str]:
     of the reference's planned retention DELETE — O(partitions), no rewrite.
     """
     dropped = []
-    for value in list_partitions(path, column):
+    for value in list_partitions(spark, path, column):
         if value < cutoff:
-            shutil.rmtree(os.path.join(path, f"{column}={value}"))
+            fs.delete(spark, f"{path}/{column}={value}")
             dropped.append(value)
     return dropped
 
@@ -57,26 +62,32 @@ def compact_partition(
 ) -> tuple[int, int]:
     """Rewrite one partition's files into ceil(bytes/target) files.
 
-    Returns (files_before, files_after). The rewrite goes through a temp
-    directory then an atomic-ish rename so a crash leaves either the old or
-    the new layout, never a half-partition.
+    Returns (files_before, files_after). Swap protocol: write to a temp dir
+    whose name starts with ``_`` (parquet readers ignore underscore-prefixed
+    children, so a concurrent whole-table scan never double-reads), then
+    rename live → aside, temp → live, delete aside. Each rename is atomic on
+    HDFS (and a metadata op on object stores); a crash between the two
+    renames leaves the partition parked at the aside name — recoverable by
+    renaming it back, and never a half-written partition.
     """
-    part_dir = os.path.join(path, f"{column}={value}")
-    files = [
-        os.path.join(part_dir, f)
-        for f in os.listdir(part_dir)
-        if f.endswith(".parquet")
-    ]
-    n_before = len(files)
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    part_dir = f"{path}/{column}={value}"
+    sizes = fs.file_sizes(spark, part_dir)
+    n_before = len(sizes)
+    total_bytes = sum(sizes.values())
     n_target = max(1, -(-total_bytes // target_file_bytes))
     if n_target >= n_before:
         return (n_before, n_before)  # already compact
 
     df = spark.read.parquet(part_dir)
-    tmp_dir = part_dir + "._compact_tmp"
+    tmp_dir = f"{path}/_compact_tmp_{column}={value}"
+    aside_dir = f"{path}/_compact_old_{column}={value}"
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp_dir)
-    shutil.rmtree(part_dir)
-    os.rename(tmp_dir, part_dir)
-    n_after = len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    fs.rename(spark, part_dir, aside_dir)
+    if not fs.rename(spark, tmp_dir, part_dir):
+        # roll back: put the original partition back, drop the temp output
+        fs.rename(spark, aside_dir, part_dir)
+        fs.delete(spark, tmp_dir)
+        raise RuntimeError(f"compaction swap failed for {part_dir}")
+    fs.delete(spark, aside_dir)
+    n_after = len(fs.file_sizes(spark, part_dir))
     return (n_before, n_after)
