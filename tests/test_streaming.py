@@ -161,3 +161,89 @@ def test_streaming_gate_matches_batch(spark):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_relay_hook_heartbeat_every_interval():
+    """R4: a heartbeat frame is emitted once ≥30 s (here: fake seconds)
+    have elapsed, and not before."""
+    from trading_etl_spark.streaming.relay import RelayHook
+
+    frames, clock = [], _FakeClock()
+    hook = RelayHook(
+        lambda df, bid: None,
+        frames.append,
+        heartbeat_interval=30.0,
+        clock=clock,
+        sleep=lambda s: None,
+    )
+    for step in [10.0, 10.0, 10.0, 10.0]:  # batches at t=10,20,30,40
+        clock.t += step
+        hook(None, 0)
+    beats = [f for f in frames if f["type"] == "heartbeat"]
+    assert len(beats) == 1  # fired at t=30, next due at t=60
+    clock.t = 65.0
+    hook(None, 1)
+    assert len([f for f in frames if f["type"] == "heartbeat"]) == 2
+
+
+def test_relay_hook_error_frame_then_retry():
+    """R5: a failing batch emits the error frame, sleeps the retry delay,
+    and reprocesses; a persistent failure propagates (stream restart)."""
+    import pytest
+
+    from trading_etl_spark.streaming.relay import RelayHook
+
+    frames, sleeps, calls = [], [], []
+
+    def flaky(df, bid):
+        calls.append(bid)
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+
+    hook = RelayHook(
+        flaky, frames.append, retry_seconds=3.0,
+        clock=_FakeClock(), sleep=sleeps.append,
+    )
+    hook(None, 7)
+    errors = [f for f in frames if f["type"] == "error"]
+    assert len(errors) == 1
+    assert errors[0]["code"] == "DB_POLLING_FAILED"
+    assert "batch 7" in errors[0]["message"]
+    assert sleeps == [3.0]
+    assert calls == [7, 7]  # retried the same batch
+
+    frames.clear()
+    always = RelayHook(
+        lambda df, bid: (_ for _ in ()).throw(RuntimeError("down")),
+        frames.append, max_retries=1,
+        clock=_FakeClock(), sleep=lambda s: None,
+    )
+    with pytest.raises(RuntimeError):
+        always(None, 8)
+    assert len([f for f in frames if f["type"] == "error"]) == 2
+
+
+def test_latest_value_cache_with_relay_hook(spark, tmp_path):
+    """Integration: the R3 cache stream wrapped in the relay hook emits a
+    heartbeat (interval 0 → due immediately) and still builds the view."""
+    src = _write_frames(tmp_path, FRAMES)
+    frames = []
+    start_latest_value_cache(
+        spark,
+        src,
+        str(tmp_path / "ckpt3"),
+        view_name="t_latest_hb",
+        emit=frames.append,
+        relay_hook_kwargs={"heartbeat_interval": 0.0},
+    ).awaitTermination()
+    assert spark.table("global_temp.t_latest_hb").count() > 0
+    assert any(f["type"] == "heartbeat" for f in frames)
+    assert all("timestamp" in f for f in frames)

@@ -33,12 +33,70 @@ multi-symbol firehose across executors; offsets commit per micro-batch so a
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
+import time
+from collections.abc import Callable, Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
+from . import ws_protocol
+
 FRAME_SCHEMA = "frame string"
 BASE_EPOCH = 1704103200  # 2024-01-01T10:00:00Z — deterministic feed origin
+
+
+class LiveFeed:
+    """Protocol-complete live-feed loop over an injectable transport.
+
+    Encapsulates everything the reference's ``Streamer`` does around the
+    socket (``ws-connection.py:99-172``) — paced subscribes, rate-limit
+    close + backoff, reconnect loop — against a transport object providing
+    ``connect() -> iterator-of-frames``, ``send(str)`` and ``close()``.
+    Tests drive it with a fake transport (tests/test_ws_protocol.py); the
+    live DataSource path would pass a websocket-client adapter.
+    """
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], object],
+        symbols: list[str],
+        *,
+        sleep: Callable[[float], None] = time.sleep,
+        max_connects: int = 3,
+        exponential: bool = False,
+    ):
+        self.transport_factory = transport_factory
+        self.symbols = symbols
+        self.sleep = sleep
+        self.max_connects = max_connects
+        self.exponential = exponential
+
+    def run(self, emit: Callable[[dict], None]) -> int:
+        """Connect/subscribe/consume until ``max_connects`` sessions end;
+        emits parsed tick dicts. Returns the number of connect attempts."""
+        attempts = 0
+        while attempts < self.max_connects:
+            transport = self.transport_factory()
+            frames = transport.connect()
+            for step in ws_protocol.subscribe_plan(self.symbols):
+                transport.send(step.message)
+                if step.delay_after:
+                    self.sleep(step.delay_after)
+            for frame in frames:
+                kind, data = ws_protocol.classify_frame(frame)
+                if kind == "rate_limited":
+                    transport.close()  # close + back off, ws-connection.py:133-141
+                    break
+                if kind == "tick":
+                    emit(data)
+                # 'ignored' frames (subscribe acks, junk) fall through
+            attempts += 1
+            if attempts < self.max_connects:
+                self.sleep(
+                    ws_protocol.reconnect_backoff(
+                        attempts - 1, exponential=self.exponential
+                    )
+                )
+        return attempts
 
 
 class _FrameRange(InputPartition):
@@ -76,14 +134,23 @@ class GmoTickStreamReader(DataSourceStreamReader):
         self.max_frames = int(options.get("max_frames", "100"))
         self.mode = options.get("mode", "synthetic")
         if self.mode == "live":
+            # Protocol logic (paced subscribe plan, rate-limit handling,
+            # reconnect backoff) lives in LiveFeed/ws_protocol and is fully
+            # unit-tested offline; only the socket transport itself needs
+            # the websocket-client package, absent from this container.
+            self.subscribe_steps = ws_protocol.subscribe_plan(self.pairs)
             try:
                 import websocket  # noqa: F401
             except ImportError as exc:
                 raise NotImplementedError(
                     "live mode needs the websocket-client package (not in "
-                    "this container); use mode=synthetic"
+                    "this container); use mode=synthetic — the connector "
+                    "logic itself is implemented+tested (LiveFeed)"
                 ) from exc
-            raise NotImplementedError("live websocket subscribe not implemented yet")
+            raise NotImplementedError(
+                "live socket transport adapter not wired; drive LiveFeed "
+                "with a websocket-client transport"
+            )
 
     def initialOffset(self) -> dict:
         return {"index": 0}

@@ -165,17 +165,20 @@ def start_latest_value_cache(
     view_name: str = "latest_ticks",
     *,
     available_now: bool = True,
+    emit: "Callable[[dict], None] | None" = None,
+    relay_hook_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """R3: per-symbol latest-value cache for replay-1 to new subscribers.
 
     ``max_by(struct(...), time)`` per symbol inside foreachBatch, merged
     newest-wins into a keyed view — the websocket server's
     ``latest_row_store`` (ws_ticker_server.py:88-99) without the process-local
-    mutable dict. A real relay would push the same micro-batch to clients
-    (R4 heartbeat / R5 retry live in this hook too). The view is a GLOBAL
-    temp view (read it as ``global_temp.<view_name>``): foreachBatch runs on
-    a cloned micro-batch session, so a plain temp view would be invisible to
-    the caller's session.
+    mutable dict. When ``emit`` is given, the hook is wrapped in
+    ``relay.RelayHook``, adding the reference relay's R4 heartbeat and R5
+    error-frame/retry semantics around every micro-batch. The view is a
+    GLOBAL temp view (read it as ``global_temp.<view_name>``): foreachBatch
+    runs on a cloned micro-batch session, so a plain temp view would be
+    invisible to the caller's session.
     """
     parsed = parse_ticks(read_tick_frames(spark, source_path))
 
@@ -199,7 +202,13 @@ def start_latest_value_cache(
         merged.cache().count()  # materialize before replacing the view
         merged.createOrReplaceGlobalTempView(view_name)
 
-    writer = parsed.writeStream.foreachBatch(upsert_latest).option(
+    hook = upsert_latest
+    if emit is not None:
+        from .relay import RelayHook
+
+        hook = RelayHook(upsert_latest, emit, **(relay_hook_kwargs or {}))
+
+    writer = parsed.writeStream.foreachBatch(hook).option(
         "checkpointLocation", checkpoint_path
     )
     if available_now:
