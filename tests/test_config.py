@@ -41,3 +41,17 @@ def test_bad_list_raises():
         EngineConfig.from_env({"ETL_INDICATOR_PERIODS": "14,x,56"})
     with pytest.raises(ValueError):
         EngineConfig.from_env({"ETL_INDICATOR_PERIODS": " , "})
+
+
+def test_timeframe_env_overrides():
+    add = EngineConfig.from_env({"ETL_EXTRA_TIMEFRAMES": "2h:7200"})
+    assert add.timeframes["2h"] == 7200
+    assert add.timeframes["1m"] == 60  # seed kept
+    full = EngineConfig.from_env({"ETL_TIMEFRAMES": "1m:60,1d:86400"})
+    assert full.timeframes == {"1m": 60, "1d": 86400}
+
+
+def test_bad_timeframes_raise():
+    for raw in ["2h", "2h:xx", "2h:0", " , ", "2h:-60"]:
+        with pytest.raises(ValueError):
+            EngineConfig.from_env({"ETL_EXTRA_TIMEFRAMES": raw})

@@ -41,6 +41,23 @@ def _parse_int_list(name: str, raw: str) -> list[int]:
     return [_parse_int(name, s) for s in items]
 
 
+def _parse_timeframes(name: str, raw: str) -> dict[str, int]:
+    """``"2h:7200,8h:28800"`` → {"2h": 7200, "8h": 28800} (ValueError on
+    malformed entries, same contract as the int parsers)."""
+    out: dict[str, int] = {}
+    for item in (s.strip() for s in raw.split(",") if s.strip()):
+        code, sep, secs = item.partition(":")
+        if not sep or not code:
+            raise ValueError(f"{name} entries must be code:seconds, got {item!r}")
+        seconds = _parse_int(name, secs)
+        if seconds <= 0:
+            raise ValueError(f"{name} durations must be positive, got {item!r}")
+        out[code.strip()] = seconds
+    if not out:
+        raise ValueError(f"{name} must be a non-empty code:seconds list")
+    return out
+
+
 @dataclass
 class EngineConfig:
     timeframes: dict[str, int] = field(default_factory=lambda: dict(DEFAULT_TIMEFRAMES))
@@ -55,6 +72,18 @@ class EngineConfig:
     def from_env(cls, env: dict[str, str] | None = None) -> "EngineConfig":
         env = dict(os.environ if env is None else env)
         cfg = cls()
+        # The reference's only schema-evolution mechanism is a migration
+        # adding a timeframe row (alembic 0a3601d18004:21-27). Here adding
+        # one is configuration: ETL_TIMEFRAMES replaces the whole set,
+        # ETL_EXTRA_TIMEFRAMES appends to the seed — dim_timeframe(), the
+        # derived-OHLC fan-out, and the oracle CTEs all follow.
+        if raw := env.get("ETL_TIMEFRAMES"):
+            cfg.timeframes = _parse_timeframes("ETL_TIMEFRAMES", raw)
+        if raw := env.get("ETL_EXTRA_TIMEFRAMES"):
+            cfg.timeframes = {
+                **cfg.timeframes,
+                **_parse_timeframes("ETL_EXTRA_TIMEFRAMES", raw),
+            }
         if raw := env.get("ETL_INDICATOR_PERIODS"):
             cfg.indicator_periods = _parse_int_list("ETL_INDICATOR_PERIODS", raw)
         if raw := env.get("ETL_CROSS_SHORT_PERIOD"):

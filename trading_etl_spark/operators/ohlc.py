@@ -86,7 +86,22 @@ def ohlc_all(ticks: DataFrame, timeframes: DataFrame) -> DataFrame:
     return base.unionByName(ohlc_derived(base, timeframes)).select(*OHLC_COLS)
 
 
-COARSE_SECONDS = 14400  # 4h — the coarsest timeframe; every other divides it
+COARSE_SECONDS = 14400  # seed default: 4h — every other seed timeframe divides it
+
+
+def chain_bucket_seconds(timeframes: DataFrame) -> int:
+    """Chain-partitioning granule: the LCM of the dim's durations, so EVERY
+    configured timeframe's epoch bucket nests inside one chain bucket.
+
+    The dim is a handful of literal rows (never a data table), so the
+    driver-side collect is a constant; with the seed set this returns 14400
+    (= 4h). A config-added 2h/8h/1d keeps correctness automatically — the
+    granule coarsens to whatever still nests everything.
+    """
+    import math
+
+    durations = [r["duration_seconds"] for r in timeframes.select("duration_seconds").collect()]
+    return math.lcm(*durations) if durations else COARSE_SECONDS
 
 
 def ohlc_chain_single_shuffle(
@@ -95,18 +110,20 @@ def ohlc_chain_single_shuffle(
     """(deduped-1m, derived) computed with ONE exchange for the whole chain.
 
     Every aggregation key in the tick→dedup→1m→derived chain nests inside the
-    coarsest (4h) epoch bucket, so pre-partitioning on (pair, 4h-bucket) and
-    carrying that bucket in each groupBy makes dedup, the 1m agg, and the
-    derived agg all partition-local: Catalyst sees the grouping keys as a
-    superset of the hash-partitioning keys and inserts no further exchange.
-    (The dependency is only *functional* — bucket = f(time) — which Spark's
-    syntactic `satisfies` check can't infer, hence the explicit column.)
+    coarsest (LCM-of-durations) epoch bucket, so pre-partitioning on
+    (pair, chain-bucket) and carrying that bucket in each groupBy makes
+    dedup, the 1m agg, and the derived agg all partition-local: Catalyst sees
+    the grouping keys as a superset of the hash-partitioning keys and inserts
+    no further exchange. (The dependency is only *functional* — bucket =
+    f(time) — which Spark's syntactic `satisfies` check can't infer, hence
+    the explicit column.)
 
-    Parallelism scales as pairs × time-range/4h — unlike repartitioning on
-    pair alone, which caps at the pair count. ``raw_ticks`` needs columns
+    Parallelism scales as pairs × time-range/bucket — unlike repartitioning
+    on pair alone, which caps at the pair count. ``raw_ticks`` needs columns
     (currency_pair_code, time, bid, ask, ts, event_id).
     """
-    b = F.floor(F.unix_timestamp("time") / COARSE_SECONDS).alias("_b")
+    coarse = chain_bucket_seconds(timeframes)
+    b = F.floor(F.unix_timestamp("time") / coarse).alias("_b")
     first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
     deduped = (
         raw_ticks.withColumn("_b", b)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..config import EngineConfig
 from ..schemas import DIM_CURRENCY_SCHEMA, DIM_TIMEFRAME_SCHEMA
 
 CURRENCY_SEED: list[tuple] = [
@@ -33,13 +34,30 @@ TIMEFRAME_SEED: list[tuple] = [
     (6, "4h", "4hour", 14400),
 ]
 
+# display names for the seed codes; config-added codes use the code itself
+_TIMEFRAME_NAMES = {code: name for _, code, name, _ in TIMEFRAME_SEED}
+
+
+def timeframe_rows(cfg: EngineConfig | None = None) -> list[tuple]:
+    """dim_timeframe rows from config (seed by default). Adding a timeframe
+    is configuration (ETL_TIMEFRAMES / ETL_EXTRA_TIMEFRAMES), not a code
+    edit — the Spark twin of the reference's add-a-row migration
+    (alembic 0a3601d18004:21-27). IDs are assigned by ascending duration so
+    the seed set keeps its historical ids."""
+    cfg = cfg or EngineConfig.from_env()
+    ordered = sorted(cfg.timeframes.items(), key=lambda kv: (kv[1], kv[0]))
+    return [
+        (i + 1, code, _TIMEFRAME_NAMES.get(code, code), seconds)
+        for i, (code, seconds) in enumerate(ordered)
+    ]
+
 
 def dim_currency(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(CURRENCY_SEED, DIM_CURRENCY_SCHEMA)
 
 
-def dim_timeframe(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(TIMEFRAME_SEED, DIM_TIMEFRAME_SCHEMA)
+def dim_timeframe(spark: SparkSession, cfg: EngineConfig | None = None) -> DataFrame:
+    return spark.createDataFrame(timeframe_rows(cfg), DIM_TIMEFRAME_SCHEMA)
 
 
 def currency_values_sql() -> str:
@@ -53,8 +71,10 @@ def currency_values_sql() -> str:
     )
 
 
-def timeframe_values_sql() -> str:
-    rows = ", ".join(f"({i}, '{c}', '{n}', {d})" for i, c, n, d in TIMEFRAME_SEED)
+def timeframe_values_sql(cfg: EngineConfig | None = None) -> str:
+    """Oracle CTE built from the SAME config as dim_timeframe, so an env
+    override changes the Spark query and its oracle in lockstep."""
+    rows = ", ".join(f"({i}, '{c}', '{n}', {d})" for i, c, n, d in timeframe_rows(cfg))
     return (
         "dim_timeframe(id, timeframe_code, timeframe_name, duration_seconds)"
         f" AS (VALUES {rows})"
