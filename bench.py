@@ -27,11 +27,17 @@ HEADLINE = [
     "rsi_14_1h",
     "sma_golden_cross",
     "backtest_pnl",
+    "event_asof_tick",
+    "event_reaction_window",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
     "embedding_knn_bruteforce",
 ]
+
+# Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup
+# without pre-populating the chain cache the headline queries then reuse).
+WARMUP = "text_lang_id"
 
 
 def main() -> None:
@@ -46,10 +52,11 @@ def main() -> None:
     queries = build_queries()
 
     # Warm the JVM/codegen/parquet-footer caches so timings reflect
-    # steady-state query execution, not first-query startup.
-    first = next((n for n in HEADLINE if n in queries), None)
-    if first:
-        queries[first](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # steady-state query execution, not first-query startup. The warm-up
+    # query is deliberately OUTSIDE the candle chain so the chain build is
+    # measured, not hidden (ADVICE r1).
+    if WARMUP in queries:
+        queries[WARMUP](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Warm the Python/Arrow worker pool too: the first pandas-UDF query would
     # otherwise pay worker fork + Arrow init — startup cost, not query cost.
@@ -61,6 +68,17 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+
+    # Cold candle-chain build, reported as its own line: tick scan → dedup →
+    # 1m agg → derived agg, single shuffle. The chain cache it populates is
+    # the in-session analog of the reference's materialized OHLC tables;
+    # subsequent per-query numbers measure query logic over those cached
+    # relations (and say so here rather than pretending otherwise).
+    t0 = time.time()
+    queries["ohlc_derived_multi_tf"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["candle_chain_cold"] = round(time.time() - t0, 3)
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
