@@ -114,3 +114,15 @@ def test_config_added_timeframe_flows_to_ohlc_and_indicators(spark):
 
     # the oracle CTE follows the same config
     assert "'2h'" in dims.timeframe_values_sql(cfg)
+
+
+def test_clear_candle_caches_evicts_and_unpersists(spark):
+    from trading_etl_spark.queries import trading as tq
+
+    base = tq._ohlc_1m(spark, "/root/testdata/sf0.001")
+    assert base.storageLevel.useMemory  # cached by the chain builder
+    assert tq._CHAIN_CACHE
+    n = tq.clear_candle_caches(spark)
+    assert n >= 1
+    assert not tq._CHAIN_CACHE and not tq._CANDLE_CACHE
+    assert not base.storageLevel.useMemory

@@ -39,6 +39,25 @@ LOOKBACK = "2024-01-14 20:00:00"  # W2 recompute-window start (cursor − lookba
 _CHAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def clear_candle_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist and drop every cached candle relation (optionally only the
+    given session's). The caches are keyed per (applicationId, sf_dir) and
+    otherwise live for the process — fine for the one-shot gate/bench, a
+    leak in a long-lived session. Returns the number of entries evicted."""
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    evicted = 0
+    for cache in (_CHAIN_CACHE, _CANDLE_CACHE):
+        for key in [k for k in cache if app_id is None or k[0] == app_id]:
+            entry = cache.pop(key)
+            for df in entry if isinstance(entry, tuple) else (entry,):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to unpersist
+            evicted += 1
+    return evicted
+
+
 def _chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(1m, derived) candles via the single-shuffle chain (ohlc.py): dedup,
     base agg, and derived agg share one (pair, 4h-bucket) partitioning."""
