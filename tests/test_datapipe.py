@@ -217,3 +217,62 @@ def test_near_dup_lsh_prunes_true_dup_corpus(spark):
         ).collect()
     }
     assert {(i, 100 + i) for i in range(40)} <= found
+
+
+# --- round-2 operators: tf-idf / bm25 / repetition / quantization -------------
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    out = tx.tfidf_top_terms(_docs(spark), k=2)
+    rows = out.filter(F.col("doc_id") == 4).orderBy("rank").collect()
+    # doc 4's words are corpus-unique -> all share the max idf; ties break
+    # alphabetically on term
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["term"] < rows[1]["term"]
+    assert rows[0]["tfidf"] == rows[1]["tfidf"]
+    # every doc gets at most k rows
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+
+
+def test_bm25_matches_manual_single_term(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple", "en"), (1, "banana cherry", "en"),
+         (2, "durian elderberry fig", "en")],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r["score"] for r in
+           tx.bm25_scores(docs, query_terms=["apple"]).collect()}
+    # only doc 0 contains 'apple'
+    assert set(out) == {0}
+    n, df, tf, dl, avgdl = 3.0, 1.0, 2.0, 3.0, (3 + 2 + 3) / 3.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    norm = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+    expected = round(idf * (tf * 2.2) / (tf + norm), 6)
+    assert abs(out[0] - expected) < 1e-9
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam spam", "en"),
+         (1, "one two three four five six seven eight nine ten", "en")],
+        DOC_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(docs).collect()}
+    assert rows[0]["mcw_frac"] == 1.0 and rows[0]["dup2_frac"] == 0.75
+    assert not rows[0]["keep"]
+    assert rows[1]["mcw_frac"] == 0.1 and rows[1]["dup2_frac"] == 0.0
+    assert rows[1]["keep"]
+
+
+def test_quantize_int8_roundtrip_and_saturation(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.5, -2.0, 1.0]), (1, [0.0, 0.25, -0.25])],
+        "vec_id long, emb array<double>",
+    )
+    rows = {r["vec_id"]: r for r in sim.quantize_int8(emb).collect()}
+    assert rows[0]["code_str"] == "64,-127,127"
+    assert rows[0]["n_saturated"] == 2
+    assert rows[1]["code_str"] == "0,32,-32"
+    # reconstruction error of vec 1: |0| + |0.25-32/127| + |-0.25+32/127| / 3
+    err = (abs(0.25 - 32 / 127.0) * 2) / 3
+    assert abs(rows[1]["mean_abs_err"] - round(err, 6)) < 1e-9

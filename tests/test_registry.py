@@ -20,6 +20,12 @@ SIBLING = {
     "text_fingerprint": "text_rolling_fingerprint",
     "media_resize": "media_extract_meta",
     "embedding_near_dup": "embedding_near_dup_lsh",
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",
+    "embedding_knn_bruteforce": "embedding_knn_ivf",
+    "candle_cube": "candle_rollup",
+    "backtest_equity_curve": "backtest_trades",
+    "media_frame_sample": "media_extract_meta",
+    "sma_fanout_all_tf": "sma_14_1h",
 }
 
 

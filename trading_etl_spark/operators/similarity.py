@@ -225,6 +225,40 @@ def embedding_near_dup_lsh(
     )
 
 
+QUANT_SCALE = 127.0  # symmetric int8 scalar quantization over [-1, 1]
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column:
+    code_i = round(clamp(x_i, -1, 1) · 127) — the storage/ANN-sidecar format
+    a vector pipeline writes next to raw floats (4× smaller, SIMD-friendly).
+
+    Pure map-side codegen (``transform``/``aggregate`` higher-order
+    functions): no shuffle, no UDF. The reconstruction error is accumulated
+    left-to-right inside one sequential ``aggregate`` so the double math is
+    bitwise identical to the oracle's list_reduce. Codes are emitted joined
+    as a string so the hash compare is array-layout-independent.
+    """
+    codes = F.expr(
+        "transform(emb, x -> cast(round(greatest(-1.0d, least(1.0d, x)) * 127.0d)"
+        " as int))"
+    )
+    d = emb.withColumn("codes", codes)
+    abs_err = F.expr(
+        "aggregate(zip_with(emb, codes, (x, c) -> abs(x - c / 127.0d)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    n_sat = F.size(F.expr("filter(codes, c -> abs(c) = 127)"))
+    return d.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "code_str"
+        ),
+        n_sat.cast("long").alias("n_saturated"),
+        F.round(abs_err / F.size("emb"), 6).alias("mean_abs_err"),
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 EMB_SQL = """

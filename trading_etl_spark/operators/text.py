@@ -165,6 +165,157 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["spark", "hash", "join"]  # fixed demo query, sorted impl-side
+BM25_TOP_K = 20
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document TF-IDF top-k terms (sklearn-style smooth idf:
+    ln((1+N)/(1+df)) + 1), ranked by rounded score then term.
+
+    Shape at scale: one explode→(doc, term) count (map-side partial agg),
+    one (term) df count off the same relation, then a broadcast-sized
+    df/idf join back — raw text never shuffles, and the rank window runs
+    per-doc on the already-aggregated counts. Ranking uses the ROUNDED
+    score so ties break identically across engines.
+    """
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for a fixed query-term set —
+    the retrieval scorer a data pipeline uses for corpus search / dedup
+    triage. Top-k by rounded score, doc_id tie-break.
+
+    Determinism across engines: each query term's contribution lands in its
+    own column (conditional agg), and the final score is a FIXED
+    left-to-right sum of the per-term columns — no distributed sum()
+    whose accumulation order could differ at the ulp from the oracle's.
+    Scale: explode→count partial agg, broadcast idf/avgdl scalars; the
+    per-doc score needs no window at all, only a top-k sort.
+    """
+    terms = sorted(query_terms or BM25_QUERY_TERMS)
+    toks = with_tokens(docs).select("doc_id", "toks")
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.select(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("double")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    df_cols = [
+        F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
+    dfs = tf.select(*df_cols)
+    scored = dl.join(tf, "doc_id", "inner").crossJoin(F.broadcast(stats)).crossJoin(
+        F.broadcast(dfs)
+    )
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf_i = F.col(f"tf_{i}")
+        contribs.append(idf * (tf_i * (BM25_K1 + 1.0)) / (tf_i + norm))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    top = (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)  # TakeOrderedAndProject — distributed top-k, no global window
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: duplicate word-2-gram fraction and
+    most-common-word fraction, plus the keep/drop gate
+    (dup2_frac ≤ 0.4 AND mcw_frac ≤ 0.2).
+
+    Runs entirely inside whole-stage codegen with higher-order array
+    functions — no explode, no shuffle, one pass per row: the 2-gram list,
+    its distinct count, and the per-distinct-token occurrence max are all
+    computed on the row's own token array. At 100 TB this is a pure
+    map-side gate (the cheapest possible corpus filter).
+    """
+    d = with_tokens(docs)
+    grams = F.expr(
+        "IF(size(toks) >= 2,"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> array_join(slice(toks, i, 2), ' ')),"
+        " array())"
+    )
+    d = d.withColumn("grams", grams)
+    n_tok = F.size("toks").cast("double")
+    n_grams = F.size("grams").cast("double")
+    dup2 = F.when(
+        F.size("grams") > 0,
+        1.0 - F.size(F.array_distinct("grams")) / n_grams,
+    ).otherwise(0.0)
+    mcw_hits = F.expr(
+        "reduce(array_distinct(toks), 0,"
+        " (acc, t) -> greatest(acc, size(filter(toks, x -> x = t))))"
+    ).cast("double")
+    mcw = F.when(F.size("toks") > 0, mcw_hits / n_tok).otherwise(0.0)
+    out = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(dup2, 6).alias("dup2_frac"),
+        F.round(mcw, 6).alias("mcw_frac"),
+    )
+    return out.withColumn(
+        "keep", (F.col("dup2_frac") <= 0.4) & (F.col("mcw_frac") <= 0.2)
+    )
+
+
 def top_terms_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
     """Heavy-hitter terms: token frequencies per declared language, top-k by
     count (ties broken alphabetically).
@@ -394,6 +545,52 @@ shingles AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(t) - {SHINGLE_N - 1}, 0))) AS g(i)
 )
+""".strip()
+
+
+def bm25_sql() -> str:
+    """DuckDB oracle twin of :func:`bm25_scores`. Float-constant hygiene:
+    every derived constant (k1+1, 1−b) is embedded via Python ``repr`` so
+    DuckDB parses back the exact double the Spark expression folded to;
+    all arithmetic keeps the Spark expression's association order."""
+    terms = sorted(BM25_QUERY_TERMS)
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)::DOUBLE AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(terms))
+    )
+    norm = f"({k1} * ({one_minus_b} + {b} * d.dl / avgdl))"
+    contribs = [
+        f"ln(1.0::DOUBLE + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {k1p1}) / (tf_{i} + {norm})"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(contribs)
+    return f"""
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM toks, unnest(t) AS u(term)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id
+),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (
+  SELECT d.doc_id, round({score}, 6) AS score
+  FROM dl d JOIN tf USING (doc_id), stats, dfs
+)
+SELECT doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored
+) WHERE rank <= {BM25_TOP_K}
 """.strip()
 
 

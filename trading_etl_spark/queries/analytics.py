@@ -180,8 +180,33 @@ def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events ``props`` JSON column
+    into a typed struct (``from_json`` with an explicit schema — JVM-side,
+    codegen'd, no UDF) and aggregate the extracted field per event type.
+    The parse happens in the map stage, so only (event_type, k, value)
+    reach the exchange — the JSON text itself never shuffles."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"), "value", "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "event_props_json_agg": q_event_props_json,
     "daily_active_users": q_daily_active_users,
     "star_join_revenue": q_star_revenue,
     "top_customers_by_open_value": q_top_customers,
@@ -192,6 +217,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_props_json_agg": """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+""".strip(),
     "daily_active_users": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(DISTINCT user_id) AS n_users,

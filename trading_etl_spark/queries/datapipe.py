@@ -165,6 +165,58 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.top_terms_per_lang(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms (smooth idf), rounded-score ranking."""
+    return _as_long(tx.tfidf_top_terms(_docs(spark, sf_dir)), "tf")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the fixed demo query-term set."""
+    return tx.bm25_scores(_docs(spark, sf_dir))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: dup-2-gram + most-common-word fractions,
+    computed map-side with higher-order array functions (no shuffle)."""
+    return tx.repetition_stats(_docs(spark, sf_dir))
+
+
+SAMPLE_RATE_HEX: dict[str, str] = {
+    # lang → first-2-hex-chars threshold of md5(doc_id): P(keep) = int(hex)/256
+    "en": "80",  # 0.500
+    "de": "4d",  # 0.301
+    "es": "4d",
+    "fr": "4d",
+    "zh": "26",  # 0.148
+}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via md5
+    hash-bucket thresholds (same lexicographic-hex trick as
+    train_test_split) — reproducible across engines, runs, and cluster
+    sizes, unlike rand()-based sampleBy."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = None
+    for lang, hx in sorted(SAMPLE_RATE_HEX.items()):
+        thr = (
+            F.when(F.col("lang") == lang, hx)
+            if thr is None
+            else thr.when(F.col("lang") == lang, hx)
+        )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), thr.alias("thr"))
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (map-side, no shuffle)."""
+    return _as_long(sim.quantize_int8(_emb(spark, sf_dir)), "n_saturated")
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +262,11 @@ QUERIES = {
     "text_quality_score": q_quality,
     "text_lang_id": q_lang_id,
     "text_top_terms_per_lang": q_top_terms,
+    "text_tfidf_top_terms": q_tfidf,
+    "bm25_search": q_bm25,
+    "text_repetition_filter": q_repetition,
+    "stratified_sample_by_lang": q_stratified_sample,
+    "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
@@ -475,6 +532,74 @@ SELECT lang, term, n, rank FROM (
          row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
   FROM counts
 ) WHERE rank <= 5""",
+    "text_tfidf_top_terms": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((1.0::DOUBLE + n.n_docs) / (1.0::DOUBLE + d.df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfr d ON d.term = tf.term, n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {tx.TFIDF_TOP_K}""",
+    "bm25_search": _with(tx.DOCS_TOKS_SQL, tx.bm25_sql()),
+    "text_repetition_filter": _with(tx.DOCS_TOKS_SQL)
+    + """,
+g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+1], ' '))
+              ELSE []::VARCHAR[] END AS grams
+  FROM toks
+),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2),
+mc AS (SELECT doc_id, max(c) AS mc FROM wc GROUP BY 1)
+SELECT doc_id, n_tokens, dup2_frac, mcw_frac,
+       (dup2_frac <= 0.4 AND mcw_frac <= 0.2) AS keep
+FROM (
+  SELECT g.doc_id, len(g.t)::BIGINT AS n_tokens,
+         round(CASE WHEN len(grams) > 0
+                    THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                    ELSE 0.0 END, 6) AS dup2_frac,
+         round(CASE WHEN len(g.t) > 0 THEN mc.mc::DOUBLE / len(g.t)
+                    ELSE 0.0 END, 6) AS mcw_frac
+  FROM g JOIN mc ON mc.doc_id = g.doc_id
+)""",
+    "stratified_sample_by_lang": """
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         CASE """
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN '{hx}'"
+        for lang, hx in sorted(SAMPLE_RATE_HEX.items())
+    )
+    + """ END AS thr
+  FROM documents
+) WHERE bucket < thr""",
+    "embedding_quantize_int8": """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> round(greatest(-1.0::DOUBLE, least(1.0::DOUBLE, x)) * 127.0::DOUBLE)::INTEGER) AS codes
+  FROM emb
+)
+SELECT vec_id,
+       array_to_string(codes, ',') AS code_str,
+       len(list_filter(codes, c -> abs(c) = 127))::BIGINT AS n_saturated,
+       round(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                            list_transform(generate_series(1, len(v)),
+                                           i -> abs(v[i] - codes[i] / 127.0::DOUBLE))),
+               (a, b) -> a + b) / len(v), 6) AS mean_abs_err
+FROM q""",
     "media_extract_meta": _with(mm.MEDIA_META_SQL),
     # text is ASCII so char-substr == byte-truncation; md5(string) == md5(bytes)
     "media_resize": """

@@ -27,6 +27,12 @@ _DEFER: list[str] = [
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint
     "media_resize",           # mapInPandas multimodal covered by extract_meta/frame_sample
     "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path
+    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window
+    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path
+    "candle_cube",            # grouping-set sibling of candle_rollup
+    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades
+    "media_frame_sample",     # mapInPandas multimodal covered by extract_meta
+    "sma_fanout_all_tf",      # same native-window SMA as sma_14_1h, fanned across tfs
 ]
 
 
