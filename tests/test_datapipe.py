@@ -276,3 +276,52 @@ def test_quantize_int8_roundtrip_and_saturation(spark):
     # reconstruction error of vec 1: |0| + |0.25-32/127| + |-0.25+32/127| / 3
     err = (abs(0.25 - 32 / 127.0) * 2) / 3
     assert abs(rows[1]["mean_abs_err"] - round(err, 6)) < 1e-9
+
+
+def test_connected_components_transitive_clusters(spark):
+    from trading_etl_spark.operators import graph as gr
+
+    # 0-1, 1-2 chain (transitive: 2 never pairs with 0 directly); 3-4 pair;
+    # 5, 6 singletons.
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 4)], "u long, v long"  # mixed orientation on purpose
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in gr.connected_components(nodes, edges, id_col="doc_id").collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    # doc_ids chosen so the md5-hex split rule puts 3 in 'test'
+    # (md5('3') starts 'ec' >= 'e6') and 1/2/19 in 'train'.
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base + " tail tokens here", "en"),     # shares the 8-gram prefix
+        (2, "totally different words " + base, "en"),  # also shares it
+        (19, "no overlap with anything at all in this document text", "en"),
+        (3, base + " and some extra", "en"),       # the test-split doc
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in tx.decontaminate(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_test_docs"] == 1 and out[2]["n_test_docs"] == 1
+    # doc 1 shares 8-grams starting at positions 1..3 of the 10-token base
+    assert out[1]["n_shared_shingles"] == 3
+
+
+def test_passage_dedup_counts_cross_doc_passages(spark):
+    p = 4
+    rows = [
+        (0, "a b c d e f g h tail1 only", "en"),   # passages: [a b c d], [e f g h], [tail1 only]
+        (1, "a b c d x y z w tail2 word", "en"),   # shares passage [a b c d]
+        (2, "q r s t u v w x", "en"),              # no shared passages
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in tx.passage_dedup(docs, p=p).collect()}
+    assert out[0]["n_passages"] == 3 and out[0]["n_dup_passages"] == 1
+    assert out[1]["n_passages"] == 3 and out[1]["n_dup_passages"] == 1
+    assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0
+    assert out[0]["dup_frac"] == round(1 / 3, 6)

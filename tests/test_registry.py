@@ -23,9 +23,12 @@ SIBLING = {
     "dedup_ngram_jaccard": "dedup_minhash_lsh",
     "embedding_knn_bruteforce": "embedding_knn_ivf",
     "candle_cube": "candle_rollup",
-    "backtest_equity_curve": "backtest_trades",
+    "backtest_equity_curve": "backtest_pnl",
     "media_frame_sample": "media_extract_meta",
     "sma_fanout_all_tf": "sma_14_1h",
+    "backtest_trades": "backtest_pnl",
+    "watermark_max_time": "incremental_cursor_scan",
+    "text_token_count": "text_quality_score",
 }
 
 

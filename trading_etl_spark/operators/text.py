@@ -531,6 +531,80 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+SPLIT_HEX_THRESHOLD = "e6"  # md5(doc_id) first-2-hex < 'e6' → train (≈89.8%)
+CONTAM_SHINGLE_N = 8  # contamination n-gram size (8-grams, à la GPT-3/PaLM decontamination)
+
+
+def _split_col():
+    """The deterministic train/test assignment shared with
+    queries.datapipe.q_train_test_split — md5 hex-bucket of doc_id."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return F.when(h < SPLIT_HEX_THRESHOLD, "train").otherwise("test")
+
+
+def decontaminate(docs: DataFrame, n: int = CONTAM_SHINGLE_N) -> DataFrame:
+    """Train/test decontamination: flag TRAIN-split documents sharing any
+    token n-gram (n=8) with any TEST-split document, with shared-shingle
+    and test-doc counts — the eval-leak scan every pre-training corpus
+    build runs before shipping.
+
+    Scale shape: the benchmark/test side is always tiny relative to the
+    corpus (here the 10% hash-split stands in for it), so its distinct
+    shingles are BROADCAST and the scan over 100 TB of train shingles is
+    a map-side hash probe — no shuffle touches the train corpus; only the
+    (contaminated doc, shingle) hits reach the count aggregation.
+    """
+    sh = shingles(docs, n=n).withColumn("split", _split_col())
+    train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(test), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_doc_id").alias("n_test_docs"),
+        )
+    )
+
+
+PASSAGE_TOKENS = 16
+
+
+def passage_dedup(docs: DataFrame, p: int = PASSAGE_TOKENS) -> DataFrame:
+    """Passage-level duplication profile: split each document into fixed
+    p-token passages (last one ragged), hash each, and report per document
+    how many of its passages also occur in ANOTHER document — the
+    sub-document dedup signal (boilerplate headers, quoted blocks) that
+    whole-document hashing misses.
+
+    Scale shape: passages are hashed map-side inside codegen (higher-order
+    ``transform`` over the token array — raw text never shuffles); the
+    only shuffled relation is (doc_id, 32-char passage hash). One hash-agg
+    counts distinct docs per hash, one hash-join brings the dup flag back,
+    one hash-agg folds to per-doc stats — all keyed joins, no windows.
+    """
+    d = with_tokens(docs)
+    hashes = F.expr(
+        f"transform(sequence(0, (size(toks) - 1) div {p}),"
+        f" i -> md5(array_join(slice(toks, i * {p} + 1, {p}), ' ')))"
+    )
+    ps = d.select("doc_id", F.posexplode(hashes).alias("pos", "ph"))
+    dup = ps.groupBy("ph").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        ps.join(dup, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_passages") / F.col("n_passages"), 6)
+        )
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 DOCS_TOKS_SQL = """

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import graph as gr
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -70,6 +71,32 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. Tuned so recall is certain at the 0.35 threshold (miss ≈ 4e-7
     per pair) — the oracle is the exact all-pairs SQL."""
     return sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster canonicalization: simhash near-dup pairs → connected
+    components (iterative min-label propagation) → one keeper per cluster
+    (component_id = min doc_id; singletons keep themselves)."""
+    docs = _docs(spark, sf_dir)
+    pairs = tx.dedup_simhash(docs)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = gr.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("comp") == F.col("id")).alias("is_keeper"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leak scan: train-split docs sharing any 8-gram with the
+    test split (broadcast test shingles; map-side probe over train)."""
+    return tx.decontaminate(_docs(spark, sf_dir))
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc passage-duplication profile over 16-token passages."""
+    return _as_long(tx.passage_dedup(_docs(spark, sf_dir)), "n_passages")
 
 
 # --- similarity search --------------------------------------------------------
@@ -248,6 +275,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_connected_components": q_dedup_components,
+    "decontaminate_train_ngrams": q_decontaminate,
+    "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
@@ -420,6 +450,60 @@ cand AS (
         tx.JACCARD_VERIFY_SQL,
     )
     + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    # WITH RECURSIVE: simhash pairs (nested CTE) → symmetrized edges →
+    # transitive reachability; component = min reachable doc_id.
+    "dedup_connected_components": "WITH RECURSIVE "
+    + tx.DOCS_TOKS_SQL
+    + ",\n"
+    + _simhash_cte()
+    + ",\npairs AS (WITH "
+    + _simhash_band_sql()
+    + """),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.v AS doc_id, r.comp FROM reach r JOIN edges e ON e.u = r.doc_id
+)
+SELECT doc_id, min(comp) AS component_id, (min(comp) = doc_id) AS is_keeper
+FROM reach GROUP BY doc_id
+""".strip(),
+    "decontaminate_train_ngrams": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{tx.CONTAM_SHINGLE_N - 1}], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {tx.CONTAM_SHINGLE_N - 1}, 0))) AS u(i)
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{tx.SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT a.doc_id AS doc_id,
+       count(DISTINCT a.shingle) AS n_shared_shingles,
+       count(DISTINCT b.doc_id) AS n_test_docs
+FROM g a
+JOIN s sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+JOIN g b ON b.shingle = a.shingle
+JOIN s sb ON sb.doc_id = b.doc_id AND sb.split = 'test'
+GROUP BY 1""",
+    "dedup_passages": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+ps AS (
+  SELECT doc_id, i,
+         md5(array_to_string(t[i*{tx.PASSAGE_TOKENS}+1:i*{tx.PASSAGE_TOKENS}+{tx.PASSAGE_TOKENS}], ' ')) AS ph
+  FROM toks, unnest(generate_series(0, (len(t) - 1) // {tx.PASSAGE_TOKENS})) AS u(i)
+),
+d AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM ps GROUP BY 1)
+SELECT doc_id, count(*) AS n_passages,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_passages,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+FROM ps JOIN d USING (ph) GROUP BY 1""",
     "text_simhash": _with(tx.DOCS_TOKS_SQL)
     + ",\n"
     + _simhash_cte()

@@ -33,6 +33,9 @@ _DEFER: list[str] = [
     "backtest_equity_curve",  # cumulative-window sibling of backtest_trades
     "media_frame_sample",     # mapInPandas multimodal covered by extract_meta
     "sma_fanout_all_tf",      # same native-window SMA as sma_14_1h, fanned across tfs
+    "backtest_trades",        # window-over-candles sibling of backtest_pnl
+    "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
+    "text_token_count",       # token stats subsumed by text_quality_score
 ]
 
 
