@@ -103,3 +103,51 @@ def test_asof_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_asof_bucketed_matches_plain(spark):
+    """Property check: the bucketed construction is semantics-identical to
+    the plain one, including bucket-boundary edges — quotes exactly on a
+    boundary, probe buckets with no quotes (carry across empty buckets),
+    and probes before any quote."""
+    from trading_etl_spark.operators.asof import asof_join_backward_bucketed
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),  # exactly on a bucket edge
+            ("A", _ts("2024-01-01 10:59:59"), 101.0),  # last of its bucket
+            ("A", _ts("2024-01-01 13:00:00"), 102.0),  # after 2 empty buckets
+            ("B", _ts("2024-01-01 11:30:00"), 200.0),
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), "before-any"),
+            ("A", _ts("2024-01-01 10:00:00"), "tie-on-edge"),
+            ("A", _ts("2024-01-01 10:30:00"), "in-bucket"),
+            ("A", _ts("2024-01-01 12:15:00"), "empty-bucket-carry"),
+            ("A", _ts("2024-01-01 13:00:00"), "tie-late"),
+            ("A", _ts("2024-01-01 23:00:00"), "long-carry"),
+            ("B", _ts("2024-01-01 12:00:00"), "other-key"),
+        ],
+        "k string, time timestamp, tag string",
+    )
+    plain = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"]
+        ).collect()
+    }
+    bucketed = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"],
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert bucketed == plain
+    assert bucketed["before-any"] is None
+    assert bucketed["tie-on-edge"] == 100.0
+    assert bucketed["empty-bucket-carry"] == 101.0
+    assert bucketed["long-carry"] == 102.0

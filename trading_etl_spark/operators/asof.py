@@ -14,9 +14,16 @@ scalable construction:
 3. keep probe rows.
 
 Cost: ONE shuffle on the key + a per-partition sort — identical shape to a
-sort-merge join, no range cross-product, no per-row UDF. At 100 TB both
-sides shuffle once on the same key; skewed keys split fine because the
-window frame is running (rows within a key stay ordered).
+sort-merge join, no range cross-product, no per-row UDF.
+
+CAVEAT for low key cardinality: a window partitioned only on the join key
+puts each key's ENTIRE history in one task. With 6 currency pairs that is
+6-way parallelism no matter how many executors exist — a scale-killer on
+a long tick history. :func:`asof_join_backward_bucketed` fixes this with
+the two-level construction (in-bucket window on (key, time-bucket) +
+carry-forward over the tiny per-bucket-final relation); use it whenever
+|keys| ≪ cores × history. The plain variant remains the verification twin
+for high-cardinality keys where one-partition-per-key is already fine.
 """
 
 from __future__ import annotations
@@ -60,3 +67,85 @@ def asof_join_backward(
     for v in value_cols:
         unioned = unioned.withColumn(v, F.last(v, ignorenulls=True).over(w))
     return unioned.filter(F.col("_side") == 1).select(*probe_cols, *value_cols)
+
+
+def asof_join_backward_bucketed(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Same semantics as :func:`asof_join_backward`, parallelism that scales
+    with the TIME RANGE instead of the key cardinality.
+
+    Two-level construction:
+
+    1. in-bucket pass: the union window partitions on (keys…,
+       floor(epoch/bucket_seconds)) — each task sorts one key×bucket slice,
+       so a 6-key corpus still fans out across every core;
+    2. carry-forward: per (key, bucket) the FINAL build value (``max_by`` —
+       a partially-aggregable hash-agg, output |keys|×|buckets| rows); a
+       window over that tiny relation yields each bucket's
+       latest-prior-bucket value;
+    3. probe rows take ``coalesce(in-bucket last, prior-bucket carry)``.
+
+    The only heavy data movement is the one well-distributed shuffle of
+    step 1; step 2's relation is candle-sized, not tick-sized.
+    """
+    collisions = set(value_cols) & set(probe.columns)
+    if collisions:
+        raise ValueError(f"value_cols collide with probe columns: {collisions}")
+
+    bkt = F.floor(F.unix_timestamp(F.col(on)) / F.lit(bucket_seconds))
+    probe_cols = probe.columns
+    p = probe.withColumn("_side", F.lit(1))
+    for v in value_cols:
+        p = p.withColumn(v, F.lit(None).cast(build.schema[v].dataType))
+    b = build.select(*by, on, *value_cols).withColumn("_side", F.lit(0))
+    for c in probe_cols:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+
+    u = p.unionByName(b).withColumn("_bkt", bkt)
+    w_in = (
+        Window.partitionBy(*by, "_bkt")
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        u = u.withColumn(f"_in_{v}", F.last(v, ignorenulls=True).over(w_in))
+
+    finals = (
+        b.withColumn("_bkt", bkt)
+        .groupBy(*by, "_bkt")
+        .agg(*[F.max_by(v, F.col(on)).alias(f"_fin_{v}") for v in value_cols])
+    )
+    # every bucket either side touches, so probe-only buckets still get a
+    # carry value from the last prior bucket that HAS build rows
+    bkts = u.select(*by, "_bkt").distinct()
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bkts.join(finals, [*by, "_bkt"], "left").select(
+        *by,
+        "_bkt",
+        *[
+            F.last(f"_fin_{v}", ignorenulls=True).over(w_carry).alias(f"_prev_{v}")
+            for v in value_cols
+        ],
+    )
+    return (
+        u.filter(F.col("_side") == 1)
+        .join(carry, [*by, "_bkt"], "left")
+        .select(
+            *probe_cols,
+            *[
+                F.coalesce(f"_in_{v}", f"_prev_{v}").alias(v)
+                for v in value_cols
+            ],
+        )
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
-from ..operators.asof import asof_join_backward
+from ..operators.asof import asof_join_backward_bucketed
 from ..operators.rangejoin import interval_join
 from ..operators.backtest import backtest_pnl, backtest_trades, equity_curve
 from ..sources import dims, ticks
@@ -410,7 +410,9 @@ def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each signal event matched to the last tick bid at or
-    before its event time (union + ordered-window construction, one shuffle)."""
+    before its event time. Bucketed two-level construction — the heavy
+    window partitions on (pair, hour-bucket), not just the 6 pairs, so
+    parallelism scales with the tick history length."""
     events = (
         signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
         .select("event_datetime", "currency_pair_code", "event_type", "price")
@@ -419,7 +421,7 @@ def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotes = ticks.load_ticks(spark, sf_dir).select(
         "currency_pair_code", "time", "bid"
     )
-    out = asof_join_backward(
+    out = asof_join_backward_bucketed(
         events, quotes, on="time", by=["currency_pair_code"], value_cols=["bid"]
     )
     return out.select(
