@@ -325,3 +325,30 @@ def test_passage_dedup_counts_cross_doc_passages(spark):
     assert out[1]["n_passages"] == 3 and out[1]["n_dup_passages"] == 1
     assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0
     assert out[0]["dup_frac"] == round(1 / 3, 6)
+
+
+def test_knn_ivf_multiprobe_recovers_cross_cell_neighbor(spark):
+    # query 0 sits in cell 0 but its true nearest neighbor (id 10) is just
+    # across the boundary in cell 1; cell 2 points the other way entirely.
+    # Single-cell probe misses id 10; nprobe=2 must recover it.
+    rows = [
+        (0, [1.0, 0.1, 0.0], 0),
+        (11, [1.0, 0.0, 0.0], 0),
+        (10, [1.0, 0.12, 0.0], 1),   # nearest to query, different cell
+        (12, [0.7, 0.7, 0.0], 1),
+        (13, [0.0, 0.0, 1.0], 2),
+        (14, [0.0, 0.1, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, emb array<double>, label int"
+    )
+    single = {
+        r["neighbor_id"]
+        for r in sim.knn_ivf(emb, k=2, n_queries=1).collect()
+    }
+    multi = {
+        r["neighbor_id"]
+        for r in sim.knn_ivf_multiprobe(emb, k=2, n_queries=1, nprobe=2).collect()
+    }
+    assert 10 not in single          # stored-cell probe misses it
+    assert multi == {10, 11}         # multiprobe finds the true top-2

@@ -111,6 +111,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.knn_ivf(_emb(spark, sf_dir)), "rank")
 
 
+def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, centroid-ranked nprobe=2 — the production probe shape."""
+    return _as_long(sim.knn_ivf_multiprobe(_emb(spark, sf_dir)), "rank")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -283,6 +288,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
     "embedding_knn_bruteforce": q_knn_brute,
     "embedding_knn_ivf": q_knn_ivf,
+    "embedding_knn_ivf_multiprobe": q_knn_ivf_multiprobe,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
@@ -560,6 +566,37 @@ SELECT query_id, label, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= 3
 """.strip(),
+    "embedding_knn_ivf_multiprobe": _with(
+        sim.EMB_SQL,
+        f"""
+cent AS (
+  SELECT label, array_agg(av ORDER BY pos) AS cv FROM (
+    SELECT label, i AS pos, avg(v[i]) AS av
+    FROM emb, unnest(generate_series(1, len(v))) AS g(i)
+    GROUP BY 1, 2
+  ) GROUP BY label
+),
+probed AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sim.COS_SQL.format(a="q.v", b="c.cv")} DESC,
+                                       c.label) AS crank
+    FROM emb q, cent c WHERE q.vec_id < {sim.N_QUERIES}
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {sim.COS_SQL.format(a="q.v", b="e.v")} AS cos_sim
+  FROM probed p
+  JOIN emb e ON e.label = p.label
+  JOIN emb q ON q.vec_id = p.query_id
+  WHERE e.vec_id != p.query_id
+)
+""".strip(),
+    )
+    + "\n"
+    + _KNN_RANK_SQL,
     "embedding_label_centroids": _with(sim.EMB_SQL)
     + """
 SELECT label, (i - 1)::BIGINT AS pos,

@@ -36,6 +36,7 @@ _DEFER: list[str] = [
     "backtest_trades",        # window-over-candles sibling of backtest_pnl
     "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
     "text_token_count",       # token stats subsumed by text_quality_score
+    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path
 ]
 
 
