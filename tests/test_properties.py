@@ -95,3 +95,54 @@ def test_ohlc_invariants(spark_prop, ticks_raw):
         assert r["low"] <= min(r["open"], r["close"]) + 1e-9
         assert r["high"] >= max(r["open"], r["close"]) - 1e-9
         assert not math.isnan(r["open"])
+
+
+# --- as-of twin equivalence (Spark, few examples, session fixture) -----------
+
+ts_seconds = st.integers(min_value=0, max_value=7200 * 3)  # spans >3 buckets
+
+
+@given(
+    st.lists(ts_seconds, min_size=1, max_size=25, unique=True),  # build times
+    st.lists(ts_seconds, min_size=1, max_size=15),               # probe times
+    st.integers(min_value=1, max_value=3),                       # n keys
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_bucketed_equals_plain_property(spark, build_ts, probe_ts, n_keys):
+    """The bucketed as-of must equal the plain construction on arbitrary
+    build/probe time sets, including bucket-edge and empty-bucket layouts."""
+    from datetime import datetime, timezone
+
+    from trading_etl_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    def _t(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    build = spark.createDataFrame(
+        [
+            (f"k{i % n_keys}", _t(s), float(s))
+            for i, s in enumerate(sorted(build_ts))
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probe = spark.createDataFrame(
+        [(f"k{i % n_keys}", _t(s), i) for i, s in enumerate(probe_ts)],
+        "k string, time timestamp, tag long",
+    )
+    kw = dict(on="time", by=["k"], value_cols=["bid"])
+    plain = {
+        (r["tag"]): r["bid"]
+        for r in asof_join_backward(probe, build, **kw).collect()
+    }
+    bucketed = {
+        (r["tag"]): r["bid"]
+        for r in asof_join_backward_bucketed(
+            probe, build, bucket_seconds=3600, **kw
+        ).collect()
+    }
+    assert bucketed == plain

@@ -30,6 +30,7 @@ SIBLING = {
     "backtest_trades": "backtest_pnl",
     "watermark_max_time": "incremental_cursor_scan",
     "text_token_count": "text_quality_score",
+    "text_top_terms_per_lang": "text_tfidf_top_terms",
 }
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources import ticks
 
@@ -65,7 +66,62 @@ def q_streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SINK)
 
 
-QUERIES = {"streaming_ohlc_1m": q_streaming_ohlc_1m}
+_DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+_DEDUP_SINK = "gate_streaming_dedup_exact"
+
+
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus dedup as a STREAMING aggregation: documents arrive as a
+    file stream (production: the crawler's landing zone), and the running
+    (content_hash → keeper, count) state is the live dedup index a
+    continuous ingestion pipeline maintains. min/count are order-insensitive
+    so the result is micro-batch-boundary-independent and hash-matches the
+    batch dedup_exact oracle.
+
+    Scale notes: state is one row per DISTINCT content hash — the raw text
+    never enters state (md5 projected before the agg). A durable deployment
+    runs update mode into a keyed sink (the same shape as the latest-value
+    tick cache, streaming/ticks.py); complete+memory is gate-only.
+    """
+    docs = (
+        spark.readStream.schema(_DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        docs.select(F.col("doc_id"), F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_DEDUP_SINK).select(
+        "keeper_doc_id", "n_copies", "content_hash"
+    )
+
+
+QUERIES = {
+    "streaming_ohlc_1m": q_streaming_ohlc_1m,
+    "streaming_dedup_exact": q_streaming_dedup_exact,
+}
 
 ORACLES = {
     "streaming_ohlc_1m": "WITH "
@@ -80,4 +136,8 @@ SELECT currency_pair_code,
        count(*) AS n_ticks
 FROM raw_ticks
 GROUP BY 1, 2""",
+    "streaming_dedup_exact": """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS content_hash
+FROM documents GROUP BY md5(text)
+""".strip(),
 }
