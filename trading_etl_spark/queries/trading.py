@@ -46,7 +46,7 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     leak in a long-lived session. Returns the number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     evicted = 0
-    for cache in (_CHAIN_CACHE, _CANDLE_CACHE):
+    for cache in (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE):
         for key in [k for k in cache if app_id is None or k[0] == app_id]:
             entry = cache.pop(key)
             for df in entry if isinstance(entry, tuple) else (entry,):
@@ -84,6 +84,22 @@ def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per union branch. At 100 TB this is a written parquet table; in-session,
 # cache() is the equivalent.
 _CANDLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# The deduped tick relation IS a materialized table in the reference
+# (ticker.ticker_{pair}); every consumer below reads that table, so the
+# in-session analog is one cached dedup instead of re-scanning + re-deduping
+# raw events per query. ~1 row/s/pair ⇒ 3 orders of magnitude smaller than
+# the raw feed; at 100 TB this is the written ticker parquet table.
+_TICKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _TICKS_CACHE.get(key)
+    if df is None:
+        df = ticks.load_ticks(spark, sf_dir).cache()
+        _TICKS_CACHE[key] = df
+    return df
 
 
 def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +139,7 @@ def q_ticks_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ticks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: 1-second dedup, first tick wins."""
-    return ticks.load_ticks(spark, sf_dir)
+    return _ticks(spark, sf_dir)
 
 
 def q_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +157,7 @@ def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by hash-agg (partial-aggregable) instead of a row_number window."""
     latest = F.max_by(F.struct("time", "bid", "ask"), "time").alias("r")
     return (
-        ticks.load_ticks(spark, sf_dir)
+        _ticks(spark, sf_dir)
         .groupBy("currency_pair_code")
         .agg(latest)
         .select("currency_pair_code", F.col("r.time"), F.col("r.bid"), F.col("r.ask"))
@@ -150,7 +166,7 @@ def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/P3: poll-based CDC — ticks strictly after the cursor."""
-    return ticks.load_ticks(spark, sf_dir).filter(F.col("time") > F.lit(CURSOR))
+    return _ticks(spark, sf_dir).filter(F.col("time") > F.lit(CURSOR))
 
 
 def q_watermark_max_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,7 +243,7 @@ def q_event_reaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = signals.buysell_events(
         _fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28
     ).select("event_datetime", "currency_pair_code", "event_type")
-    quotes = ticks.load_ticks(spark, sf_dir).select(
+    quotes = _ticks(spark, sf_dir).select(
         "currency_pair_code", "time", "bid"
     )
     j = interval_join(
@@ -322,7 +338,7 @@ def q_spread_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     median / p90 / max of the bid-ask spread. F.percentile is the exact
     linear-interpolation aggregate — partial-aggregable JVM-side, matching
     DuckDB's quantile_cont bit-for-bit on 6dp-rounded inputs."""
-    t = ticks.load_ticks(spark, sf_dir).withColumn(
+    t = _ticks(spark, sf_dir).withColumn(
         "spread", F.round(F.col("ask") - F.col("bid"), 6)
     )
     return t.groupBy("currency_pair_code").agg(
@@ -358,7 +374,7 @@ def q_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: bursts of ticks separated by ≥30 min of
     silence become trading sessions (``session_window`` — merge-on-overlap
     state, a window class the reference lacks; R7 lists only tumbling)."""
-    t = ticks.load_ticks(spark, sf_dir)
+    t = _ticks(spark, sf_dir)
     w = F.session_window("time", f"{SESSION_GAP_MIN} minutes")
     return (
         t.groupBy("currency_pair_code", w.alias("w"))
@@ -418,7 +434,7 @@ def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_datetime", "currency_pair_code", "event_type", "price")
         .withColumn("time", F.col("event_datetime"))
     )
-    quotes = ticks.load_ticks(spark, sf_dir).select(
+    quotes = _ticks(spark, sf_dir).select(
         "currency_pair_code", "time", "bid"
     )
     out = asof_join_backward_bucketed(
