@@ -122,3 +122,20 @@ def test_append_through_file_scheme_uri(spark, tmp_path):
     assert first_wins_append(spark, path, batch, keys) == 1
     assert first_wins_append(spark, path, batch, keys) == 0
     assert spark.read.parquet(path).count() == 1
+
+
+def test_empty_first_append_creates_table(spark, tmp_path):
+    """An empty initial relation is a legal first write: it must create the
+    table path with the right schema so the next read returns an empty table
+    instead of PATH_NOT_FOUND (the r2 test_incremental failure mode)."""
+    path = str(tmp_path / "empty_first")
+    keys = ["currency_pair_code", "time"]
+    empty = _df(spark, [])
+    assert first_wins_append(spark, path, empty, keys) == 0
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert set(back.columns) == {"currency_pair_code", "time", "bid", "ask"}
+    # and a later real append still works on the pre-created empty table
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    assert first_wins_append(spark, path, _df(spark, [("USD/JPY", t, 1.0, 1.1)]), keys) == 1
+    assert spark.read.parquet(path).count() == 1

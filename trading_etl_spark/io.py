@@ -72,7 +72,11 @@ def first_wins_append(
             fresh = incoming
         fresh = fresh.cache()
         n = fresh.count()
-        if n:
+        # Write through even when n == 0 on the FIRST append: an empty initial
+        # relation is a legal first write, and it must still create the table
+        # path with the right schema — otherwise the next reader hits
+        # PATH_NOT_FOUND instead of an empty table.
+        if n or not fs.exists(spark, path):
             writer = fresh.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)

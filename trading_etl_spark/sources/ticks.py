@@ -25,42 +25,75 @@ from pyspark.sql import types as T
 
 from .dims import currency_values_sql, dim_currency
 
-# events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the Spark parquet
-# reader rejects; read raw int64 and convert ns→µs with integer division
-# (double division would lose precision above 2^53).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Inspect the parquet footer: True when ``ts`` is stored as raw INT64 /
+    TIMESTAMP(NANOS) (needs an explicit ns→µs conversion), False when it is a
+    proper TIMESTAMP(MICROS/MILLIS) the Spark reader handles natively.
+
+    The fixture corpus has shipped BOTH encodings across driver rounds, so
+    hardcoding either unit silently corrupts when the environment drifts —
+    detect, don't assume.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if inner:
+            path = inner[0]
+    t = pq.read_schema(path).field("ts").type
+    if pat.is_timestamp(t):
+        return t.unit == "ns"
+    return pat.is_integer(t)
+
+
+def _with_event_time(df: DataFrame, ts_is_nanos: bool) -> DataFrame:
+    if ts_is_nanos:
+        # raw int64 nanoseconds → µs with integer division (double division
+        # would lose precision above 2^53)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as a proper TimestampType (µs, UTC)."""
-    return (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    path = f"{sf_dir}/events.parquet"
+    nanos = _events_ts_is_nanos(path)
+    schema = _events_raw_schema(T.LongType() if nanos else T.TimestampType())
+    return _with_event_time(spark.read.schema(schema).parquet(path), nanos)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``load_events``: file-source stream over the same
-    parquet, same ns→µs conversion. In production the path is a landing zone
-    the websocket connector appends to (or a Kafka topic with this schema)."""
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    parquet with the same footer-driven unit handling. In production the path
+    is a landing zone the websocket connector appends to (or a Kafka topic
+    with this schema)."""
+    nanos = _events_ts_is_nanos(f"{sf_dir}/events.parquet")
+    schema = _events_raw_schema(T.LongType() if nanos else T.TimestampType())
+    stream = (
+        spark.readStream.schema(schema)
         # the file stream source wants a directory; glob-filter to the events
         # table so sibling tables in the sf dir are not picked up
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    return _with_event_time(stream, nanos)
 
 
 def tickify(events: DataFrame) -> DataFrame:
