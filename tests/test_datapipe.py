@@ -352,3 +352,49 @@ def test_knn_ivf_multiprobe_recovers_cross_cell_neighbor(spark):
     }
     assert 10 not in single          # stored-cell probe misses it
     assert multi == {10, 11}         # multiprobe finds the true top-2
+
+
+def test_kmeans_codebook_separates_clusters(spark):
+    # two tight clusters around e1 and e3: 3 Lloyd iterations from md5 seeds
+    # must land one centroid in each, and assignment must split them cleanly.
+    rows = [
+        (0, [1.0, 0.02, 0.0]),
+        (1, [1.0, 0.00, 0.0]),
+        (2, [0.98, 0.05, 0.0]),
+        (3, [0.0, 0.01, 1.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.02, 0.0, 0.97]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cent = sim.kmeans_codebook(emb, k=2, iters=3)
+    assigned = sim.assign_cells(emb, cent).collect()
+    cells = {r["vec_id"]: r["cell"] for r in assigned}
+    assert cells[0] == cells[1] == cells[2]
+    assert cells[3] == cells[4] == cells[5]
+    assert cells[0] != cells[3]
+
+
+def test_kmeans_codebook_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(20)],
+        "vec_id long, emb array<double>",
+    )
+    a = {(r["cell"], tuple(r["cv"])) for r in sim.kmeans_codebook(emb, k=3, iters=2).collect()}
+    b = {(r["cell"], tuple(r["cv"])) for r in sim.kmeans_codebook(emb, k=3, iters=2).collect()}
+    assert a == b
+
+
+def test_knn_ivf_kmeans_finds_cluster_neighbors(spark):
+    # same two-cluster corpus; query 0's true top-2 are its cluster-mates and
+    # the learned cells must make them reachable with nprobe=1 of 2.
+    rows = [
+        (0, [1.0, 0.02, 0.0]),
+        (1, [1.0, 0.00, 0.0]),
+        (2, [0.98, 0.05, 0.0]),
+        (3, [0.0, 0.01, 1.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.02, 0.0, 0.97]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = sim.knn_ivf_kmeans(emb, k=2, n_queries=1, nprobe=1, n_cells=2, iters=2)
+    assert {r["neighbor_id"] for r in out.collect()} == {1, 2}

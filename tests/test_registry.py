@@ -21,8 +21,9 @@ SIBLING = {
     "media_resize": "media_extract_meta",
     "embedding_near_dup": "embedding_near_dup_lsh",
     "dedup_ngram_jaccard": "dedup_minhash_lsh",
-    "embedding_knn_bruteforce": "embedding_knn_ivf_multiprobe",
-    "embedding_knn_ivf": "embedding_knn_ivf_multiprobe",
+    "embedding_knn_bruteforce": "embedding_knn_ivf_kmeans",
+    "embedding_knn_ivf": "embedding_knn_ivf_kmeans",
+    "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
     "candle_cube": "candle_rollup",
     "backtest_equity_curve": "backtest_pnl",
     "media_frame_sample": "media_extract_meta",

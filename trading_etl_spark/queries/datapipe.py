@@ -116,6 +116,12 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.knn_ivf_multiprobe(_emb(spark, sf_dir)), "rank")
 
 
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED k-means codebook (deterministic Lloyd) —
+    the no-label production path; nprobe=2 of 8 learned cells."""
+    return _as_long(sim.knn_ivf_kmeans(_emb(spark, sf_dir)), "rank")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -289,6 +295,7 @@ QUERIES = {
     "embedding_knn_bruteforce": q_knn_brute,
     "embedding_knn_ivf": q_knn_ivf,
     "embedding_knn_ivf_multiprobe": q_knn_ivf_multiprobe,
+    "embedding_knn_ivf_kmeans": q_knn_ivf_kmeans,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
@@ -421,6 +428,76 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM scored
 ) WHERE rank <= 3
 """.strip()
+
+
+def _kmeans_assign_sql(name: str, cent: str) -> str:
+    """One deterministic nearest-centroid assignment CTE (6dp-rounded cosine,
+    lowest-cell tie-break) — the exact twin of similarity.assign_cells."""
+    return f"""
+{name} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                       c.cell) AS rn
+    FROM emb e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)""".strip()
+
+
+def _kmeans_oracle_sql(
+    k: int = sim.KMEANS_K, iters: int = sim.KMEANS_ITERS, nprobe: int = 2
+) -> str:
+    """Unrolled Lloyd's k-means + multiprobe kNN as pure SQL. The Spark
+    implementation is deterministic by construction (md5-ranked seeds,
+    6dp-rounded decisions) precisely so this fixed-iteration unrolling can
+    replay the identical trajectory in DuckDB."""
+    parts = [
+        sim.EMB_SQL,
+        f"""
+cent0 AS (
+  SELECT cell, v AS cv FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+    FROM emb
+  ) WHERE cell < {k}
+)""".strip(),
+    ]
+    for i in range(1, iters + 1):
+        parts.append(_kmeans_assign_sql(f"assign{i}", f"cent{i - 1}"))
+        parts.append(
+            f"""
+cent{i} AS (
+  SELECT cell, array_agg(av ORDER BY pos) AS cv FROM (
+    SELECT cell, gi AS pos, round(avg(v[gi]), 6) AS av
+    FROM assign{i}, unnest(generate_series(1, len(v))) AS g(gi)
+    GROUP BY 1, 2
+  ) GROUP BY cell
+)""".strip()
+        )
+    parts.append(_kmeans_assign_sql("assignf", f"cent{iters}"))
+    parts.append(
+        f"""
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.v, c.cv), 6) DESC,
+                                       c.cell) AS crank
+    FROM emb q CROSS JOIN cent{iters} c
+    WHERE q.vec_id < {sim.N_QUERIES}
+  ) WHERE crank <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, a.v), 6) AS cos_sim
+  FROM probed p
+  JOIN assignf a ON a.cell = p.cell
+  JOIN emb q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)""".strip()
+    )
+    return _with(*parts) + "\n" + _KNN_RANK_SQL
 
 ORACLES = {
     "dedup_exact": """
@@ -597,6 +674,7 @@ scored AS (
     )
     + "\n"
     + _KNN_RANK_SQL,
+    "embedding_knn_ivf_kmeans": _kmeans_oracle_sql(),
     "embedding_label_centroids": _with(sim.EMB_SQL)
     + """
 SELECT label, (i - 1)::BIGINT AS pos,

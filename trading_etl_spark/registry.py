@@ -37,6 +37,7 @@ _DEFER: list[str] = [
     "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
     "text_token_count",       # token stats subsumed by text_quality_score
     "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path
+    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
 ]
 
