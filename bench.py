@@ -67,6 +67,21 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # And the broadcast-join + struct-min_by codegen paths: the FIRST
+    # broadcast join in a session pays ~5 s of one-time broadcast-exchange +
+    # Janino compile cost regardless of data size (measured: identical on 264
+    # rows and 100k rows). Warm it on 64 synthetic rows so candle_chain_cold
+    # measures the chain, not JVM initialization.
+    dim = spark.range(6).withColumnRenamed("id", "k")
+    (
+        tiny.join(F.broadcast(dim), tiny.id % 6 == dim.k)
+        .groupBy("g")
+        .agg(F.min_by(F.struct("id", "k"), F.struct("k", "id")).alias("m"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     timings: dict[str, float] = {}
 
     # Cold candle-chain build, reported as its own line: tick scan → dedup →
