@@ -46,7 +46,7 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     leak in a long-lived session. Returns the number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     evicted = 0
-    for cache in (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE):
+    for cache in (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE):
         for key in [k for k in cache if app_id is None or k[0] == app_id]:
             entry = cache.pop(key)
             for df in entry if isinstance(entry, tuple) else (entry,):
@@ -112,9 +112,20 @@ def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# fact_sma IS a materialized table in the reference (transform_services.py
+# writes it before any signal/backtest query reads it) — cache the in-session
+# analog so the 5 signal/backtest/asof/reaction consumers reuse one SMA
+# window pass instead of re-deriving it from the candle cache each.
+_SMA_CACHE: dict[tuple[str, str, tuple[int, ...]], DataFrame] = {}
+
+
 def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFrame:
     """SMA facts on 1h candles, values rounded to 6dp so the cross predicate
     decides identically in both engines."""
+    key = (spark.sparkContext.applicationId, sf_dir, tuple(periods))
+    cached = _SMA_CACHE.get(key)
+    if cached is not None:
+        return cached
     candles = _ohlc_1h(spark, sf_dir)
     parts = [
         indicators.sma(candles, p).withColumn("value", F.round("value", 6))
@@ -123,6 +134,8 @@ def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFr
     df = parts[0]
     for part in parts[1:]:
         df = df.unionByName(part)
+    df = df.cache()
+    _SMA_CACHE[key] = df
     return df
 
 
