@@ -1,0 +1,69 @@
+"""Plan-shape regression guards: the scale properties PLANS.md documents,
+asserted so a refactor that silently reintroduces an exchange fails CI
+instead of only showing up in the next bench.
+
+These parse the optimized logical / physical plan of small synthetic inputs —
+plan SHAPE is data-independent, so tiny frames prove the 100 TB property.
+"""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from trading_etl_spark.operators import ohlc, text
+from trading_etl_spark.sources import dims
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shingles_have_no_shuffle(spark):
+    """Per-doc dedup must stay map-side (array_distinct before explode):
+    a global .distinct() here would shuffle the widest relation of the
+    dedup pipeline."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    plan = _physical(text.shingles(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_stats_have_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    plan = _physical(text.repetition_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_candle_chain_single_exchange(spark):
+    """dedup → 1m agg → derived agg must share ONE hash-partitioning on
+    (pair, chain-bucket); extra `Exchange hashpartitioning` nodes mean the
+    chain co-partitioning broke. (AQE shuffle-read nodes don't add
+    exchanges; count the Exchange operators themselves.)"""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", t0 + timedelta(seconds=i), 100.0 + i, 100.1 + i, t0, i)
+        for i in range(120)
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, time timestamp, bid double, ask double,"
+        " ts timestamp, event_id long",
+    )
+    base, derived = ohlc.ohlc_chain_single_shuffle(raw, dims.dim_timeframe(spark))
+    plan = _physical(derived)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, f"chain has {n_hash_exchanges} exchanges:\n{plan}"
+    # and the broadcast of the timeframe dim must not have become a shuffle
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or plan.count("Exchange") == 1
+
+
+def test_quantize_has_no_shuffle_or_python(spark):
+    from trading_etl_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.5])], "vec_id long, emb array<double>"
+    )
+    plan = _physical(sim.quantize_int8(emb))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
