@@ -204,8 +204,67 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++, rsd=2%) — the 100 TB form of
+    ``daily_active_users``: constant memory per group instead of a
+    distinct-triple shuffle; the sketch partial-aggregates map-side and
+    merges associatively, so shuffle volume is |groups| × sketch size
+    regardless of cardinality.
+
+    Cross-engine contract: sketches differ per engine, so the query emits
+    the EXACT count plus a boolean attesting the estimate landed inside
+    3×rsd; the oracle asserts the same exact counts with the flag
+    literally true. A drifting estimator hash-mismatches — the error
+    CONTRACT is verified, which is all an approx aggregate promises."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= 0.06 * F.col("n_users_exact")
+            ).alias("within_3rsd"),
+        )
+    )
+
+
+def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna ``percentile_approx``,
+    accuracy 1e4) — the 100 TB sibling of the exact ``spread_quantiles``:
+    bounded-memory mergeable sketch instead of a full sort. Same
+    cross-engine contract as the HLL query: emit exact medians plus an
+    in-tolerance flag for the sketch (rank error ≤ 1/accuracy ⇒ value
+    within the p40-p60 exact envelope for p50)."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50_est"),
+        F.round(F.expr("percentile(value, 0.4)"), 6).alias("_lo"),
+        F.round(F.expr("percentile(value, 0.6)"), 6).alias("_hi"),
+    )
+    return q.select(
+        "event_type",
+        "p50_exact",
+        ((F.col("_p50_est") >= F.col("_lo")) & (F.col("_p50_est") <= F.col("_hi"))).alias(
+            "within_rank_tolerance"
+        ),
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "approx_distinct_users": q_approx_distinct_users,
+    "approx_value_quantiles": q_approx_value_quantiles,
     "event_props_json_agg": q_event_props_json,
     "daily_active_users": q_daily_active_users,
     "star_join_revenue": q_star_revenue,
@@ -217,6 +276,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "approx_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS within_3rsd
+FROM events
+GROUP BY 1
+""".strip(),
+    "approx_value_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS within_rank_tolerance
+FROM events
+GROUP BY 1
+""".strip(),
     "event_props_json_agg": """
 SELECT event_type,
        count(*) AS n_events,

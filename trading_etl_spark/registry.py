@@ -38,6 +38,8 @@ _DEFER: list[str] = [
     "text_token_count",       # token stats subsumed by text_quality_score
     "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path
     "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it
+    "approx_distinct_users",   # HLL sibling of daily_active_users (error-contract check)
+    "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
 ]
 
