@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "embedding_knn_bruteforce",
+    "embedding_knn_ivf_kmeans",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup

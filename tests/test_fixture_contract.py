@@ -51,3 +51,16 @@ def test_tick_dedup_count_matches_duckdb(spark):
         """
     ).fetchone()[0]
     assert n_spark == n_oracle
+
+
+def test_stream_events_schema_matches_footer(spark):
+    """The streaming twin must branch on the parquet footer exactly like the
+    batch loader: ts arrives as a proper TimestampType, never a collapsed
+    epoch-long."""
+    from pyspark.sql import types as T
+
+    from trading_etl_spark.sources.ticks import stream_events
+
+    st = stream_events(spark, SF_DIR)
+    assert isinstance(st.schema["ts"].dataType, T.TimestampType)
+    assert st.isStreaming

@@ -198,8 +198,7 @@ def kmeans_codebook(
     cent_rows = [(i, [float(x) for x in r["emb"]]) for i, r in enumerate(seeds)]
     schema = "cell int, cv array<double>"
     for _ in range(iters):
-        cent = spark.createDataFrame(cent_rows, schema)
-        assigned = assign_cells(emb, cent)
+        assigned = assign_cells_rows(emb, cent_rows)
         new = (
             assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -212,18 +211,47 @@ def kmeans_codebook(
     return spark.createDataFrame(cent_rows, schema)
 
 
+def _nearest_cell_udf(cent_rows: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid kernel: one ``V @ Cᵀ`` matmul per
+    batch. The interpreted ``zip_with``/``aggregate`` cosine costs seconds
+    per few thousand vectors at n×cells×dim scale (the SRP lesson —
+    measured 5.0 s → ~1 s for the sf0.1 kmeans query); NumPy does the same
+    double math per Arrow batch. Decisions stay engine-independent: sims
+    round to 6dp and ``argmax`` takes the FIRST maximum, i.e. the lowest
+    cell id — identical to the (desc csim, asc cell) window ordering and
+    the DuckDB oracle's row_number ordering."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(cent_rows)
+    cells = np.array([c for c, _ in rows], dtype="int64")
+    C = np.array([v for _, v in rows], dtype="float64")  # (k, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest(emb: pd.Series) -> pd.Series:
+        V = np.vstack(emb.to_numpy()).astype("float64")
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.round(Vn @ Cn.T, 6)
+        return pd.Series(cells[np.argmax(sims, axis=1)].astype("int32"))
+
+    return nearest
+
+
 def assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the codebook, argmax cosine
-    (6dp-rounded, lowest-cell tie-break). No shuffle of the corpus side —
-    the window is per-vector over |cells| rows."""
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("csim", F.round(cosine("emb", "cv"), 6))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "emb")
-    )
+    """Nearest-centroid assignment (argmax of 6dp-rounded cosine, lowest-cell
+    tie-break). The codebook is k×dim — collected to the driver and closed
+    over by the Arrow kernel (the broadcast-codebook pattern); the corpus
+    side never shuffles."""
+    cent_rows = [(int(r["cell"]), list(r["cv"])) for r in cent.collect()]
+    return assign_cells_rows(emb, cent_rows)
+
+
+def assign_cells_rows(
+    emb: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    nearest = _nearest_cell_udf(cent_rows)
+    return emb.select("vec_id", nearest(F.col("emb")).alias("cell"), "emb")
 
 
 def knn_ivf_kmeans(
