@@ -99,7 +99,12 @@ def main() -> int:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch ({len([1 for x, y in zip(a, b) if x != y])} rows); first: {diff}")
             continue
-        print(f"OK    {name}: {len(srows)} rows ({dt:.1f}s)")
+        if not srows:
+            # a 0-row match is vacuous — both sides may share an upstream
+            # emptiness bug (the r2 failure mode produced near-empty boards)
+            print(f"OK0   {name}: matched on ZERO rows — verify non-emptiness is intended")
+        else:
+            print(f"OK    {name}: {len(srows)} rows ({dt:.1f}s)")
 
     spark.stop()
     print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
