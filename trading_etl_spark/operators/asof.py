@@ -123,8 +123,15 @@ def asof_join_backward_bucketed(
         .agg(*[F.max_by(v, F.col(on)).alias(f"_fin_{v}") for v in value_cols])
     )
     # every bucket either side touches, so probe-only buckets still get a
-    # carry value from the last prior bucket that HAS build rows
-    bkts = u.select(*by, "_bkt").distinct()
+    # carry value from the last prior bucket that HAS build rows. The build
+    # side's bucket set is exactly finals' key set — reuse it instead of
+    # re-scanning the (100 TB) build relation a third time; only the small
+    # probe side is scanned again for its buckets.
+    bkts = (
+        finals.select(*by, "_bkt")
+        .unionByName(p.withColumn("_bkt", bkt).select(*by, "_bkt"))
+        .distinct()
+    )
     w_carry = (
         Window.partitionBy(*by)
         .orderBy("_bkt")
