@@ -398,3 +398,17 @@ def test_knn_ivf_kmeans_finds_cluster_neighbors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
     out = sim.knn_ivf_kmeans(emb, k=2, n_queries=1, nprobe=1, n_cells=2, iters=2)
     assert {r["neighbor_id"] for r in out.collect()} == {1, 2}
+
+
+def test_kmeans_codebook_tolerates_emptied_cells(spark):
+    # k=3 seeds over data with only 2 real clusters: Lloyd may drain a cell.
+    # The codebook must stay consistent (<= k cells, assignment total) and
+    # assignment must still cover every vector exactly once.
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(i, [0.0, 1.0]) for i in range(5, 10)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cent = sim.kmeans_codebook(emb, k=3, iters=3)
+    n_cells = cent.count()
+    assert 1 <= n_cells <= 3
+    assigned = sim.assign_cells(emb, cent)
+    assert assigned.count() == 10
+    assert assigned.select("vec_id").distinct().count() == 10

@@ -93,3 +93,28 @@ def test_no_posix_path_calls_in_write_path():
             or (getattr(node, "module", "") or "").split(".")[0] in ("os", "shutil")
         ]
         assert not offenders, f"{mod.__name__} imports {offenders}"
+
+
+def test_read_evolved_additive_column(spark, tmp_path):
+    """Alembic-style additive migration: later files carry calc_version,
+    older rows surface it as NULL — no rewrite of existing data."""
+    from trading_etl_spark.plans.maintenance import read_evolved
+
+    path = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [("USD/JPY", 100.0)], "currency_pair_code string, value double"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [("EUR/JPY", 160.0, "v2")],
+        "currency_pair_code string, value double, calc_version string",
+    ).write.mode("append").parquet(path)
+
+    merged = read_evolved(spark, path)
+    assert set(merged.columns) == {"currency_pair_code", "value", "calc_version"}
+    vals = {r["currency_pair_code"]: r["calc_version"] for r in merged.collect()}
+    assert vals == {"USD/JPY": None, "EUR/JPY": "v2"}
+
+    # contract-schema path: no footer sweep, same result
+    ddl = "currency_pair_code string, value double, calc_version string"
+    by_contract = read_evolved(spark, path, ddl)
+    assert by_contract.count() == 2

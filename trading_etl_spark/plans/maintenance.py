@@ -91,3 +91,20 @@ def compact_partition(
     fs.delete(spark, aside_dir)
     n_after = len(fs.file_sizes(spark, part_dir))
     return (n_before, n_after)
+
+
+def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None):
+    """Schema-evolution read — the parquet analog of the reference's alembic
+    add-column migrations (``alembic/versions/e2444ebd2a06_baseline_current_
+    schema.py`` adds ``calc_version`` etc. to live fact tables).
+
+    Additive evolution needs no table rewrite: new writes simply carry the
+    new columns and old files yield NULL for them. Without a contract this
+    uses ``mergeSchema`` (footer-merges every file — fine for a partition,
+    expensive for a 100 TB table listing); at scale pass ``contract_ddl``
+    (the alembic-style declared schema, e.g. from ``schemas.py``) so the
+    scan reads exactly the declared columns with no footer sweep.
+    """
+    if contract_ddl is not None:
+        return spark.read.schema(contract_ddl).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
