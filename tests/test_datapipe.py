@@ -412,3 +412,21 @@ def test_kmeans_codebook_tolerates_emptied_cells(spark):
     assigned = sim.assign_cells(emb, cent)
     assert assigned.count() == 10
     assert assigned.select("vec_id").distinct().count() == 10
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.pii_redact(docs).collect()}
+    assert "<EMAIL>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert "example" not in out[1]["clean_text"]
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["clean_text"] == "server at <IP> responded"
+    assert out[2]["n_ips"] == 1 and out[2]["had_pii"]
+    assert out[3]["clean_text"] == "nothing sensitive here" and not out[3]["had_pii"]

@@ -26,6 +26,7 @@ SIBLING = {
     "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
     "approx_distinct_users": "daily_active_users",
     "approx_value_quantiles": "candle_returns_quartile",
+    "text_pii_redact": "text_repetition_filter",
     "candle_cube": "candle_rollup",
     "backtest_equity_curve": "backtest_pnl",
     "media_frame_sample": "media_extract_meta",

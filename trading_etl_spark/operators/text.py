@@ -109,6 +109,43 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns kept to syntax Java regex and RE2 (DuckDB) interpret
+# identically: character classes and bounded repetition only — no lookaround,
+# no backreferences. That is what makes the redaction oracle-matchable.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PII_PHONE_RE = "\\+?[0-9][0-9() -]{7,14}[0-9]"
+PII_IPV4_RE = (
+    "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII scrub — the corpus-cleaning stage every training pipeline runs
+    before release: emails, phone numbers and IPv4 literals replaced with
+    typed sentinel tokens, plus per-doc hit counts for audit sampling.
+
+    Pure map-side ``regexp_replace``/``regexp_count`` chains inside
+    whole-stage codegen: no shuffle, no UDF — at 100 TB this is a
+    scan-speed pass, the cheapest stage in the pipeline. Counts are taken
+    BEFORE redaction, in match order email → phone → ip so an address
+    inside an email local-part is attributed once.
+    """
+    email_n = F.regexp_count("text", F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    phone_n = F.regexp_count(t1, F.lit(PII_PHONE_RE))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    ip_n = F.regexp_count(t2, F.lit(PII_IPV4_RE))
+    t3 = F.regexp_replace(t2, PII_IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        email_n.cast("long").alias("n_emails"),
+        phone_n.cast("long").alias("n_phones"),
+        ip_n.cast("long").alias("n_ips"),
+        (email_n + phone_n + ip_n > 0).alias("had_pii"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + composite score (length, mean token
     length, stopword ratio) — the classic pre-training quality filter."""

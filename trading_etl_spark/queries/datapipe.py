@@ -138,6 +138,11 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with audit counts — map-side regex chain, scan-speed."""
+    return tx.pii_redact(_docs(spark, sf_dir))
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality gate → exact dedup over the
     survivors — the filter→dedup chain every corpus build runs, as ONE
@@ -308,6 +313,7 @@ QUERIES = {
     "text_tfidf_top_terms": q_tfidf,
     "bm25_search": q_bm25,
     "text_repetition_filter": q_repetition,
+    "text_pii_redact": q_pii_redact,
     "stratified_sample_by_lang": q_stratified_sample,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
@@ -749,6 +755,28 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
   FROM scored
 ) WHERE rank <= {tx.TFIDF_TOP_K}""",
     "bm25_search": _with(tx.DOCS_TOKS_SQL, tx.bm25_sql()),
+    "text_pii_redact": f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{tx.PII_IPV4_RE}', '<IP>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{tx.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{tx.PII_PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(
+           regexp_replace(regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{tx.PII_IPV4_RE}'))::BIGINT AS n_ips,
+       (len(regexp_extract_all(text, '{tx.PII_EMAIL_RE}'))
+        + len(regexp_extract_all(regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+              '{tx.PII_PHONE_RE}'))
+        + len(regexp_extract_all(
+              regexp_replace(regexp_replace(text, '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{tx.PII_PHONE_RE}', '<PHONE>', 'g'),
+              '{tx.PII_IPV4_RE}')) > 0) AS had_pii
+FROM documents
+""".strip(),
     "text_repetition_filter": _with(tx.DOCS_TOKS_SQL)
     + """,
 g AS (
