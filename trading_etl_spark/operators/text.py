@@ -49,15 +49,11 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("toks", F.split("text", " "))
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct token n-gram shingles per document: (doc_id, shingle).
-
-    Dedup happens with ``array_distinct`` BEFORE the explode: rows carry
-    doc_id, so per-array distinct equals global distinct — but the array
-    form runs map-side in the scan stage, where a post-explode
-    ``.distinct()`` would shuffle the widest relation in the whole dedup
-    pipeline (measured 2.3× on the 260k-shingle sf0.1 corpus; at 100 TB it
-    removes the largest exchange outright)."""
+def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) with sh = the doc's DISTINCT token n-gram shingles as an
+    array — entirely map-side (``array_distinct`` in the scan stage), so
+    consumers that can aggregate over the array (minhash) never shuffle
+    shingles at all."""
     # NB: guard short docs explicitly — Spark's sequence(1, 0) yields a
     # DESCENDING [1, 0], not an empty array like generate_series.
     expr = (
@@ -67,7 +63,21 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         f" array())"
     )
     return with_tokens(docs).select(
-        "doc_id", F.explode(F.array_distinct(F.expr(expr))).alias("shingle")
+        "doc_id", F.array_distinct(F.expr(expr)).alias("sh")
+    )
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct token n-gram shingles per document: (doc_id, shingle).
+
+    Dedup happens with ``array_distinct`` BEFORE the explode: rows carry
+    doc_id, so per-array distinct equals global distinct — but the array
+    form runs map-side in the scan stage, where a post-explode
+    ``.distinct()`` would shuffle the widest relation in the whole dedup
+    pipeline (measured 2.3× on the 260k-shingle sf0.1 corpus; at 100 TB it
+    removes the largest exchange outright)."""
+    return shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -446,7 +456,14 @@ MINHASH_BANDS = 6  # 6 bands × 2 rows
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """12 md5-based minhashes per doc (min over shingles of md5(seed:shingle)
-    as a hex string — engine-independent)."""
+    as a hex string — engine-independent).
+
+    Deliberately the exploded groupBy form, NOT ``array_min(transform(...))``
+    over the shingle array: the min-agg evaluates its md5 inside whole-stage
+    codegen with map-side partial combine, while the array form runs 12
+    interpreted lambdas per shingle — measured 2× SLOWER at sf0.1 despite
+    saving the shuffle. The shuffle input is partial-aggregated to one row
+    per doc before the exchange, so it's cheap at any scale."""
     return _minhash_from_shingles(shingles(docs))
 
 
