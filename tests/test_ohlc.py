@@ -126,3 +126,38 @@ def test_clear_candle_caches_evicts_and_unpersists(spark):
     assert n >= 1
     assert not tq._CHAIN_CACHE and not tq._CANDLE_CACHE
     assert not base.storageLevel.useMemory
+
+
+def test_candle_gap_fill_flat_candles(spark, tmp_path, monkeypatch):
+    """A missing hourly bucket becomes a flat candle carrying the previous
+    close, flagged is_gap; real candles pass through untouched."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.queries import trading
+
+    candles = spark.createDataFrame(
+        [
+            ("USD/JPY", datetime(2024, 1, 1, 0), 100.0, 101.0, 99.0, 100.5),
+            # hour 1 missing
+            ("USD/JPY", datetime(2024, 1, 1, 2), 101.0, 102.0, 100.0, 101.5),
+        ],
+        "currency_pair_code string, time timestamp, open double, high double,"
+        " low double, close double",
+    )
+    key = (spark.sparkContext.applicationId, "gap-test")
+    trading._CANDLE_CACHE[key] = candles
+    try:
+        out = {
+            r["time"]: r
+            for r in trading.q_candle_gap_fill(spark, "gap-test").collect()
+        }
+    finally:
+        trading._CANDLE_CACHE.pop(key, None)
+    assert len(out) == 3
+    gap = out[datetime(2024, 1, 1, 1)]
+    assert gap["is_gap"] is True
+    assert (gap["open"], gap["high"], gap["low"], gap["close"]) == (100.5,) * 4
+    real = out[datetime(2024, 1, 1, 2)]
+    assert real["is_gap"] is False and real["open"] == 101.0

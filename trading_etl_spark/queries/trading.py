@@ -313,6 +313,51 @@ def q_candle_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candle_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly candles: generate the full per-pair hourly time
+    spine (``sequence`` + explode — set-based, no driver loop), left-join
+    the real candles, and carry the previous close into missing buckets as
+    a flat candle (open=high=low=close=prev close, is_gap=true) — the
+    resample/pad step every charting/backtest consumer needs.
+
+    The carry-forward is the bucketed as-of join reused with the spine as
+    the probe side, so the fill parallelizes on (pair, day-bucket) — the
+    same low-key-cardinality fix as event_asof_tick, not a 6-partition
+    window over the whole spine."""
+    candles = _ohlc_1h(spark, sf_dir).select(
+        "currency_pair_code", "time", "open", "high", "low", "close"
+    )
+    spans = candles.groupBy("currency_pair_code").agg(
+        F.min("time").alias("lo"), F.max("time").alias("hi")
+    )
+    spine = spans.select(
+        "currency_pair_code",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("time"),
+    )
+    filled = asof_join_backward_bucketed(
+        spine,
+        candles.select(
+            "currency_pair_code", "time", F.col("close").alias("fill_close")
+        ),
+        on="time",
+        by=["currency_pair_code"],
+        value_cols=["fill_close"],
+        bucket_seconds=86400,
+    )
+    return (
+        filled.join(candles, ["currency_pair_code", "time"], "left")
+        .select(
+            "currency_pair_code",
+            "time",
+            F.coalesce("open", "fill_close").alias("open"),
+            F.coalesce("high", "fill_close").alias("high"),
+            F.coalesce("low", "fill_close").alias("low"),
+            F.coalesce("close", "fill_close").alias("close"),
+            F.col("close").isNull().alias("is_gap"),
+        )
+    )
+
+
 def q_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window family the reference lacks (§2.5 'absent'): lead for
     next-hour return, a 6-hour RANGE frame for rolling volatility, and ntile
@@ -480,6 +525,7 @@ QUERIES = {
     "avg_close_pivot": q_close_pivot,
     "event_reaction_window": q_event_reaction,
     "candle_rollup": q_candle_rollup,
+    "candle_gap_fill": q_candle_gap_fill,
     "candle_cube": q_candle_cube,
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
@@ -655,6 +701,38 @@ SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
        '0' AS calc_version, time,
        round(CASE WHEN ag + al = 0 THEN 0.0 ELSE 100.0 * ag / (ag + al) END, 6) AS value
 FROM rsi_rec""",
+    "candle_gap_fill": _with(*_TO_1H)
+    + """,
+spans AS (
+  SELECT currency_pair_code, min(time) AS lo, max(time) AS hi
+  FROM ohlc_1h GROUP BY 1
+),
+spine AS (
+  SELECT currency_pair_code,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time
+  FROM spans
+),
+grp AS (
+  SELECT s.currency_pair_code, s.time,
+         c."open", c.high, c.low, c."close",
+         count(c."close") OVER (PARTITION BY s.currency_pair_code
+                                ORDER BY s.time) AS g
+  FROM spine s
+  LEFT JOIN ohlc_1h c
+    ON c.currency_pair_code = s.currency_pair_code AND c.time = s.time
+),
+filled AS (
+  SELECT *, max("close") OVER (PARTITION BY currency_pair_code, g) AS fill_close
+  FROM grp
+)
+SELECT currency_pair_code, time,
+       coalesce("open", fill_close) AS "open",
+       coalesce(high, fill_close) AS high,
+       coalesce(low, fill_close) AS low,
+       coalesce("close", fill_close) AS "close",
+       ("close" IS NULL) AS is_gap
+FROM filled
+""".strip(),
     "candle_returns_quartile": _with(
         *_TO_1H,
         """

@@ -41,6 +41,7 @@ _DEFER: list[str] = [
     "approx_distinct_users",   # HLL sibling of daily_active_users (error-contract check)
     "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
     "text_pii_redact",        # map-side regex gate, same family as text_repetition_filter
+    "candle_gap_fill",        # spine + carry-forward; composes the in-window as-of machinery
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
 ]
 
