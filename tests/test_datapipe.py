@@ -430,3 +430,21 @@ def test_pii_redact_replaces_and_counts(spark):
     assert out[2]["clean_text"] == "server at <IP> responded"
     assert out[2]["n_ips"] == 1 and out[2]["had_pii"]
     assert out[3]["clean_text"] == "nothing sensitive here" and not out[3]["had_pii"]
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        tx.pack_sequences(docs, budget=50).collect(), key=lambda r: r["token_offset"]
+    )
+    # offsets are a contiguous prefix sum over the deterministic order
+    acc = 0
+    for r in out:
+        assert r["token_offset"] == acc
+        assert r["shard_id"] == acc // 50
+        acc += r["n_tokens"]
+    # every doc packed exactly once
+    assert len({r["doc_id"] for r in out}) == 20

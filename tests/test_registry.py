@@ -28,6 +28,7 @@ SIBLING = {
     "approx_value_quantiles": "candle_returns_quartile",
     "text_pii_redact": "text_repetition_filter",
     "candle_gap_fill": "event_asof_tick",
+    "corpus_pack_sequences": "train_test_split",
     "candle_cube": "candle_rollup",
     "backtest_equity_curve": "backtest_pnl",
     "media_frame_sample": "media_extract_meta",

@@ -119,6 +119,61 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per training shard
+PACK_BUCKETS = 16
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Shard packing — assign documents to fixed-token-budget training
+    shards in a deterministic order (md5 of doc_id), the corpus→training-
+    sequences planning step of an LLM data pipeline.
+
+    bin = floor(running_token_total_before_doc / budget) over the global
+    md5 order. The prefix sum is computed DISTRIBUTED, two-pass: docs hash
+    into ``PACK_BUCKETS`` md5-prefix buckets, each bucket does its own
+    window cumsum in parallel, then the (tiny) per-bucket totals become
+    broadcast offsets — no global single-partition window, which is how a
+    naive ``sum() over (order by …)`` would execute at 100 TB. The global
+    order is (bucket, md5, doc_id), identical to the oracle's one-window
+    form, so results hash-match while the plan stays parallel.
+    """
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn(
+        "bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int") % PACK_BUCKETS
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = {
+        r["bucket"]: r["t"]
+        for r in d.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(PACK_BUCKETS):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+    off = F.coalesce(
+        *[
+            F.when(F.col("bucket") == b, F.lit(offsets[b]))
+            for b in sorted(offsets)
+        ]
+    )
+    start = off + F.col("local_cum") - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("shard_id"),
+        start.cast("long").alias("token_offset"),
+    )
+
+
 # PII patterns kept to syntax Java regex and RE2 (DuckDB) interpret
 # identically: character classes and bounded repetition only — no lookaround,
 # no backreferences. That is what makes the redaction oracle-matchable.

@@ -138,6 +138,12 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing: docs → fixed-token-budget training shards via the
+    two-pass distributed prefix sum (no global single-partition window)."""
+    return tx.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub with audit counts — map-side regex chain, scan-speed."""
     return tx.pii_redact(_docs(spark, sf_dir))
@@ -314,6 +320,7 @@ QUERIES = {
     "bm25_search": q_bm25,
     "text_repetition_filter": q_repetition,
     "text_pii_redact": q_pii_redact,
+    "corpus_pack_sequences": q_pack_sequences,
     "stratified_sample_by_lang": q_stratified_sample,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
@@ -755,6 +762,24 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
   FROM scored
 ) WHERE rank <= {tx.TFIDF_TOP_K}""",
     "bm25_search": _with(tx.DOCS_TOKS_SQL, tx.bm25_sql()),
+    "corpus_pack_sequences": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+d AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM toks
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       floor(start / {tx.PACK_BUDGET})::BIGINT AS shard_id,
+       start::BIGINT AS token_offset
+FROM c
+""".strip(),
     "text_pii_redact": f"""
 SELECT doc_id,
        regexp_replace(regexp_replace(regexp_replace(text,

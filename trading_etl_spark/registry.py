@@ -42,6 +42,7 @@ _DEFER: list[str] = [
     "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
     "text_pii_redact",        # map-side regex gate, same family as text_repetition_filter
     "candle_gap_fill",        # spine + carry-forward; composes the in-window as-of machinery
+    "corpus_pack_sequences",  # deterministic corpus planning, family of train_test_split
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
 ]
 
