@@ -40,10 +40,13 @@ _DEFER: list[str] = [
     "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it
     "approx_distinct_users",   # HLL sibling of daily_active_users (error-contract check)
     "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
-    "text_pii_redact",        # map-side regex gate, same family as text_repetition_filter
-    "candle_gap_fill",        # spine + carry-forward; composes the in-window as-of machinery
-    "corpus_pack_sequences",  # deterministic corpus planning, family of train_test_split
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
+    # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
+    # text_pii_redact and corpus_pack_sequences moved INTO the window; these
+    # three redundant siblings moved out to make room.
+    "text_simhash",           # signature computation subsumed by in-window dedup_simhash
+    "event_props_json_agg",   # events-table agg; JSON extraction stays check.py-verified
+    "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
 ]
 
 
