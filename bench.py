@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes end-to-end into a noop sink (full plan, no driver
 collect). Timings exclude session startup.
+
+Median-of-3 (VERDICT r3 task #2): single-run timings on this box vary
+±30-70%, which made the r3 vs r2 comparison unadjudicable. Each query now
+runs ``N_RUNS`` times; ``queries`` holds per-query MEDIANS and ``value``
+their sum. The raw per-run numbers are persisted in ``queries_runs`` and
+the old single-(first-)run total in ``first_run_total_sec`` so the series
+stays comparable with BENCH_r01..r03.
 """
 
 from __future__ import annotations
@@ -39,6 +46,10 @@ HEADLINE = [
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup
 # without pre-populating the chain cache the headline queries then reuse).
 WARMUP = "text_lang_id"
+
+# Repeats per query; per-query medians are reported (single-run noise on
+# this box is ±30-70% — see BENCH_r03 vs r02 adjudication in VERDICT r3).
+N_RUNS = 3
 
 
 def main() -> None:
@@ -83,35 +94,49 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    runs: dict[str, list[float]] = {}
 
     # Cold candle-chain build, reported as its own line: tick scan → dedup →
     # 1m agg → derived agg, single shuffle. The chain cache it populates is
     # the in-session analog of the reference's materialized OHLC tables;
     # subsequent per-query numbers measure query logic over those cached
-    # relations (and say so here rather than pretending otherwise).
-    t0 = time.time()
-    queries["ohlc_derived_multi_tf"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["candle_chain_cold"] = round(time.time() - t0, 3)
+    # relations (and say so here rather than pretending otherwise). Each of
+    # the N_RUNS repeats is genuinely cold — caches cleared before each — and
+    # the LAST build leaves the caches warm for the headline queries.
+    from trading_etl_spark.queries.trading import clear_candle_caches
+
+    chain_fn = queries["ohlc_derived_multi_tf"]
+    cold: list[float] = []
+    for _ in range(N_RUNS):
+        clear_candle_caches(spark)
+        cold.append(run_once(chain_fn))
+    runs["candle_chain_cold"] = cold
+
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs[name] = [run_once(fn) for _ in range(N_RUNS)]
 
-    total = round(sum(timings.values()), 3)
+    medians = {k: sorted(v)[len(v) // 2] for k, v in runs.items()}
+    total = round(sum(medians.values()), 3)
+    first_run_total = round(sum(v[0] for v in runs.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "runs_per_query": N_RUNS,
+                "queries_runs": runs,
+                "first_run_total_sec": first_run_total,
             }
         )
     )
