@@ -432,6 +432,34 @@ def test_pii_redact_replaces_and_counts(spark):
     assert out[3]["clean_text"] == "nothing sensitive here" and not out[3]["had_pii"]
 
 
+def test_pii_phone_no_digit_run_false_positives(spark):
+    # VERDICT r3 task #5: the old free-form phone pattern ate arbitrary
+    # digit runs. These shapes must survive redaction untouched…
+    clean = [
+        (1, "years 2024 2025 2026 2027 in a row"),
+        (2, "released 2024-08-13, range 2024-2025"),
+        (3, "isbn 9780306406157 and 978-0-306-40615-7"),
+        (4, "host 10.0.12.34 port 8080"),  # IP redacted as <IP>, not <PHONE>
+        (5, "commit fa29165 id abc1234567890def"),
+    ]
+    # …while real phone shapes are still caught.
+    phones = [
+        (6, "call +81 90-1234-5678"),
+        (7, "office (03) 1234-5678"),
+        (8, "cell 090-1234-5678 or raw 09012345678"),
+        (9, "us +1 (555) 123-4567"),
+    ]
+    docs = spark.createDataFrame(clean + phones, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.pii_redact(docs).collect()}
+    for i, text in clean:
+        assert out[i]["n_phones"] == 0, f"doc {i}: {out[i]['clean_text']}"
+        assert "<PHONE>" not in out[i]["clean_text"]
+    assert out[4]["clean_text"] == "host <IP> port 8080"
+    for i, _ in phones:
+        assert out[i]["n_phones"] >= 1 and "<PHONE>" in out[i]["clean_text"]
+    assert out[8]["n_phones"] == 2
+
+
 def test_pack_sequences_contiguous_offsets(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * (10 + i))) for i in range(20)],

@@ -175,10 +175,24 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
 
 
 # PII patterns kept to syntax Java regex and RE2 (DuckDB) interpret
-# identically: character classes and bounded repetition only — no lookaround,
-# no backreferences. That is what makes the redaction oracle-matchable.
+# identically: character classes, bounded repetition, non-capturing groups,
+# leftmost-first alternation and ASCII \b — no lookaround, no backreferences.
+# That is what makes the redaction oracle-matchable.
 PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
-PII_PHONE_RE = "\\+?[0-9][0-9() -]{7,14}[0-9]"
+# Phone (VERDICT r3 task #5): the old free-form [0-9() -]{7,14} ate any digit
+# run with spaces ("2024 2025 2026" → one "phone"). Require real phone shape:
+#   1. +country then 2-4 separator-joined groups   +81 90-1234-5678
+#   2. (area) then two 3-4 digit groups            (03) 1234-5678
+#   3. >=3 hyphen-joined groups, tail groups 3-4   090-1234-5678 / 555-123-4567
+#   4. bare 9-12 digit run, \b-guarded             09012345678 (ISBN-13 = 13 digits, excluded)
+# Single [ -] separators only (no runs), so year lists, dates ("2024-08-13",
+# group too short), IPv4 (dots) and hex/ID strings (digit-letter, no \b) miss.
+PII_PHONE_RE = (
+    "\\+[0-9]{1,3}(?:[ -]?\\(?[0-9]{2,4}\\)?){2,4}"
+    "|\\([0-9]{2,4}\\)[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}"
+    "|[0-9]{2,4}(?:-[0-9]{3,4}){2,3}"
+    "|\\b[0-9]{9,12}\\b"
+)
 PII_IPV4_RE = (
     "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
 )
