@@ -476,3 +476,24 @@ def test_pack_sequences_contiguous_offsets(spark):
         acc += r["n_tokens"]
     # every doc packed exactly once
     assert len({r["doc_id"] for r in out}) == 20
+
+
+def test_pack_sequences_bucket_count_invariance(spark):
+    # VERDICT r3 task #6: the bucket id must be a hex PREFIX of the md5 so
+    # per-bucket order composes to the global (h, doc_id) order. 16 and 256
+    # buckets must therefore produce byte-identical assignments…
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + (i * 7) % 40))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    by16 = {r["doc_id"]: (r["shard_id"], r["token_offset"])
+            for r in tx.pack_sequences(docs, budget=64, n_buckets=16).collect()}
+    by256 = {r["doc_id"]: (r["shard_id"], r["token_offset"])
+             for r in tx.pack_sequences(docs, budget=64, n_buckets=256).collect()}
+    assert by16 == by256
+    # …and any non-power-of-16 count is rejected, not silently interleaved.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power of 16"):
+        tx.pack_sequences(docs, budget=64, n_buckets=10)
+    with _pytest.raises(ValueError, match="power of 16"):
+        tx.pack_sequences(docs, budget=64, n_buckets=32)
