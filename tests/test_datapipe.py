@@ -432,6 +432,38 @@ def test_pii_redact_replaces_and_counts(spark):
     assert out[3]["clean_text"] == "nothing sensitive here" and not out[3]["had_pii"]
 
 
+def test_decontaminate_shuffle_path_matches_broadcast(spark):
+    # VERDICT r3 task #3: a 10 TB test side must not be force-broadcast.
+    # Both join strategies must agree; the shuffle path must actually
+    # shuffle (auto-broadcast disabled so Catalyst can't sneak one in).
+    shared = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [(1, shared + " extra tail tokens"), (2, "totally unrelated words " * 4)],
+        "doc_id long, text string",
+    )
+    test_docs = spark.createDataFrame(
+        [(101, shared + " different ending"), (102, "benchmark only content here now")],
+        "doc_id long, text string",
+    )
+    bc = tx.decontaminate(docs, test_docs=test_docs, broadcast_test=True)
+    bc_rows = sorted(map(tuple, bc.collect()))
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh = tx.decontaminate(docs, test_docs=test_docs, broadcast_test=False)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        sh_rows = sorted(map(tuple, sh.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bc_rows == sh_rows
+    assert bc_rows and bc_rows[0][0] == 1  # doc 1 flagged via the shared 8-grams
+    # auto mode: tiny test side → broadcast chosen, same answer
+    auto = tx.decontaminate(docs, test_docs=test_docs)
+    assert sorted(map(tuple, auto.collect())) == bc_rows
+
+
 def test_pii_phone_no_digit_run_false_positives(spark):
     # VERDICT r3 task #5: the old free-form phone pattern ate arbitrary
     # digit runs. These shapes must survive redaction untouched…

@@ -688,25 +688,53 @@ def _split_col():
     return F.when(h < SPLIT_HEX_THRESHOLD, "train").otherwise("test")
 
 
-def decontaminate(docs: DataFrame, n: int = CONTAM_SHINGLE_N) -> DataFrame:
-    """Train/test decontamination: flag TRAIN-split documents sharing any
-    token n-gram (n=8) with any TEST-split document, with shared-shingle
+# Auto-broadcast bound for decontaminate: benchmark sets up to this many
+# docs have shingle relations comfortably under executor broadcast budgets;
+# anything larger falls back to a shuffle join.
+DECONTAM_BROADCAST_MAX_TEST_DOCS = 10_000
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = CONTAM_SHINGLE_N,
+    test_docs: DataFrame | None = None,
+    broadcast_test: bool | None = None,
+) -> DataFrame:
+    """Train/test decontamination: flag TRAIN documents sharing any token
+    n-gram (n=8) with any TEST/benchmark document, with shared-shingle
     and test-doc counts — the eval-leak scan every pre-training corpus
     build runs before shipping.
 
-    Scale shape: the benchmark/test side is always tiny relative to the
-    corpus (here the 10% hash-split stands in for it), so its distinct
-    shingles are BROADCAST and the scan over 100 TB of train shingles is
-    a map-side hash probe — no shuffle touches the train corpus; only the
-    (contaminated doc, shingle) hits reach the count aggregation.
+    ``test_docs`` is the benchmark side (doc_id, text); when None, the
+    deterministic 10% md5 hash-split of ``docs`` stands in (the gate
+    fixture shape). Join strategy (VERDICT r3 task #3 — the old code
+    broadcast unconditionally, which at 100 TB would broadcast a 10 TB
+    hash-split): ``broadcast_test=True/False`` forces the path; ``None``
+    counts the test-side docs and broadcasts only when
+    ≤ ``DECONTAM_BROADCAST_MAX_TEST_DOCS``. Production benchmark sets are
+    thousands of docs → broadcast, map-side probe, no shuffle touches the
+    train corpus. A big test side → plain shuffle hash join on shingle;
+    at 100 TB pass the flag explicitly to skip the sizing count.
     """
-    sh = shingles(docs, n=n).withColumn("split", _split_col())
-    train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
-    test = sh.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc_id"), "shingle"
-    )
+    if test_docs is None:
+        sh = shingles(docs, n=n).withColumn("split", _split_col())
+        train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+        test = sh.filter(F.col("split") == "test").select(
+            F.col("doc_id").alias("test_doc_id"), "shingle"
+        )
+        n_test = docs.withColumn("split", _split_col()).filter(
+            F.col("split") == "test"
+        )
+    else:
+        train = shingles(docs, n=n).select("doc_id", "shingle")
+        test = shingles(test_docs, n=n).select(
+            F.col("doc_id").alias("test_doc_id"), "shingle"
+        )
+        n_test = test_docs
+    if broadcast_test is None:
+        broadcast_test = n_test.count() <= DECONTAM_BROADCAST_MAX_TEST_DOCS
     return (
-        train.join(F.broadcast(test), "shingle")
+        train.join(F.broadcast(test) if broadcast_test else test, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_shared_shingles"),

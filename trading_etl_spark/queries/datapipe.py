@@ -90,8 +90,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leak scan: train-split docs sharing any 8-gram with the
-    test split (broadcast test shingles; map-side probe over train)."""
-    return tx.decontaminate(_docs(spark, sf_dir))
+    test split (broadcast test shingles; map-side probe over train).
+    The fixture's hash-split test side is known-small, so the broadcast
+    path is forced rather than paying the auto-sizing count."""
+    return tx.decontaminate(_docs(spark, sf_dir), broadcast_test=True)
 
 
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
