@@ -1,0 +1,88 @@
+"""Property tests for the two connected-components algorithms.
+
+VERDICT r3 task #4: large-star/small-star (Kiveris et al., SoCC'14) must
+produce the SAME components as min-label propagation on arbitrary graphs,
+and must converge in O(log n) rounds on a path graph where min-label
+propagation needs O(n) (one hop of label travel per round).
+"""
+
+import random
+
+from trading_etl_spark.operators import graph as gr
+
+
+def _labels(df):
+    return {r["id"]: r["comp"] for r in df.collect()}
+
+
+def _frames(spark, n_nodes, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "u long, v long")
+    if not edge_list:
+        edges = edges.limit(0)
+    return nodes, edges
+
+
+def _brute_components(n_nodes, edge_list):
+    """Union-find ground truth, min id as representative."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_two_phase_matches_min_label_on_random_graphs(spark):
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 60
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 55))
+        ]
+        nodes, edges = _frames(spark, n, edge_list)
+        truth = _brute_components(n, edge_list)
+        assert _labels(gr.connected_components(nodes, edges)) == truth
+        assert _labels(gr.connected_components_two_phase(nodes, edges)) == truth
+
+
+def test_two_phase_path_graph_converges_in_log_rounds(spark):
+    # 1000-node path: diameter 999 — min-label propagation moves the min
+    # one hop per round, so 12 rounds leave the far end untouched…
+    n = 1000
+    edge_list = [(i, i + 1) for i in range(n - 1)]
+    nodes, edges = _frames(spark, n, edge_list)
+    partial = _labels(gr.connected_components(nodes, edges, max_iter=12))
+    assert partial[n - 1] == n - 1 - 12  # min traveled exactly 12 hops
+    # …while two-phase collapses the whole path in O(log n) rounds.
+    labels, rounds = gr.connected_components_two_phase(
+        nodes, edges, return_rounds=True
+    )
+    assert rounds <= 14, f"two-phase took {rounds} rounds on a 1000-node path"
+    assert _labels(labels) == {i: 0 for i in range(n)}
+
+
+def test_two_phase_clique_isolated_and_empty(spark):
+    # clique 10..17 + path 0-1-2 + isolated 3..9
+    clique = [(a, b) for a in range(10, 18) for b in range(a + 1, 18)]
+    edge_list = clique + [(0, 1), (1, 2)]
+    nodes, edges = _frames(spark, 18, edge_list)
+    labels, rounds = gr.connected_components_two_phase(
+        nodes, edges, return_rounds=True
+    )
+    expected = {i: 10 for i in range(10, 18)} | {0: 0, 1: 0, 2: 0}
+    expected |= {i: i for i in range(3, 10)}
+    assert _labels(labels) == expected
+    assert rounds <= 4  # near-cliques collapse almost immediately
+    # no edges at all → every node a singleton
+    nodes2, edges2 = _frames(spark, 5, [])
+    assert _labels(gr.connected_components_two_phase(nodes2, edges2)) == {
+        i: i for i in range(5)
+    }

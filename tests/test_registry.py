@@ -27,6 +27,7 @@ SIBLING = {
     "approx_distinct_users": "daily_active_users",
     "approx_value_quantiles": "candle_returns_quartile",
     "text_simhash": "dedup_simhash",
+    "dedup_cc_two_phase": "dedup_connected_components",
     "event_props_json_agg": "daily_active_users",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",

@@ -9,18 +9,26 @@ No reference analog (the reference has no dedup at all) — this is part of
 the LLM-training-data-pipeline surface mandated as first-class by
 BASELINE.json.
 
-Scale design: Pregel-style min-label propagation — each iteration is one
-equi-join (labels ⋈ edges on the source id) plus one hash-agg (min label
-per destination), both shuffles keyed on node id. Lineage is truncated
-every iteration with ``localCheckpoint`` so plans stay O(1) deep.
-Iteration count is bounded by the dup-graph DIAMETER, which for real
-dedup graphs is tiny (clusters are near-cliques: copies of the same
-underlying document all share bands with each other). For adversarially
-long path-graphs, the large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) converges in
-O(log n) rounds with the same per-round join shape — swap it in if
-cluster diameters ever matter; the driver-side loop-with-convergence-
-check skeleton is identical.
+Scale design: two interchangeable algorithms over the same (id, comp)
+contract —
+
+* ``connected_components``: Pregel-style min-label propagation — each
+  iteration is one equi-join (labels ⋈ edges on the source id) plus one
+  hash-agg (min label per destination), both shuffles keyed on node id.
+  Iteration count is bounded by the dup-graph DIAMETER, tiny for real
+  dedup graphs (clusters are near-cliques: copies of the same document
+  all share bands with each other).
+* ``connected_components_two_phase``: the large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) — converges in O(log n) rounds on ANY topology, the
+  safe choice when cluster diameters are adversarial (chains of
+  pairwise-similar documents). Each round is two groupBy-join passes
+  over the edge list; rounds are asserted against min-label in
+  tests/test_graph.py on path/clique/random graphs.
+
+Both truncate lineage every iteration with ``localCheckpoint`` so plans
+stay O(1) deep, and both keep all data on executors — the driver sees
+only per-round convergence aggregates.
 """
 
 from __future__ import annotations
@@ -79,3 +87,96 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than the center to the center's
+    minimum: for each u over the symmetrized adjacency, m = min(Γ(u) ∪
+    {u}); emit (v, m) for v ∈ Γ(u), v > u. One groupBy + one join, both
+    keyed on node id."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor SMALLER than the center (and the center)
+    to the minimum: orient edges (hi, lo), m = min(N(u) ∪ {u}); emit
+    (v, m) for v ∈ N(u) ∪ {u} \\ {m}."""
+    hi_lo = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        hi_lo.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return nbrs.union(centers).distinct()
+
+
+def connected_components_two_phase(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 30,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., SoCC'14) — O(log n) rounds on any topology, vs the
+    O(diameter) of min-label propagation. Same contract as
+    ``connected_components``: returns (id, comp) with comp = minimum
+    reachable vertex id; isolated vertices are singletons.
+
+    Convergence is detected from a (count, xxhash64-xor) signature of the
+    edge set — one cheap aggregate per round instead of a set-difference
+    join (xor, not sum: order-independent and immune to ANSI-mode long
+    overflow; the edge set is distinct so pairs can't cancel). At the fixed point every component is a star centered at its
+    minimum id, so the final labels are one groupBy over the star edges.
+    With ``return_rounds=True`` also returns the number of rounds run
+    (asserted O(log n) on a 1000-node path in tests/test_graph.py).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixed point = stars (u → component min). groupBy(min) rather than a
+    # plain projection so a max_iter bailout still yields valid (if not
+    # fully converged) labels instead of duplicate rows per node.
+    star = e.groupBy("u").agg(F.min("v").alias("star_comp"))
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(star, F.col("id") == star["u"], "left")
+        .select("id", F.coalesce("star_comp", F.col("id")).alias("comp"))
+    )
+    return (labels, rounds) if return_rounds else labels

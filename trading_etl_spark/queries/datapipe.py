@@ -88,6 +88,24 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonicalization as dedup_connected_components, but via the
+    large-star/small-star algorithm — O(log n) rounds on any topology
+    (Kiveris et al., SoCC'14). Shares the min-label query's oracle: both
+    must produce identical components."""
+    docs = _docs(spark, sf_dir)
+    pairs = tx.dedup_simhash(docs)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = gr.connected_components_two_phase(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("comp") == F.col("id")).alias("is_keeper"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leak scan: train-split docs sharing any 8-gram with the
     test split (broadcast test shingles; map-side probe over train).
@@ -300,6 +318,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_connected_components": q_dedup_components,
+    "dedup_cc_two_phase": q_dedup_components_two_phase,
     "decontaminate_train_ngrams": q_decontaminate,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
@@ -880,3 +899,7 @@ FROM media, unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) 
 WHERE media_type = 'video'
 """.strip(),
 }
+
+# The two-phase CC variant must produce byte-identical components to the
+# min-label one — they share the recursive-CTE oracle.
+ORACLES["dedup_cc_two_phase"] = ORACLES["dedup_connected_components"]

@@ -41,6 +41,7 @@ _DEFER: list[str] = [
     "approx_distinct_users",   # HLL sibling of daily_active_users (error-contract check)
     "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
+    "dedup_cc_two_phase",     # large-star/small-star CC; min-label twin in window, same oracle
     # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
     # text_pii_redact and corpus_pack_sequences moved INTO the window; these
     # three redundant siblings moved out to make room.
