@@ -139,3 +139,33 @@ def test_empty_first_append_creates_table(spark, tmp_path):
     t = datetime(2024, 1, 1, 10, 0, 0)
     assert first_wins_append(spark, path, _df(spark, [("USD/JPY", t, 1.0, 1.1)]), keys) == 1
     assert spark.read.parquet(path).count() == 1
+
+
+def test_empty_first_append_partitioned_defers_creation(spark, tmp_path):
+    """ADVICE r3: a partitioned write of zero rows yields a directory with
+    no data files (only _SUCCESS), which would break schema inference for
+    every later read. The partitioned empty first append must instead leave
+    the path absent; the first non-empty batch creates the table."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark import fs
+
+    path = str(tmp_path / "part_first")
+    keys = ["currency_pair_code", "time"]
+
+    def with_dt(df):
+        return df.withColumn("dt", F.to_date("time"))
+
+    n0 = first_wins_append(
+        spark, path, with_dt(_df(spark, [])), keys, partition_by=["dt"]
+    )
+    assert n0 == 0
+    assert not fs.exists(spark, path)  # no unreadable empty shell
+
+    batch = with_dt(
+        _df(spark, [("USD/JPY", datetime(2024, 1, 1, 10, 0, 0), 100.0, 100.1)])
+    )
+    assert first_wins_append(spark, path, batch, keys, partition_by=["dt"]) == 1
+    assert first_wins_append(spark, path, batch, keys, partition_by=["dt"]) == 0
+    got = spark.read.parquet(path)
+    assert got.count() == 1 and "dt" in got.columns

@@ -73,6 +73,81 @@ def test_maintenance_through_file_scheme_uri(spark, tmp_path):
     assert spark.read.parquet(path).count() == 400
 
 
+def test_maintain_streaming_sink_retention_and_compaction(spark, tmp_path):
+    """T11 end-to-end over REAL streaming output: date-partitioned ingest
+    accretes one small file per micro-batch per date; the sweep drops
+    out-of-horizon dates and folds each surviving partition's files."""
+    import json
+
+    from trading_etl_spark.plans.maintenance import maintain_table
+    from trading_etl_spark.streaming.ticks import start_tick_ingest_maintained
+
+    def frame(day, sec, bid):
+        return json.dumps(
+            {
+                "type": "ticker",
+                "symbol": "USD_JPY",
+                "timestamp": f"2024-01-{day:02d}T10:00:{sec:02d}.000Z",
+                "bid": str(bid),
+                "ask": str(bid + 0.2),
+            }
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    sink, ckpt = str(tmp_path / "ticks"), str(tmp_path / "ckpt")
+    # two ingest runs = two micro-batches = >=2 files in each touched date
+    for batch in range(2):
+        lines = [frame(day, batch, 100.0 + day) for day in (1, 2, 3)]
+        (src / f"frames-{batch}.jsonl").write_text("\n".join(lines) + "\n")
+        # wide watermark: the replayed days must not be dropped as late
+        start_tick_ingest_maintained(
+            spark, str(src), sink, ckpt, watermark="5 days"
+        ).awaitTermination()
+
+    assert list_partitions(spark, sink, "dt") == [
+        "2024-01-01",
+        "2024-01-02",
+        "2024-01-03",
+    ]
+    files_before = len(fs_file_names(spark, f"{sink}/dt=2024-01-02"))
+    assert files_before >= 2  # one per micro-batch
+
+    report = maintain_table(spark, sink, "dt", "2024-01-02", target_file_bytes=10**9)
+    assert report["dropped"] == ["2024-01-01"]
+    assert set(report["compacted"]) == {"2024-01-02", "2024-01-03"}
+    assert report["compacted"]["2024-01-02"] == (files_before, 1)
+
+    left = spark.read.parquet(sink)
+    assert left.count() == 4  # 2 seconds × 2 surviving days
+    assert left.filter(F.col("dt") == "2024-01-01").count() == 0
+    # idempotent: second sweep drops nothing, compacts nothing further
+    again = maintain_table(spark, sink, "dt", "2024-01-02", target_file_bytes=10**9)
+    assert again["dropped"] == [] and all(
+        b == a for b, a in again["compacted"].values()
+    )
+
+
+def fs_file_names(spark, part_dir):
+    from trading_etl_spark import fs
+
+    return [n for n in fs.list_names(spark, part_dir) if n.endswith(".parquet")]
+
+
+def test_maintain_table_refuses_streaming_sink_log(spark, tmp_path):
+    """A direct file-sink table (_spark_metadata) must be rejected: its log
+    pins file names that retention/compaction would delete or rename."""
+    import pytest
+
+    from trading_etl_spark.plans.maintenance import maintain_table
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path)
+    (tmp_path / "t" / "_spark_metadata").mkdir()
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        maintain_table(spark, path, "dt", "2024-01-02")
+
+
 def test_no_posix_path_calls_in_write_path():
     """The write path must never touch os.path/shutil — it has to run
     against hdfs:///s3a:// tables where those operate on the wrong world."""

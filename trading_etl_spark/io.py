@@ -75,7 +75,14 @@ def first_wins_append(
         # Write through even when n == 0 on the FIRST append: an empty initial
         # relation is a legal first write, and it must still create the table
         # path with the right schema — otherwise the next reader hits
-        # PATH_NOT_FOUND instead of an empty table.
+        # PATH_NOT_FOUND instead of an empty table. EXCEPT when partitioned:
+        # a Hive-partitioned write of zero rows produces a directory with no
+        # data files (only _SUCCESS), whose existence then breaks schema
+        # inference for every later read and append. A partitioned table's
+        # schema lives in its data files, so it cannot be created empty —
+        # leave the path absent until the first non-empty batch.
+        if n == 0 and partition_by and not fs.exists(spark, path):
+            return 0
         if n or not fs.exists(spark, path):
             writer = fresh.write.mode("append")
             if partition_by:

@@ -93,6 +93,49 @@ def compact_partition(
     return (n_before, n_after)
 
 
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    cutoff: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """The nightly T11 sweep over a partitioned table (typically a
+    streaming sink, whose micro-batches accrete one small file per
+    trigger per partition): drop partitions past retention, then compact
+    every surviving partition to ``target_file_bytes``-sized files.
+
+    Reference parity: this is the planned-but-unbuilt retention policy of
+    ``docs/devops-tasks/t11-retention-policy.md:1-9`` (DELETE WHERE
+    time < horizon), realized as partition-directory pruning — O(dropped
+    partitions) metadata work, never a row-level rewrite of history.
+
+    Returns {"dropped": [values], "compacted": {value: (before, after)}}.
+    Incremental and idempotent: a re-run drops nothing and leaves
+    already-compact partitions untouched (compact_partition short-circuits
+    when the file count is already at target).
+
+    Refuses tables written by a DIRECT streaming file sink: their
+    ``_spark_metadata`` commit log pins exact file names, and root reads
+    resolve through it — deleting/rewriting files corrupts every
+    subsequent read. Such sinks must ingest via
+    ``streaming.ticks.start_tick_ingest_maintained`` (foreachBatch
+    first-wins append, no sink log) to be maintainable.
+    """
+    if fs.is_dir(spark, f"{path}/_spark_metadata"):
+        raise ValueError(
+            f"{path} is a streaming file-sink table (_spark_metadata present): "
+            "retention/compaction would corrupt log-resolved reads. Ingest via "
+            "start_tick_ingest_maintained to get a maintainable plain table."
+        )
+    dropped = drop_partitions_before(spark, path, column, cutoff)
+    compacted = {
+        value: compact_partition(spark, path, column, value, target_file_bytes)
+        for value in list_partitions(spark, path, column)
+    }
+    return {"dropped": dropped, "compacted": compacted}
+
+
 def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None):
     """Schema-evolution read — the parquet analog of the reference's alembic
     add-column migrations (``alembic/versions/e2444ebd2a06_baseline_current_

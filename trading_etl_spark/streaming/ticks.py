@@ -137,19 +137,83 @@ def start_tick_ingest(
     *,
     available_now: bool = True,
     processing_time: str = "1 second",
+    watermark: str = "10 seconds",
 ) -> StreamingQuery:
     """End-to-end ingest: frames → parse → validate → dedup → parquet append.
 
     ``available_now=True`` drains the backlog and stops (test/batch-catchup
     mode); otherwise micro-batches on ``processing_time`` — the streaming
     equivalent of the relay's 1 s poll cadence (ws_ticker_server.py:53).
+
+    ``watermark`` is the late-arrival tolerance of the R6 dedup: events
+    older than (max seen event time − watermark) are dropped and dedup
+    state is bounded by horizon × tick rate. Widen it for backfills that
+    replay history behind live data.
+
+    This direct parquet sink keeps a ``_spark_metadata`` commit log and
+    root reads resolve through it — retention/compaction must NOT touch
+    its files (``maintenance.maintain_table`` refuses). For a long-lived
+    maintained table use ``start_tick_ingest_maintained``.
     """
-    ticks = dedup_ticks(parse_ticks(read_tick_frames(spark, source_path)))
+    ticks = dedup_ticks(
+        parse_ticks(read_tick_frames(spark, source_path)), watermark=watermark
+    )
     writer = (
         ticks.writeStream.format("parquet")
         .option("path", sink_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_tick_ingest_maintained(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    *,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+    watermark: str = "10 seconds",
+) -> StreamingQuery:
+    """Maintenance-friendly ingest into a ``dt=``-partitioned PLAIN parquet
+    table: frames → parse → dedup → foreachBatch first-wins append.
+
+    The direct parquet sink's ``_spark_metadata`` log pins exact file
+    names, so the T11 retention/compaction sweep (which deletes and
+    rewrites files) would corrupt root reads. Writing through
+    ``io.first_wins_append`` inside foreachBatch leaves no sink log: the
+    table is resolved by directory listing, every micro-batch appends one
+    small file per touched date, and ``maintenance.maintain_table``
+    (docs/devops-tasks/t11-retention-policy.md:1-9 realized) can prune
+    and compact it freely. Exactly-once comes from the W1 key contract
+    instead of the sink log: a replayed micro-batch's rows anti-join away
+    against the (pair, second) PK — the same first-wins gate the batch
+    pipeline uses.
+    """
+    from .. import io
+
+    ticks = dedup_ticks(
+        parse_ticks(read_tick_frames(spark, source_path)), watermark=watermark
+    )
+
+    def append_first_wins(batch: DataFrame, _batch_id: int) -> None:
+        io.first_wins_append(
+            batch.sparkSession,
+            sink_path,
+            batch.withColumn("dt", F.to_date("time")),
+            keys=["currency_pair_symbol", "time"],
+            prune_on="time",
+            partition_by=["dt"],
+        )
+
+    writer = ticks.writeStream.foreachBatch(append_first_wins).option(
+        "checkpointLocation", checkpoint_path
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
