@@ -270,13 +270,22 @@ def knn_ivf_kmeans(
     and queries probe the ``nprobe`` nearest cells. This is what runs when
     no label exists — the usual case for a raw embedding corpus.
 
-    Measured recall@3 vs the exact brute-force top-k on the sf0.01 fixture
-    (500 vectors, k=8 cells, nprobe=2): 0.4375 — low by design on this
-    fixture: the embeddings are near-orthogonal noise, so Lloyd cells carve
+    Measured recall@3 vs the exact brute-force top-k (8 learned cells,
+    500-vector fixtures; verified as a monotone contract by
+    tests/test_datapipe.py::test_ivf_kmeans_recall_monotone_in_nprobe):
+
+        nprobe    1       2       4       8 (=n_cells)
+        sf0.001   0.375   0.542   0.750   1.0
+        sf0.01    0.208   0.4375  0.854   1.0
+
+    Low mid-curve recall is a property of this fixture, not the operator:
+    the embeddings are near-orthogonal noise, so Lloyd cells carve
     arbitrary boundaries and true neighbors scatter uniformly across cells
-    (the information-theoretic floor is ≈ nprobe/n_cells = 0.25). On a real
-    clusterable corpus recall tracks the cluster structure; raise nprobe to
-    trade cost for recall. Probing cost is nprobe/n_cells of the corpus.
+    (the information-theoretic floor is ≈ nprobe/n_cells). Recall is
+    non-decreasing in nprobe by construction (probing more cells can only
+    grow the candidate set) and exactly 1.0 at nprobe = n_cells (the probe
+    becomes exhaustive). On a real clusterable corpus recall tracks the
+    cluster structure; probing cost is nprobe/n_cells of the corpus.
     """
     cent = kmeans_codebook(emb, n_cells, iters)
     assigned = assign_cells(emb, cent).select(
