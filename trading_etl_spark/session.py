@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # a table bucketed on (pair, timeframe, version) must serve a join
+        # keyed on those PLUS time without a shuffle: allow co-partitioning
+        # on a subset of the join keys (rows equal on the subset are already
+        # co-located, which is all hash joins need)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketed writes, saveAsTable) land here, not in cwd
         .config(
