@@ -219,7 +219,14 @@ def _nearest_cell_udf(cent_rows: list[tuple[int, list[float]]]):
     double math per Arrow batch. Decisions stay engine-independent: sims
     round to 6dp and ``argmax`` takes the FIRST maximum, i.e. the lowest
     cell id — identical to the (desc csim, asc cell) window ordering and
-    the DuckDB oracle's row_number ordering."""
+    the DuckDB oracle's row_number ordering.
+
+    Tie-mode caveat (ADVICE r3): ``np.round`` rounds half-to-even while
+    ``F.round``/DuckDB round half-away-from-zero. The regimes differ only
+    for a similarity whose value is EXACTLY representable as x.xxxxx5 in
+    binary — impossible for the irrational-norm cosines here, so the 6dp
+    decisions agree in practice; if ever hit, the discrepancy shows up as
+    an oracle hash mismatch, not silent corruption."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

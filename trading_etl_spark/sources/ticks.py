@@ -38,14 +38,19 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """Inspect the parquet footer: True when ``ts`` is stored as raw INT64 /
-    TIMESTAMP(NANOS) (needs an explicit ns→µs conversion), False when it is a
-    proper TIMESTAMP(MICROS/MILLIS) the Spark reader handles natively.
+def _events_ts_unit(path: str) -> str | None:
+    """Inspect the parquet footer: ``None`` when ``ts`` is a proper
+    TIMESTAMP(MICROS/MILLIS) the Spark reader handles natively; otherwise
+    the epoch unit ("ns"/"us"/"ms"/"s") of the raw INT64 / TIMESTAMP(NANOS)
+    column that needs an explicit conversion.
 
-    The fixture corpus has shipped BOTH encodings across driver rounds, so
-    hardcoding either unit silently corrupts when the environment drifts —
-    detect, don't assume.
+    The fixture corpus has shipped multiple encodings across driver rounds,
+    so hardcoding a unit silently corrupts when the environment drifts —
+    detect, don't assume. For UNANNOTATED int64 the footer alone can't name
+    the unit, so it is inferred from the magnitude of one stored value
+    (ADVICE r3: assuming nanos would corrupt a micros fixture 1000×):
+    epoch-2024 is ~1.7e18 ns, ~1.7e15 µs, ~1.7e12 ms, ~1.7e9 s — the
+    regimes are 1000× apart, unambiguous for any date within ±200 years.
     """
     import glob
     import os
@@ -59,24 +64,42 @@ def _events_ts_is_nanos(path: str) -> bool:
             path = inner[0]
     t = pq.read_schema(path).field("ts").type
     if pat.is_timestamp(t):
-        return t.unit == "ns"
-    return pat.is_integer(t)
+        return "ns" if t.unit == "ns" else None
+    if not pat.is_integer(t):
+        return None
+    try:
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=["ts"]))
+        v = abs(batch.column(0)[0].as_py())
+    except StopIteration:  # empty table: any unit reads zero rows identically
+        return "us"
+    for unit, floor in (("ns", 1e17), ("us", 1e14), ("ms", 1e11)):
+        if v >= floor:
+            return unit
+    return "s"
 
 
-def _with_event_time(df: DataFrame, ts_is_nanos: bool) -> DataFrame:
-    if ts_is_nanos:
-        # raw int64 nanoseconds → µs with integer division (double division
-        # would lose precision above 2^53)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+_TS_FROM_INT64 = {
+    # integer expressions throughout: double division would lose precision
+    # above 2^53
+    "ns": "timestamp_micros(ts DIV 1000)",
+    "us": "timestamp_micros(ts)",
+    "ms": "timestamp_millis(ts)",
+    "s": "timestamp_seconds(ts)",
+}
+
+
+def _with_event_time(df: DataFrame, ts_unit: str | None) -> DataFrame:
+    if ts_unit is not None:
+        return df.withColumn("ts", F.expr(_TS_FROM_INT64[ts_unit]))
     return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as a proper TimestampType (µs, UTC)."""
     path = f"{sf_dir}/events.parquet"
-    nanos = _events_ts_is_nanos(path)
-    schema = _events_raw_schema(T.LongType() if nanos else T.TimestampType())
-    return _with_event_time(spark.read.schema(schema).parquet(path), nanos)
+    unit = _events_ts_unit(path)
+    schema = _events_raw_schema(T.TimestampType() if unit is None else T.LongType())
+    return _with_event_time(spark.read.schema(schema).parquet(path), unit)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +107,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet with the same footer-driven unit handling. In production the path
     is a landing zone the websocket connector appends to (or a Kafka topic
     with this schema)."""
-    nanos = _events_ts_is_nanos(f"{sf_dir}/events.parquet")
-    schema = _events_raw_schema(T.LongType() if nanos else T.TimestampType())
+    unit = _events_ts_unit(f"{sf_dir}/events.parquet")
+    schema = _events_raw_schema(T.TimestampType() if unit is None else T.LongType())
     stream = (
         spark.readStream.schema(schema)
         # the file stream source wants a directory; glob-filter to the events
@@ -93,7 +116,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _with_event_time(stream, nanos)
+    return _with_event_time(stream, unit)
 
 
 def tickify(events: DataFrame) -> DataFrame:
