@@ -93,6 +93,66 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 10
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """Corpus collocation mining: pointwise mutual information of adjacent
+    token pairs — the classic phrase/multi-word-expression detector a
+    tokenizer-training or phrase-merging pipeline runs over the corpus.
+
+    pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p from corpus-wide bigram /
+    unigram counts; pairs below ``min_count`` are dropped (PMI is unstable
+    on rare events).
+
+    Scale shape: bigrams are built map-side with a higher-order
+    ``transform`` over the token array (no self-join of the token relation,
+    which is how naive SQL does it) and hash-aggregated with partial
+    combine, so the shuffle carries one row per DISTINCT bigram, not per
+    occurrence. Unigram counts join back by word — vocabulary-sized
+    relations Catalyst broadcasts; corpus totals are a 1-row broadcast
+    cross join. Float determinism: the ratio is computed with an identical
+    association order in both engines and rounded to 6dp.
+    """
+    d = with_tokens(docs)
+    # 0-based subscripts; sequence is inclusive → i ∈ [0, n-2]
+    bg = F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+    )
+    bigrams = (
+        d.filter(F.size("toks") >= 2)
+        .select(F.explode(bg).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    unigrams = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = unigrams.agg(F.sum("c").alias("n_uni"))
+    n_bi = (
+        d.filter(F.size("toks") >= 2)
+        .agg(F.sum(F.size("toks") - 1).cast("double").alias("n_bi"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("n_bi"))
+            / ((F.col("cx") / F.col("n_uni")) * (F.col("cy") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        bigrams.join(unigrams.select(F.col("w").alias("w1"), F.col("c").alias("cx")), "w1")
+        .join(unigrams.select(F.col("w").alias("w2"), F.col("c").alias("cy")), "w2")
+        .crossJoin(F.broadcast(totals.select(F.col("n_uni").cast("double").alias("n_uni"))))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+    )
+
+
 FP_MOD = 1_000_000_007
 
 

@@ -14,7 +14,7 @@ Scale design on display:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -261,8 +261,40 @@ def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history compaction (absent in the reference — its
+    alembic migrations version the SCHEMA, never the rows): treat events as
+    a change log of (user_id, value) and emit one row per consecutive value
+    run with half-open [valid_from, valid_to) validity; the open run is the
+    current version. The standard warehouse pattern for as-of dimension
+    lookups (pairs with the as-of join in operators/asof.py).
+
+    Scale shape: both windows partition on user_id — the dimension's
+    natural key — so the whole build is ONE shuffle; the change-point
+    filter runs map-side between them on the already-partitioned rows.
+    """
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change_points = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    valid_to = F.lead("ts").over(w)
+    return change_points.select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "dim_scd2_history": q_scd2_user_value_history,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_value_quantiles": q_approx_value_quantiles,
     "event_props_json_agg": q_event_props_json,
@@ -276,6 +308,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dim_scd2_history": """
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE value IS NOT NULL
+),
+c AS (SELECT user_id, ts, event_id, value FROM d WHERE prev IS NULL OR value <> prev)
+SELECT user_id,
+       value AS dim_value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM c
+""".strip(),
     "approx_distinct_users": """
 SELECT event_type,
        count(DISTINCT user_id) AS n_users_exact,

@@ -169,6 +169,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pii_redact(_docs(spark, sf_dir))
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: PMI of adjacent token pairs (map-side
+    bigram build, hash-agg with partial combine, vocabulary-sized joins)."""
+    return tx.bigram_pmi(_docs(spark, sf_dir))
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality gate → exact dedup over the
     survivors — the filter→dedup chain every corpus build runs, as ONE
@@ -338,6 +344,7 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "text_top_terms_per_lang": q_top_terms,
     "text_tfidf_top_terms": q_tfidf,
+    "text_bigram_pmi": q_bigram_pmi,
     "bm25_search": q_bm25,
     "text_repetition_filter": q_repetition,
     "text_pii_redact": q_pii_redact,
@@ -903,3 +910,29 @@ WHERE media_type = 'video'
 # The two-phase CC variant must produce byte-identical components to the
 # min-label one — they share the recursive-CTE oracle.
 ORACLES["dedup_cc_two_phase"] = ORACLES["dedup_connected_components"]
+
+# Bigram-PMI oracle: same tokenization CTE, identical ratio association
+# order, 6dp rounding (the cross-engine float contract).
+ORACLES["text_bigram_pmi"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + f""",
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+  WHERE len(t) >= 2
+),
+bc AS (
+  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+  HAVING count(*) >= {tx.PMI_MIN_COUNT}
+),
+uni AS (SELECT u.w AS w, count(*) AS c FROM toks, unnest(t) AS u(w) GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS n_uni FROM uni),
+nb AS (SELECT sum(len(t) - 1)::DOUBLE AS n_bi FROM toks WHERE len(t) >= 2)
+SELECT bc.w1, bc.w2, bc.c_xy,
+       round(ln((bc.c_xy / nb.n_bi) / ((ux.c / tot.n_uni) * (uy.c / tot.n_uni))), 6) AS pmi
+FROM bc
+JOIN uni ux ON ux.w = bc.w1
+JOIN uni uy ON uy.w = bc.w2, tot, nb
+"""
+)
