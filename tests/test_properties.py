@@ -146,3 +146,37 @@ def test_asof_bucketed_equals_plain_property(spark, build_ts, probe_ts, n_keys):
         ).collect()
     }
     assert bucketed == plain
+
+
+# --- pack_sequences vs a brute-force packing oracle --------------------------
+
+pack_counts = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25)
+pack_budgets = st.integers(min_value=1, max_value=120)
+
+
+@given(pack_counts, pack_budgets)
+@settings(max_examples=5, deadline=None)
+def test_pack_sequences_matches_bruteforce(spark, counts, budget):
+    """Shard assignment must equal the single-threaded packing over the
+    global md5(doc_id) order for ANY budget/corpus — the distributed
+    two-pass prefix sum is an implementation detail, not a semantic."""
+    import hashlib
+
+    from trading_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard_id"], r["token_offset"], r["n_tokens"])
+        for r in tx.pack_sequences(docs, budget=budget).collect()
+    }
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i, n) for i, n in enumerate(counts)
+    )
+    acc = 0
+    for _h, i, n in order:
+        assert got[i] == (acc // budget, acc, n), (i, got[i], acc)
+        acc += n
+    assert len(got) == len(counts)
