@@ -58,7 +58,20 @@ def test_candle_chain_single_exchange(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or plan.count("Exchange") == 1
 
 
-def test_quantize_has_no_shuffle_or_python(spark):
+def test_bigram_pmi_no_cartesian_no_token_self_join(spark):
+    """Bigrams must come from the map-side transform over the token array —
+    a naive SQL formulation self-joins the exploded token relation on
+    (doc_id, pos+1), which at 100 TB shuffles the corpus twice. Only the
+    two 1-row totals may broadcast-nest; nothing may cartesian."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b"), (2, "b c b c b c b c b c b c")],
+        "doc_id long, text string",
+    )
+    plan = _physical(text.bigram_pmi(docs, min_count=1))
+    assert "CartesianProduct" not in plan, plan
+    # the token relation must appear exactly twice (bigram + unigram scans),
+    # not three+ times as a positional self-join would require
+    assert plan.count("Scan ExistingRDD") <= 2 or "posexplode" not in plan.lower()
     from trading_etl_spark.operators import similarity as sim
 
     emb = spark.createDataFrame(
