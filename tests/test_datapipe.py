@@ -414,6 +414,29 @@ def test_kmeans_codebook_tolerates_emptied_cells(spark):
     assert assigned.select("vec_id").distinct().count() == 10
 
 
+def test_weighted_sample_ares_properties(spark):
+    # A-Res invariants: k >= population returns everything; the kept set per
+    # stratum is exactly the k largest keys (no key outside beats one
+    # inside); weight raises expected inclusion (heavy docs oversampled).
+    docs = spark.createDataFrame(
+        [(i, "en", 0.9 if i % 2 == 0 else 0.1) for i in range(200)],
+        "doc_id long, lang string, quality double",
+    )
+    out = tx.weighted_sample(docs, k=40)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(0.0 < r["samp_key"] <= 1.0 for r in rows)
+    # heavy (0.9) docs must dominate the sample: E[share] >> 50%
+    heavy = sum(1 for r in rows if r["quality"] == 0.9)
+    assert heavy >= 30, heavy
+    # determinism: identical rerun
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # k >= n keeps all
+    assert tx.weighted_sample(docs, k=500).count() == 200
+
+
 def test_bigram_pmi_counts_and_sign(spark):
     # "a b" always adjacent (high PMI); "a" and "c" co-occur but never
     # adjacent; single-token docs contribute no bigrams.

@@ -93,6 +93,64 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+SAMPLE_K = 30
+
+
+def hex32_unit_expr(col: str) -> str:
+    """SQL expression (valid verbatim in Spark SQL and DuckDB) mapping the
+    first 8 hex chars of ``col`` to a uniform double in (0, 1]: exact
+    integer reconstruction of the hex prefix, then (v+1)/2^32. Shared as a
+    STRING so both engines parse the identical arithmetic — the
+    cross-engine determinism trick behind the weighted sampler."""
+    terms = " + ".join(
+        # BIGINT per term: instr yields int32 and the 16^7 scale overflows
+        # it under ANSI arithmetic
+        f"CAST(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"((CAST({terms} AS DOUBLE) + 1.0) / 4294967296.0)"
+
+
+def weighted_sample(
+    scored: DataFrame,
+    k: int = SAMPLE_K,
+    weight_col: str = "quality",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Weighted sampling without replacement, per stratum — the
+    quality-weighted corpus subsampling step of a training-data pipeline
+    (sample high-quality docs preferentially, but keep tail diversity).
+
+    Algorithm A-Res (Efraimidis & Spirakis 2006): key_i = u_i^(1/w_i) with
+    u_i uniform; the k largest keys per stratum are a weighted sample
+    without replacement. No RNG state: u_i derives from md5(doc_id) via
+    :func:`hex32_unit_expr`, so the sample is reproducible and
+    engine-independent (weights are 6dp-rounded quality scores; keys round
+    to 6dp with doc_id tie-break).
+
+    Scale shape: key computation is map-side codegen; the only shuffle is
+    the per-stratum top-k window — shuffle volume is the corpus's (id,
+    key) projection, and at 100 TB the window is replaceable by a
+    two-level top-k (per-partition heads then merge) with the same keys.
+    """
+    key_expr = (
+        f"round(power({hex32_unit_expr('samp_h')},"
+        f" 1.0 / greatest({weight_col}, 0.05)), 6)"
+    )
+    d = scored.withColumn(
+        "samp_h", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("samp_key", F.expr(key_expr))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("samp_key"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(strata_col, "doc_id", weight_col, "samp_key")
+    )
+
+
 PMI_MIN_COUNT = 10
 
 

@@ -169,6 +169,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pii_redact(_docs(spark, sf_dir))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (A-Res, deterministic md5 keys):
+    top-30 keys per language, weight = 6dp quality score."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang").join(
+        tx.quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return tx.weighted_sample(scored)
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: PMI of adjacent token pairs (map-side
     bigram build, hash-agg with partial combine, vocabulary-sized joins)."""
@@ -345,6 +355,7 @@ QUERIES = {
     "text_top_terms_per_lang": q_top_terms,
     "text_tfidf_top_terms": q_tfidf,
     "text_bigram_pmi": q_bigram_pmi,
+    "sample_weighted_quality": q_weighted_sample,
     "bm25_search": q_bm25,
     "text_repetition_filter": q_repetition,
     "text_pii_redact": q_pii_redact,
@@ -934,5 +945,25 @@ SELECT bc.w1, bc.w2, bc.c_xy,
 FROM bc
 JOIN uni ux ON ux.w = bc.w1
 JOIN uni uy ON uy.w = bc.w2, tot, nb
+"""
+)
+
+# Weighted-sampling oracle: identical key arithmetic via the SHARED
+# expression string (hex32_unit_expr), 6dp key rounding, doc_id tie-break.
+ORACLES["sample_weighted_quality"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + ",\nq AS (\n"
+    + _QUALITY_SQL
+    + "\n),\ns AS (\n"
+    + "  SELECT d.lang, q.doc_id, q.quality, md5(q.doc_id::VARCHAR) AS samp_h\n"
+    + "  FROM q JOIN documents d ON d.doc_id = q.doc_id\n)\n"
+    + f"""SELECT lang, doc_id, quality,
+       round(power({tx.hex32_unit_expr('samp_h')}, 1.0 / greatest(quality, 0.05)), 6) AS samp_key
+FROM s
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY round(power({tx.hex32_unit_expr('samp_h')}, 1.0 / greatest(quality, 0.05)), 6) DESC, doc_id
+) <= {tx.SAMPLE_K}
 """
 )

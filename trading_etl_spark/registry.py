@@ -44,6 +44,7 @@ _DEFER: list[str] = [
     "dedup_cc_two_phase",     # large-star/small-star CC; min-label twin in window, same oracle
     "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
     "dim_scd2_history",       # lag/lead validity intervals; window family of candle_returns_quartile
+    "sample_weighted_quality",  # A-Res weighted sampling; family of stratified_sample_by_lang
     # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
     # text_pii_redact and corpus_pack_sequences moved INTO the window; these
     # three redundant siblings moved out to make room.
