@@ -31,6 +31,7 @@ SIBLING = {
     "text_bigram_pmi": "text_tfidf_top_terms",
     "dim_scd2_history": "candle_returns_quartile",
     "sample_weighted_quality": "stratified_sample_by_lang",
+    "streaming_sliding_stats": "streaming_ohlc_1m",
     "event_props_json_agg": "daily_active_users",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",

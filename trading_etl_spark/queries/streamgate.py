@@ -66,6 +66,54 @@ def q_streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SINK)
 
 
+_SLIDING_SINK = "gate_streaming_sliding"
+
+
+def q_streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 SLIDING windows (the reference's relay knows only tumbling
+    buckets): 2-minute windows sliding every 1 minute over the validated
+    tick stream — each tick lands in exactly width/slide = 2 windows, the
+    moving-average shape every monitoring dashboard runs. Count/avg/min/max
+    are order-insensitive, so the drained complete-mode result hash-matches
+    the batch oracle (each tick expanded to its 2 window starts).
+
+    Scale notes: Spark implements the slide by EXPANDING each row into
+    width/slide state updates — state is (pair × active windows), bounded
+    by the watermark horizon in append-mode production; keep width/slide
+    small-ratio (2 here) so the expansion is constant-factor.
+    """
+    t = ticks.tickify(ticks.stream_events(spark, sf_dir))
+    stats = (
+        t.groupBy(
+            "currency_pair_code",
+            F.window("time", "2 minutes", "1 minute").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.round(F.avg("bid"), 6).alias("avg_bid"),
+            F.min("bid").alias("min_bid"),
+            F.max("bid").alias("max_bid"),
+        )
+        .select(
+            "currency_pair_code",
+            F.col("w.start").alias("win_start"),
+            "n_ticks",
+            "avg_bid",
+            "min_bid",
+            "max_bid",
+        )
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(_SLIDING_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SLIDING_SINK)
+
+
 _DOCS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -121,6 +169,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
+    "streaming_sliding_stats": q_streaming_sliding_stats,
 }
 
 ORACLES = {
@@ -140,4 +189,21 @@ GROUP BY 1, 2""",
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS content_hash
 FROM documents GROUP BY md5(text)
 """.strip(),
+    # sliding 2min/1min: every tick belongs to exactly two windows — the one
+    # starting at its minute and the one starting a minute earlier
+    "streaming_sliding_stats": "WITH "
+    + ticks.RAW_TICKS_SQL
+    + """,
+sw AS (
+  SELECT currency_pair_code,
+         CAST(date_trunc('minute', time) - INTERVAL 1 MINUTE * g.i AS TIMESTAMP) AS win_start,
+         bid
+  FROM raw_ticks, unnest(generate_series(0, 1)) AS g(i)
+)
+SELECT currency_pair_code, win_start,
+       count(*) AS n_ticks,
+       round(avg(bid), 6) AS avg_bid,
+       min(bid) AS min_bid,
+       max(bid) AS max_bid
+FROM sw GROUP BY 1, 2""",
 }
