@@ -32,6 +32,7 @@ SIBLING = {
     "dim_scd2_history": "candle_returns_quartile",
     "sample_weighted_quality": "stratified_sample_by_lang",
     "streaming_sliding_stats": "streaming_ohlc_1m",
+    "events_value_histogram": "daily_active_users",
     "event_props_json_agg": "daily_active_users",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",

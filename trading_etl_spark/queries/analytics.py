@@ -292,9 +292,47 @@ def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 10
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type (absent in the
+    reference — no distribution profiling at all): per-type min/max bounds
+    then 10 fixed-width bins — the two-pass shape that at 100 TB is one
+    bounds agg (tiny result, broadcast back) plus one map-side bucketing
+    pass into a |types|×bins hash-agg.
+
+    Cross-engine bucketing contract: the scaled position rounds to 6dp
+    BEFORE floor, so both engines bucket identically everywhere except a
+    true value within 5e-7 of a bin edge (which would then land in the
+    same, deterministically chosen, neighbor bin in BOTH engines). The max
+    value clamps into the last bin.
+    """
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    pos = F.round((F.col("value") - F.col("mn")) / width, 6)
+    bucket = F.least(F.floor(pos), F.lit(HIST_BINS - 1)).cast("int")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .withColumn("bucket", F.when(F.col("mx") == F.col("mn"), 0).otherwise(bucket))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.round(F.min("mn"), 6).alias("type_min"),
+            F.round(F.max("mx"), 6).alias("type_max"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "dim_scd2_history": q_scd2_user_value_history,
+    "events_value_histogram": q_value_histogram,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_value_quantiles": q_approx_value_quantiles,
     "event_props_json_agg": q_event_props_json,
@@ -308,6 +346,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_value_histogram": """
+WITH b AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(floor(round((e.value - b.mn) / ((b.mx - b.mn) / 10.0), 6)), 9)::INT
+         END AS bucket,
+         b.mn, b.mx
+  FROM events e JOIN b ON e.event_type = b.event_type
+  WHERE e.value IS NOT NULL
+)
+SELECT event_type, bucket,
+       count(*) AS n_values,
+       round(min(mn), 6) AS type_min,
+       round(max(mx), 6) AS type_max
+FROM binned GROUP BY 1, 2
+""".strip(),
     "dim_scd2_history": """
 WITH d AS (
   SELECT user_id, ts, event_id, value,
