@@ -134,6 +134,43 @@ def fs_file_names(spark, part_dir):
     return [n for n in fs.list_names(spark, part_dir) if n.endswith(".parquet")]
 
 
+def test_maintained_sink_replay_is_exactly_once(spark, tmp_path):
+    """Losing the checkpoint and replaying the whole backlog must not
+    duplicate rows: the maintained sink's exactly-once comes from the W1
+    (pair, second) first-wins key contract, not from sink state."""
+    import json
+
+    from trading_etl_spark.streaming.ticks import start_tick_ingest_maintained
+
+    src = tmp_path / "in"
+    src.mkdir()
+    frames = [
+        json.dumps(
+            {
+                "type": "ticker",
+                "symbol": "USD_JPY",
+                "timestamp": f"2024-01-01T10:00:{s:02d}.000Z",
+                "bid": "100.5",
+                "ask": "100.7",
+            }
+        )
+        for s in range(5)
+    ]
+    (src / "frames.jsonl").write_text("\n".join(frames) + "\n")
+    sink = str(tmp_path / "ticks")
+    start_tick_ingest_maintained(
+        spark, str(src), sink, str(tmp_path / "ckpt1")
+    ).awaitTermination()
+    assert spark.read.parquet(sink).count() == 5
+    # fresh checkpoint → the file source replays EVERYTHING; W1 dedups it
+    start_tick_ingest_maintained(
+        spark, str(src), sink, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    got = spark.read.parquet(sink)
+    assert got.count() == 5
+    assert got.select("currency_pair_symbol", "time").distinct().count() == 5
+
+
 def test_maintain_table_refuses_streaming_sink_log(spark, tmp_path):
     """A direct file-sink table (_spark_metadata) must be rejected: its log
     pins file names that retention/compaction would delete or rename."""
