@@ -151,3 +151,82 @@ def test_asof_bucketed_matches_plain(spark):
     assert bucketed["tie-on-edge"] == 100.0
     assert bucketed["empty-bucket-carry"] == 101.0
     assert bucketed["long-carry"] == 102.0
+
+
+def test_asof_forward_semantics_and_bucket_boundaries(spark):
+    from trading_etl_spark.operators.asof import asof_join_forward_bucketed
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:00:05"), 101.0),
+            ("A", _ts("2024-01-01 12:30:00"), 102.0),  # two buckets later (1h)
+            ("B", _ts("2024-01-01 10:00:03"), 200.0),
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:02"), "e1"),  # between → next is 101
+            ("A", _ts("2024-01-01 10:00:05"), "e2"),  # exact tie → 101
+            ("A", _ts("2024-01-01 10:30:00"), "e3"),  # empty rest-of-bucket → carry from 12:30 bucket
+            ("A", _ts("2024-01-01 13:00:00"), "e4"),  # after all → NULL
+            ("B", _ts("2024-01-01 10:00:00"), "e5"),  # other key → 200
+        ],
+        "k string, time timestamp, tag string",
+    )
+    out = {
+        r["tag"]: r["bid"]
+        for r in asof_join_forward_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"],
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert out == {"e1": 101.0, "e2": 101.0, "e3": 102.0, "e4": None, "e5": 200.0}
+
+
+def test_asof_forward_matches_naive_on_random_series(spark):
+    """Bucketed forward as-of must equal the obvious per-probe min-by scan
+    for random tick/event series, across bucket boundaries."""
+    import random
+
+    rng = random.Random(7)
+    quotes = [
+        ("K", _ts("2024-01-01 00:00:00").replace(hour=rng.randrange(24),
+                                                 minute=rng.randrange(60),
+                                                 second=rng.randrange(60)),
+         float(i))
+        for i in range(80)
+    ]
+    probes = [
+        ("K", _ts("2024-01-01 00:00:00").replace(hour=rng.randrange(24),
+                                                 minute=rng.randrange(60),
+                                                 second=rng.randrange(60)),
+         f"p{i}")
+        for i in range(40)
+    ]
+    from trading_etl_spark.operators.asof import asof_join_forward_bucketed
+
+    qdf = spark.createDataFrame(quotes, "k string, time timestamp, bid double")
+    pdf = spark.createDataFrame(probes, "k string, time timestamp, tag string")
+    got = {
+        r["tag"]: r["bid"]
+        for r in asof_join_forward_bucketed(
+            pdf, qdf, on="time", by=["k"], value_cols=["bid"], bucket_seconds=3600
+        ).collect()
+    }
+    # naive: earliest quote at-or-after, ties by time then insertion (bid
+    # values are unique per time? times can collide — accept either of the
+    # tied bids)
+    from collections import defaultdict
+
+    by_time = defaultdict(list)
+    for _k, t, b in quotes:
+        by_time[t].append(b)
+    times = sorted(by_time)
+    for _k, pt, tag in probes:
+        after = [t for t in times if t >= pt]
+        if not after:
+            assert got[tag] is None, tag
+        else:
+            assert got[tag] in by_time[after[0]], (tag, got[tag])

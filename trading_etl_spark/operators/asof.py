@@ -1,5 +1,7 @@
-"""As-of (backward) join — match each probe row to the most recent build row
-at or before its time, per key.
+"""As-of joins — match each probe row to the nearest build row per key:
+backward (most recent at-or-before, "price at the time of the event") and
+forward (first at-or-after, "the fill a market order placed at event time
+would get").
 
 Spark has no native as-of join (the reference has none either — §2.4 lists
 range/as-of as absent — but a trading engine wants one: "price at the time
@@ -152,6 +154,89 @@ def asof_join_backward_bucketed(
             *probe_cols,
             *[
                 F.coalesce(f"_in_{v}", f"_prev_{v}").alias(v)
+                for v in value_cols
+            ],
+        )
+    )
+
+
+def asof_join_forward_bucketed(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Forward as-of: for each probe row, the EARLIEST build values with
+    build.on >= probe.on — the fill-price lookup of a backtester (a market
+    order at event time executes on the next quote, not the previous one).
+
+    Mirror image of :func:`asof_join_backward_bucketed`, same scale
+    properties (the heavy window partitions on (keys…, time-bucket), so
+    parallelism scales with history length, not key cardinality):
+
+    1. in-bucket pass: union window ordered DESC by time (build before
+       probe on ties, so an exactly-simultaneous quote matches) carries
+       the nearest at-or-after build value backwards through each bucket;
+    2. per (key, bucket) the FIRST build value (``min_by`` hash-agg);
+       a frame-(1, unbounded-following) window over that candle-sized
+       relation yields each bucket's earliest-next-bucket value;
+    3. probe rows take ``coalesce(in-bucket, next-bucket carry)``.
+    """
+    collisions = set(value_cols) & set(probe.columns)
+    if collisions:
+        raise ValueError(f"value_cols collide with probe columns: {collisions}")
+
+    bkt = F.floor(F.unix_timestamp(F.col(on)) / F.lit(bucket_seconds))
+    probe_cols = probe.columns
+    p = probe.withColumn("_side", F.lit(1))
+    for v in value_cols:
+        p = p.withColumn(v, F.lit(None).cast(build.schema[v].dataType))
+    b = build.select(*by, on, *value_cols).withColumn("_side", F.lit(0))
+    for c in probe_cols:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+
+    u = p.unionByName(b).withColumn("_bkt", bkt)
+    w_in = (
+        Window.partitionBy(*by, "_bkt")
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        u = u.withColumn(f"_in_{v}", F.last(v, ignorenulls=True).over(w_in))
+
+    firsts = (
+        b.withColumn("_bkt", bkt)
+        .groupBy(*by, "_bkt")
+        .agg(*[F.min_by(v, F.col(on)).alias(f"_fst_{v}") for v in value_cols])
+    )
+    bkts = (
+        firsts.select(*by, "_bkt")
+        .unionByName(p.withColumn("_bkt", bkt).select(*by, "_bkt"))
+        .distinct()
+    )
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy("_bkt")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = bkts.join(firsts, [*by, "_bkt"], "left").select(
+        *by,
+        "_bkt",
+        *[
+            F.first(f"_fst_{v}", ignorenulls=True).over(w_carry).alias(f"_next_{v}")
+            for v in value_cols
+        ],
+    )
+    return (
+        u.filter(F.col("_side") == 1)
+        .join(carry, [*by, "_bkt"], "left")
+        .select(
+            *probe_cols,
+            *[
+                F.coalesce(f"_in_{v}", f"_next_{v}").alias(v)
                 for v in value_cols
             ],
         )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import first_wins
 from ..operators import indicators, ohlc, signals
-from ..operators.asof import asof_join_backward_bucketed
+from ..operators.asof import asof_join_backward_bucketed, asof_join_forward_bucketed
 from ..operators.rangejoin import interval_join
 from ..operators.backtest import backtest_pnl, backtest_trades, equity_curve
 from ..sources import dims, ticks
@@ -503,6 +503,30 @@ def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_asof_next_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signal event matched to the first tick bid
+    at or after its event time — the fill price a market order placed at
+    the signal would actually get (the backward twin answers "price when
+    the signal fired"; this answers "price you could trade at"). Same
+    bucketed two-level construction, mirrored."""
+    events = (
+        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        .select("event_datetime", "currency_pair_code", "event_type", "price")
+        .withColumn("time", F.col("event_datetime"))
+    )
+    quotes = _ticks(spark, sf_dir).select("currency_pair_code", "time", "bid")
+    out = asof_join_forward_bucketed(
+        events,
+        quotes.select("currency_pair_code", "time", F.col("bid").alias("next_bid")),
+        on="time",
+        by=["currency_pair_code"],
+        value_cols=["next_bid"],
+    )
+    return out.select(
+        "event_datetime", "currency_pair_code", "event_type", "price", "next_bid"
+    )
+
+
 QUERIES = {
     "ticks_parse_validate": q_ticks_parse_validate,
     "ticks_dedup_second": q_ticks_dedup,
@@ -531,6 +555,7 @@ QUERIES = {
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
     "event_asof_tick": q_event_asof_tick,
+    "event_asof_next_tick": q_event_asof_next_tick,
 }
 
 
@@ -918,6 +943,15 @@ FROM sig_events e
 ASOF LEFT JOIN ticks t
   ON e.currency_pair_code = t.currency_pair_code
  AND t.time <= e.event_datetime""",
+    "event_asof_next_tick": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})
+SELECT e.event_datetime, e.currency_pair_code, e.event_type, e.price,
+       t.bid AS next_bid
+FROM sig_events e
+ASOF LEFT JOIN ticks t
+  ON e.currency_pair_code = t.currency_pair_code
+ AND t.time >= e.event_datetime""",
     "event_reaction_window": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})

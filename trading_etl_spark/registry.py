@@ -47,6 +47,7 @@ _DEFER: list[str] = [
     "sample_weighted_quality",  # A-Res weighted sampling; family of stratified_sample_by_lang
     "streaming_sliding_stats",  # R7 sliding windows; streaming gate twin streaming_ohlc_1m in window
     "events_value_histogram",  # two-pass equi-width histogram; agg family of daily_active_users
+    "event_asof_next_tick",   # forward as-of; mirrored twin of in-window event_asof_tick
     # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
     # text_pii_redact and corpus_pack_sequences moved INTO the window; these
     # three redundant siblings moved out to make room.
