@@ -72,6 +72,9 @@ def test_bigram_pmi_no_cartesian_no_token_self_join(spark):
     # the token relation must appear exactly twice (bigram + unigram scans),
     # not three+ times as a positional self-join would require
     assert plan.count("Scan ExistingRDD") <= 2 or "posexplode" not in plan.lower()
+
+
+def test_quantize_has_no_shuffle_or_python(spark):
     from trading_etl_spark.operators import similarity as sim
 
     emb = spark.createDataFrame(
@@ -80,3 +83,21 @@ def test_bigram_pmi_no_cartesian_no_token_self_join(spark):
     plan = _physical(sim.quantize_int8(emb))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_funnel_windows_share_one_user_shuffle(spark):
+    """The three chained funnel windows and the per-user rollup must all
+    reuse ONE hashpartitioning(user_id) — a second hash exchange means the
+    chain broke and the events relation shuffles repeatedly at 100 TB."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.analytics import q_user_funnel
+
+    plan = _physical(q_user_funnel(spark, sf_dir))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"funnel has {n} hash exchanges:\n{plan}"

@@ -34,6 +34,8 @@ SIBLING = {
     "streaming_sliding_stats": "streaming_ohlc_1m",
     "events_value_histogram": "daily_active_users",
     "event_asof_next_tick": "event_asof_tick",
+    "user_funnel_conversion": "daily_active_users",
+    "user_cohort_retention": "daily_active_users",
     "event_props_json_agg": "daily_active_users",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",

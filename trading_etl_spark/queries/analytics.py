@@ -329,10 +329,85 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, each step
+    strictly at-or-after the previous step's FIRST occurrence) — the
+    event-sequence analysis missing from the reference entirely.
+
+    Set-based, no UDF: three chained window minima that all share the ONE
+    user_id partitioning (t_click's window predicate references t_view's
+    column, so the steps are sequential but the shuffle is paid once);
+    the final funnel counts are a single global aggregate.
+    """
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    d = ev.withColumn("tv", tv)
+    tc = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")), F.col("ts"))
+    ).over(w)
+    d = d.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d = d.withColumn("tp", tp)
+    users = d.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    n_view = F.count("tv")
+    n_click = F.count("tc")
+    n_purchase = F.count("tp")
+    return users.agg(
+        F.count("*").alias("n_users"),
+        n_view.alias("n_viewed"),
+        n_click.alias("n_clicked_after_view"),
+        n_purchase.alias("n_purchased_after_click"),
+        F.round(n_click / n_view, 6).alias("view_to_click"),
+        F.round(n_purchase / n_click, 6).alias("click_to_purchase"),
+        F.round(n_purchase / n_view, 6).alias("view_to_purchase"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each later active day as a day-offset matrix with retention ratios —
+    the other classic event-analytics table the reference lacks. Two
+    hash-aggs keyed on user_id plus one on (cohort, offset); the per-user
+    cohort relation is user-cardinality-sized and broadcasts back."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    active = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_day", F.datediff("day", F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_day").select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "dim_scd2_history": q_scd2_user_value_history,
     "events_value_histogram": q_value_histogram,
+    "user_funnel_conversion": q_user_funnel,
+    "user_cohort_retention": q_cohort_retention,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_value_quantiles": q_approx_value_quantiles,
     "event_props_json_agg": q_event_props_json,
@@ -346,6 +421,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_funnel_conversion": """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS tv
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= tv THEN ts END)
+              OVER (PARTITION BY user_id) AS tc
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= tc THEN ts END)
+              OVER (PARTITION BY user_id) AS tp
+  FROM s2
+),
+u AS (
+  SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+  FROM s3 GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       count(tv) AS n_viewed,
+       count(tc) AS n_clicked_after_view,
+       count(tp) AS n_purchased_after_click,
+       round(count(tc) / count(tv)::DOUBLE, 6) AS view_to_click,
+       round(count(tp) / count(tc)::DOUBLE, 6) AS click_to_purchase,
+       round(count(tp) / count(tv)::DOUBLE, 6) AS view_to_purchase
+FROM u
+""".strip(),
+    "user_cohort_retention": """
+WITH c AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+sz AS (SELECT cohort_day, count(DISTINCT user_id) AS cohort_size FROM c GROUP BY 1),
+a AS (
+  SELECT c.cohort_day,
+         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         count(DISTINCT e.user_id) AS n_active
+  FROM events e JOIN c ON e.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(a.cohort_day AS TIMESTAMP) AS cohort_day, a.day_offset, a.n_active,
+       sz.cohort_size,
+       round(a.n_active / sz.cohort_size::DOUBLE, 6) AS retention
+FROM a JOIN sz ON a.cohort_day = sz.cohort_day
+""".strip(),
     "events_value_histogram": """
 WITH b AS (
   SELECT event_type, min(value) AS mn, max(value) AS mx
