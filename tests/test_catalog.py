@@ -1,0 +1,58 @@
+"""SQL catalog surface: plain spark.sql over the registered views must
+work and agree with the DataFrame API — the psql-replacement contract."""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata corpus not present"
+)
+
+
+def test_register_views_and_raw_sql(spark):
+    from trading_etl_spark.catalog import register_views
+
+    names = register_views(spark, SF_DIR)
+    assert {"ticks", "ohlc_1m", "dim_currency", "lineitem"} <= set(names)
+
+    # raw SQL join across curated + dim views
+    row = spark.sql(
+        """
+        SELECT count(*) AS n, count(DISTINCT t.currency_pair_code) AS pairs
+        FROM ticks t JOIN dim_currency d
+          ON t.currency_pair_code = d.currency_pair_code
+        """
+    ).first()
+    assert row["n"] > 0 and row["pairs"] == 6
+
+    # SQL over the candle view must agree with the DataFrame query
+    from trading_etl_spark.queries.trading import q_ohlc_1m
+
+    sql_n = spark.sql("SELECT count(*) AS n FROM ohlc_1m").first()["n"]
+    df_n = q_ohlc_1m(spark, SF_DIR).count()
+    assert sql_n == df_n
+
+    # derived timeframes present in the unioned view
+    tfs = {
+        r["timeframe_code"]
+        for r in spark.sql(
+            "SELECT DISTINCT timeframe_code FROM ohlc_all_tf"
+        ).collect()
+    }
+    assert "1m" in tfs and len(tfs) >= 3
+
+
+def test_sql_views_keep_pushdown(spark):
+    """A filtered SQL query over a raw-table view must still push the
+    predicate into the parquet scan — views are transparent to Catalyst."""
+    from trading_etl_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    df = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 49.0")
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in formatted and "GreaterThan(l_quantity" in formatted, formatted
