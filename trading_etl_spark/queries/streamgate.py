@@ -114,6 +114,48 @@ def q_streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SLIDING_SINK)
 
 
+_SSJOIN_SINK = "gate_streaming_ss_join"
+
+
+def q_streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (the R-family capability the tumbling/
+    sliding aggs don't exercise): the view-event stream joined to the
+    click-event stream per user within a 30-minute reaction bound — the
+    attribution join every event pipeline runs, here as two live streams.
+
+    Inner stream-stream joins emit matches per micro-batch, so the drained
+    result is the exact batch join and hash-matches a plain SQL oracle.
+    Scale notes: in production both sides carry watermarks and the range
+    condition bounds join state to (watermark + 30 min) per side; the join
+    keys hash-partition both streams identically, so matching is
+    co-located. The gate run drains availableNow without watermarks —
+    inner joins are complete either way; only state reclamation differs.
+    """
+    base = ticks.stream_events(spark, sf_dir)
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + interval 30 minutes"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_ts", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_SSJOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SSJOIN_SINK)
+
+
 _DOCS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -170,6 +212,7 @@ QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sliding_stats": q_streaming_sliding_stats,
+    "streaming_view_click_join": q_streaming_view_click_join,
 }
 
 ORACLES = {
@@ -206,4 +249,12 @@ SELECT currency_pair_code, win_start,
        min(bid) AS min_bid,
        max(bid) AS max_bid
 FROM sw GROUP BY 1, 2""",
+    "streaming_view_click_join": """
+SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1800 SECOND
+""".strip(),
 }
