@@ -414,6 +414,26 @@ def test_kmeans_codebook_tolerates_emptied_cells(spark):
     assert assigned.select("vec_id").distinct().count() == 10
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    # size=8 stride=6: doc of 20 tokens → chunks at 0,6,12 (last ragged);
+    # short doc → one full chunk; every token covered by some chunk.
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["token_start"], r["chunk_tokens"])
+            for r in tx.chunk_documents(docs, size=8, stride=6).collect()
+        )
+    )
+    assert out == [(1, 0, 0, 8), (1, 1, 6, 8), (1, 2, 12, 8), (2, 0, 0, 3)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        tx.chunk_documents(docs, size=8, stride=9)
+
+
 def test_weighted_sample_ares_properties(spark):
     # A-Res invariants: k >= population returns everything; the kept set per
     # stratum is exactly the k largest keys (no key outside beats one

@@ -37,6 +37,7 @@ SIBLING = {
     "user_funnel_conversion": "daily_active_users",
     "user_cohort_retention": "daily_active_users",
     "streaming_view_click_join": "streaming_ohlc_1m",
+    "text_chunk_rag": "dedup_passages",
     "event_props_json_agg": "daily_active_users",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",

@@ -151,6 +151,43 @@ def weighted_sample(
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping token-window chunking — the doc→passage split every
+    RAG indexer and context-window packer runs (size-token chunks, stride
+    < size gives overlap so no boundary-spanning phrase is lost).
+
+    Entirely map-side: a higher-order ``transform`` builds the chunk
+    array in the scan stage and ``posexplode`` emits (doc, chunk_idx)
+    rows — no shuffle at all; at 100 TB this is scan-speed. The last
+    chunk is ragged (whatever remains past the final full stride); docs
+    shorter than ``size`` yield one chunk with every token.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    n_chunks = f"(greatest(size(toks) - {size} + {stride} - 1, 0) div {stride}) + 1"
+    chunks = F.expr(
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> slice(toks, i * {stride} + 1, {size}))"
+    )
+    return (
+        with_tokens(docs)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("token_start"),
+            F.size("ch").alias("chunk_tokens"),
+            F.md5(F.array_join("ch", " ")).alias("chunk_hash"),
+        )
+    )
+
+
 PMI_MIN_COUNT = 10
 
 

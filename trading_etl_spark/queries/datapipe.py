@@ -179,6 +179,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.weighted_sample(scored)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking (32-token windows, stride 24) —
+    map-side transform + posexplode, zero shuffles."""
+    return tx.chunk_documents(_docs(spark, sf_dir))
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: PMI of adjacent token pairs (map-side
     bigram build, hash-agg with partial combine, vocabulary-sized joins)."""
@@ -356,6 +362,7 @@ QUERIES = {
     "text_tfidf_top_terms": q_tfidf,
     "text_bigram_pmi": q_bigram_pmi,
     "sample_weighted_quality": q_weighted_sample,
+    "text_chunk_rag": q_chunk_documents,
     "bm25_search": q_bm25,
     "text_repetition_filter": q_repetition,
     "text_pii_redact": q_pii_redact,
@@ -965,5 +972,26 @@ QUALIFY row_number() OVER (
   PARTITION BY lang
   ORDER BY round(power({tx.hex32_unit_expr('samp_h')}, 1.0 / greatest(quality, 0.05)), 6) DESC, doc_id
 ) <= {tx.SAMPLE_K}
+"""
+)
+
+# Chunking oracle: same window/stride arithmetic over the shared toks CTE;
+# DuckDB list slices are 1-based inclusive and clip at the list end.
+ORACLES["text_chunk_rag"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + f""",
+n AS (
+  SELECT doc_id, t,
+         ((greatest(len(t) - {tx.CHUNK_TOKENS} + {tx.CHUNK_STRIDE} - 1, 0)
+           // {tx.CHUNK_STRIDE}) + 1) AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       g.i AS chunk_idx,
+       (g.i * {tx.CHUNK_STRIDE})::INT AS token_start,
+       len(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}])::INT AS chunk_tokens,
+       md5(array_to_string(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS g(i)
 """
 )

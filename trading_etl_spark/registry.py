@@ -51,6 +51,7 @@ _DEFER: list[str] = [
     "user_funnel_conversion",  # chained-window sequence analysis; events agg family of daily_active_users
     "user_cohort_retention",  # cohort matrix; events agg family of daily_active_users
     "streaming_view_click_join",  # stream-stream join; gate streaming sibling streaming_ohlc_1m
+    "text_chunk_rag",         # overlapping token windows; slicing family of dedup_passages
     # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
     # text_pii_redact and corpus_pack_sequences moved INTO the window; these
     # three redundant siblings moved out to make room.
