@@ -230,3 +230,65 @@ def test_asof_forward_matches_naive_on_random_series(spark):
             assert got[tag] is None, tag
         else:
             assert got[tag] in by_time[after[0]], (tag, got[tag])
+
+
+def test_bucketed_asof_bounds_skew(spark):
+    """VERDICT r4 task #7: one hot key carrying ~95% of all rows. The plain
+    as-of windows on the bare key, so one task holds the hot key's ENTIRE
+    history; the bucketed variant windows on (key, time-bucket) — the bucket
+    acting as a deterministic range-aligned salt — so the hot key splits
+    into ~n_buckets slices. We assert the measurable contract: the max
+    window-group size (the direct driver of the worst task's sort) drops
+    ~bucket-count-fold, while the join result stays identical."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_bucketed,
+    )
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    # hot key: 9500 quotes over ~100 hours (one every 38 s) = 95% of rows
+    hot = spark.range(9500).selectExpr(
+        "'HOT' as k",
+        f"timestamp_seconds({base} + id * 38) as time",
+        "cast(id as double) as bid",
+    )
+    cold = spark.range(500).selectExpr(
+        "concat('C', id % 10) as k",
+        f"timestamp_seconds({base} + id * 722) as time",
+        "cast(id + 100000 as double) as bid",
+    )
+    quotes = hot.unionAll(cold)
+    probes = spark.range(200).selectExpr(
+        "case when id % 20 < 19 then 'HOT' else concat('C', id % 10) end as k",
+        f"timestamp_seconds({base} + id * 1801 + 7) as time",
+        "concat('p', id) as tag",
+    )
+
+    bucket_seconds = 3600
+    union_all = quotes.select("k", "time").unionAll(probes.select("k", "time"))
+    per_key = union_all.groupBy("k").count()
+    per_key_bucket = union_all.groupBy(
+        "k", F.floor(F.unix_timestamp("time") / bucket_seconds)
+    ).count()
+    max_plain = per_key.agg(F.max("count")).first()[0]
+    max_bucketed = per_key_bucket.agg(F.max("count")).first()[0]
+    assert max_plain >= 9500  # the hot key IS one giant window partition
+    # ~100 buckets → worst slice ~1% of the hot key; 50× is a loose floor
+    assert max_bucketed * 50 <= max_plain, (max_bucketed, max_plain)
+
+    plain = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"]
+        ).collect()
+    }
+    bucketed = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"],
+            bucket_seconds=bucket_seconds,
+        ).collect()
+    }
+    assert bucketed == plain

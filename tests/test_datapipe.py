@@ -653,3 +653,45 @@ def test_pack_sequences_bucket_count_invariance(spark):
         tx.pack_sequences(docs, budget=64, n_buckets=10)
     with _pytest.raises(ValueError, match="power of 16"):
         tx.pack_sequences(docs, budget=64, n_buckets=32)
+
+
+def test_pii_phone_skips_hyphen_joined_year_lists(spark):
+    """ADVICE r4: hyphen-joined year lists ('2024-2025-2026', every group
+    4-digit) must not redact as phones, while 4-digit-lead real phones
+    (0120-444-444) still do."""
+    docs = spark.createDataFrame(
+        [
+            (1, "seasons 2024-2025-2026 were good"),
+            (2, "range 2023-2024 and 2024-08-13 remain"),
+            (3, "tollfree 0120-444-444 anytime"),
+            (4, "cell 090-1234-5678 works"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.pii_redact(docs).collect()}
+    assert out[1]["n_phones"] == 0 and "<PHONE>" not in out[1]["clean_text"]
+    assert out[2]["n_phones"] == 0 and "<PHONE>" not in out[2]["clean_text"]
+    assert out[3]["n_phones"] == 1 and "<PHONE>" in out[3]["clean_text"]
+    assert out[4]["n_phones"] == 1 and "<PHONE>" in out[4]["clean_text"]
+
+
+def test_decontaminate_lazy_construction(spark):
+    """VERDICT r4 task #6: with broadcast_test forced OR a test_docs_count
+    hint, building the decontaminate plan must run ZERO Spark jobs — the
+    sizing count() fires only on the documented zero-config default."""
+    docs = spark.createDataFrame(
+        [(i, f"some tokens {i} " * 10) for i in range(4)], "doc_id long, text string"
+    )
+    tracker = spark.sparkContext.statusTracker
+
+    before = len(tracker().getJobIdsForGroup(None))
+    tx.decontaminate(docs, broadcast_test=True)
+    tx.decontaminate(docs, broadcast_test=False)
+    tx.decontaminate(docs, test_docs_count=5)
+    tx.decontaminate(docs, test_docs_count=10**9)
+    assert len(tracker().getJobIdsForGroup(None)) == before, (
+        "plan construction ran a Spark job despite an explicit strategy/hint"
+    )
+    # zero-config default: the sizing count is an eager job (documented)
+    tx.decontaminate(docs)
+    assert len(tracker().getJobIdsForGroup(None)) > before

@@ -230,3 +230,87 @@ def test_read_evolved_additive_column(spark, tmp_path):
     ddl = "currency_pair_code string, value double, calc_version string"
     by_contract = read_evolved(spark, path, ddl)
     assert by_contract.count() == 2
+
+
+def test_compaction_recovers_mid_swap_crash(spark, tmp_path):
+    """VERDICT r4 task #3: crash between the two swap renames parks the live
+    partition at the aside name. The next compact_partition call must detect
+    the parked dir, restore it, and complete normally — no data loss."""
+    from trading_etl_spark import fs
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=8)
+    part = f"{path}/dt=2024-01-01"
+    aside = f"{path}/_compact_old_dt=2024-01-01"
+    rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    # simulate the crash window: live → aside happened, tmp → live did not
+    assert fs.rename(spark, part, aside)
+    assert not fs.exists(spark, part)
+
+    nb, na = compact_partition(spark, path, "dt", "2024-01-01", target_file_bytes=10**9)
+    assert nb > 1 and na == 1
+    assert sorted(r["v"] for r in spark.read.parquet(part).collect()) == rows
+    assert not fs.exists(spark, aside)
+    assert not fs.exists(spark, f"{path}/_compact_tmp_dt=2024-01-01")
+
+
+def test_compaction_cleans_completed_swap_leftovers(spark, tmp_path):
+    """Crash after the swap completed but before the aside delete: the stale
+    aside copy (and any stale tmp dir) is dropped; the live partition — the
+    already-compacted data — is untouched."""
+    from trading_etl_spark import fs
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=8)
+    part = f"{path}/dt=2024-01-02"
+    compact_partition(spark, path, "dt", "2024-01-02", target_file_bytes=10**9)
+    rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    aside = f"{path}/_compact_old_dt=2024-01-02"
+    tmp = f"{path}/_compact_tmp_dt=2024-01-02"
+    spark.range(3).write.parquet(aside)  # stale leftovers from the old run
+    spark.range(2).write.parquet(tmp)
+
+    nb, na = compact_partition(spark, path, "dt", "2024-01-02", target_file_bytes=10**9)
+    assert (nb, na) == (1, 1)  # already compact after recovery: short-circuit
+    assert not fs.exists(spark, aside) and not fs.exists(spark, tmp)
+    assert sorted(r["v"] for r in spark.read.parquet(part).collect()) == rows
+
+
+def test_maintained_sink_retention_cutoff_blocks_replay_resurrection(spark, tmp_path):
+    """ADVICE r4: after retention drops a partition, a micro-batch replayed
+    from a stale checkpoint would pass the first-wins gate (existing side
+    deleted + range-pruned) and silently recreate the expired partition.
+    With retention_cutoff the foreachBatch drops expired rows first."""
+    import json
+
+    from trading_etl_spark.plans.maintenance import maintain_table
+    from trading_etl_spark.streaming.ticks import start_tick_ingest_maintained
+
+    def frame(day):
+        return json.dumps(
+            {
+                "type": "ticker",
+                "symbol": "USD_JPY",
+                "timestamp": f"2024-01-{day:02d}T10:00:00.000Z",
+                "bid": "100.5",
+                "ask": "100.7",
+            }
+        )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "frames.jsonl").write_text("\n".join(frame(d) for d in (1, 2, 3)) + "\n")
+    sink = str(tmp_path / "ticks")
+    start_tick_ingest_maintained(
+        spark, str(src), sink, str(tmp_path / "c1"), watermark="5 days"
+    ).awaitTermination()
+    maintain_table(spark, sink, "dt", "2024-01-02", target_file_bytes=10**9)
+    assert list_partitions(spark, sink, "dt") == ["2024-01-02", "2024-01-03"]
+
+    # fresh checkpoint = full replay of the backlog, now with the cutoff
+    start_tick_ingest_maintained(
+        spark, str(src), sink, str(tmp_path / "c2"),
+        watermark="5 days", retention_cutoff="2024-01-02",
+    ).awaitTermination()
+    assert list_partitions(spark, sink, "dt") == ["2024-01-02", "2024-01-03"]
+    assert spark.read.parquet(sink).count() == 2

@@ -15,7 +15,7 @@ DRIVER_WINDOW = 50
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
     "sma_dead_cross": "sma_golden_cross",
-    "spread_quantiles": "candle_returns_quartile",
+    "spread_quantiles": "approx_value_quantiles",
     "avg_close_pivot": "candle_rollup",
     "text_fingerprint": "text_rolling_fingerprint",
     "media_resize": "media_extract_meta",
@@ -24,30 +24,33 @@ SIBLING = {
     "embedding_knn_bruteforce": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
-    "approx_distinct_users": "daily_active_users",
-    "approx_value_quantiles": "candle_returns_quartile",
-    "text_simhash": "dedup_simhash",
-    "dedup_cc_two_phase": "dedup_connected_components",
-    "text_bigram_pmi": "text_tfidf_top_terms",
-    "dim_scd2_history": "candle_returns_quartile",
-    "sample_weighted_quality": "stratified_sample_by_lang",
-    "streaming_sliding_stats": "streaming_ohlc_1m",
-    "events_value_histogram": "daily_active_users",
-    "event_asof_next_tick": "event_asof_tick",
-    "user_funnel_conversion": "daily_active_users",
-    "user_cohort_retention": "daily_active_users",
-    "streaming_view_click_join": "streaming_ohlc_1m",
-    "text_chunk_rag": "dedup_passages",
-    "event_props_json_agg": "daily_active_users",
+    "text_simhash": "dedup_minhash_lsh",
+    "event_props_json_agg": "events_value_histogram",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_rollup",
     "backtest_equity_curve": "backtest_pnl",
     "media_frame_sample": "media_extract_meta",
-    "sma_fanout_all_tf": "sma_14_1h",
+    "sma_fanout_all_tf": "sma_golden_cross",
     "backtest_trades": "backtest_pnl",
     "watermark_max_time": "incremental_cursor_scan",
     "text_token_count": "text_quality_score",
     "text_top_terms_per_lang": "text_tfidf_top_terms",
+    # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
+    # same-family twin still in the window.
+    "ohlc_derived_multi_tf": "candle_rollup",
+    "sma_14_1h": "sma_golden_cross",
+    "tick_sessions": "streaming_sliding_stats",
+    "candle_returns_quartile": "approx_value_quantiles",
+    "event_reaction_window": "event_asof_tick",
+    "dedup_simhash": "dedup_minhash_lsh",
+    "dedup_connected_components": "dedup_cc_two_phase",
+    "dedup_passages": "text_chunk_rag",
+    "text_repetition_filter": "text_quality_score",
+    "train_test_split": "stratified_sample_by_lang",
+    "embedding_label_centroids": "embedding_knn_ivf_kmeans",
+    "embedding_quantize_int8": "embedding_knn_ivf_kmeans",
+    "daily_active_users": "approx_distinct_users",
+    "returned_order_priority_semi": "customers_no_open_orders_anti",
 }
 
 
@@ -73,10 +76,10 @@ def test_deferred_queries_register_last_and_have_siblings():
 
 
 def test_previously_unchecked_queries_now_in_window():
-    # VERDICT r1 item #1: these five had no driver correctness row.
+    # VERDICT r1 item #1: these had no driver correctness row before r2.
+    # (returned_order_priority_semi got r1-r4 green rows and rotated out in r5.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "returned_order_priority_semi",
         "customers_no_open_orders_anti",
         "urgent_not_finished_setops",
         "top_customers_page2_offset",
@@ -90,6 +93,30 @@ def test_round3_flagships_now_in_window():
     # corpus_pack_sequences had only local (check.py) evidence in round 3.
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in ["candle_gap_fill", "text_pii_redact", "corpus_pack_sequences"]:
+        assert q in keys, f"{q} still outside the driver window"
+
+
+def test_round5_rotation_in_window():
+    # VERDICT r4 task #1: the 13 queries that had never seen a driver row,
+    # plus the new streaming first-wins gate query (task #8), are all inside
+    # the 50-row correctness window this round.
+    keys = list(build_queries())[:DRIVER_WINDOW]
+    for q in [
+        "user_funnel_conversion",
+        "user_cohort_retention",
+        "events_value_histogram",
+        "dim_scd2_history",
+        "event_asof_next_tick",
+        "sample_weighted_quality",
+        "text_bigram_pmi",
+        "text_chunk_rag",
+        "dedup_cc_two_phase",
+        "streaming_sliding_stats",
+        "streaming_view_click_join",
+        "approx_distinct_users",
+        "approx_value_quantiles",
+        "streaming_firstwins_append",
+    ]:
         assert q in keys, f"{q} still outside the driver window"
 
 

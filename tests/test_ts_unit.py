@@ -72,3 +72,21 @@ def test_every_encoding_reads_identical_timestamps(spark, tmp_path):
         # second-resolution storage has no sub-second to recover
         want = expected.replace(microsecond=0) if name == "int_s" else expected
         assert got == want, f"{name}: {got!r} != {want!r}"
+
+
+def test_unit_inference_null_and_sentinel_first_values(tmp_path):
+    """ADVICE r4: a NULL first value must not raise and a 0-sentinel first
+    row must not decide the unit — the probe is the footer-stats max over
+    the whole file (stats ignore nulls; max dominates sentinels)."""
+    arr = pa.array([None, 0, EPOCH_US], pa.int64())
+    sf_dir = _write_events(tmp_path / "mixed", arr)
+    assert _events_ts_unit(f"{sf_dir}/events.parquet") == "us"
+
+
+def test_unit_inference_all_null_and_empty_fall_back(tmp_path):
+    """All-null and zero-row int64 ts columns are undecidable: default to
+    µs (Spark's native epoch unit) instead of raising."""
+    allnull = _write_events(tmp_path / "allnull", pa.array([None, None], pa.int64()))
+    assert _events_ts_unit(f"{allnull}/events.parquet") == "us"
+    empty = _write_events(tmp_path / "empty", pa.array([], pa.int64()))
+    assert _events_ts_unit(f"{empty}/events.parquet") == "us"

@@ -51,7 +51,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     ticks.load_ticks(spark, sf_dir).createOrReplaceTempView("ticks")
     names.append("ticks")
 
-    base, derived = trading._chain(spark, sf_dir)
+    base, derived = trading.candle_chain(spark, sf_dir)
     base.createOrReplaceTempView("ohlc_1m")
     base.unionByName(derived).createOrReplaceTempView("ohlc_all_tf")
     names += ["ohlc_1m", "ohlc_all_tf"]

@@ -60,3 +60,23 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, hsrc = _fs_and_path(spark, src)
     jvm = spark._jvm
     return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def try_acquire_marker(spark: SparkSession, path: str) -> bool:
+    """Atomically create an empty marker file; ``False`` if one exists.
+
+    The primitive behind the W1 single-writer lock (io.writer_lock):
+    ``FileSystem.create(path, overwrite=false)`` is atomic on HDFS (the
+    namenode serializes creates) and rejected-on-existing through the
+    local ``ChecksumFileSystem`` — exactly-one of N concurrent callers
+    wins. On S3A a create is HEAD-then-PUT and NOT atomic; single-writer
+    coordination on an object store needs an external lock service or an
+    ACID table format (Delta/Iceberg) instead — same caveat as the
+    compaction swap (plans/maintenance.py).
+    """
+    fs, hpath = _fs_and_path(spark, path)
+    try:
+        fs.create(hpath, False).close()
+        return True
+    except Exception:
+        return False

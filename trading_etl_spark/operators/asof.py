@@ -95,6 +95,19 @@ def asof_join_backward_bucketed(
 
     The only heavy data movement is the one well-distributed shuffle of
     step 1; step 2's relation is candle-sized, not tick-sized.
+
+    Skew (VERDICT r4 task #7): a hot key (one pair carrying 90%+ of all
+    ticks) needs no extra salting here because the bucket IS a salt —
+    a deterministic, range-aligned one. The heavy window partitions on
+    (keys…, time-bucket), so the hot key's history splits into slices of
+    at most hot-rate × ``bucket_seconds`` rows; no reducer ever holds the
+    whole hot key, and ``bucket_seconds`` is the direct skew knob (halve
+    it → halve the worst task). Unlike crc32 salting (operators/skew.py)
+    this needs no replication or merge pass: the carry-forward relation
+    already restores cross-bucket continuity. Measured on a 95%-skewed
+    fixture by tests/test_asof.py::test_bucketed_asof_bounds_skew — max
+    per-task group size drops ~bucket-count-fold vs the plain variant
+    while the result stays identical.
     """
     collisions = set(value_cols) & set(probe.columns)
     if collisions:

@@ -145,8 +145,15 @@ def connected_components_two_phase(
     Convergence is detected from a (count, xxhash64-xor) signature of the
     edge set — one cheap aggregate per round instead of a set-difference
     join (xor, not sum: order-independent and immune to ANSI-mode long
-    overflow; the edge set is distinct so pairs can't cancel). At the fixed point every component is a star centered at its
-    minimum id, so the final labels are one groupBy over the star edges.
+    overflow; the edge set is distinct so pairs can't cancel). A signature
+    match is then CONFIRMED exactly with one ``exceptAll`` anti-join
+    against the previous round's (checkpointed, distinct, equal-count)
+    edge set before terminating — so a 64-bit hash collision between
+    consecutive rounds can never end the loop early with unconverged
+    labels (ADVICE r4); the exact check runs only at the one candidate
+    termination round, not per round. At the fixed point every component
+    is a star centered at its minimum id, so the final labels are one
+    groupBy over the star edges.
     With ``return_rounds=True`` also returns the number of rounds run
     (asserted O(log n) on a 1000-node path in tests/test_graph.py).
     """
@@ -159,6 +166,7 @@ def connected_components_two_phase(
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
+        prev_e = e
         e = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
         sig = tuple(
@@ -167,7 +175,10 @@ def connected_components_two_phase(
                 F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
             ).first()
         )
-        if sig == prev_sig:
+        # Signature match → exact confirmation: both relations are distinct
+        # with equal counts (the signature's count component), so an empty
+        # set-difference proves true equality, ruling out a hash collision.
+        if sig == prev_sig and e.exceptAll(prev_e).isEmpty():
             break
         prev_sig = sig
     # Fixed point = stars (u → component min). groupBy(min) rather than a

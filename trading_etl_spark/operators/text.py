@@ -356,14 +356,18 @@ PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
 # run with spaces ("2024 2025 2026" → one "phone"). Require real phone shape:
 #   1. +country then 2-4 separator-joined groups   +81 90-1234-5678
 #   2. (area) then two 3-4 digit groups            (03) 1234-5678
-#   3. >=3 hyphen-joined groups, tail groups 3-4   090-1234-5678 / 555-123-4567
+#   3. >=3 hyphen-joined groups, \b-guarded        090-1234-5678 / 555-123-4567 / 0120-444-444
+#      — a 4-digit lead additionally requires a 3-digit second group, so
+#      hyphen-joined year lists ("2024-2025-2026", all groups 4-digit) miss
+#      (ADVICE r4: the old {2,4}-lead form matched them); dates
+#      ("2024-08-13") miss on the 2-digit tail either way.
 #   4. bare 9-12 digit run, \b-guarded             09012345678 (ISBN-13 = 13 digits, excluded)
-# Single [ -] separators only (no runs), so year lists, dates ("2024-08-13",
-# group too short), IPv4 (dots) and hex/ID strings (digit-letter, no \b) miss.
+# Single [ -] separators only (no runs), so space-separated year lists,
+# IPv4 (dots) and hex/ID strings (digit-letter, no \b) miss.
 PII_PHONE_RE = (
     "\\+[0-9]{1,3}(?:[ -]?\\(?[0-9]{2,4}\\)?){2,4}"
     "|\\([0-9]{2,4}\\)[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}"
-    "|[0-9]{2,4}(?:-[0-9]{3,4}){2,3}"
+    "|\\b(?:[0-9]{2,3}(?:-[0-9]{3,4}){2,3}|[0-9]{4}-[0-9]{3}(?:-[0-9]{3,4}){1,2})\\b"
     "|\\b[0-9]{9,12}\\b"
 )
 PII_IPV4_RE = (
@@ -854,6 +858,7 @@ def decontaminate(
     n: int = CONTAM_SHINGLE_N,
     test_docs: DataFrame | None = None,
     broadcast_test: bool | None = None,
+    test_docs_count: int | None = None,
 ) -> DataFrame:
     """Train/test decontamination: flag TRAIN documents sharing any token
     n-gram (n=8) with any TEST/benchmark document, with shared-shingle
@@ -864,12 +869,16 @@ def decontaminate(
     deterministic 10% md5 hash-split of ``docs`` stands in (the gate
     fixture shape). Join strategy (VERDICT r3 task #3 — the old code
     broadcast unconditionally, which at 100 TB would broadcast a 10 TB
-    hash-split): ``broadcast_test=True/False`` forces the path; ``None``
-    counts the test-side docs and broadcasts only when
-    ≤ ``DECONTAM_BROADCAST_MAX_TEST_DOCS``. Production benchmark sets are
-    thousands of docs → broadcast, map-side probe, no shuffle touches the
-    train corpus. A big test side → plain shuffle hash join on shingle;
-    at 100 TB pass the flag explicitly to skip the sizing count.
+    hash-split): ``broadcast_test=True/False`` forces the path;
+    ``test_docs_count`` is a catalog-style size hint compared against
+    ``DECONTAM_BROADCAST_MAX_TEST_DOCS`` with no job. Construction is LAZY
+    whenever either is given (asserted by
+    tests/test_datapipe.py::test_decontaminate_lazy_construction).
+    Only ``broadcast_test=None`` with no hint runs an EAGER sizing
+    ``count()`` at query-construction time — documented surprise, kept as
+    the zero-config default. Production benchmark sets are thousands of
+    docs → broadcast, map-side probe, no shuffle touches the train corpus.
+    A big test side → plain shuffle hash join on shingle.
     """
     if test_docs is None:
         sh = shingles(docs, n=n).withColumn("split", _split_col())
@@ -887,7 +896,10 @@ def decontaminate(
         )
         n_test = test_docs
     if broadcast_test is None:
-        broadcast_test = n_test.count() <= DECONTAM_BROADCAST_MAX_TEST_DOCS
+        if test_docs_count is not None:
+            broadcast_test = test_docs_count <= DECONTAM_BROADCAST_MAX_TEST_DOCS
+        else:
+            broadcast_test = n_test.count() <= DECONTAM_BROADCAST_MAX_TEST_DOCS
     return (
         train.join(F.broadcast(test) if broadcast_test else test, "shingle")
         .groupBy("doc_id")

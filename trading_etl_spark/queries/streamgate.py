@@ -156,6 +156,66 @@ def q_streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SSJOIN_SINK)
 
 
+_FIRSTWINS_PREFIX = "gate_streaming_firstwins_"
+
+
+def q_streaming_firstwins_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first-wins append UNDER STREAMING (VERDICT r4 task #8): the
+    maintained-sink shape (streaming/ticks.py::start_tick_ingest_maintained)
+    as an oracle-graded gate query. The validated tick stream drains through
+    ``foreachBatch`` → ``io.first_wins_append`` into a plain parquet table,
+    then the ENTIRE stream is drained AGAIN from a fresh checkpoint — a full
+    replay, the worst-case duplicate delivery — and every replayed row
+    anti-joins away against the (pair, second) PK. The read-back therefore
+    equals the batch S3 dedup (the ``ticks`` oracle relation): replay
+    idempotence is what the hash-match certifies.
+
+    Determinism: within a micro-batch the winner is
+    ``min_by(struct(bid,ask), struct(ts,event_id))`` — the batch dedup's
+    exact ordering. Across batches first-append-wins; the file source
+    batches at whole-file granularity and the fixture is one file, so the
+    gate run is single-batch (in production the W1 contract is
+    arrival-order first-wins, same as the reference's ON CONFLICT gate).
+    Scale notes: identical to the maintained sink — the anti-join prunes
+    the existing side to the batch's time range (partition pruning), the
+    writer lock serializes appenders, no sink commit log accretes.
+    """
+    import tempfile
+
+    from .. import io as tio
+
+    base = tempfile.mkdtemp(prefix=_FIRSTWINS_PREFIX)
+    table = f"{base}/table"
+    t = ticks.tickify(ticks.stream_events(spark, sf_dir))
+    first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
+
+    def append_first_wins(batch: DataFrame, _batch_id: int) -> None:
+        keyed = (
+            batch.groupBy("currency_pair_code", "time")
+            .agg(first)
+            .select("currency_pair_code", "time", F.col("f.bid"), F.col("f.ask"))
+        )
+        tio.first_wins_append(
+            batch.sparkSession,
+            table,
+            keyed,
+            keys=["currency_pair_code", "time"],
+            prune_on="time",
+        )
+
+    for run in ("initial", "replay"):
+        q = (
+            t.writeStream.foreachBatch(append_first_wins)
+            .option("checkpointLocation", f"{base}/ckpt_{run}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(table).select(
+        "currency_pair_code", "time", "bid", "ask"
+    )
+
+
 _DOCS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -213,6 +273,7 @@ QUERIES = {
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sliding_stats": q_streaming_sliding_stats,
     "streaming_view_click_join": q_streaming_view_click_join,
+    "streaming_firstwins_append": q_streaming_firstwins_append,
 }
 
 ORACLES = {
@@ -257,4 +318,9 @@ JOIN events c
  AND v.event_type = 'view' AND c.event_type = 'click'
  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1800 SECOND
 """.strip(),
+    # replay-idempotent streaming first-wins append ≡ the batch S3 dedup
+    "streaming_firstwins_append": "WITH "
+    + ticks.TICKS_SQL
+    + """
+SELECT currency_pair_code, time, bid, ask FROM ticks""",
 }

@@ -58,9 +58,14 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     return evicted
 
 
-def _chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(1m, derived) candles via the single-shuffle chain (ohlc.py): dedup,
-    base agg, and derived agg share one (pair, 4h-bucket) partitioning."""
+    base agg, and derived agg share one (pair, 4h-bucket) partitioning.
+
+    Public API (VERDICT r4 task #4): the SQL catalog (catalog.register_views)
+    builds its ohlc_1m / ohlc_all_tf views from this, and every in-module
+    consumer query reads through it so the chain runs once per (app, sf_dir).
+    """
     key = (spark.sparkContext.applicationId, sf_dir)
     pair = _CHAIN_CACHE.get(key)
     if pair is None:
@@ -73,7 +78,7 @@ def _chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 def _ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _chain(spark, sf_dir)[0]
+    return candle_chain(spark, sf_dir)[0]
 
 
 # The reference materializes OHLC into tables BEFORE indicators read them
@@ -162,7 +167,7 @@ def q_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ohlc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: all derived timeframes (5m..4h) in one pass, single-shuffle chain."""
-    return _chain(spark, sf_dir)[1]
+    return candle_chain(spark, sf_dir)[1]
 
 
 def q_latest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +212,7 @@ def q_sma_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     every period (14/28/56) — as ONE set-based pass over the unified candle
     relation (the loop elimination of SURVEY §7.1; reference loops in
     transform.py:85-119). Warm-up rows excluded."""
-    base, derived = _chain(spark, sf_dir)
+    base, derived = candle_chain(spark, sf_dir)
     candles = base.unionByName(derived)
     parts = [
         indicators.sma(candles, p)
@@ -273,7 +278,7 @@ def q_candle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup over the full candle relation: counts and price extremes
     at (pair, timeframe), (pair), and grand-total levels in one pass
     (grouping sets — absent from the reference, §2.3)."""
-    base, derived = _chain(spark, sf_dir)
+    base, derived = candle_chain(spark, sf_dir)
     candles = base.unionByName(derived)
     return (
         candles.rollup("currency_pair_code", "timeframe_code")
@@ -296,7 +301,7 @@ def q_candle_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over the candle relation — all four grouping-set combinations
     (pair×tf, pair, tf, grand total) in one hash-agg pass; completes the
     grouping-sets family next to ``q_candle_rollup``."""
-    base, derived = _chain(spark, sf_dir)
+    base, derived = candle_chain(spark, sf_dir)
     candles = base.unionByName(derived)
     return (
         candles.cube("currency_pair_code", "timeframe_code")
@@ -411,7 +416,7 @@ def q_close_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (absent in reference): avg close per timeframe × pair, pairs as
     columns. Explicit pivot values keep the plan a single hash-agg pass —
     no extra distinct-values job, same one shuffle as a plain groupBy."""
-    base, derived = _chain(spark, sf_dir)
+    base, derived = candle_chain(spark, sf_dir)
     candles = base.unionByName(derived)
     pairs = [code for _, _, _, code, _ in dims.CURRENCY_SEED]
     piv = (

@@ -22,7 +22,7 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 # tests/test_registry.py asserts the window invariants.
 _DEFER: list[str] = [
     "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross
-    "spread_quantiles",       # percentiles covered by candle_returns_quartile
+    "spread_quantiles",       # percentiles covered by approx_value_quantiles
     "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint
     "media_resize",           # mapInPandas multimodal covered by extract_meta/frame_sample
@@ -32,32 +32,37 @@ _DEFER: list[str] = [
     "candle_cube",            # grouping-set sibling of candle_rollup
     "backtest_equity_curve",  # cumulative-window sibling of backtest_trades
     "media_frame_sample",     # mapInPandas multimodal covered by extract_meta
-    "sma_fanout_all_tf",      # same native-window SMA as sma_14_1h, fanned across tfs
+    "sma_fanout_all_tf",      # same native-window SMA as sma_golden_cross's inputs, fanned across tfs
     "backtest_trades",        # window-over-candles sibling of backtest_pnl
     "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
     "text_token_count",       # token stats subsumed by text_quality_score
     "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path
     "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it
-    "approx_distinct_users",   # HLL sibling of daily_active_users (error-contract check)
-    "approx_value_quantiles",  # GK-sketch sibling of candle_returns_quartile percentiles
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
-    "dedup_cc_two_phase",     # large-star/small-star CC; min-label twin in window, same oracle
-    "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
-    "dim_scd2_history",       # lag/lead validity intervals; window family of candle_returns_quartile
-    "sample_weighted_quality",  # A-Res weighted sampling; family of stratified_sample_by_lang
-    "streaming_sliding_stats",  # R7 sliding windows; streaming gate twin streaming_ohlc_1m in window
-    "events_value_histogram",  # two-pass equi-width histogram; agg family of daily_active_users
-    "event_asof_next_tick",   # forward as-of; mirrored twin of in-window event_asof_tick
-    "user_funnel_conversion",  # chained-window sequence analysis; events agg family of daily_active_users
-    "user_cohort_retention",  # cohort matrix; events agg family of daily_active_users
-    "streaming_view_click_join",  # stream-stream join; gate streaming sibling streaming_ohlc_1m
-    "text_chunk_rag",         # overlapping token windows; slicing family of dedup_passages
-    # r4 rotation (VERDICT r3 task #1): the round-3 flagships candle_gap_fill,
-    # text_pii_redact and corpus_pack_sequences moved INTO the window; these
-    # three redundant siblings moved out to make room.
-    "text_simhash",           # signature computation subsumed by in-window dedup_simhash
-    "event_props_json_agg",   # events-table agg; JSON extraction stays check.py-verified
+    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows)
+    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram
     "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
+    # r5 rotation (VERDICT r4 task #1): the 13 never-driver-checked queries
+    # (funnel, cohort, histogram, SCD2, forward as-of, weighted sampling,
+    # bigram PMI, RAG chunking, two-phase CC, sliding windows, stream-stream
+    # join, HLL/GK sketches) plus the new streaming_firstwins_append moved
+    # INTO the window; these 14 redundant siblings — every one with r1-r4
+    # driver-green rows AND a same-family twin still in the window — moved
+    # out to make room. All stay oracle-verified by tools/check.py.
+    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family
+    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross
+    "tick_sessions",          # session windows; R7 window family with streaming_sliding_stats in window
+    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window
+    "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick
+    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window
+    "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle
+    "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint
+    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window
+    "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window
+    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans
+    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions)
+    "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
+    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window
 ]
 
 

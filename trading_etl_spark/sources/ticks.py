@@ -47,10 +47,14 @@ def _events_ts_unit(path: str) -> str | None:
     The fixture corpus has shipped multiple encodings across driver rounds,
     so hardcoding a unit silently corrupts when the environment drifts —
     detect, don't assume. For UNANNOTATED int64 the footer alone can't name
-    the unit, so it is inferred from the magnitude of one stored value
-    (ADVICE r3: assuming nanos would corrupt a micros fixture 1000×):
-    epoch-2024 is ~1.7e18 ns, ~1.7e15 µs, ~1.7e12 ms, ~1.7e9 s — the
-    regimes are 1000× apart, unambiguous for any date within ±200 years.
+    the unit, so it is inferred from magnitude (ADVICE r3: assuming nanos
+    would corrupt a micros fixture 1000×): epoch-2024 is ~1.7e18 ns,
+    ~1.7e15 µs, ~1.7e12 ms, ~1.7e9 s — regimes 1000× apart, unambiguous
+    for any date within ±200 years. The probe value is max(|min|, |max|)
+    from the row-group column STATISTICS (no data read; stats ignore
+    nulls), falling back to the max |v| over the first non-null data batch
+    — never a single first value, so a leading NULL can't raise and a
+    0/sentinel epoch can't misclassify the whole table (ADVICE r4).
     """
     import glob
     import os
@@ -67,11 +71,24 @@ def _events_ts_unit(path: str) -> str | None:
         return "ns" if t.unit == "ns" else None
     if not pat.is_integer(t):
         return None
-    try:
-        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=["ts"]))
-        v = abs(batch.column(0)[0].as_py())
-    except StopIteration:  # empty table: any unit reads zero rows identically
-        return "us"
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("ts")
+    v = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is not None and st.has_min_max:
+            v = max(abs(int(st.min)), abs(int(st.max)))
+            break
+    if v is None:  # stats absent: probe the first batch with non-null data
+        for batch in pf.iter_batches(batch_size=1024, columns=["ts"]):
+            vals = [x for x in batch.column(0).to_pylist() if x is not None]
+            if vals:
+                v = max(abs(x) for x in vals)
+                break
+    if not v:  # empty / all-null / all-zero: magnitude is undecidable;
+        return "us"  # µs is Spark's native epoch unit, and 0 reads as 1970 either way
     for unit, floor in (("ns", 1e17), ("us", 1e14), ("ms", 1e11)):
         if v >= floor:
             return unit

@@ -180,6 +180,7 @@ def start_tick_ingest_maintained(
     available_now: bool = True,
     processing_time: str = "1 second",
     watermark: str = "10 seconds",
+    retention_cutoff: str | None = None,
 ) -> StreamingQuery:
     """Maintenance-friendly ingest into a ``dt=``-partitioned PLAIN parquet
     table: frames → parse → dedup → foreachBatch first-wins append.
@@ -195,6 +196,17 @@ def start_tick_ingest_maintained(
     instead of the sink log: a replayed micro-batch's rows anti-join away
     against the (pair, second) PK — the same first-wins gate the batch
     pipeline uses.
+
+    ``retention_cutoff`` (ISO date, the same value handed to
+    ``maintenance.maintain_table``) closes the replay/retention race
+    (ADVICE r4): after retention drops a ``dt`` partition, a checkpointed
+    micro-batch REPLAYED from before the drop would sail through the
+    first-wins gate (the existing side was deleted and range-pruned to the
+    batch) and silently resurrect the expired partition. The foreachBatch
+    therefore drops rows with ``dt < retention_cutoff`` before appending —
+    expired data can never re-enter. Without a cutoff, run
+    ``maintain_table`` only after the stream's checkpoint horizon has
+    passed the retention cutoff.
     """
     from .. import io
 
@@ -203,10 +215,13 @@ def start_tick_ingest_maintained(
     )
 
     def append_first_wins(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.withColumn("dt", F.to_date("time"))
+        if retention_cutoff is not None:
+            rows = rows.filter(F.col("dt") >= F.lit(retention_cutoff).cast("date"))
         io.first_wins_append(
             batch.sparkSession,
             sink_path,
-            batch.withColumn("dt", F.to_date("time")),
+            rows,
             keys=["currency_pair_symbol", "time"],
             prune_on="time",
             partition_by=["dt"],
