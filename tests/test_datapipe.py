@@ -695,3 +695,47 @@ def test_decontaminate_lazy_construction(spark):
     # zero-config default: the sizing count is an eager job (documented)
     tx.decontaminate(docs)
     assert len(tracker().getJobIdsForGroup(None)) > before
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    """Budget = min(avail/weight): the binding source keeps rate 1.0, the
+    oversupplied source is downsampled toward the target mixture; the md5
+    keep draw is deterministic (re-run identical)."""
+    from pyspark.sql import functions as F
+
+    # source a: weight 3, 30 docs × 10 tokens = 300 avail → avail/w = 100
+    # source b: weight 1, 40 docs × 10 tokens = 400 avail → avail/w = 400
+    # budget = 100 → rate_a = 3*100/300 = 1.0, rate_b = 1*100/400 = 0.25
+    rows = [(i, "a" if i < 30 else "b", " ".join(["t"] * 10)) for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs = docs.withColumn(
+        "weight", F.when(F.col("source") == "a", 3.0).otherwise(1.0)
+    )
+    out = tx.domain_mix_sample(docs)
+    rates = {r["source"]: r["keep_rate"] for r in out.select("source", "keep_rate").distinct().collect()}
+    assert rates["a"] == 1.0 and rates["b"] == 0.25
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert by_src["a"] == 30  # rate 1.0 keeps everything
+    assert 0 < by_src.get("b", 0) < 40  # downsampled, not emptied
+    # deterministic: identical plan → identical sample
+    again = sorted(map(tuple, tx.domain_mix_sample(docs).collect()))
+    assert sorted(map(tuple, out.collect())) == again
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Add-one unigram LM on a 2-doc corpus, checked against hand math."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=1, c=1; N=5, V=3 → denom 8
+    out = {r["doc_id"]: r for r in tx.unigram_logprob(docs).collect()}
+    p_a, p_b, p_c = 4 / 8, 2 / 8, 2 / 8
+    want1 = round((2 * math.log(p_a) + math.log(p_b)) / 3, 6)
+    want2 = round((math.log(p_a) + math.log(p_c)) / 2, 6)
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["mean_logprob"] - want1) < 1e-9
+    assert out[2]["n_tokens"] == 2 and abs(out[2]["mean_logprob"] - want2) < 1e-9
+    # rarer-token doc scores lower (the quality-filter signal)
+    assert out[2]["mean_logprob"] < out[1]["mean_logprob"]

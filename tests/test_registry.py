@@ -51,6 +51,9 @@ SIBLING = {
     "embedding_quantize_int8": "embedding_knn_ivf_kmeans",
     "daily_active_users": "approx_distinct_users",
     "returned_order_priority_semi": "customers_no_open_orders_anti",
+    # r5-born operators (window already full; r6 rotation candidates)
+    "corpus_domain_mix": "stratified_sample_by_lang",
+    "text_unigram_logprob": "text_quality_score",
 }
 
 

@@ -151,6 +151,97 @@ def weighted_sample(
     )
 
 
+# Per-source target-mixture weight for the gate query: a deterministic
+# 1..4 bucket from md5(source) — fixture-agnostic and expressible verbatim
+# in both engines (same instr trick as hex32_unit_expr).
+DOMAIN_WEIGHT_EXPR = (
+    "CAST((instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) % 4 + 1"
+    " AS DOUBLE)"
+)
+
+
+def domain_mix_sample(docs: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """Domain (source) mixture sampling — the corpus-mixing step of a
+    training-data pipeline: given a per-source target weight (web 3×,
+    books 1×, …), downsample every source so the kept corpus hits the
+    target token mixture exactly, bounded by each source's availability.
+
+    ``docs`` must carry ``weight`` (constant per source). The token budget
+    is T = min over sources of available/weight — the largest total for
+    which NO source needs more tokens than it has; each source then keeps
+    rate = weight·T/available of its docs (rate = 1 for the binding
+    source), decided per doc by the deterministic md5 unit draw
+    (:func:`hex32_unit_expr`) — reproducible, engine-independent, no RNG.
+
+    Scale shape: one hash-agg keyed on source (tiny key domain →
+    partial-agg shuffle of |sources| rows, not the corpus), rates derived
+    on the |sources|-row relation with one ungrouped window, broadcast
+    back, and the keep decision is map-side codegen — the corpus itself
+    never shuffles. Returns kept (doc_id, source, n_tokens, keep_rate).
+    """
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.col(weight_col).alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.first("w").alias("w"), F.sum("n_tokens").alias("avail")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    rates = per_src.withColumn(
+        "budget", F.min(F.col("avail") / F.col("w")).over(w_all)
+    ).select(
+        "source",
+        F.round(
+            F.least(F.lit(1.0), F.col("w") * F.col("budget") / F.col("avail")), 6
+        ).alias("keep_rate"),
+    )
+    u = F.expr(hex32_unit_expr("mix_h"))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("mix_h", F.md5(F.col("doc_id").cast("string")))
+        .filter(u <= F.col("keep_rate"))
+        .select("doc_id", "source", "n_tokens", "keep_rate")
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    cheap statistical stand-in for the KenLM-perplexity quality filter
+    (CCNet-style): tokens that are rare IN THIS CORPUS drag a document's
+    mean log-probability down, flagging gibberish/OCR noise.
+
+    Model: add-one-smoothed unigram LM, p(tok) = (c+1)/(N+V) with N total
+    tokens and V vocabulary size — both corpus-level aggregates. Score =
+    mean over the doc's tokens of ln p(tok), rounded 6dp (repo float
+    convention; cross-engine summation-order drift ~1e-13 sits far below
+    the rounding grain).
+
+    Scale shape: two shuffles — the vocabulary count (keyed on token,
+    map-side partial combine bounds the exchange by |vocab|, not corpus
+    tokens) and the per-doc mean (keyed on doc_id). The (N, V) totals are
+    a 1-row relation broadcast into the scoring join; the vocab relation
+    itself joins back to the exploded tokens — broadcastable when |vocab|
+    is small, AQE picks shuffle-hash otherwise.
+    """
+    ex = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    lp = F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
+    return (
+        ex.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("mean_logprob"),
+        )
+    )
+
+
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 

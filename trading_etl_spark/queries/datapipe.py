@@ -308,6 +308,19 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.quantize_int8(_emb(spark, sf_dir)), "n_saturated")
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
+    budget bounded by the scarcest source, deterministic md5 keep draws."""
+    docs = _docs(spark, sf_dir).withColumn("weight", F.expr(tx.DOMAIN_WEIGHT_EXPR))
+    return tx.domain_mix_sample(docs)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one unigram LM mean log-prob per doc — the
+    KenLM-perplexity-style quality signal, pure DataFrame aggregation."""
+    return _as_long(tx.unigram_logprob(_docs(spark, sf_dir)), "n_tokens")
+
+
 # --- multimodal ---------------------------------------------------------------
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,6 +381,8 @@ QUERIES = {
     "text_pii_redact": q_pii_redact,
     "corpus_pack_sequences": q_pack_sequences,
     "stratified_sample_by_lang": q_stratified_sample,
+    "corpus_domain_mix": q_domain_mix,
+    "text_unigram_logprob": q_unigram_logprob,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -993,5 +1008,52 @@ SELECT doc_id,
        len(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}])::INT AS chunk_tokens,
        md5(array_to_string(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}], ' ')) AS chunk_hash
 FROM n, unnest(generate_series(0, n_chunks - 1)) AS g(i)
+"""
+)
+
+# Domain-mix oracle: identical weight bucket (shared DOMAIN_WEIGHT_EXPR),
+# identical budget arithmetic (min over avail/w of exact BIGINT/DOUBLE
+# division), identical md5 keep draw (shared hex32_unit_expr).
+ORACLES["corpus_domain_mix"] = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {tx.DOMAIN_WEIGHT_EXPR} AS w,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, min(w) AS w, sum(n_tokens) AS avail FROM d GROUP BY source
+),
+rates AS (
+  SELECT source,
+         round(least(1.0, w * (SELECT min(avail / w) FROM per_src) / avail), 6)
+           AS keep_rate
+  FROM per_src
+),
+keyed AS (
+  SELECT d.doc_id, d.source, d.n_tokens, r.keep_rate,
+         md5(d.doc_id::VARCHAR) AS mix_h
+  FROM d JOIN rates r USING (source)
+)
+SELECT doc_id, source, n_tokens, keep_rate
+FROM keyed
+WHERE {tx.hex32_unit_expr('mix_h')} <= keep_rate
+""".strip()
+
+# Unigram-LM oracle: ln is IEEE-identical in both engines; the only
+# cross-engine drift is avg() summation order (~1e-13), far below the 6dp
+# rounding grain.
+ORACLES["text_unigram_logprob"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + """,
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vocab AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab)
+SELECT e.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(ln((vb.c + 1.0) / (tot.n_total + tot.v_size))), 6) AS mean_logprob
+FROM ex e JOIN vocab vb USING (tok) CROSS JOIN tot
+GROUP BY e.doc_id
 """
 )

@@ -63,6 +63,10 @@ _DEFER: list[str] = [
     "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions)
     "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
     "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window
+    # r5 additions — new operators born outside the (full) window; both
+    # oracle-verified by tools/check.py, rotation candidates for r6.
+    "corpus_domain_mix",      # target-mixture sampling; family of stratified/weighted sampling
+    "text_unigram_logprob",   # unigram-LM quality score; family of text_quality_score
 ]
 
 
