@@ -174,10 +174,11 @@ def domain_mix_sample(docs: DataFrame, weight_col: str = "weight") -> DataFrame:
     (:func:`hex32_unit_expr`) — reproducible, engine-independent, no RNG.
 
     Scale shape: one hash-agg keyed on source (tiny key domain →
-    partial-agg shuffle of |sources| rows, not the corpus), rates derived
-    on the |sources|-row relation with one ungrouped window, broadcast
-    back, and the keep decision is map-side codegen — the corpus itself
-    never shuffles. Returns kept (doc_id, source, n_tokens, keep_rate).
+    partial-agg shuffle of |sources| rows, not the corpus), the 1-row
+    budget aggregate broadcast-cross-joined back onto the |sources|-row
+    relation, and the keep decision is map-side codegen — the corpus
+    itself never shuffles. Returns kept (doc_id, source, n_tokens,
+    keep_rate).
     """
     d = docs.select(
         "doc_id",
@@ -188,10 +189,8 @@ def domain_mix_sample(docs: DataFrame, weight_col: str = "weight") -> DataFrame:
     per_src = d.groupBy("source").agg(
         F.first("w").alias("w"), F.sum("n_tokens").alias("avail")
     )
-    w_all = Window.partitionBy(F.lit(1))
-    rates = per_src.withColumn(
-        "budget", F.min(F.col("avail") / F.col("w")).over(w_all)
-    ).select(
+    budget = per_src.agg(F.min(F.col("avail") / F.col("w")).alias("budget"))
+    rates = per_src.crossJoin(F.broadcast(budget)).select(
         "source",
         F.round(
             F.least(F.lit(1.0), F.col("w") * F.col("budget") / F.col("avail")), 6
