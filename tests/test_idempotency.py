@@ -216,3 +216,26 @@ def test_writer_lock_error_message_and_stale_release(spark, tmp_path):
         io.first_wins_append(spark, path, batch, keys=["k"], prune_on="k")
     fs.delete(spark, io._lock_path(path), recursive=False)
     assert io.first_wins_append(spark, path, batch, keys=["k"], prune_on="k") == 1
+
+
+def test_table_diff_classifies_added_removed_changed(spark):
+    """Keyed snapshot reconcile: null-safe compare, O(drift) output."""
+    from trading_etl_spark.operators.reconcile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "D", 4.0), (5, "e", 5.0)],
+        "k long, t string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    # 1 removed; 2 identical (absent from output); 3 NULL→3.0 = changed;
+    # 4 string change; 5 added
+    assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    full = table_diff(old, new, ["k"], include_unchanged=True)
+    assert {r["k"]: r["change_type"] for r in full.collect()}[2] == "unchanged"
+    # single shuffle-join plan: no cartesian, no nested loop
+    plan = table_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -54,6 +54,7 @@ SIBLING = {
     # r5-born operators (window already full; r6 rotation candidates)
     "corpus_domain_mix": "stratified_sample_by_lang",
     "text_unigram_logprob": "text_quality_score",
+    "events_snapshot_diff": "customers_no_open_orders_anti",
 }
 
 

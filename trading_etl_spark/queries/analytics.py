@@ -402,8 +402,33 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/reconcile.table_diff): two
+    deterministic views of the events table — 'old' drops every 7th key,
+    'new' drops every 5th and bumps value on every 3rd — diffed on
+    event_id into added/removed/changed rows. The data-quality twin of
+    the reference's idempotency contract: a re-run drift is EXPLAINED per
+    key, not just counted. One full-outer shuffle join; output O(drift)."""
+    from ..operators.reconcile import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return table_diff(old, new, keys=["event_id"])
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "events_snapshot_diff": q_events_snapshot_diff,
     "dim_scd2_history": q_scd2_user_value_history,
     "events_value_histogram": q_value_histogram,
     "user_funnel_conversion": q_user_funnel,
@@ -421,6 +446,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    # full-outer keyed diff; IS NOT DISTINCT FROM = Spark's eqNullSafe
+    "events_snapshot_diff": """
+WITH old AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 7 <> 0
+),
+new AS (
+  SELECT event_id, event_type,
+         value + CASE WHEN event_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS value
+  FROM events WHERE event_id % 5 <> 0
+)
+SELECT * FROM (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN NOT (o.event_type IS NOT DISTINCT FROM n.event_type
+                        AND o.value IS NOT DISTINCT FROM n.value) THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+) WHERE change_type <> 'unchanged'
+""".strip(),
     "user_funnel_conversion": """
 WITH s1 AS (
   SELECT user_id, event_type, ts,
