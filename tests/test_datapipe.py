@@ -739,3 +739,30 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2]["n_tokens"] == 2 and abs(out[2]["mean_logprob"] - want2) < 1e-9
     # rarer-token doc scores lower (the quality-filter signal)
     assert out[2]["mean_logprob"] < out[1]["mean_logprob"]
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    """CMS estimates are min-over-rows of colliding counters: always ≥ the
+    true count, so every true heavy hitter survives the threshold (the
+    no-false-negative guarantee); a tiny width forces collisions and the
+    estimates must still only OVERestimate."""
+    from collections import Counter
+
+    texts = {
+        1: "hot " * 20 + "warm " * 6,
+        2: "hot " * 15 + "cold " * 2,
+        3: "warm " * 4 + "cold",
+    }
+    docs = spark.createDataFrame(
+        [(k, v.strip()) for k, v in texts.items()], "doc_id long, text string"
+    )
+    true = Counter(t for v in texts.values() for t in v.split())
+    out = {
+        r["tok"]: r["est_count"]
+        for r in tx.cms_heavy_hitters(docs, depth=4, width=8, threshold=10).collect()
+    }
+    for tok, c in true.items():
+        if c >= 10:
+            assert tok in out and out[tok] >= c, (tok, c, out)
+    for tok, est in out.items():
+        assert est >= true[tok]  # only overestimates, never under

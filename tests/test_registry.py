@@ -55,6 +55,7 @@ SIBLING = {
     "corpus_domain_mix": "stratified_sample_by_lang",
     "text_unigram_logprob": "text_quality_score",
     "events_snapshot_diff": "customers_no_open_orders_anti",
+    "text_heavy_hitters_cms": "approx_distinct_users",
 }
 
 

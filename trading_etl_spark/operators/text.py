@@ -205,6 +205,82 @@ def domain_mix_sample(docs: DataFrame, weight_col: str = "weight") -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_THRESHOLD = 500
+
+
+def _cms_cell_expr(tok_col: str, row: int, width: int) -> str:
+    """Count-min cell index for hash row ``row``: the md5-hex-prefix integer
+    of ``tok:row`` mod width — deterministic and evaluable verbatim in both
+    Spark SQL and DuckDB (same instr trick as :func:`hex32_unit_expr`)."""
+    h = f"md5(concat({tok_col}, ':', '{row}'))"
+    terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"(({terms}) % {width})"
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    threshold: int = CMS_THRESHOLD,
+) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (Cormode & Muthukrishnan
+    2005) — the constant-memory high-frequency-term monitor of a streaming
+    corpus pipeline (stopword drift, spam bursts, boilerplate explosions).
+
+    Sketch: ``depth`` hash rows × ``width`` cells; every token increments
+    one cell per row; a token's estimate is the MIN over its cells —
+    always ≥ the true count (overestimates come only from collisions), so
+    thresholding at T yields every true-frequency-≥T token plus possibly
+    a few collision inflatees: no false negatives, the property that
+    matters for a monitoring gate.
+
+    Scale shape: the cell relation is the partial-aggregable groupBy of
+    (row, cell) — the sketch state is depth×width COUNTERS regardless of
+    corpus size, the entire point; per-executor partial sketches merge by
+    cell-wise addition (what the exchange's partial_count does). The
+    estimate probe joins candidate DISTINCT tokens back to the broadcast
+    cell relation. Hashes are md5-hex-prefix integers — engine-independent
+    (DuckDB replays the identical sketch), unlike xxhash64 which DuckDB
+    lacks.
+    """
+    ex = with_tokens(docs).select(F.explode("toks").alias("tok"))
+    # per-row cell index with the row-specific hash: the hash expression
+    # needs the literal row id baked in, so union the depth variants
+    variants = [
+        ex.select(
+            F.lit(i).alias("row"), F.expr(_cms_cell_expr("tok", i, width)).alias("cell")
+        )
+        for i in range(depth)
+    ]
+    cell_counts = variants[0]
+    for v in variants[1:]:
+        cell_counts = cell_counts.unionAll(v)
+    sketch = cell_counts.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+    cand = ex.select("tok").distinct()
+    probes = [
+        cand.select(
+            "tok", F.lit(i).alias("row"), F.expr(_cms_cell_expr("tok", i, width)).alias("cell")
+        )
+        for i in range(depth)
+    ]
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionAll(p)
+    est = (
+        probe.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est_count"))
+    )
+    return est.filter(F.col("est_count") >= threshold).select("tok", "est_count")
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Corpus-trained unigram language-model score per document — the
     cheap statistical stand-in for the KenLM-perplexity quality filter

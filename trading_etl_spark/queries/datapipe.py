@@ -315,6 +315,12 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.domain_mix_sample(docs)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter tokens (depth 4 × width 256 counters,
+    threshold 500) — constant-memory high-frequency monitoring."""
+    return tx.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one unigram LM mean log-prob per doc — the
     KenLM-perplexity-style quality signal, pure DataFrame aggregation."""
@@ -383,6 +389,7 @@ QUERIES = {
     "stratified_sample_by_lang": q_stratified_sample,
     "corpus_domain_mix": q_domain_mix,
     "text_unigram_logprob": q_unigram_logprob,
+    "text_heavy_hitters_cms": q_cms_heavy_hitters,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -1055,5 +1062,34 @@ SELECT e.doc_id,
        round(avg(ln((vb.c + 1.0) / (tot.n_total + tot.v_size))), 6) AS mean_logprob
 FROM ex e JOIN vocab vb USING (tok) CROSS JOIN tot
 GROUP BY e.doc_id
+"""
+)
+
+# Count-min-sketch oracle: the hash rows are md5-hex-prefix integers via
+# the shared _cms_cell_expr, so DuckDB rebuilds the IDENTICAL sketch —
+# including its collision overestimates — cell by cell.
+ORACLES["text_heavy_hitters_cms"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + """,
+ex AS (SELECT unnest(t) AS tok FROM toks),
+cells AS (
+  SELECT 0 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM ex
+  UNION ALL SELECT 1 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM ex
+  UNION ALL SELECT 2 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM ex
+  UNION ALL SELECT 3 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM ex
+),
+sketch AS (SELECT r, cell, count(*) AS n FROM cells GROUP BY r, cell),
+cand AS (SELECT DISTINCT tok FROM ex),
+probe AS (
+  SELECT tok, 0 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '0')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM cand
+  UNION ALL SELECT tok, 1 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '1')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM cand
+  UNION ALL SELECT tok, 2 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '2')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM cand
+  UNION ALL SELECT tok, 3 AS r, ((CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 4, 1)) - 1 AS BIGINT) * 65536 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 5, 1)) - 1 AS BIGINT) * 4096 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 6, 1)) - 1 AS BIGINT) * 256 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 7, 1)) - 1 AS BIGINT) * 16 + CAST(instr('0123456789abcdef', substr(md5(concat(tok, ':', '3')), 8, 1)) - 1 AS BIGINT) * 1) % 256) AS cell FROM cand
+)
+SELECT p.tok, min(s.n) AS est_count
+FROM probe p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+GROUP BY p.tok
+HAVING min(s.n) >= 500
 """
 )

@@ -68,6 +68,7 @@ _DEFER: list[str] = [
     "corpus_domain_mix",      # target-mixture sampling; family of stratified/weighted sampling
     "text_unigram_logprob",   # unigram-LM quality score; family of text_quality_score
     "events_snapshot_diff",   # keyed full-outer reconcile; join family of customers_no_open_orders_anti
+    "text_heavy_hitters_cms",  # count-min sketch; sketch family of approx_distinct_users
 ]
 
 
