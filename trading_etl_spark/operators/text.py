@@ -250,31 +250,22 @@ def cms_heavy_hitters(
     lacks.
     """
     ex = with_tokens(docs).select(F.explode("toks").alias("tok"))
-    # per-row cell index with the row-specific hash: the hash expression
-    # needs the literal row id baked in, so union the depth variants
-    variants = [
-        ex.select(
-            F.lit(i).alias("row"), F.expr(_cms_cell_expr("tok", i, width)).alias("cell")
-        )
-        for i in range(depth)
-    ]
-    cell_counts = variants[0]
-    for v in variants[1:]:
-        cell_counts = cell_counts.unionAll(v)
-    sketch = cell_counts.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n"))
-
-    cand = ex.select("tok").distinct()
-    probes = [
-        cand.select(
-            "tok", F.lit(i).alias("row"), F.expr(_cms_cell_expr("tok", i, width)).alias("cell")
-        )
-        for i in range(depth)
-    ]
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionAll(p)
+    # all depth cell indices in ONE scan: posexplode of the d-element hash
+    # array (each expression bakes in its literal row id) — pos IS the
+    # sketch row, so no d-way union rescans the exploded-token relation
+    cells_arr = F.array(
+        *[F.expr(_cms_cell_expr("tok", i, width)) for i in range(depth)]
+    )
+    sketch = (
+        ex.select(F.posexplode(cells_arr).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     est = (
-        probe.join(F.broadcast(sketch), ["row", "cell"])
+        ex.select("tok")
+        .distinct()
+        .select("tok", F.posexplode(cells_arr).alias("row", "cell"))
+        .join(F.broadcast(sketch), ["row", "cell"])
         .groupBy("tok")
         .agg(F.min("n").alias("est_count"))
     )
