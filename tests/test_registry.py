@@ -56,6 +56,7 @@ SIBLING = {
     "text_unigram_logprob": "text_quality_score",
     "events_snapshot_diff": "customers_no_open_orders_anti",
     "text_heavy_hitters_cms": "approx_distinct_users",
+    "streaming_heavy_hitters": "streaming_ohlc_1m",
 }
 
 

@@ -268,12 +268,70 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_SINK = "gate_streaming_cms"
+
+
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as a LIVE streaming aggregation: documents
+    arrive as a file stream and the (row, cell) counter grid is the
+    running state — the canonical streaming-sketch deployment (state is
+    depth×width COUNTERS, constant regardless of stream length; cell-wise
+    addition is exactly what the update-mode agg does). The drained grid
+    is probed batch-side for the heavy hitters; counts are
+    order-insensitive so the result hash-matches the batch CMS oracle.
+    """
+    from ..operators import text as tx
+
+    docs = (
+        spark.readStream.schema(_DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ex = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cells_arr = F.array(
+        *[
+            F.expr(tx._cms_cell_expr("tok", i, tx.CMS_WIDTH))
+            for i in range(tx.CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        ex.select(F.posexplode(cells_arr).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(_CMS_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = spark.table(_CMS_SINK)
+    # batch-side probe of the drained grid: distinct tokens → min over cells
+    cand = (
+        spark.read.schema(_DOCS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    return (
+        cand.select("tok", F.posexplode(cells_arr).alias("row", "cell"))
+        .join(F.broadcast(grid), ["row", "cell"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est_count"))
+        .filter(F.col("est_count") >= tx.CMS_THRESHOLD)
+        .select("tok", "est_count")
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sliding_stats": q_streaming_sliding_stats,
     "streaming_view_click_join": q_streaming_view_click_join,
     "streaming_firstwins_append": q_streaming_firstwins_append,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
 }
 
 ORACLES = {
@@ -324,3 +382,9 @@ JOIN events c
     + """
 SELECT currency_pair_code, time, bid, ask FROM ticks""",
 }
+
+# the streaming CMS shares the batch sketch's oracle verbatim: counts are
+# order-insensitive, so micro-batch boundaries cannot change the grid
+from . import datapipe as _dp  # noqa: E402
+
+ORACLES["streaming_heavy_hitters"] = _dp.ORACLES["text_heavy_hitters_cms"]

@@ -69,6 +69,7 @@ _DEFER: list[str] = [
     "text_unigram_logprob",   # unigram-LM quality score; family of text_quality_score
     "events_snapshot_diff",   # keyed full-outer reconcile; join family of customers_no_open_orders_anti
     "text_heavy_hitters_cms",  # count-min sketch; sketch family of approx_distinct_users
+    "streaming_heavy_hitters",  # CMS as live streaming agg; gate streaming sibling streaming_ohlc_1m
 ]
 
 
