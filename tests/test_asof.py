@@ -292,3 +292,40 @@ def test_bucketed_asof_bounds_skew(spark):
         ).collect()
     }
     assert bucketed == plain
+
+
+def test_asof_nearest_semantics(spark):
+    """Nearest picks the closer side, ties go backward, one-sided matches
+    fall through, lag is signed (positive = matched earlier)."""
+    from trading_etl_spark.operators.asof import asof_join_nearest_bucketed
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 1.0),
+            ("A", _ts("2024-01-01 10:00:10"), 2.0),
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:04"), "closer-back"),   # 4s back vs 6s fwd
+            ("A", _ts("2024-01-01 10:00:07"), "closer-fwd"),    # 7s back vs 3s fwd
+            ("A", _ts("2024-01-01 10:00:05"), "tie-backward"),  # 5s vs 5s → back
+            ("A", _ts("2024-01-01 09:00:00"), "only-fwd"),      # before all
+            ("A", _ts("2024-01-01 11:00:00"), "only-back"),     # after all
+            ("B", _ts("2024-01-01 10:00:05"), "no-match"),
+        ],
+        "k string, time timestamp, tag string",
+    )
+    out = {
+        r["tag"]: (r["bid"], r["asof_lag_seconds"])
+        for r in asof_join_nearest_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"]
+        ).collect()
+    }
+    assert out["closer-back"] == (1.0, 4)
+    assert out["closer-fwd"] == (2.0, -3)
+    assert out["tie-backward"] == (1.0, 5)
+    assert out["only-fwd"] == (1.0, -3600)
+    assert out["only-back"] == (2.0, 3590)
+    assert out["no-match"] == (None, None)

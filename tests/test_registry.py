@@ -57,6 +57,7 @@ SIBLING = {
     "events_snapshot_diff": "customers_no_open_orders_anti",
     "text_heavy_hitters_cms": "approx_distinct_users",
     "streaming_heavy_hitters": "streaming_ohlc_1m",
+    "event_asof_nearest_tick": "event_asof_tick",
 }
 
 

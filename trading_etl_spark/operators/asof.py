@@ -173,6 +173,66 @@ def asof_join_backward_bucketed(
     )
 
 
+def asof_join_nearest_bucketed(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """NEAREST as-of: each probe row takes the build row minimizing
+    ``|build.on − probe.on|`` (ties → the at-or-before row) — sensor
+    alignment / "closest quote to the event" semantics, the third member
+    of the as-of family (backward = price when it fired, forward = fill
+    you could get, nearest = best timestamp alignment).
+
+    Composition of the two bucketed passes with the matched build TIME
+    carried alongside the values, then a map-side chooser — 2× the cost
+    of one direction, the same scale properties (heavy windows on
+    (keys…, time-bucket), carry relations candle-sized). Output adds
+    ``asof_lag_seconds``: signed probe−match distance (positive = matched
+    earlier, negative = matched later, NULL = no match either side).
+    """
+    collisions = set(value_cols) & set(probe.columns)
+    if collisions:
+        raise ValueError(f"value_cols collide with probe columns: {collisions}")
+
+    probe_cols = probe.columns
+    base = build.select(*by, on, *value_cols)
+    build_b = base.select(
+        *by,
+        on,
+        *[F.col(v).alias(f"_b_{v}") for v in value_cols],
+        F.col(on).alias("_b_t"),
+    )
+    build_f = base.select(
+        *by,
+        on,
+        *[F.col(v).alias(f"_f_{v}") for v in value_cols],
+        F.col(on).alias("_f_t"),
+    )
+    step = asof_join_backward_bucketed(
+        probe, build_b, on, by,
+        [f"_b_{v}" for v in value_cols] + ["_b_t"], bucket_seconds,
+    )
+    step = asof_join_forward_bucketed(
+        step, build_f, on, by,
+        [f"_f_{v}" for v in value_cols] + ["_f_t"], bucket_seconds,
+    )
+    eb = F.unix_timestamp(F.col(on)) - F.unix_timestamp("_b_t")
+    ef = F.unix_timestamp("_f_t") - F.unix_timestamp(F.col(on))
+    pick_b = F.col("_f_t").isNull() | (F.col("_b_t").isNotNull() & (eb <= ef))
+    return step.select(
+        *probe_cols,
+        *[
+            F.when(pick_b, F.col(f"_b_{v}")).otherwise(F.col(f"_f_{v}")).alias(v)
+            for v in value_cols
+        ],
+        F.when(pick_b, eb).otherwise(-ef).cast("long").alias("asof_lag_seconds"),
+    )
+
+
 def asof_join_forward_bucketed(
     probe: DataFrame,
     build: DataFrame,

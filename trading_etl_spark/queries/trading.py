@@ -532,6 +532,36 @@ def q_event_asof_next_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_asof_nearest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each signal event matched to the tick closest in
+    time on either side (ties → the earlier tick) with the signed lag —
+    the timestamp-alignment member of the as-of family. Composition of the
+    backward and forward bucketed passes (operators/asof.py)."""
+    from ..operators.asof import asof_join_nearest_bucketed
+
+    events = (
+        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        .select("event_datetime", "currency_pair_code", "event_type", "price")
+        .withColumn("time", F.col("event_datetime"))
+    )
+    quotes = _ticks(spark, sf_dir).select("currency_pair_code", "time", "bid")
+    out = asof_join_nearest_bucketed(
+        events,
+        quotes.select("currency_pair_code", "time", F.col("bid").alias("near_bid")),
+        on="time",
+        by=["currency_pair_code"],
+        value_cols=["near_bid"],
+    )
+    return out.select(
+        "event_datetime",
+        "currency_pair_code",
+        "event_type",
+        "price",
+        "near_bid",
+        "asof_lag_seconds",
+    )
+
+
 QUERIES = {
     "ticks_parse_validate": q_ticks_parse_validate,
     "ticks_dedup_second": q_ticks_dedup,
@@ -561,6 +591,7 @@ QUERIES = {
     "backtest_equity_curve": q_equity_curve,
     "event_asof_tick": q_event_asof_tick,
     "event_asof_next_tick": q_event_asof_next_tick,
+    "event_asof_nearest_tick": q_event_asof_nearest_tick,
 }
 
 
@@ -957,6 +988,32 @@ FROM sig_events e
 ASOF LEFT JOIN ticks t
   ON e.currency_pair_code = t.currency_pair_code
  AND t.time >= e.event_datetime""",
+    # nearest = chained backward+forward ASOF, integer-second chooser,
+    # ties to the earlier tick — same CASE the Spark chooser evaluates
+    "event_asof_nearest_tick": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})
+SELECT e.event_datetime, e.currency_pair_code, e.event_type, e.price,
+       CASE WHEN tf.time IS NULL THEN tb.bid
+            WHEN tb.time IS NULL THEN tf.bid
+            WHEN epoch(e.event_datetime)::BIGINT - epoch(tb.time)::BIGINT
+                 <= epoch(tf.time)::BIGINT - epoch(e.event_datetime)::BIGINT
+                 THEN tb.bid ELSE tf.bid END AS near_bid,
+       CASE WHEN tf.time IS NULL AND tb.time IS NULL THEN NULL
+            WHEN tf.time IS NULL THEN epoch(e.event_datetime)::BIGINT - epoch(tb.time)::BIGINT
+            WHEN tb.time IS NULL THEN epoch(e.event_datetime)::BIGINT - epoch(tf.time)::BIGINT
+            WHEN epoch(e.event_datetime)::BIGINT - epoch(tb.time)::BIGINT
+                 <= epoch(tf.time)::BIGINT - epoch(e.event_datetime)::BIGINT
+                 THEN epoch(e.event_datetime)::BIGINT - epoch(tb.time)::BIGINT
+            ELSE epoch(e.event_datetime)::BIGINT - epoch(tf.time)::BIGINT
+            END AS asof_lag_seconds
+FROM sig_events e
+ASOF LEFT JOIN ticks tb
+  ON e.currency_pair_code = tb.currency_pair_code
+ AND tb.time <= e.event_datetime
+ASOF LEFT JOIN ticks tf
+  ON e.currency_pair_code = tf.currency_pair_code
+ AND tf.time >= e.event_datetime""",
     "event_reaction_window": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})

@@ -70,6 +70,7 @@ _DEFER: list[str] = [
     "events_snapshot_diff",   # keyed full-outer reconcile; join family of customers_no_open_orders_anti
     "text_heavy_hitters_cms",  # count-min sketch; sketch family of approx_distinct_users
     "streaming_heavy_hitters",  # CMS as live streaming agg; gate streaming sibling streaming_ohlc_1m
+    "event_asof_nearest_tick",  # nearest as-of; family of in-window event_asof_tick/next_tick
 ]
 
 
