@@ -101,3 +101,39 @@ def test_funnel_windows_share_one_user_shuffle(spark):
     plan = _physical(q_user_funnel(spark, sf_dir))
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"funnel has {n} hash exchanges:\n{plan}"
+
+
+def test_domain_mix_all_jvm_and_broadcast_rates(spark):
+    """The corpus never shuffles for domain mixing: the only hash exchange
+    is the tiny per-source agg; the rates come back via broadcast; no
+    Python stage anywhere."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "w " * 5) for i in range(30)],
+        "doc_id long, source string, text string",
+    ).withColumn("weight", F.lit(1.0))
+    plan = _physical(tx.domain_mix_sample(docs))
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the per-source agg subtree appears twice statically (budget branch +
+    # rates branch) — both exchanges carry |sources| rows, never the corpus;
+    # the corpus reaches the output through the broadcast join only
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_cms_sketch_two_exchanges_no_python(spark):
+    """CMS must build all depth hash rows in ONE scan (posexplode of the
+    cell array, not a d-way union) — ≤2 hash exchanges (sketch agg +
+    vocab distinct/estimate), broadcast probe, no Python stage."""
+    from trading_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d")], "doc_id long, text string"
+    )
+    plan = _physical(tx.cms_heavy_hitters(docs, depth=4, width=8, threshold=1))
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -180,3 +180,54 @@ def test_pack_sequences_matches_bruteforce(spark, counts, budget):
         assert got[i] == (acc // budget, acc, n), (i, got[i], acc)
         acc += n
     assert len(got) == len(counts)
+
+
+def test_asof_nearest_matches_naive_on_random_series(spark_prop):
+    """Bucketed nearest as-of must equal the obvious per-probe min-|Δt|
+    scan (ties → earlier tick) on random series across bucket edges."""
+    import random
+    from datetime import datetime
+
+    from trading_etl_spark.operators.asof import asof_join_nearest_bucketed
+
+    rng = random.Random(11)
+
+    def t(h, m, s):
+        return datetime(2024, 1, 1, h, m, s)
+
+    quotes = [
+        ("K", t(rng.randrange(24), rng.randrange(60), rng.randrange(60)), float(i))
+        for i in range(60)
+    ]
+    probes = [
+        ("K", t(rng.randrange(24), rng.randrange(60), rng.randrange(60)), f"p{i}")
+        for i in range(40)
+    ]
+    qdf = spark_prop.createDataFrame(quotes, "k string, time timestamp, bid double")
+    pdf = spark_prop.createDataFrame(probes, "k string, time timestamp, tag string")
+    got = {
+        r["tag"]: (r["bid"], r["asof_lag_seconds"])
+        for r in asof_join_nearest_bucketed(
+            pdf, qdf, on="time", by=["k"], value_cols=["bid"], bucket_seconds=3600
+        ).collect()
+    }
+    for _k, pt, tag in probes:
+        best = None
+        for _qk, qt, bid in quotes:
+            d = abs((qt - pt).total_seconds())
+            back = qt <= pt
+            # order: smaller distance wins; tie → backward side; then the
+            # deterministic per-side pick is the nearest time (unique times
+            # not guaranteed — accept any bid at the winning time/side)
+            key = (d, 0 if back else 1)
+            if best is None or key < best[0]:
+                best = (key, qt, back, {bid})
+            elif key == best[0]:
+                best[3].add(bid)
+        if best is None:
+            assert got[tag] == (None, None)
+        else:
+            (d, _), qt, back, bids = best
+            want_lag = int((pt - qt).total_seconds())
+            assert got[tag][1] == want_lag, (tag, got[tag], want_lag)
+            assert got[tag][0] in bids, (tag, got[tag], bids)
