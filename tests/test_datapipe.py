@@ -766,3 +766,22 @@ def test_cms_heavy_hitters_no_false_negatives(spark):
             assert tok in out and out[tok] >= c, (tok, c, out)
     for tok, est in out.items():
         assert est >= true[tok]  # only overestimates, never under
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ codes: one m-tuple per vector, every sub-code in [0, k), and the
+    deterministic training yields the identical coding on a re-run."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = {r["vec_id"]: r["pq_code"] for r in sim.pq_codes(emb, m=4, k=4, iters=2, dim=16).collect()}
+    assert len(out) == 60
+    for code in out.values():
+        parts = [int(x) for x in code.split(",")]
+        assert len(parts) == 4 and all(0 <= p < 4 for p in parts)
+    # multiple distinct codes (the quantizer actually separates vectors)
+    assert len(set(out.values())) > 1
+    again = {r["vec_id"]: r["pq_code"] for r in sim.pq_codes(emb, m=4, k=4, iters=2, dim=16).collect()}
+    assert again == out

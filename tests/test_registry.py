@@ -58,6 +58,7 @@ SIBLING = {
     "text_heavy_hitters_cms": "approx_distinct_users",
     "streaming_heavy_hitters": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick",
+    "embedding_pq_codes": "embedding_knn_ivf_kmeans",
 }
 
 

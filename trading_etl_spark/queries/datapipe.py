@@ -308,6 +308,12 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.quantize_int8(_emb(spark, sf_dir)), "n_saturated")
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (4 subspaces × 8 centroids, deterministic
+    per-subspace Lloyd) — the compressed ANN sidecar beyond int8."""
+    return sim.pq_codes(_emb(spark, sf_dir))
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
     budget bounded by the scarcest source, deterministic md5 keep draws."""
@@ -390,6 +396,7 @@ QUERIES = {
     "corpus_domain_mix": q_domain_mix,
     "text_unigram_logprob": q_unigram_logprob,
     "text_heavy_hitters_cms": q_cms_heavy_hitters,
+    "embedding_pq_codes": q_pq_codes,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -1093,3 +1100,65 @@ GROUP BY p.tok
 HAVING min(s.n) >= 500
 """
 )
+
+
+def _pq_oracle_sql(
+    m: int = sim.PQ_M,
+    k: int = sim.PQ_K,
+    iters: int = sim.PQ_ITERS,
+    dim: int = sim.EMB_DIM,
+) -> str:
+    """Unrolled per-subspace Lloyd for product quantization — the kmeans
+    oracle pattern applied to each of the m vector slices (shared
+    md5-ranked seed rows, 6dp cosine assignments, 6dp mean updates), then
+    the m final code columns concatenated. Pure generated SQL: DuckDB
+    replays all m training trajectories and must match every code."""
+    dsub = dim // m
+    parts = [sim.EMB_SQL]
+    finals = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"sub{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM emb)")
+        parts.append(
+            f"""
+s{s}cent0 AS (
+  SELECT cell, sv AS cv FROM (
+    SELECT vec_id, sv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+    FROM sub{s}
+  ) WHERE cell < {k}
+)""".strip()
+        )
+        def _assign(name: str, cent: str, with_sv: bool) -> str:
+            keep = "vec_id, sv, cell" if with_sv else "vec_id, cell"
+            return f"""
+{name} AS (
+  SELECT {keep} FROM (
+    SELECT e.vec_id, e.sv, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.sv, c.cv), 6) DESC,
+                                       c.cell) AS rn
+    FROM sub{s} e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)""".strip()
+
+        for i in range(1, iters + 1):
+            parts.append(_assign(f"s{s}a{i}", f"s{s}cent{i - 1}", True))
+            parts.append(
+                f"""
+s{s}cent{i} AS (
+  SELECT cell, array_agg(av ORDER BY pos) AS cv FROM (
+    SELECT cell, gi AS pos, round(avg(sv[gi]), 6) AS av
+    FROM s{s}a{i}, unnest(generate_series(1, len(sv))) AS g(gi)
+    GROUP BY 1, 2
+  ) GROUP BY cell
+)""".strip()
+            )
+        parts.append(_assign(f"s{s}f", f"s{s}cent{iters}", False))
+        finals.append(f"s{s}f")
+    joins = finals[0] + " " + " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    code = "concat_ws(',', " + ", ".join(f"{f}.cell" for f in finals) + ")"
+    return _with(*parts) + f"\nSELECT vec_id, {code} AS pq_code FROM {joins}"
+
+
+ORACLES["embedding_pq_codes"] = _pq_oracle_sql()

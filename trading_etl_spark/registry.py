@@ -71,6 +71,7 @@ _DEFER: list[str] = [
     "text_heavy_hitters_cms",  # count-min sketch; sketch family of approx_distinct_users
     "streaming_heavy_hitters",  # CMS as live streaming agg; gate streaming sibling streaming_ohlc_1m
     "event_asof_nearest_tick",  # nearest as-of; family of in-window event_asof_tick/next_tick
+    "embedding_pq_codes",     # product quantization; embedding family of embedding_knn_ivf_kmeans
 ]
 
 
