@@ -785,3 +785,30 @@ def test_pq_codes_shape_and_determinism(spark):
     assert len(set(out.values())) > 1
     again = {r["vec_id"]: r["pq_code"] for r in sim.pq_codes(emb, m=4, k=4, iters=2, dim=16).collect()}
     assert again == out
+
+
+def test_pq_adc_ranks_reconstruction_cosine(spark):
+    """ADC's table-lookup score must equal cosine(query, code
+    reconstruction) computed directly from the trained codebooks."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = sim.knn_pq_adc(emb, k=2, n_queries=3, m=4, n_cells=4, iters=2, dim=16)
+    got = {(r["query_id"], r["neighbor_id"]): r["adc_sim"] for r in out.collect()}
+    assert got and all(-1.000001 <= v <= 1.000001 for v in got.values())
+    # recompute one score by hand from the model
+    codes, books = sim.pq_model(emb, m=4, k=4, iters=2, dim=16)
+    code_map = {
+        r["vec_id"]: [r[f"_c{s}"] for s in range(4)] for r in codes.collect()
+    }
+    vecs = dict(rows)
+    (qid, nid), sim_got = next(iter(got.items()))
+    recon = [x for s in range(4) for x in dict(books[s])[code_map[nid][s]]]
+    q = vecs[qid]
+    want = sum(a * b for a, b in zip(q, recon)) / (
+        math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in recon))
+    )
+    assert abs(sim_got - want) < 1e-5, (sim_got, want)

@@ -59,6 +59,7 @@ SIBLING = {
     "streaming_heavy_hitters": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick",
     "embedding_pq_codes": "embedding_knn_ivf_kmeans",
+    "embedding_knn_pq_adc": "embedding_knn_ivf_kmeans",
 }
 
 

@@ -376,6 +376,25 @@ def pq_codes(
     100 TB the codebooks train on a sample while only the final coding
     pass reads everything.
     """
+    codes, _books = pq_model(emb, m, k, iters, dim)
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"_c{s}").cast("string") for s in range(m)]
+        ).alias("pq_code"),
+    )
+
+
+def pq_model(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> tuple[DataFrame, list[list[tuple[int, list[float]]]]]:
+    """Train the PQ codebooks and code the corpus: returns
+    ``(codes, books)`` where codes = (vec_id, emb, _c0.._c{m-1}) and
+    books[s] = that subspace's trained (cell, centroid) rows."""
     dsub = dim // m
     seeds = (
         emb.select(
@@ -386,7 +405,7 @@ def pq_codes(
         .collect()
     )
     out = emb.select("vec_id", "emb")
-    code_cols = []
+    books = []
     for s in range(m):
         sv = F.slice("emb", s * dsub + 1, dsub)
         sub = emb.select(sv.alias("sv"))
@@ -395,14 +414,95 @@ def pq_codes(
             for i, r in enumerate(seeds)
         ]
         cent_rows = _lloyd_rows(sub, "sv", cent_rows, iters)
-        nearest = _nearest_cell_udf(cent_rows)
-        out = out.withColumn(f"_c{s}", nearest(sv))
-        code_cols.append(f"_c{s}")
-    return out.select(
-        "vec_id",
-        F.concat_ws(",", *[F.col(c).cast("string") for c in code_cols]).alias(
-            "pq_code"
-        ),
+        out = out.withColumn(f"_c{s}", _nearest_cell_udf(cent_rows)(sv))
+        books.append(sorted(cent_rows))
+    return out, books
+
+
+def knn_pq_adc(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    m: int = PQ_M,
+    n_cells: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """ANN search over PQ codes with Asymmetric Distance Computation (the
+    ADC of Jégou et al.): each query precomputes a tiny m×k table of
+    (subspace-dot, centroid-norm²) against the codebooks, and a
+    candidate's score needs only m TABLE LOOKUPS on its code — the
+    64-float dot product never happens at scan time. The ranked quantity
+    is cosine(query, reconstruction(code)), assembled as
+    (Σ_s dot_s) / (|q|·sqrt(Σ_s |c_s|²)) with a FIXED left-to-right
+    summation over subspaces (one join per subspace, then an explicit
+    d0+d1+…+d{m-1} expression) so Spark and the SQL oracle group the
+    floating-point additions identically.
+
+    Scale shape: the ADC tables are n_queries×m×k rows — broadcast; the
+    corpus side touches only its integer code columns through m
+    broadcast-hash joins and never shuffles until the final per-query
+    top-k. This is the production read path PQ exists for; recall is
+    bounded by code resolution (m·log2(k) bits), with the exact kNN as
+    the labeled verification baseline.
+    """
+    dsub = dim // m
+    codes, books = pq_model(emb, m, n_cells, iters, dim)
+    spark = emb.sparkSession
+    books_df = spark.createDataFrame(
+        [(s, cell, cv) for s, rows in enumerate(books) for cell, cv in rows],
+        "s int, cell int, cv array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    q_slices = None
+    for s in range(m):
+        part = q.select(
+            "query_id",
+            F.lit(s).alias("s"),
+            F.slice("emb", s * dsub + 1, dsub).alias("qs"),
+        )
+        q_slices = part if q_slices is None else q_slices.unionAll(part)
+    adc = q_slices.join(books_df, "s").select(
+        "query_id",
+        "s",
+        "cell",
+        _dot("qs", "cv").alias("dotc"),
+        _dot("cv", "cv").alias("cn2"),
+    )
+    qn = q.select("query_id", F.sqrt(_dot("emb", "emb")).alias("qnorm"))
+
+    scored = codes.select(
+        F.col("vec_id").alias("neighbor_id"), *[f"_c{s}" for s in range(m)]
+    )
+    # one broadcast join per subspace keyed (query_id after the first, cell)
+    adc0 = adc.filter(F.col("s") == 0).select(
+        "query_id", F.col("cell").alias("_c0"),
+        F.col("dotc").alias("d0"), F.col("cn2").alias("n0"),
+    )
+    scored = scored.join(F.broadcast(adc0), ["_c0"])
+    for s in range(1, m):
+        part = adc.filter(F.col("s") == s).select(
+            "query_id", F.col("cell").alias(f"_c{s}"),
+            F.col("dotc").alias(f"d{s}"), F.col("cn2").alias(f"n{s}"),
+        )
+        scored = scored.join(F.broadcast(part), ["query_id", f"_c{s}"])
+    sdot = F.col("d0")
+    sn2 = F.col("n0")
+    for s in range(1, m):
+        sdot = sdot + F.col(f"d{s}")
+        sn2 = sn2 + F.col(f"n{s}")
+    scored = (
+        scored.join(F.broadcast(qn), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_sim", F.round(sdot / (F.col("qnorm") * F.sqrt(sn2)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
     )
 
 

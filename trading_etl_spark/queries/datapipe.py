@@ -314,6 +314,12 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_codes(_emb(spark, sf_dir))
 
 
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over PQ codes via asymmetric distance computation: per-query
+    m×k lookup tables, candidates scored by code cells only."""
+    return _as_long(sim.knn_pq_adc(_emb(spark, sf_dir)), "rank")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
     budget bounded by the scarcest source, deterministic md5 keep draws."""
@@ -397,6 +403,7 @@ QUERIES = {
     "text_unigram_logprob": q_unigram_logprob,
     "text_heavy_hitters_cms": q_cms_heavy_hitters,
     "embedding_pq_codes": q_pq_codes,
+    "embedding_knn_pq_adc": q_knn_pq_adc,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -1158,7 +1165,69 @@ s{s}cent{i} AS (
         finals.append(f"s{s}f")
     joins = finals[0] + " " + " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
     code = "concat_ws(',', " + ", ".join(f"{f}.cell" for f in finals) + ")"
-    return _with(*parts) + f"\nSELECT vec_id, {code} AS pq_code FROM {joins}"
+    return _with(*parts) + f"\nSELECT vec_id, {code} AS pq_code FROM {joins}", parts, finals
 
 
-ORACLES["embedding_pq_codes"] = _pq_oracle_sql()
+def _pq_codes_oracle_sql() -> str:
+    return _pq_oracle_sql()[0]
+
+
+def _pq_adc_oracle_sql(
+    m: int = sim.PQ_M,
+    k: int = sim.PQ_K,
+    iters: int = sim.PQ_ITERS,
+    dim: int = sim.EMB_DIM,
+    top_k: int = 3,
+    n_queries: int = sim.N_QUERIES,
+) -> str:
+    """ADC kNN over the PQ codes: per-query per-subspace dot/norm² tables
+    against the trained codebooks, joined onto each candidate's code cells,
+    summed in the SAME fixed d0+d1+… order as the Spark expression."""
+    dsub = dim // m
+    _, parts, finals = _pq_oracle_sql(m, k, iters, dim)
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"""
+adc{s} AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         list_inner_product(q.v[{lo}:{hi}], c.cv) AS d{s},
+         list_inner_product(c.cv, c.cv) AS n{s}
+  FROM emb q CROSS JOIN s{s}cent{iters} c
+  WHERE q.vec_id < {n_queries}
+)""".strip()
+        )
+    code_joins = " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    code_cols = ", ".join(f"{f}.cell AS c{i}" for i, f in enumerate(finals))
+    adc_joins = " ".join(
+        f"JOIN adc{s} ON adc{s}.query_id = adc0.query_id AND adc{s}.cell = cv.c{s}"
+        for s in range(1, m)
+    )
+    sdot = " + ".join(f"d{s}" for s in range(m))
+    sn2 = " + ".join(f"n{s}" for s in range(m))
+    parts.append(
+        f"""
+scored AS (
+  SELECT adc0.query_id, cv.vec_id AS neighbor_id,
+         round(({sdot}) / (sqrt(list_inner_product(q.v, q.v)) * sqrt({sn2})), 6)
+           AS adc_sim
+  FROM (SELECT {finals[0]}.vec_id, {code_cols}
+        FROM {finals[0]} {code_joins}) cv
+  JOIN adc0 ON adc0.cell = cv.c0
+  {adc_joins}
+  JOIN emb q ON q.vec_id = adc0.query_id
+  WHERE cv.vec_id != adc0.query_id
+)""".strip()
+    )
+    rank_sql = f"""
+SELECT query_id, neighbor_id, rank, adc_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {top_k}
+""".strip()
+    return _with(*parts) + "\n" + rank_sql
+
+
+ORACLES["embedding_pq_codes"] = _pq_codes_oracle_sql()
+ORACLES["embedding_knn_pq_adc"] = _pq_adc_oracle_sql()

@@ -72,6 +72,7 @@ _DEFER: list[str] = [
     "streaming_heavy_hitters",  # CMS as live streaming agg; gate streaming sibling streaming_ohlc_1m
     "event_asof_nearest_tick",  # nearest as-of; family of in-window event_asof_tick/next_tick
     "embedding_pq_codes",     # product quantization; embedding family of embedding_knn_ivf_kmeans
+    "embedding_knn_pq_adc",   # ADC search over PQ codes; same family
 ]
 
 
