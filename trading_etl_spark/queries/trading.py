@@ -38,12 +38,31 @@ LOOKBACK = "2024-01-14 20:00:00"  # W2 recompute-window start (cursor − lookba
 # the cache is small relative to the input.
 _CHAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
+# Bound for every materialized-relation cache below (VERDICT r4 Wrong #5:
+# unbounded process-lifetime caches are a footgun for a long-lived embedding
+# session). FIFO eviction: dicts preserve insertion order, the oldest entry
+# is unpersisted and dropped once a cache would exceed the cap — evicting a
+# relation a consumer still holds is safe (Spark just recomputes it).
+_CACHE_MAX_ENTRIES = 8
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    while len(cache) >= _CACHE_MAX_ENTRIES:
+        old = cache.pop(next(iter(cache)))
+        for df in old if isinstance(old, tuple) else (old,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+    cache[key] = value
+
 
 def clear_candle_caches(spark: SparkSession | None = None) -> int:
     """Unpersist and drop every cached candle relation (optionally only the
-    given session's). The caches are keyed per (applicationId, sf_dir) and
-    otherwise live for the process — fine for the one-shot gate/bench, a
-    leak in a long-lived session. Returns the number of entries evicted."""
+    given session's). The caches are keyed per (applicationId, sf_dir),
+    FIFO-bounded at ``_CACHE_MAX_ENTRIES`` (so a long-lived session can't
+    accumulate unboundedly), and this clears them eagerly. Returns the
+    number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     evicted = 0
     for cache in (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE):
@@ -73,7 +92,7 @@ def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
             ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
         )
         pair = (base.cache(), derived.cache())
-        _CHAIN_CACHE[key] = pair
+        _cache_put(_CHAIN_CACHE, key, pair)
     return pair
 
 
@@ -103,7 +122,7 @@ def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _TICKS_CACHE.get(key)
     if df is None:
         df = ticks.load_ticks(spark, sf_dir).cache()
-        _TICKS_CACHE[key] = df
+        _cache_put(_TICKS_CACHE, key, df)
     return df
 
 
@@ -113,7 +132,7 @@ def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         tf_1h = dims.dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
         df = ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), tf_1h).cache()
-        _CANDLE_CACHE[key] = df
+        _cache_put(_CANDLE_CACHE, key, df)
     return df
 
 
@@ -140,7 +159,7 @@ def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFr
     for part in parts[1:]:
         df = df.unionByName(part)
     df = df.cache()
-    _SMA_CACHE[key] = df
+    _cache_put(_SMA_CACHE, key, df)
     return df
 
 
