@@ -60,6 +60,7 @@ SIBLING = {
     "event_asof_nearest_tick": "event_asof_tick",
     "embedding_pq_codes": "embedding_knn_ivf_kmeans",
     "embedding_knn_pq_adc": "embedding_knn_ivf_kmeans",
+    "local_supplier_volume": "star_join_revenue",
 }
 
 

@@ -69,6 +69,43 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-relation join: revenue per nation for one region's
+    one-year orders where the SUPPLIER and the CUSTOMER share a nation
+    (local fulfillment). The join-reordering showcase: the only shuffle is
+    lineitem ⨝ orders on orderkey; supplier/customer/nation/region all
+    broadcast, the date range pushes into the orders scan, the region
+    filter prunes before broadcast, and the same-nation constraint rides
+    the customer join as an equi-condition instead of a post-join filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(revenue), 6).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join + top-k: the 10 customers with highest open-order value
     (exercises the anti/semi family the reference gets from ON CONFLICT)."""
@@ -438,6 +475,7 @@ QUERIES = {
     "event_props_json_agg": q_event_props_json,
     "daily_active_users": q_daily_active_users,
     "star_join_revenue": q_star_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
     "top_customers_by_open_value": q_top_customers,
     "returned_order_priority_semi": q_late_order_priority,
     "customers_no_open_orders_anti": q_customers_no_open_orders,
@@ -446,6 +484,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "local_supplier_volume": """
+SELECT n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+GROUP BY 1
+""".strip(),
     # full-outer keyed diff; IS NOT DISTINCT FROM = Spark's eqNullSafe
     "events_snapshot_diff": """
 WITH old AS (

@@ -73,6 +73,7 @@ _DEFER: list[str] = [
     "event_asof_nearest_tick",  # nearest as-of; family of in-window event_asof_tick/next_tick
     "embedding_pq_codes",     # product quantization; embedding family of embedding_knn_ivf_kmeans
     "embedding_knn_pq_adc",   # ADC search over PQ codes; same family
+    "local_supplier_volume",  # TPC-H-Q5 6-relation join; J3 family of star_join_revenue
 ]
 
 
