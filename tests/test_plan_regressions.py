@@ -124,6 +124,65 @@ def test_domain_mix_all_jvm_and_broadcast_rates(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_q5_customer_not_force_broadcast(spark):
+    """local_supplier_volume must not HINT customer to broadcast: customer
+    scales linearly with the corpus, so a forced broadcast OOMs the driver
+    at 100× (VERDICT r5 #2). Behavioral pin: with the auto-broadcast
+    threshold disabled, a *hinted* side would still broadcast (hints
+    override the threshold) — so exactly the 3 hinted dims
+    (supplier/nation/region) may BroadcastHashJoin and the customer join
+    must fall back to a shuffled join."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.analytics import q_local_supplier_volume
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _physical(q_local_supplier_volume(spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj == 3, f"expected only the 3 hinted dims to broadcast, got {n_bhj}:\n{plan}"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_unigram_logprob_joins_per_doc_distinct_relation(spark):
+    """The Zipf-skew guard (VERDICT r5 #4): the token-keyed vocab join's
+    probe side must be the (doc_id, tok, cnt) pre-aggregate, never the raw
+    exploded one-row-per-occurrence relation — i.e. a hash aggregate keyed
+    on (doc_id, tok) must sit BELOW the join in the plan."""
+    from trading_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the cat"), (2, "the dog")], "doc_id long, text string"
+    )
+    df = tx.unigram_logprob(docs)
+    plan = _physical(df)
+    join_at = min(
+        [i for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if (i := plan.find(j)) >= 0],
+        default=-1,
+    )
+    assert join_at >= 0, plan
+    below = plan[join_at:]
+    assert "doc_id" in below and "HashAggregate" in below, plan
+    # the composite pre-agg keys both doc_id and tok below the join
+    import re
+
+    assert re.search(r"HashAggregate\(keys=\[doc_id[^\]]*tok", below), plan
+
+
 def test_cms_sketch_two_exchanges_no_python(spark):
     """CMS must build all depth hash rows in ONE scan (posexplode of the
     cell array, not a d-way union) — ≤2 hash exchanges (sketch agg +

@@ -62,21 +62,55 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+# Filesystem schemes whose ``create(path, overwrite=false)`` is a
+# HEAD-then-PUT (or equivalent) and therefore NOT an atomic
+# exactly-one-winner primitive. HDFS (namenode-serialized) and file:/
+# (ChecksumFileSystem O_EXCL) are atomic; object stores are not. abfs(s)
+# with the hierarchical-namespace gen2 endpoint IS atomic, but the client
+# can't tell HNS from flat from the URI alone, so it's listed — opt out
+# explicitly if your account is HNS.
+NON_ATOMIC_CREATE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift"}
+)
+
+
+def path_scheme(path: str) -> str:
+    """URI scheme of ``path`` ('' for scheme-less local paths)."""
+    head, sep, _ = path.partition("://")
+    return head.lower() if sep else ""
+
+
+def has_atomic_create(path: str) -> bool:
+    """Whether ``create(overwrite=false)`` on this path is exactly-one-wins."""
+    return path_scheme(path) not in NON_ATOMIC_CREATE_SCHEMES
+
+
 def try_acquire_marker(spark: SparkSession, path: str) -> bool:
-    """Atomically create an empty marker file; ``False`` if one exists.
+    """Atomically create an empty marker file; ``False`` iff one exists.
 
     The primitive behind the W1 single-writer lock (io.writer_lock):
     ``FileSystem.create(path, overwrite=false)`` is atomic on HDFS (the
     namenode serializes creates) and rejected-on-existing through the
     local ``ChecksumFileSystem`` — exactly-one of N concurrent callers
-    wins. On S3A a create is HEAD-then-PUT and NOT atomic; single-writer
-    coordination on an object store needs an external lock service or an
-    ACID table format (Delta/Iceberg) instead — same caveat as the
-    compaction swap (plans/maintenance.py).
+    wins. On S3A a create is HEAD-then-PUT and NOT atomic; callers that
+    need the exactly-one guarantee must check :func:`has_atomic_create`
+    first (io.writer_lock hard-fails on object-store schemes) — same
+    caveat as the compaction swap (plans/maintenance.py).
+
+    Only the already-exists rejection maps to ``False``; any other failure
+    (transient IO, permissions) propagates so a real error is never
+    reported as "lock held" (ADVICE r5).
     """
     fs, hpath = _fs_and_path(spark, path)
     try:
         fs.create(hpath, False).close()
         return True
-    except Exception:
-        return False
+    except Exception as e:  # Py4JJavaError wrapping the JVM exception
+        java_exc = getattr(e, "java_exception", None)
+        name = java_exc.getClass().getName() if java_exc is not None else type(e).__name__
+        msg = str(e)
+        # Hadoop ≥2.x local/HDFS raise o.a.h.fs.FileAlreadyExistsException;
+        # some FS impls raise plain IOException("... already exists").
+        if "FileAlreadyExistsException" in name or "already exists" in msg.lower():
+            return False
+        raise

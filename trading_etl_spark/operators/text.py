@@ -186,8 +186,12 @@ def domain_mix_sample(docs: DataFrame, weight_col: str = "weight") -> DataFrame:
         F.col(weight_col).alias("w"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    # min, not first: identical under the constant-weight-per-source
+    # contract, deterministic (and oracle-matching) outside it — first()
+    # is partition-order-dependent and would silently diverge from the
+    # DuckDB twin's min(w) on a violated contract (ADVICE r5)
     per_src = d.groupBy("source").agg(
-        F.first("w").alias("w"), F.sum("n_tokens").alias("avail")
+        F.min("w").alias("w"), F.sum("n_tokens").alias("avail")
     )
     budget = per_src.agg(F.min(F.col("avail") / F.col("w")).alias("budget"))
     rates = per_src.crossJoin(F.broadcast(budget)).select(
@@ -287,23 +291,33 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     Scale shape: two shuffles — the vocabulary count (keyed on token,
     map-side partial combine bounds the exchange by |vocab|, not corpus
     tokens) and the per-doc mean (keyed on doc_id). The (N, V) totals are
-    a 1-row relation broadcast into the scoring join; the vocab relation
-    itself joins back to the exploded tokens — broadcastable when |vocab|
-    is small, AQE picks shuffle-hash otherwise.
+    a 1-row relation broadcast into the scoring join. The vocab join's
+    LEFT side is NOT the fully-exploded token relation: token frequency is
+    Zipfian, so shuffling one row per token occurrence keys the exchange
+    on exactly the stopword hot spots (VERDICT r5 What's-wrong #3).
+    Instead the exploded tokens pre-aggregate to per-doc distinct
+    (doc_id, tok, cnt) — a partial-combinable groupBy keyed on the
+    composite (doc_id, tok), which no single token value can skew — and
+    the mean becomes the cnt-weighted average. The vocab side is
+    broadcastable when small; AQE picks shuffle-hash (with skew-join
+    splitting) otherwise.
     """
     ex = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
-    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    doc_tok = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c"))
     tot = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
     lp = F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
     return (
-        ex.join(vocab, "tok")
+        doc_tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(lp), 6).alias("mean_logprob"),
+            F.sum("cnt").alias("n_tokens"),
+            F.round(F.sum(F.col("cnt") * lp) / F.sum("cnt"), 6).alias(
+                "mean_logprob"
+            ),
         )
     )
 
@@ -726,8 +740,18 @@ def bm25_scores(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)  # TakeOrderedAndProject — distributed top-k, no global window
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    # Rank WITHOUT a window (VERDICT r5 #4): an unpartitioned row_number
+    # here — even over the bounded k-row input — makes WindowExec log its
+    # "No Partition Defined" scale warning on every execution, and a
+    # foldable partition key (lit(0)) gets optimized away in Spark 4, so
+    # the warning storm masks real ones. TakeOrderedAndProject returns ONE
+    # partition in total sort order (the orderBy is total: doc_id breaks
+    # score ties), so monotonically_increasing_id on that single partition
+    # is exactly 0..k-1 in rank order; coalesce(1) pins the single-
+    # partition invariant should the physical strategy ever change.
+    return top.coalesce(1).withColumn(
+        "rank", (F.monotonically_increasing_id() + F.lit(1)).cast("long")
+    )
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:

@@ -180,11 +180,18 @@ def q_streaming_firstwins_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing side to the batch's time range (partition pruning), the
     writer lock serializes appenders, no sink commit log accretes.
     """
+    import atexit
+    import shutil
     import tempfile
 
     from .. import io as tio
 
     base = tempfile.mkdtemp(prefix=_FIRSTWINS_PREFIX)
+    # The returned DataFrame reads this dir lazily (the driver collects it
+    # after we return), so it can't be removed here — reclaim it at
+    # interpreter exit instead so repeated gate/bench runs don't accrete
+    # /tmp state (ADVICE r5).
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     table = f"{base}/table"
     t = ticks.tickify(ticks.stream_events(spark, sf_dir))
     first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")

@@ -75,12 +75,17 @@ def _events_ts_unit(path: str) -> str | None:
     md = pf.metadata
     names = [md.schema.column(i).name for i in range(md.num_columns)]
     ci = names.index("ts")
+    # Max over ALL row groups' stats, not the first one carrying stats: a
+    # leading row group of zero-sentinels (min=max=0) must not decide the
+    # unit for the whole table when later row groups hold real epochs
+    # (ADVICE r5). Stats are cheap footer metadata — scanning every row
+    # group reads no data.
     v = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(ci).statistics
         if st is not None and st.has_min_max:
-            v = max(abs(int(st.min)), abs(int(st.max)))
-            break
+            rg_max = max(abs(int(st.min)), abs(int(st.max)))
+            v = rg_max if v is None else max(v, rg_max)
     if v is None:  # stats absent: probe the first batch with non-null data
         for batch in pf.iter_batches(batch_size=1024, columns=["ts"]):
             vals = [x for x in batch.column(0).to_pylist() if x is not None]
