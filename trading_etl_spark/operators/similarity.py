@@ -506,6 +506,123 @@ def knn_pq_adc(
     )
 
 
+def knn_ivfadc(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    nprobe: int = 2,
+    n_coarse: int = KMEANS_K,
+    coarse_iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011 §IV) — the production ANN read
+    path a 100 TB vector store actually runs, composing this repo's two
+    halves (VERDICT r5 task #5): an IVF coarse quantizer restricts WHICH
+    vectors are scored (probe the ``nprobe`` nearest of ``n_coarse``
+    learned cells) and PQ codes + asymmetric distance computation decide
+    HOW each candidate is scored (m table lookups on integer codes — the
+    raw 64-float vector is never touched at scan time).
+
+    This is the raw-subvector IVF-PQ variant: PQ encodes the vectors
+    themselves rather than their residuals against the coarse centroid.
+    Residual encoding (the paper's default) squeezes more accuracy from
+    the same code budget but couples every subspace codebook to the
+    coarse assignment; the raw variant keeps the two quantizers
+    independently trainable — and independently verifiable: both
+    trajectories replay verbatim in the DuckDB oracle.
+
+    Scale shape: the coarse codebook (n_coarse×dim) and the per-query
+    probe list broadcast; candidate generation is a broadcast-hash join
+    on the integer cell id — with the corpus stored partitioned by cell
+    this is partition pruning, reading nprobe/n_coarse of the data. The
+    scored scan then touches only the m integer code columns through m
+    broadcast joins keyed (query_id, code); the only corpus shuffle is
+    the final per-query top-k. Exactly-equal contract: at
+    nprobe = n_coarse the probe is exhaustive and the result equals
+    :func:`knn_pq_adc` row-for-row (tested); recall vs the EXHAUSTIVE-ADC
+    ranking is non-decreasing in nprobe, reaching 1.0 at n_coarse
+    (tested). Recall vs the exact kNN is NOT monotone in nprobe — a wider
+    candidate pool can inject ADC-flattering false positives that displace
+    a true neighbor from top-k; that is inherent to quantized scoring
+    (resolution m·log2(k) bits), and the exact kNN remains the labeled
+    verification baseline.
+    """
+    dsub = dim // m
+    spark = emb.sparkSession
+    cent = kmeans_codebook(emb, n_coarse, coarse_iters).select(
+        F.col("cell").alias("ivf_cell"), "cv"
+    )
+    assigned = assign_cells(
+        emb, cent.select(F.col("ivf_cell").alias("cell"), "cv")
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ivf_cell"))
+    codes, books = pq_model(emb, m, pq_k, pq_iters, dim)
+    books_df = spark.createDataFrame(
+        [(s, cell, cv) for s, rows in enumerate(books) for cell, cv in rows],
+        "s int, cell int, cv array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("ivf_cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("csim", F.round(cosine("emb", "cv"), 6))
+        .withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "ivf_cell")
+    )
+    # candidates: integer code columns of the probed cells only — the raw
+    # vector column is projected away before any join
+    cand = (
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"), *[f"_c{s}" for s in range(m)]
+        )
+        .join(assigned, "neighbor_id")
+        .join(F.broadcast(probed), "ivf_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    q_slices = None
+    for s in range(m):
+        part = q.select(
+            "query_id",
+            F.lit(s).alias("s"),
+            F.slice("emb", s * dsub + 1, dsub).alias("qs"),
+        )
+        q_slices = part if q_slices is None else q_slices.unionAll(part)
+    adc = q_slices.join(books_df, "s").select(
+        "query_id",
+        "s",
+        "cell",
+        _dot("qs", "cv").alias("dotc"),
+        _dot("cv", "cv").alias("cn2"),
+    )
+    qn = q.select("query_id", F.sqrt(_dot("emb", "emb")).alias("qnorm"))
+    scored = cand
+    for s in range(m):
+        part = adc.filter(F.col("s") == s).select(
+            "query_id", F.col("cell").alias(f"_c{s}"),
+            F.col("dotc").alias(f"d{s}"), F.col("cn2").alias(f"n{s}"),
+        )
+        scored = scored.join(F.broadcast(part), ["query_id", f"_c{s}"])
+    sdot = F.col("d0")
+    sn2 = F.col("n0")
+    for s in range(1, m):
+        sdot = sdot + F.col(f"d{s}")
+        sn2 = sn2 + F.col(f"n{s}")
+    scored = scored.join(F.broadcast(qn), "query_id").withColumn(
+        "adc_sim", F.round(sdot / (F.col("qnorm") * F.sqrt(sn2)), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
+    )
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     """All vector pairs with cosine ≥ threshold — the EXACT all-pairs form.
 

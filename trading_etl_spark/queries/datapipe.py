@@ -320,6 +320,13 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.knn_pq_adc(_emb(spark, sf_dir)), "rank")
 
 
+def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: kmeans coarse quantizer restricts candidates to the nprobe=2
+    nearest of 8 learned cells; PQ codes + ADC tables score them — the
+    composed production ANN read path (Jégou et al. 2011)."""
+    return _as_long(sim.knn_ivfadc(_emb(spark, sf_dir)), "rank")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
     budget bounded by the scarcest source, deterministic md5 keep draws."""
@@ -404,6 +411,7 @@ QUERIES = {
     "text_heavy_hitters_cms": q_cms_heavy_hitters,
     "embedding_pq_codes": q_pq_codes,
     "embedding_knn_pq_adc": q_knn_pq_adc,
+    "embedding_knn_ivfadc": q_knn_ivfadc,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -540,13 +548,13 @@ def _kmeans_assign_sql(name: str, cent: str) -> str:
 )""".strip()
 
 
-def _kmeans_oracle_sql(
+def _kmeans_probe_parts(
     k: int = sim.KMEANS_K, iters: int = sim.KMEANS_ITERS, nprobe: int = 2
-) -> str:
-    """Unrolled Lloyd's k-means + multiprobe kNN as pure SQL. The Spark
-    implementation is deterministic by construction (md5-ranked seeds,
-    6dp-rounded decisions) precisely so this fixed-iteration unrolling can
-    replay the identical trajectory in DuckDB."""
+) -> list[str]:
+    """CTE parts replaying the coarse quantizer: emb, the unrolled Lloyd
+    trajectory (cent0..cent{iters}), the final assignment ``assignf`` and
+    the per-query ``probed`` cell list. Shared by the kmeans-IVF oracle
+    and the IVFADC composition."""
     parts = [
         sim.EMB_SQL,
         f"""
@@ -582,7 +590,21 @@ probed AS (
     FROM emb q CROSS JOIN cent{iters} c
     WHERE q.vec_id < {sim.N_QUERIES}
   ) WHERE crank <= {nprobe}
-),
+)""".strip()
+    )
+    return parts
+
+
+def _kmeans_oracle_sql(
+    k: int = sim.KMEANS_K, iters: int = sim.KMEANS_ITERS, nprobe: int = 2
+) -> str:
+    """Unrolled Lloyd's k-means + multiprobe kNN as pure SQL. The Spark
+    implementation is deterministic by construction (md5-ranked seeds,
+    6dp-rounded decisions) precisely so this fixed-iteration unrolling can
+    replay the identical trajectory in DuckDB."""
+    parts = _kmeans_probe_parts(k, iters, nprobe)
+    parts.append(
+        """
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.v, a.v), 6) AS cos_sim
@@ -1234,5 +1256,71 @@ SELECT query_id, neighbor_id, rank, adc_sim FROM (
     return _with(*parts) + "\n" + rank_sql
 
 
+def _ivfadc_oracle_sql(
+    n_coarse: int = sim.KMEANS_K,
+    coarse_iters: int = sim.KMEANS_ITERS,
+    nprobe: int = 2,
+    m: int = sim.PQ_M,
+    pq_k: int = sim.PQ_K,
+    pq_iters: int = sim.PQ_ITERS,
+    dim: int = sim.EMB_DIM,
+    top_k: int = 3,
+    n_queries: int = sim.N_QUERIES,
+) -> str:
+    """IVFADC = the coarse-quantizer replay (cent*/assignf/probed) ∘ the
+    PQ replay (s{s}cent*/s{s}f) ∘ the ADC tables: candidates are the
+    probed cells' members, scored by the same fixed d0+d1+… ADC sum as
+    the Spark expression. Both training trajectories are the exact CTE
+    generators the two standalone oracles already use."""
+    dsub = dim // m
+    parts = _kmeans_probe_parts(n_coarse, coarse_iters, nprobe)
+    _, pq_parts, finals = _pq_oracle_sql(m, pq_k, pq_iters, dim)
+    parts += pq_parts[1:]  # drop the duplicate emb CTE
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"""
+adc{s} AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         list_inner_product(q.v[{lo}:{hi}], c.cv) AS d{s},
+         list_inner_product(c.cv, c.cv) AS n{s}
+  FROM emb q CROSS JOIN s{s}cent{pq_iters} c
+  WHERE q.vec_id < {n_queries}
+)""".strip()
+        )
+    code_joins = " ".join(f"JOIN {f} USING (vec_id)" for f in finals[1:])
+    code_cols = ", ".join(f"{f}.cell AS c{i}" for i, f in enumerate(finals))
+    adc_joins = " ".join(
+        f"JOIN adc{s} ON adc{s}.query_id = p.query_id AND adc{s}.cell = cv.c{s}"
+        for s in range(m)
+    )
+    sdot = " + ".join(f"d{s}" for s in range(m))
+    sn2 = " + ".join(f"n{s}" for s in range(m))
+    parts.append(
+        f"""
+scored AS (
+  SELECT p.query_id, cv.vec_id AS neighbor_id,
+         round(({sdot}) / (sqrt(list_inner_product(q.v, q.v)) * sqrt({sn2})), 6)
+           AS adc_sim
+  FROM (SELECT {finals[0]}.vec_id, {code_cols}
+        FROM {finals[0]} {code_joins}) cv
+  JOIN assignf a ON a.vec_id = cv.vec_id
+  JOIN probed p ON p.cell = a.cell
+  {adc_joins}
+  JOIN emb q ON q.vec_id = p.query_id
+  WHERE cv.vec_id != p.query_id
+)""".strip()
+    )
+    rank_sql = f"""
+SELECT query_id, neighbor_id, rank, adc_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {top_k}
+""".strip()
+    return _with(*parts) + "\n" + rank_sql
+
+
 ORACLES["embedding_pq_codes"] = _pq_codes_oracle_sql()
 ORACLES["embedding_knn_pq_adc"] = _pq_adc_oracle_sql()
+ORACLES["embedding_knn_ivfadc"] = _ivfadc_oracle_sql()

@@ -74,6 +74,8 @@ _DEFER: list[str] = [
     "embedding_pq_codes",     # product quantization; embedding family of embedding_knn_ivf_kmeans
     "embedding_knn_pq_adc",   # ADC search over PQ codes; same family
     "local_supplier_volume",  # TPC-H-Q5 6-relation join; J3 family of star_join_revenue
+    # r6 additions — placed here pending the r6 window rotation
+    "embedding_knn_ivfadc",   # IVF × PQ composition; family of kmeans IVF + PQ-ADC
 ]
 
 
