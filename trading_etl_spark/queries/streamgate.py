@@ -332,6 +332,76 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMA_SINK = "gate_streaming_ema_14_1h"
+_EMA_PREFIX = "gate_streaming_ema_"
+
+
+def q_streaming_ema_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL custom streaming operator with oracle-grade evidence
+    (VERDICT r5 task #7): 1h candles arrive as a file stream (production:
+    the candle chain's landing zone) and ``streaming.indicators.
+    stream_ema`` — ``applyInPandasWithState``, per-symbol O(1) state of
+    (seed-count, seed-sum, ema) — maintains the TA-Lib EMA(14) live. The
+    drained append-mode output is shaped to the batch indicator schema,
+    so the oracle is the SAME recursive CTE that certifies batch
+    ``ema_14_1h``: the streaming recursion must replay the batch
+    trajectory step for step (identical seed = SMA-of-14, identical
+    ``ema += k·(x − ema)`` update, identical 6dp rounding).
+
+    Determinism: the candle relation is written as ONE parquet file, so
+    the availableNow drain is a single micro-batch whose rows the state
+    update sorts by time per symbol — the exact batch order. Across
+    micro-batches the contract is arrival-order (a production stream
+    feeds candles in time order per symbol anyway). Scale notes: state is
+    three doubles per symbol; the stateful exchange hash-partitions on
+    symbol — the same key the candle chain upstream already partitions
+    on, so at 100 TB the stateful stage adds no new shuffle key.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.indicators import stream_ema
+    from .trading import _ohlc_1h
+
+    base = tempfile.mkdtemp(prefix=_EMA_PREFIX)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    candles_path = f"{base}/candles_1h"
+    (
+        _ohlc_1h(spark, sf_dir)
+        .select("currency_pair_code", "time", "close")
+        .coalesce(1)
+        .write.parquet(candles_path)
+    )
+    stream = spark.readStream.schema(
+        "currency_pair_code string, time timestamp, close double"
+    ).parquet(candles_path)
+    out = stream_ema(
+        stream.select(
+            F.col("currency_pair_code").alias("currency_pair_symbol"),
+            "time",
+            F.col("close").alias("mid"),
+        ),
+        period=14,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_EMA_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_EMA_SINK).select(
+        F.col("currency_pair_symbol").alias("currency_pair_code"),
+        F.lit("1h").alias("timeframe_code"),
+        F.lit(14).cast("int").alias("period"),
+        F.lit("0").alias("calc_version"),
+        "time",
+        F.round("ema", 6).alias("value"),
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -339,6 +409,7 @@ QUERIES = {
     "streaming_view_click_join": q_streaming_view_click_join,
     "streaming_firstwins_append": q_streaming_firstwins_append,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "streaming_ema_14_1h": q_streaming_ema_14_1h,
 }
 
 ORACLES = {
@@ -395,3 +466,10 @@ SELECT currency_pair_code, time, bid, ask FROM ticks""",
 from . import datapipe as _dp  # noqa: E402
 
 ORACLES["streaming_heavy_hitters"] = _dp.ORACLES["text_heavy_hitters_cms"]
+
+# the stateful streaming EMA shares the batch indicator's recursive-CTE
+# oracle verbatim: the applyInPandasWithState recursion must replay the
+# batch trajectory (same seed, same update, same rounding) step for step
+from . import trading as _tr  # noqa: E402
+
+ORACLES["streaming_ema_14_1h"] = _tr.ORACLES["ema_14_1h"]

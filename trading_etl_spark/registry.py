@@ -76,6 +76,7 @@ _DEFER: list[str] = [
     "local_supplier_volume",  # TPC-H-Q5 6-relation join; J3 family of star_join_revenue
     # r6 additions — placed here pending the r6 window rotation
     "embedding_knn_ivfadc",   # IVF × PQ composition; family of kmeans IVF + PQ-ADC
+    "streaming_ema_14_1h",    # stateful streaming EMA; batch ema_14_1h oracle
 ]
 
 
