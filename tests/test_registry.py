@@ -39,28 +39,33 @@ SIBLING = {
     # same-family twin still in the window.
     "ohlc_derived_multi_tf": "candle_rollup",
     "sma_14_1h": "sma_golden_cross",
-    "tick_sessions": "streaming_sliding_stats",
+    "tick_sessions": "streaming_ohlc_1m",
     "candle_returns_quartile": "approx_value_quantiles",
     "event_reaction_window": "event_asof_tick",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_connected_components": "dedup_cc_two_phase",
-    "dedup_passages": "text_chunk_rag",
+    "dedup_passages": "text_rolling_fingerprint",
     "text_repetition_filter": "text_quality_score",
     "train_test_split": "stratified_sample_by_lang",
     "embedding_label_centroids": "embedding_knn_ivf_kmeans",
     "embedding_quantize_int8": "embedding_knn_ivf_kmeans",
     "daily_active_users": "approx_distinct_users",
     "returned_order_priority_semi": "customers_no_open_orders_anti",
-    # r5-born operators (window already full; r6 rotation candidates)
-    "corpus_domain_mix": "stratified_sample_by_lang",
-    "text_unigram_logprob": "text_quality_score",
-    "events_snapshot_diff": "customers_no_open_orders_anti",
-    "text_heavy_hitters_cms": "approx_distinct_users",
-    "streaming_heavy_hitters": "streaming_ohlc_1m",
-    "event_asof_nearest_tick": "event_asof_tick",
-    "embedding_pq_codes": "embedding_knn_ivf_kmeans",
-    "embedding_knn_pq_adc": "embedding_knn_ivf_kmeans",
-    "local_supplier_volume": "star_join_revenue",
+    # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
+    # 2 r6-born operators get driver rows; each has a same-family twin
+    # still in the window (ema_14_1h's twin runs its EXACT oracle through
+    # the stateful-streaming path).
+    "candle_gap_fill": "candle_rollup",
+    "event_asof_next_tick": "event_asof_tick",
+    "text_bigram_pmi": "text_tfidf_top_terms",
+    "dim_scd2_history": "user_cohort_retention",
+    "user_funnel_conversion": "user_cohort_retention",
+    "sample_weighted_quality": "stratified_sample_by_lang",
+    "text_chunk_rag": "text_rolling_fingerprint",
+    "streaming_sliding_stats": "streaming_ohlc_1m",
+    "text_pii_redact": "text_quality_score",
+    "urgent_not_finished_setops": "customers_no_open_orders_anti",
+    "ema_14_1h": "streaming_ema_14_1h",
 }
 
 
@@ -85,47 +90,25 @@ def test_deferred_queries_register_last_and_have_siblings():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
 
 
-def test_previously_unchecked_queries_now_in_window():
-    # VERDICT r1 item #1: these had no driver correctness row before r2.
-    # (returned_order_priority_semi got r1-r4 green rows and rotated out in r5.)
+def test_round6_rotation_in_window():
+    # VERDICT r5 task #1: the 9 r5-born queries plus the 2 r6-born ones
+    # (IVFADC, stateful streaming EMA) are inside the 50-row correctness
+    # window this round. (Earlier rounds' in-window assertions are
+    # superseded by rotation; their driver certifications are on record in
+    # CORRECTNESS_r{1..5}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "customers_no_open_orders_anti",
-        "urgent_not_finished_setops",
-        "top_customers_page2_offset",
-        "streaming_ohlc_1m",
-    ]:
-        assert q in keys, f"{q} still outside the driver window"
-
-
-def test_round3_flagships_now_in_window():
-    # VERDICT r3 item #1: candle_gap_fill / text_pii_redact /
-    # corpus_pack_sequences had only local (check.py) evidence in round 3.
-    keys = list(build_queries())[:DRIVER_WINDOW]
-    for q in ["candle_gap_fill", "text_pii_redact", "corpus_pack_sequences"]:
-        assert q in keys, f"{q} still outside the driver window"
-
-
-def test_round5_rotation_in_window():
-    # VERDICT r4 task #1: the 13 queries that had never seen a driver row,
-    # plus the new streaming first-wins gate query (task #8), are all inside
-    # the 50-row correctness window this round.
-    keys = list(build_queries())[:DRIVER_WINDOW]
-    for q in [
-        "user_funnel_conversion",
-        "user_cohort_retention",
-        "events_value_histogram",
-        "dim_scd2_history",
-        "event_asof_next_tick",
-        "sample_weighted_quality",
-        "text_bigram_pmi",
-        "text_chunk_rag",
-        "dedup_cc_two_phase",
-        "streaming_sliding_stats",
-        "streaming_view_click_join",
-        "approx_distinct_users",
-        "approx_value_quantiles",
-        "streaming_firstwins_append",
+        "corpus_domain_mix",
+        "text_unigram_logprob",
+        "events_snapshot_diff",
+        "text_heavy_hitters_cms",
+        "streaming_heavy_hitters",
+        "event_asof_nearest_tick",
+        "embedding_pq_codes",
+        "embedding_knn_pq_adc",
+        "local_supplier_volume",
+        "embedding_knn_ivfadc",
+        "streaming_ema_14_1h",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

@@ -63,20 +63,24 @@ _DEFER: list[str] = [
     "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions)
     "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
     "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window
-    # r5 additions — new operators born outside the (full) window; both
-    # oracle-verified by tools/check.py, rotation candidates for r6.
-    "corpus_domain_mix",      # target-mixture sampling; family of stratified/weighted sampling
-    "text_unigram_logprob",   # unigram-LM quality score; family of text_quality_score
-    "events_snapshot_diff",   # keyed full-outer reconcile; join family of customers_no_open_orders_anti
-    "text_heavy_hitters_cms",  # count-min sketch; sketch family of approx_distinct_users
-    "streaming_heavy_hitters",  # CMS as live streaming agg; gate streaming sibling streaming_ohlc_1m
-    "event_asof_nearest_tick",  # nearest as-of; family of in-window event_asof_tick/next_tick
-    "embedding_pq_codes",     # product quantization; embedding family of embedding_knn_ivf_kmeans
-    "embedding_knn_pq_adc",   # ADC search over PQ codes; same family
-    "local_supplier_volume",  # TPC-H-Q5 6-relation join; J3 family of star_join_revenue
-    # r6 additions — placed here pending the r6 window rotation
-    "embedding_knn_ivfadc",   # IVF × PQ composition; family of kmeans IVF + PQ-ADC
-    "streaming_ema_14_1h",    # stateful streaming EMA; batch ema_14_1h oracle
+    # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
+    # r6-born ones (IVFADC, stateful streaming EMA) moved INTO the window
+    # for driver certification; these 11 rotated out to make room — every
+    # one carries an r5 (most also r1-r4) driver-green row and a
+    # same-family twin still in the window. All stay oracle-verified by
+    # tools/check.py.
+    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup
+    "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window
+    "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
+    "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
+    "user_funnel_conversion",  # funnel window chain; window family of user_cohort_retention
+    "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
+    "text_chunk_rag",         # token-window slicing; family of text_rolling_fingerprint
+    "streaming_sliding_stats",  # sliding-window streaming agg; family of streaming_ohlc_1m
+    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score
+    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
+    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
+                              # through the stricter stateful-streaming path
 ]
 
 
