@@ -13,11 +13,17 @@ import numpy as np
 import pytest
 
 from trading_etl_spark.operators.indicators import (
+    _atr_series,
     _ema_series,
+    _macd_series,
     _rsi_series,
+    atr,
+    bollinger,
     ema,
+    macd,
     rsi,
     sma,
+    stochastic,
 )
 from trading_etl_spark.schemas import OHLC_SCHEMA
 
@@ -85,3 +91,73 @@ def test_groups_are_independent(spark):
     eur = _values(out.filter(out.currency_pair_code == "EUR/JPY"))
     assert usd[2:] == pytest.approx([2.0, 3.0])
     assert eur[2:] == pytest.approx([20.0, 30.0])
+
+
+# --- r6 additions: MACD / ATR / Bollinger / Stochastic -----------------------
+
+
+def test_macd_series_golden():
+    # closes 1..8, fast=2 slow=3 signal=2: both EMAs track the linear trend
+    # with constant lag → macd constant 0.5 from idx 2, signal = 0.5 from
+    # idx 3 (seed = SMA of first 2 valid macd values), hist = 0.
+    m, s, h = _macd_series(np.arange(1.0, 9.0), 2, 3, 2)
+    assert np.isnan(m[:2]).all() and np.isnan(s[:3]).all()
+    assert m[2:] == pytest.approx([0.5] * 6)
+    assert s[3:] == pytest.approx([0.5] * 5)
+    assert h[3:] == pytest.approx([0.0] * 5)
+
+
+def test_macd_dataframe_warmup_nulls(spark):
+    df = _ohlc(spark, list(map(float, range(1, 9))))
+    out = macd(df, 2, 3, 2)
+    rows = sorted(out.collect(), key=lambda r: r["time"])
+    assert [r["macd"] for r in rows[:2]] == [None, None]
+    assert [r["macd_signal"] for r in rows[:3]] == [None, None, None]
+    assert rows[-1]["macd"] == pytest.approx(0.5)
+    assert rows[-1]["macd_hist"] == pytest.approx(0.0)
+
+
+def test_atr_series_golden():
+    # high = close+1, low = close−1, linear closes: every true range is 2
+    # (range and gap-moves tie at 2) → seed and all smoothed values are 2.
+    c = np.arange(1.0, 7.0)
+    out = _atr_series(c + 1, c - 1, c, 3)
+    assert np.isnan(out[:3]).all()
+    assert out[3:] == pytest.approx([2.0, 2.0, 2.0])
+
+
+def test_atr_true_range_uses_prev_close_gap():
+    # A gap: close jumps 1→10 with high=low=close → tr at idx1 is |10−1|=9,
+    # then flat at 10 → tr 0. period=2: seed = mean(9, 0) = 4.5 at idx 2,
+    # next = (4.5·1 + 0)/2 = 2.25.
+    c = np.array([1.0, 10.0, 10.0, 10.0])
+    out = _atr_series(c, c, c, 2)
+    assert np.isnan(out[:2]).all()
+    assert out[2] == pytest.approx(4.5)
+    assert out[3] == pytest.approx(2.25)
+
+
+def test_bollinger_golden(spark):
+    out = bollinger(_ohlc(spark, [1.0, 2.0, 3.0, 4.0, 5.0]), 3, 2.0)
+    rows = sorted(out.collect(), key=lambda r: r["time"])
+    assert [r["mid"] for r in rows[:2]] == [None, None]
+    sd = math.sqrt(2.0 / 3.0)  # population stddev of 3 consecutive ints
+    for r, mid in zip(rows[2:], [2.0, 3.0, 4.0]):
+        assert r["mid"] == pytest.approx(mid)
+        assert r["upper"] == pytest.approx(mid + 2 * sd)
+        assert r["lower"] == pytest.approx(mid - 2 * sd)
+
+
+def test_stochastic_golden_trend_and_flat(spark):
+    # Rising series with high=low=close: %K pins at 100; flat series hits
+    # the zero-range guard → 0.
+    up = stochastic(_ohlc(spark, [1.0, 2.0, 3.0, 4.0, 5.0]), 3, 2)
+    rows = sorted(up.collect(), key=lambda r: r["time"])
+    assert [r["pct_k"] for r in rows[:2]] == [None, None]
+    assert [r["pct_k"] for r in rows[2:]] == pytest.approx([100.0] * 3)
+    assert [r["pct_d"] for r in rows[:3]] == [None, None, None]
+    assert [r["pct_d"] for r in rows[3:]] == pytest.approx([100.0] * 2)
+
+    flat = stochastic(_ohlc(spark, [5.0] * 5, "EUR/JPY"), 3, 2)
+    vals = [r["pct_k"] for r in sorted(flat.collect(), key=lambda r: r["time"])]
+    assert vals[2:] == pytest.approx([0.0] * 3)

@@ -66,6 +66,11 @@ SIBLING = {
     "text_pii_redact": "text_quality_score",
     "urgent_not_finished_setops": "customers_no_open_orders_anti",
     "ema_14_1h": "streaming_ema_14_1h",
+    # r6-born, registered deferred until the r7 rotation:
+    "macd_12_26_9_1h": "rsi_14_1h",
+    "atr_14_1h": "rsi_14_1h",
+    "bollinger_20_2_1h": "sma_golden_cross",
+    "stochastic_14_3_1h": "sma_golden_cross",
 }
 
 

@@ -130,6 +130,173 @@ def rsi(ohlc: DataFrame, period: int, calc_version: str = "0") -> DataFrame:
     return _grouped_indicator(ohlc, period, calc_version, _rsi_series)
 
 
+def _macd_series(
+    closes: np.ndarray, fast: int, slow: int, signal: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MACD line, signal line, histogram — each EMA TA-Lib-seeded.
+
+    The MACD line is defined where BOTH component EMAs are (index ≥ slow−1,
+    since slow > fast); the signal line is an EMA over the *valid* MACD
+    values, itself seeded with the SMA of the first ``signal`` of them, so it
+    is defined from index slow+signal−2. Histogram = macd − signal.
+    """
+    n = len(closes)
+    sig = np.full(n, np.nan)
+    ef, es = _ema_series(closes, fast), _ema_series(closes, slow)
+    macd = ef - es  # NaN wherever either side is NaN (index < slow−1)
+    valid = macd[slow - 1 :]
+    sig[slow - 1 :] = _ema_series(valid, signal)
+    return macd, sig, macd - sig
+
+
+def _atr_series(
+    high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int
+) -> np.ndarray:
+    """Average True Range, Wilder smoothing (TA-Lib semantics): true range
+    uses the previous close from index 1 on; seed = mean of the first
+    ``period`` true ranges (indices 1..period); output defined from index
+    ``period``; recursion ``atr = (prev·(period−1) + tr)/period``."""
+    n = len(close)
+    out = np.full(n, np.nan)
+    if n <= period:
+        return out
+    prev_close = close[:-1]
+    tr = np.maximum(
+        high[1:] - low[1:],
+        np.maximum(np.abs(high[1:] - prev_close), np.abs(low[1:] - prev_close)),
+    )
+    atr = float(np.mean(tr[:period]))
+    out[period] = atr
+    for i in range(period + 1, n):
+        atr = (atr * (period - 1) + tr[i - 1]) / period
+        out[i] = atr
+    return out
+
+
+MACD_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, time timestamp, "
+    "macd double, macd_signal double, macd_hist double"
+)
+
+
+def macd(
+    ohlc: DataFrame, fast: int = 12, slow: int = 26, signal: int = 9
+) -> DataFrame:
+    """MACD(fast, slow, signal) per (pair, timeframe) — order-sensitive EMA
+    recursions → grouped ``applyInPandas`` like :func:`ema`. Warm-up rows
+    carry NaN (→ NULL across the Arrow boundary). Reference computes single
+    EMAs driver-side (``src/etl/flows/transform_services.py:268-270``); MACD
+    extends that family with the same seeding discipline."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        m, s, h = _macd_series(
+            pdf["close"].to_numpy(dtype=np.float64), fast, slow, signal
+        )
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "macd": m,
+                "macd_signal": s,
+                "macd_hist": h,
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, MACD_OUT_SCHEMA)
+    )
+
+
+ATR_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, time timestamp, value double"
+)
+
+
+def atr(ohlc: DataFrame, period: int = 14) -> DataFrame:
+    """ATR(period), Wilder smoothing (recursive → grouped ``applyInPandas``,
+    same shuffle shape as :func:`rsi` but over (high, low, close))."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        values = _atr_series(
+            pdf["high"].to_numpy(dtype=np.float64),
+            pdf["low"].to_numpy(dtype=np.float64),
+            pdf["close"].to_numpy(dtype=np.float64),
+            period,
+        )
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "value": values,
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "high", "low", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, ATR_OUT_SCHEMA)
+    )
+
+
+def bollinger(ohlc: DataFrame, period: int = 20, num_std: float = 2.0) -> DataFrame:
+    """Bollinger Bands as native frame windows (JVM-side, zero Python):
+    mid = SMA(period), upper/lower = mid ± num_std·σ with POPULATION stddev
+    (TA-Lib's choice). Warm-up rows (first period−1 per series) are NULL.
+    Same single (pair, timeframe) shuffle as :func:`sma`."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    frame = w.rowsBetween(-(period - 1), 0)
+    rn = F.row_number().over(w)
+    warm = F.col("_rn") >= period
+    mid = F.avg("close").over(frame)
+    sd = F.stddev_pop("close").over(frame)
+    return (
+        ohlc.withColumn("_rn", rn)
+        .select(
+            *GROUP_KEYS,
+            "time",
+            F.when(warm, mid).alias("mid"),
+            F.when(warm, mid + num_std * sd).alias("upper"),
+            F.when(warm, mid - num_std * sd).alias("lower"),
+        )
+    )
+
+
+def stochastic(ohlc: DataFrame, k_period: int = 14, d_period: int = 3) -> DataFrame:
+    """Fast stochastic oscillator as native frame windows (zero Python):
+    %K = 100·(close − LL)/(HH − LL) over the trailing ``k_period`` rows
+    (0 when the range is flat — TA-Lib's zero-denominator guard),
+    %D = SMA(d_period) of %K. %K defined from row k_period, %D from row
+    k_period+d_period−1; earlier rows are NULL. One shuffle on the group
+    key; both window passes reuse the same ordering."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    k_frame = w.rowsBetween(-(k_period - 1), 0)
+    d_frame = w.rowsBetween(-(d_period - 1), 0)
+    rn = F.row_number().over(w)
+    hh = F.max("high").over(k_frame)
+    ll = F.min("low").over(k_frame)
+    rng = hh - ll
+    raw_k = F.when(rng == 0, F.lit(0.0)).otherwise(
+        100.0 * (F.col("close") - ll) / rng
+    )
+    return (
+        ohlc.withColumn("_rn", rn)
+        .withColumn("pct_k", F.when(F.col("_rn") >= k_period, raw_k))
+        .withColumn(
+            "pct_d",
+            F.when(
+                F.col("_rn") >= k_period + d_period - 1, F.avg("pct_k").over(d_frame)
+            ),
+        )
+        .select(*GROUP_KEYS, "time", "pct_k", "pct_d")
+    )
+
+
 def indicators_all(
     ohlc: DataFrame, periods: Iterable[int], calc_version: str = "0"
 ) -> dict[str, DataFrame]:

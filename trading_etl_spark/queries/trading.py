@@ -263,6 +263,57 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("value").isNotNull()).withColumn("value", F.round("value", 6))
 
 
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) on 1h candles — three coupled EMA recursions in one
+    grouped pandas kernel (r6-born; extends the reference's single-EMA
+    family, transform_services.py:268-270). Rows where all three outputs
+    are defined (signal warm-up complete)."""
+    out = indicators.macd(_ohlc_1h(spark, sf_dir), 12, 26, 9)
+    return out.filter(F.col("macd_signal").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
+
+
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) on 1h candles, Wilder smoothing over true range (r6-born)."""
+    out = indicators.atr(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("value").isNotNull()).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger(20, 2σ_pop) bands on 1h candles — pure native windows,
+    zero Python (r6-born). Warm-up rows excluded."""
+    out = indicators.bollinger(_ohlc_1h(spark, sf_dir), 20, 2.0)
+    return out.filter(F.col("mid").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("mid", 6).alias("mid"),
+        F.round("upper", 6).alias("upper_band"),
+        F.round("lower", 6).alias("lower_band"),
+    )
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast stochastic %K(14)/%D(3) on 1h candles — native min/max/avg
+    windows, zero Python (r6-born). Rows with both outputs defined."""
+    out = indicators.stochastic(_ohlc_1h(spark, sf_dir), 14, 3)
+    return out.filter(F.col("pct_d").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round("pct_d", 6).alias("pct_d"),
+    )
+
+
 def q_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+W0+P5: SMA(14/28) golden-cross BUY events on 1h candles."""
     return signals.golden_cross(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
@@ -594,6 +645,10 @@ QUERIES = {
     "sma_fanout_all_tf": q_sma_fanout,
     "ema_14_1h": q_ema,
     "rsi_14_1h": q_rsi,
+    "macd_12_26_9_1h": q_macd,
+    "atr_14_1h": q_atr,
+    "bollinger_20_2_1h": q_bollinger,
+    "stochastic_14_3_1h": q_stochastic,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
@@ -781,6 +836,116 @@ SELECT pair AS currency_pair_code, '1h' AS timeframe_code, 14 AS period,
        '0' AS calc_version, time,
        round(CASE WHEN ag + al = 0 THEN 0.0 ELSE 100.0 * ag / (ag + al) END, 6) AS value
 FROM rsi_rec""",
+    "macd_12_26_9_1h": _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True)
+    + """,
+seed_f AS (
+  SELECT pair, avg("close") AS ema FROM closes WHERE rn <= 12
+  GROUP BY pair HAVING count(*) = 12
+),
+ema_f(pair, rn, ema) AS (
+  SELECT c.pair, c.rn, s.ema
+  FROM seed_f s JOIN closes c ON c.pair = s.pair AND c.rn = 12
+  UNION ALL
+  SELECT c.pair, c.rn, e.ema + (2.0 / 13.0) * (c."close" - e.ema)
+  FROM ema_f e JOIN closes c ON c.pair = e.pair AND c.rn = e.rn + 1
+),
+seed_s AS (
+  SELECT pair, avg("close") AS ema FROM closes WHERE rn <= 26
+  GROUP BY pair HAVING count(*) = 26
+),
+ema_s(pair, rn, ema) AS (
+  SELECT c.pair, c.rn, s.ema
+  FROM seed_s s JOIN closes c ON c.pair = s.pair AND c.rn = 26
+  UNION ALL
+  SELECT c.pair, c.rn, e.ema + (2.0 / 27.0) * (c."close" - e.ema)
+  FROM ema_s e JOIN closes c ON c.pair = e.pair AND c.rn = e.rn + 1
+),
+macd_line AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: sig_rec's recursion re-evaluates its
+  -- join input per iteration, and without it each of the ~n iterations
+  -- would replay BOTH component EMA recursions (cubic blowup → hang).
+  SELECT f.pair, f.rn, f.rn - 25 AS mrn, c.time, f.ema - s.ema AS macd
+  FROM ema_f f
+  JOIN ema_s s ON s.pair = f.pair AND s.rn = f.rn
+  JOIN closes c ON c.pair = f.pair AND c.rn = f.rn
+),
+seed_sig AS (
+  SELECT pair, avg(macd) AS sig FROM macd_line WHERE mrn <= 9
+  GROUP BY pair HAVING count(*) = 9
+),
+sig_rec(pair, mrn, sig) AS (
+  SELECT m.pair, m.mrn, s.sig
+  FROM seed_sig s JOIN macd_line m ON m.pair = s.pair AND m.mrn = 9
+  UNION ALL
+  SELECT m.pair, m.mrn, r.sig + (2.0 / 10.0) * (m.macd - r.sig)
+  FROM sig_rec r JOIN macd_line m ON m.pair = r.pair AND m.mrn = r.mrn + 1
+)
+SELECT m.pair AS currency_pair_code, '1h' AS timeframe_code, m.time,
+       round(m.macd, 6) AS macd, round(r.sig, 6) AS macd_signal,
+       round(m.macd - r.sig, 6) AS macd_hist
+FROM macd_line m JOIN sig_rec r ON r.pair = m.pair AND r.mrn = m.mrn""",
+    "atr_14_1h": _with(*_TO_1H, recursive=True)
+    + """,
+hlc AS (
+  SELECT currency_pair_code AS pair, time, high, low, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+),
+tr AS (
+  SELECT pair, time, rn,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM (SELECT pair, time, rn, high, low,
+               lag("close") OVER (PARTITION BY pair ORDER BY rn) AS pc
+        FROM hlc)
+  WHERE pc IS NOT NULL
+),
+atr_seed AS (
+  SELECT pair, avg(tr) AS atr FROM tr WHERE rn BETWEEN 2 AND 15
+  GROUP BY pair HAVING count(*) = 14
+),
+atr_rec(pair, rn, time, atr) AS (
+  SELECT t.pair, t.rn, t.time, s.atr
+  FROM atr_seed s JOIN tr t ON t.pair = s.pair AND t.rn = 15
+  UNION ALL
+  SELECT t.pair, t.rn, t.time, (r.atr * 13 + t.tr) / 14.0
+  FROM atr_rec r JOIN tr t ON t.pair = r.pair AND t.rn = r.rn + 1
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round(atr, 6) AS value
+FROM atr_rec""",
+    "bollinger_20_2_1h": _with(*_TO_1H)
+    + """
+SELECT currency_pair_code, '1h' AS timeframe_code, time,
+       round(avg("close") OVER w20, 6) AS mid,
+       round(avg("close") OVER w20 + 2 * stddev_pop("close") OVER w20, 6) AS upper_band,
+       round(avg("close") OVER w20 - 2 * stddev_pop("close") OVER w20, 6) AS lower_band
+FROM ohlc_1h
+WINDOW w20 AS (PARTITION BY currency_pair_code ORDER BY time
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) >= 20""",
+    "stochastic_14_3_1h": _with(*_TO_1H)
+    + """,
+k AS (
+  SELECT currency_pair_code AS pair, time, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn,
+         max(high) OVER wk AS hh, min(low) OVER wk AS ll
+  FROM ohlc_1h
+  WINDOW wk AS (PARTITION BY currency_pair_code ORDER BY time
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+kv AS (
+  SELECT pair, time, rn,
+         CASE WHEN rn < 14 THEN NULL
+              WHEN hh - ll = 0 THEN 0.0
+              ELSE 100.0 * ("close" - ll) / (hh - ll) END AS pct_k
+  FROM k
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round(pct_k, 6) AS pct_k,
+       round(avg(pct_k) OVER (PARTITION BY pair ORDER BY rn
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+FROM kv
+QUALIFY rn >= 16""",
     "candle_gap_fill": _with(*_TO_1H)
     + """,
 spans AS (

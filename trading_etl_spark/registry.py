@@ -81,6 +81,12 @@ _DEFER: list[str] = [
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
     "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
                               # through the stricter stateful-streaming path
+    # r6-born (post-rotation) — certified by tools/check.py this round,
+    # rotation candidates for the r7 driver window:
+    "macd_12_26_9_1h",        # coupled EMA recursions; grouped-kernel family of rsi_14_1h
+    "atr_14_1h",              # Wilder true-range recursion; grouped-kernel family of rsi_14_1h
+    "bollinger_20_2_1h",      # native-window bands; window family of sma_golden_cross
+    "stochastic_14_3_1h",     # native min/max/avg windows; family of sma_golden_cross
 ]
 
 
