@@ -850,3 +850,40 @@ def test_pq_adc_ranks_reconstruction_cosine(spark):
         math.sqrt(sum(a * a for a in q)) * math.sqrt(sum(b * b for b in recon))
     )
     assert abs(sim_got - want) < 1e-5, (sim_got, want)
+
+
+def test_semantic_dedup_min_id_keeper_single_cell(spark):
+    # n_cells=1 → pure pairwise rule: ids 0/3/7 are an exact-duplicate ball
+    # (keeper = 0); ids 1 and 2 are near-orthogonal singletons that survive.
+    base = [1.0] + [0.0] * 7
+    ortho1 = [0.0, 1.0] + [0.0] * 6
+    ortho2 = [0.0, 0.0, 1.0] + [0.0] * 5
+    rows = [
+        (0, base),
+        (1, ortho1),
+        (2, ortho2),
+        (3, base),
+        (7, [x * 2.0 for x in base]),  # scaled copy: cosine exactly 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = sim.semantic_dedup(emb, threshold=0.9, n_cells=1, iters=1)
+    got = sorted((r.vec_id, r.cell) for r in out.collect())
+    assert [v for v, _ in got] == [0, 1, 2]
+    assert {c for _, c in got} == {0}
+
+
+def test_semantic_dedup_drop_is_one_pass_not_transitive(spark):
+    # b is within threshold of a (dropped); c is within threshold of b but
+    # NOT of a — the one-pass min-id rule still drops c (its lower-id
+    # neighbor b matched it), documenting the non-transitive semantics both
+    # engines share.
+    import math as _math
+
+    def unit(theta):
+        return [_math.cos(theta), _math.sin(theta)] + [0.0] * 6
+
+    # cos(25°)≈0.906 > 0.9, cos(50°)≈0.643 < 0.9
+    rows = [(0, unit(0.0)), (1, unit(0.44)), (2, unit(0.88))]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = sim.semantic_dedup(emb, threshold=0.9, n_cells=1, iters=1)
+    assert sorted(r.vec_id for r in out.collect()) == [0]

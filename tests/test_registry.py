@@ -71,6 +71,7 @@ SIBLING = {
     "atr_14_1h": "rsi_14_1h",
     "bollinger_20_2_1h": "sma_golden_cross",
     "stochastic_14_3_1h": "sma_golden_cross",
+    "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
 }
 
 

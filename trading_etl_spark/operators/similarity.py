@@ -641,6 +641,59 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the trained k-means codebook,
+    then compare pairs only WITHIN a cell and drop every vector that has a
+    lower-id within-cell neighbor with cosine ≥ threshold. Returns the
+    surviving (vec_id, cell) rows — the min-id member of each within-cell
+    duplicate ball is the keeper.
+
+    This is the embedding-space sibling of the MinHash/SimHash text dedups:
+    the cluster assignment plays the LSH-band role, bounding the quadratic
+    compare to O(Σ|cell|²) instead of O(n²).
+
+    Scale shape (100 TB): the codebook trains on a sample
+    (:func:`kmeans_codebook`); assignment is the zero-shuffle broadcast-
+    codebook Arrow matmul; the ONE shuffle is the groupBy(cell), after which
+    each cell's Gram matrix is a single NumPy matmul. n_cells must scale
+    with the corpus (cells of ~10³-10⁴ vectors) so per-cell work stays
+    bounded — exactly the SemDeDup paper's deployment regime; a skewed
+    giant cell is the operator's known hot spot and is what the paper's
+    k ∝ n guidance prevents.
+
+    Decisions are engine-independent: cosine rounds half-away-from-zero at
+    6dp (the shared Spark/NumPy/DuckDB regime) before the threshold compare,
+    so the DuckDB oracle replays the identical drop set.
+    """
+    cent = kmeans_codebook(emb, n_cells, iters)
+    assigned = assign_cells(emb, cent)  # (vec_id, cell, emb)
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.vstack(pdf["emb"].to_numpy()).astype("float64")
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        raw = Vn @ Vn.T
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        # upper triangle: sims[i, j] with i < j (ids ascending) — j is
+        # dropped when ANY earlier id i matches it at ≥ threshold
+        hit = np.triu(sims >= threshold, k=1)
+        keep = ~hit.any(axis=0)
+        return pdf.loc[keep, ["vec_id", "cell"]]
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(survivors, "vec_id bigint, cell int")
+    )
+
+
 def _srp_planes(dim: int, n_planes: int, seed: str = SRP_SEED) -> list[list[float]]:
     """Deterministic Rademacher (±1) random hyperplanes.
 

@@ -327,6 +327,13 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.knn_ivfadc(_emb(spark, sf_dir)), "rank")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r6-born): trained-kmeans cells bound the pairwise cosine
+    compare; within-cell duplicate balls keep their min-id member. Output =
+    surviving (vec_id, cell)."""
+    return _as_long(sim.semantic_dedup(_emb(spark, sf_dir)), "cell")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
     budget bounded by the scarcest source, deterministic md5 keep draws."""
@@ -412,6 +419,7 @@ QUERIES = {
     "embedding_pq_codes": q_pq_codes,
     "embedding_knn_pq_adc": q_knn_pq_adc,
     "embedding_knn_ivfadc": q_knn_ivfadc,
+    "dedup_semantic_kmeans": q_semantic_dedup,
     "embedding_quantize_int8": q_quantize,
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
@@ -1321,6 +1329,33 @@ SELECT query_id, neighbor_id, rank, adc_sim FROM (
     return _with(*parts) + "\n" + rank_sql
 
 
+def _semantic_dedup_oracle_sql(
+    threshold: float = 0.35,
+    k: int = sim.KMEANS_K,
+    iters: int = sim.KMEANS_ITERS,
+) -> str:
+    """SemDeDup twin: replay the unrolled Lloyd trajectory to the final
+    assignment, then the within-cell min-id-keeper drop rule as a pairwise
+    join on the cell key (the ``probed`` CTE from the shared builder is
+    unused here and pruned by DuckDB)."""
+    parts = _kmeans_probe_parts(k, iters)
+    parts.append(
+        f"""
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assignf a
+  JOIN assignf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+)""".strip()
+    )
+    return (
+        _with(*parts)
+        + "\nSELECT vec_id, cell FROM assignf"
+        + "\nWHERE vec_id NOT IN (SELECT vec_id FROM dropped)"
+    )
+
+
 ORACLES["embedding_pq_codes"] = _pq_codes_oracle_sql()
 ORACLES["embedding_knn_pq_adc"] = _pq_adc_oracle_sql()
 ORACLES["embedding_knn_ivfadc"] = _ivfadc_oracle_sql()
+ORACLES["dedup_semantic_kmeans"] = _semantic_dedup_oracle_sql()

@@ -87,6 +87,8 @@ _DEFER: list[str] = [
     "atr_14_1h",              # Wilder true-range recursion; grouped-kernel family of rsi_14_1h
     "bollinger_20_2_1h",      # native-window bands; window family of sma_golden_cross
     "stochastic_14_3_1h",     # native min/max/avg windows; family of sma_golden_cross
+    "dedup_semantic_kmeans",  # SemDeDup; kmeans family of embedding_knn_ivf_kmeans,
+                              # near-dup family of embedding_near_dup_lsh
 ]
 
 
