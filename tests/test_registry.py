@@ -72,6 +72,7 @@ SIBLING = {
     "bollinger_20_2_1h": "sma_golden_cross",
     "stochastic_14_3_1h": "sma_golden_cross",
     "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
+    "streaming_rsi_14_1h": "streaming_ema_14_1h",
 }
 
 

@@ -402,6 +402,62 @@ def q_streaming_ema_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RSI_SINK = "gate_streaming_rsi_14_1h"
+_RSI_PREFIX = "gate_streaming_rsi_"
+
+
+def q_streaming_rsi_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream_rsi twin of q_streaming_ema_14_1h (r6-born): the Wilder
+    RSI(14) recursion maintained live by ``applyInPandasWithState`` —
+    per-symbol state is (prev price, seed accumulators, avg gain/loss),
+    O(1) across micro-batches and restarts. Same single-file availableNow
+    drain, so the stateful path must replay the batch ``rsi_14_1h``
+    recursive-CTE trajectory step for step (shared oracle)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.indicators import stream_rsi
+    from .trading import _ohlc_1h
+
+    base = tempfile.mkdtemp(prefix=_RSI_PREFIX)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    candles_path = f"{base}/candles_1h"
+    (
+        _ohlc_1h(spark, sf_dir)
+        .select("currency_pair_code", "time", "close")
+        .coalesce(1)
+        .write.parquet(candles_path)
+    )
+    stream = spark.readStream.schema(
+        "currency_pair_code string, time timestamp, close double"
+    ).parquet(candles_path)
+    out = stream_rsi(
+        stream.select(
+            F.col("currency_pair_code").alias("currency_pair_symbol"),
+            "time",
+            F.col("close").alias("mid"),
+        ),
+        period=14,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_RSI_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_RSI_SINK).select(
+        F.col("currency_pair_symbol").alias("currency_pair_code"),
+        F.lit("1h").alias("timeframe_code"),
+        F.lit(14).cast("int").alias("period"),
+        F.lit("0").alias("calc_version"),
+        "time",
+        F.round("rsi", 6).alias("value"),
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -410,6 +466,7 @@ QUERIES = {
     "streaming_firstwins_append": q_streaming_firstwins_append,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "streaming_ema_14_1h": q_streaming_ema_14_1h,
+    "streaming_rsi_14_1h": q_streaming_rsi_14_1h,
 }
 
 ORACLES = {
@@ -473,3 +530,4 @@ ORACLES["streaming_heavy_hitters"] = _dp.ORACLES["text_heavy_hitters_cms"]
 from . import trading as _tr  # noqa: E402
 
 ORACLES["streaming_ema_14_1h"] = _tr.ORACLES["ema_14_1h"]
+ORACLES["streaming_rsi_14_1h"] = _tr.ORACLES["rsi_14_1h"]

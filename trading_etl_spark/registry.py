@@ -89,6 +89,7 @@ _DEFER: list[str] = [
     "stochastic_14_3_1h",     # native min/max/avg windows; family of sma_golden_cross
     "dedup_semantic_kmeans",  # SemDeDup; kmeans family of embedding_knn_ivf_kmeans,
                               # near-dup family of embedding_near_dup_lsh
+    "streaming_rsi_14_1h",    # stateful Wilder recursion; twin of streaming_ema_14_1h
 ]
 
 
