@@ -887,3 +887,40 @@ def test_semantic_dedup_drop_is_one_pass_not_transitive(spark):
     emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
     out = sim.semantic_dedup(emb, threshold=0.9, n_cells=1, iters=1)
     assert sorted(r.vec_id for r in out.collect()) == [0]
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    import numpy as np
+
+    keys = spark.createDataFrame([(int(i),) for i in range(1000)], "h long")
+    bloom = tx.bloom_build(keys, "h", m_bits=1 << 14, k=7)
+    probe_df = spark.createDataFrame(
+        [(int(i),) for i in range(5000)], "h long"
+    ).withColumn("hit", tx._bloom_probe_udf(bloom, 1 << 14, 7)(F.col("h")))
+    rows = {r.h: r.hit for r in probe_df.collect()}
+    # members: never a false negative
+    assert all(rows[i] for i in range(1000))
+    # non-members: fp rate stays near the design point (m/n=16.4, k=7 → ~1%)
+    fp = sum(rows[i] for i in range(1000, 5000)) / 4000
+    assert fp < 0.05, fp
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    docs = tx.load_documents(spark, sf_dir)
+    exact = {
+        (r.doc_id, r.n_shared_shingles, r.n_test_docs)
+        for r in tx.decontaminate(docs, broadcast_test=True).collect()
+    }
+    via_bloom = {
+        (r.doc_id, r.n_shared_shingles, r.n_test_docs)
+        for r in tx.decontaminate_bloom(docs).collect()
+    }
+    assert via_bloom == exact
+    assert exact  # non-vacuous: the fixture split shares shingles

@@ -73,6 +73,7 @@ SIBLING = {
     "stochastic_14_3_1h": "sma_golden_cross",
     "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
     "streaming_rsi_14_1h": "streaming_ema_14_1h",
+    "decontaminate_bloom_prefilter": "decontaminate_train_ngrams",
 }
 
 

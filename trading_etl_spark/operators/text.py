@@ -24,6 +24,8 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1083,6 +1085,120 @@ def decontaminate(
             broadcast_test = n_test.count() <= DECONTAM_BROADCAST_MAX_TEST_DOCS
     return (
         train.join(F.broadcast(test) if broadcast_test else test, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_doc_id").alias("n_test_docs"),
+        )
+    )
+
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap — ~1% fp at ~100k keys (m/n≈10, k=7)
+BLOOM_K = 7
+
+
+def _bloom_positions(h, m_bits: int, k: int):
+    """k probe positions per 64-bit key via Kirsch–Mitzenmacher double
+    hashing: pos_i = (h1 + i·h2) mod m, with the stride forced odd so it
+    cycles the full table. Returns a (k, n) int64 array."""
+    import numpy as np
+
+    h = h.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(keys: DataFrame, key_col: str = "h", m_bits: int = BLOOM_M_BITS,
+                k: int = BLOOM_K) -> bytes:
+    """Distributed Bloom-filter build over an int64 key column: each Arrow
+    batch sets its bits into a partition-local bitmap (``mapInPandas``),
+    and the m/8-byte partials OR-merge on the driver — the treeAggregate
+    shape, driver traffic = partitions × m/8 bytes regardless of key count.
+    Size ``m_bits`` from catalog stats (~10 bits/key for ~1% fp)."""
+    import numpy as np
+
+    def partials(it):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        dirty = False
+        for pdf in it:
+            if len(pdf):
+                dirty = True
+                pos = _bloom_positions(pdf[key_col].to_numpy(), m_bits, k).ravel()
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        if dirty:
+            yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in keys.mapInPandas(partials, "bloom binary").collect():
+        out |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def _bloom_probe_udf(bloom: bytes, m_bits: int, k: int):
+    """Arrow-vectorized membership probe (no false negatives)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+
+    @pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        pos = _bloom_positions(h.to_numpy(), m_bits, k)  # (k, n)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=0))
+
+    return probe
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    n: int = CONTAM_SHINGLE_N,
+    test_docs: DataFrame | None = None,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter runtime prefilter — the
+    scale path for the regime where the TEST side is too big to broadcast
+    raw shingles but its HASHES fit a fixed-size bitmap (10M shingles ≈
+    12.5 MB at 10 bits/key, vs GBs of strings).
+
+    Two-phase, like every runtime filter (cf. Spark's AQE
+    ``runtime.bloomFilter``): (1) build the bitmap over the test side's
+    distinct ``xxhash64(shingle)`` (one job at construction time — the
+    documented eager step); (2) probe the TRAIN shingle relation map-side
+    with the broadcast bitmap, so the shuffle into the confirm join carries
+    only true matches + the ~1% false-positive tail instead of the full
+    train shingle relation — at 100 TB that shuffle is the pipeline's
+    biggest exchange. The exact confirm join then kills the false
+    positives, so the result is IDENTICAL to :func:`decontaminate` (no
+    false negatives by construction) and shares its oracle.
+    """
+    if test_docs is None:
+        sh = shingles(docs, n=n).withColumn("split", _split_col())
+        train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+        test = sh.filter(F.col("split") == "test").select(
+            F.col("doc_id").alias("test_doc_id"), "shingle"
+        )
+    else:
+        train = shingles(docs, n=n).select("doc_id", "shingle")
+        test = shingles(test_docs, n=n).select(
+            F.col("doc_id").alias("test_doc_id"), "shingle"
+        )
+    bloom = bloom_build(
+        test.select(F.xxhash64("shingle").alias("h")).distinct(), "h", m_bits, k
+    )
+    probe = _bloom_probe_udf(bloom, m_bits, k)
+    candidates = (
+        train.withColumn("h", F.xxhash64("shingle"))
+        .filter(probe(F.col("h")))
+        .drop("h")
+    )
+    return (
+        candidates.join(test, "shingle")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("shingle").alias("n_shared_shingles"),

@@ -114,6 +114,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.decontaminate(_docs(spark, sf_dir), broadcast_test=True)
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-leak scan through the Bloom runtime-prefilter path
+    (r6-born): broadcast 128 KiB bitmap probe map-side, exact confirm
+    join kills false positives — result identical to the broadcast
+    decontaminate, certified by the SAME oracle."""
+    return tx.decontaminate_bloom(_docs(spark, sf_dir))
+
+
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc passage-duplication profile over 16-token passages."""
     return _as_long(tx.passage_dedup(_docs(spark, sf_dir)), "n_passages")
@@ -387,6 +395,7 @@ QUERIES = {
     "dedup_connected_components": q_dedup_components,
     "dedup_cc_two_phase": q_dedup_components_two_phase,
     "decontaminate_train_ngrams": q_decontaminate,
+    "decontaminate_bloom_prefilter": q_decontaminate_bloom,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1359,3 +1368,5 @@ ORACLES["embedding_pq_codes"] = _pq_codes_oracle_sql()
 ORACLES["embedding_knn_pq_adc"] = _pq_adc_oracle_sql()
 ORACLES["embedding_knn_ivfadc"] = _ivfadc_oracle_sql()
 ORACLES["dedup_semantic_kmeans"] = _semantic_dedup_oracle_sql()
+# bloom prefilter is exact-by-construction — same oracle as the broadcast path
+ORACLES["decontaminate_bloom_prefilter"] = ORACLES["decontaminate_train_ngrams"]

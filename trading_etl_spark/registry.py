@@ -90,6 +90,7 @@ _DEFER: list[str] = [
     "dedup_semantic_kmeans",  # SemDeDup; kmeans family of embedding_knn_ivf_kmeans,
                               # near-dup family of embedding_near_dup_lsh
     "streaming_rsi_14_1h",    # stateful Wilder recursion; twin of streaming_ema_14_1h
+    "decontaminate_bloom_prefilter",  # exact-by-construction bloom path; twin of decontaminate_train_ngrams
 ]
 
 
