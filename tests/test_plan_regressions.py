@@ -196,3 +196,85 @@ def test_cms_sketch_two_exchanges_no_python(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bollinger_stochastic_single_window_shuffle_no_python(spark):
+    """The r6 native-window indicators must stay pure JVM: exactly one hash
+    exchange (the (pair, timeframe) window partitioning) and zero Python
+    stages — a refactor that drops to a pandas kernel here trades a free
+    codegen window for an Arrow round-trip."""
+    from trading_etl_spark.operators import indicators
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), float(i) + 1,
+         float(i) - 1, float(i))
+        for i in range(30)
+    ]
+    ohlc_df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double",
+    )
+    for df in (
+        indicators.bollinger(ohlc_df, 20, 2.0),
+        indicators.stochastic(ohlc_df, 14, 3),
+    ):
+        plan = _physical(df)
+        assert "EvalPython" not in plan and "InPandas" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_macd_atr_one_group_shuffle(spark):
+    """The r6 recursive indicators ride ONE groupBy(pair, timeframe)
+    exchange into their grouped Arrow kernel — same shape as EMA/RSI."""
+    from trading_etl_spark.operators import indicators
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), float(i) + 1,
+         float(i) - 1, float(i))
+        for i in range(40)
+    ]
+    ohlc_df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double",
+    )
+    for df in (indicators.macd(ohlc_df, 12, 26, 9), indicators.atr(ohlc_df, 14)):
+        plan = _physical(df)
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_semantic_dedup_one_cell_shuffle(spark):
+    """SemDeDup's pairwise compare must ride the ONE groupBy(cell)
+    exchange; the cell assignment itself is the zero-shuffle broadcast-
+    codebook Arrow matmul (an ArrowEvalPython in the scan stage)."""
+    from trading_etl_spark.operators import similarity as sim
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    plan = _physical(sim.semantic_dedup(emb, threshold=0.9, n_cells=2, iters=1))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The Bloom prefilter must run in the scan stage (broadcast bitmap
+    closed over by the Arrow probe) — no exchange below the probe filter;
+    the confirm join is the first shuffle consumer."""
+    from trading_etl_spark.operators import text as tx
+
+    keys = spark.createDataFrame([(int(i),) for i in range(100)], "h long")
+    bloom = tx.bloom_build(keys, "h", m_bits=1 << 12, k=5)
+    probe = tx._bloom_probe_udf(bloom, 1 << 12, 5)
+    train = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, shingle string"
+    )
+    probed = train.withColumn("h", F.xxhash64("shingle")).filter(
+        probe(F.col("h"))
+    )
+    plan = _physical(probed)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
