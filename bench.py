@@ -47,6 +47,11 @@ HEADLINE = [
     "text_quality_score",
     "embedding_knn_bruteforce",
     "embedding_knn_ivf_kmeans",
+    # r6-born additions
+    "macd_12_26_9_1h",
+    "bollinger_20_2_1h",
+    "dedup_semantic_kmeans",
+    "decontaminate_bloom_prefilter",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup

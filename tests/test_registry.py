@@ -74,6 +74,7 @@ SIBLING = {
     "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
     "streaming_rsi_14_1h": "streaming_ema_14_1h",
     "decontaminate_bloom_prefilter": "decontaminate_train_ngrams",
+    "streaming_tick_sessions": "streaming_ohlc_1m",
 }
 
 

@@ -458,6 +458,52 @@ def q_streaming_rsi_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONS_SINK = "gate_streaming_sessions"
+
+
+def q_streaming_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 SESSION windows under real streaming (r6-born — the batch
+    ``tick_sessions`` twin): gap-merged trading sessions maintained live by
+    the session-window state store over the validated tick stream,
+    complete-mode drained. Like ``streaming_ohlc_1m`` this runs pre-dedup,
+    so the oracle is the gaps-and-islands SQL over ``raw_ticks``.
+
+    Determinism: a fully-drained complete-mode session aggregate equals
+    the batch sessionization regardless of micro-batch boundaries (windows
+    merge on overlap; count/avg are order-insensitive and rounding happens
+    after the final merge). Scale notes: state = open sessions per pair,
+    bounded by the watermark horizon in append-mode production; the
+    session merge shuffles on the pair key the upstream dedup already
+    partitions on."""
+    from .trading import SESSION_GAP_MIN
+
+    t = ticks.tickify(ticks.stream_events(spark, sf_dir))
+    w = F.session_window("time", f"{SESSION_GAP_MIN} minutes")
+    sess = (
+        t.groupBy("currency_pair_code", w.alias("w"))
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.round(F.avg("bid"), 6).alias("avg_bid"),
+        )
+        .select(
+            "currency_pair_code",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_ticks",
+            "avg_bid",
+        )
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(_SESSIONS_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SESSIONS_SINK)
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -467,6 +513,7 @@ QUERIES = {
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "streaming_ema_14_1h": q_streaming_ema_14_1h,
     "streaming_rsi_14_1h": q_streaming_rsi_14_1h,
+    "streaming_tick_sessions": q_streaming_tick_sessions,
 }
 
 ORACLES = {
@@ -531,3 +578,31 @@ from . import trading as _tr  # noqa: E402
 
 ORACLES["streaming_ema_14_1h"] = _tr.ORACLES["ema_14_1h"]
 ORACLES["streaming_rsi_14_1h"] = _tr.ORACLES["rsi_14_1h"]
+# session windows under streaming: gaps-and-islands over the PRE-dedup raw
+# validated ticks (the same relation streaming_ohlc_1m aggregates)
+ORACLES["streaming_tick_sessions"] = (
+    "WITH "
+    + ticks.RAW_TICKS_SQL
+    + f"""
+,
+marked AS (
+  SELECT currency_pair_code, time, bid,
+         CASE WHEN lag(time) OVER w IS NULL
+                OR time - lag(time) OVER w > INTERVAL {_tr.SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM raw_ticks
+  WINDOW w AS (PARTITION BY currency_pair_code ORDER BY time)
+),
+islands AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY currency_pair_code ORDER BY time
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT currency_pair_code,
+       min(time) AS session_start,
+       max(time) + INTERVAL {_tr.SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_ticks,
+       round(avg(bid), 6) AS avg_bid
+FROM islands
+GROUP BY currency_pair_code, sid"""
+)

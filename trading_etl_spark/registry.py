@@ -91,6 +91,7 @@ _DEFER: list[str] = [
                               # near-dup family of embedding_near_dup_lsh
     "streaming_rsi_14_1h",    # stateful Wilder recursion; twin of streaming_ema_14_1h
     "decontaminate_bloom_prefilter",  # exact-by-construction bloom path; twin of decontaminate_train_ngrams
+    "streaming_tick_sessions",  # session windows live; family of streaming_ohlc_1m + batch tick_sessions
 ]
 
 
