@@ -924,3 +924,28 @@ def test_decontaminate_bloom_equals_exact(spark):
     }
     assert via_bloom == exact
     assert exact  # non-vacuous: the fixture split shares shingles
+
+
+def test_dsir_lookalike_outweighs_offdomain(spark):
+    # Target domain speaks "alpha beta"; raw corpus also has "gamma delta"
+    # docs and ONE target-lookalike. The lookalike's LM log-ratio (and
+    # hence importance weight) must exceed every off-domain doc's.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "en", "tgt", 21),
+            (2, "beta alpha beta alpha", "en", "tgt", 21),
+            (3, "gamma delta gamma delta", "en", "web", 23),
+            (4, "delta gamma delta gamma", "en", "web", 23),
+            (5, "alpha beta beta alpha", "en", "web", 21),  # lookalike
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: (r.logratio, r.weight)
+        for r in tx.dsir_resample(docs, target_value="tgt", k=5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # k = corpus size → everything sampled
+    assert out[5][0] > out[3][0] and out[5][0] > out[4][0]
+    assert out[5][1] > out[3][1]
+    # target-vocab docs score above the off-domain cluster too
+    assert min(out[1][0], out[2][0]) > max(out[3][0], out[4][0])

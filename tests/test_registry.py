@@ -75,6 +75,7 @@ SIBLING = {
     "streaming_rsi_14_1h": "streaming_ema_14_1h",
     "decontaminate_bloom_prefilter": "decontaminate_train_ngrams",
     "streaming_tick_sessions": "streaming_ohlc_1m",
+    "corpus_dsir_resample": "corpus_domain_mix",
 }
 
 

@@ -1093,6 +1093,84 @@ def decontaminate(
     )
 
 
+DSIR_TARGET_SOURCE = "src0"
+DSIR_SAMPLE_K = 30
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_value: str = DSIR_TARGET_SOURCE,
+    target_col: str = "source",
+    k: int = DSIR_SAMPLE_K,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    select raw-corpus documents that look like a TARGET domain by importance
+    weight w(x) = p_target(x)/p_raw(x) under two cheap n-gram LMs, then
+    sample by weight — the data-selection step that upgrades a web crawl
+    toward a curated domain's distribution.
+
+    Feature model: add-one-smoothed unigram LMs (the :func:`unigram_logprob`
+    construction) trained on the target slice (``target_col == target_value``)
+    and on the full raw corpus; per-doc log-ratio is the length-normalized
+    (count-weighted mean) difference of token log-probs, weight =
+    exp(log-ratio). Sampling is the same deterministic A-Res draw as
+    :func:`weighted_sample` — u^(1/w) keys from md5(doc_id) — taken as a
+    global top-k, so the result is reproducible and engine-independent
+    (log-ratio and weight round to 6dp before use).
+
+    Scale shape: reuses the de-skewed LM shape — the exploded tokens
+    pre-aggregate to per-doc-distinct (doc_id, tok, cnt) before any
+    token-keyed join (VERDICT r5 #3); both LM vocabularies are token-keyed
+    partial-combinable aggs; the (N, V) totals broadcast as 1-row
+    relations; the final top-k is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, per-partition heads then a k-row merge, never a
+    global sort.
+    """
+    ex = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
+    doc_tok = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    raw_vocab = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c_raw"))
+    t_ids = docs.filter(F.col(target_col) == target_value).select("doc_id")
+    t_vocab = (
+        doc_tok.join(F.broadcast(t_ids), "doc_id")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c_t"))
+    )
+    tot_raw = raw_vocab.agg(
+        F.sum("c_raw").alias("n_raw"), F.count(F.lit(1)).alias("v_raw")
+    )
+    tot_t = t_vocab.agg(F.sum("c_t").alias("n_t"), F.count(F.lit(1)).alias("v_t"))
+    lp_t = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v_t"))
+    )
+    lp_r = F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v_raw")))
+    scored = (
+        doc_tok.join(raw_vocab, "tok")
+        .join(t_vocab, "tok", "left")
+        .crossJoin(F.broadcast(tot_raw))
+        .crossJoin(F.broadcast(tot_t))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("cnt") * (lp_t - lp_r)) / F.sum("cnt"), 6).alias(
+                "logratio"
+            )
+        )
+    )
+    key_expr = (
+        f"round(power({hex32_unit_expr('samp_h')},"
+        f" 1.0 / greatest(weight, 0.05)), 6)"
+    )
+    d = (
+        scored.withColumn("weight", F.round(F.exp("logratio"), 6))
+        .withColumn("samp_h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("samp_key", F.expr(key_expr))
+    )
+    return (
+        d.orderBy(F.desc("samp_key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "logratio", "weight", "samp_key")
+    )
+
+
 BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap — ~1% fp at ~100k keys (m/n≈10, k=7)
 BLOOM_K = 7
 

@@ -114,6 +114,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.decontaminate(_docs(spark, sf_dir), broadcast_test=True)
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the src0 domain (r6-born):
+    importance weight = exp(mean token log-ratio of the target vs raw
+    unigram LMs), deterministic A-Res top-30 by u^(1/w) keys."""
+    return tx.dsir_resample(_docs(spark, sf_dir))
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The eval-leak scan through the Bloom runtime-prefilter path
     (r6-born): broadcast 128 KiB bitmap probe map-side, exact confirm
@@ -396,6 +403,7 @@ QUERIES = {
     "dedup_cc_two_phase": q_dedup_components_two_phase,
     "decontaminate_train_ngrams": q_decontaminate,
     "decontaminate_bloom_prefilter": q_decontaminate_bloom,
+    "corpus_dsir_resample": q_dsir_resample,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1370,3 +1378,37 @@ ORACLES["embedding_knn_ivfadc"] = _ivfadc_oracle_sql()
 ORACLES["dedup_semantic_kmeans"] = _semantic_dedup_oracle_sql()
 # bloom prefilter is exact-by-construction — same oracle as the broadcast path
 ORACLES["decontaminate_bloom_prefilter"] = ORACLES["decontaminate_train_ngrams"]
+ORACLES["corpus_dsir_resample"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + f""",
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+doc_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok),
+raw_vocab AS (SELECT tok, sum(cnt) AS c_raw FROM doc_tok GROUP BY tok),
+t_ids AS (SELECT doc_id FROM documents WHERE source = '{tx.DSIR_TARGET_SOURCE}'),
+t_vocab AS (SELECT tok, sum(cnt) AS c_t FROM doc_tok JOIN t_ids USING (doc_id)
+            GROUP BY tok),
+tot_raw AS (SELECT sum(c_raw) AS n_raw, count(*) AS v_raw FROM raw_vocab),
+tot_t AS (SELECT sum(c_t) AS n_t, count(*) AS v_t FROM t_vocab),
+scored AS (
+  SELECT d.doc_id,
+         round(sum(d.cnt * (ln((coalesce(t.c_t, 0) + 1.0) / (tot_t.n_t + tot_t.v_t))
+                          - ln((r.c_raw + 1.0) / (tot_raw.n_raw + tot_raw.v_raw))))
+               / sum(d.cnt), 6) AS logratio
+  FROM doc_tok d
+  JOIN raw_vocab r USING (tok)
+  LEFT JOIN t_vocab t USING (tok)
+  CROSS JOIN tot_raw CROSS JOIN tot_t
+  GROUP BY d.doc_id
+),
+keyed AS (
+  SELECT doc_id, logratio, round(exp(logratio), 6) AS weight,
+         md5(CAST(doc_id AS VARCHAR)) AS samp_h
+  FROM scored
+)
+SELECT doc_id, logratio, weight,
+       round(power({tx.hex32_unit_expr('samp_h')}, 1.0 / greatest(weight, 0.05)), 6) AS samp_key
+FROM keyed
+ORDER BY samp_key DESC, doc_id
+LIMIT {tx.DSIR_SAMPLE_K}"""
+)

@@ -92,6 +92,7 @@ _DEFER: list[str] = [
     "streaming_rsi_14_1h",    # stateful Wilder recursion; twin of streaming_ema_14_1h
     "decontaminate_bloom_prefilter",  # exact-by-construction bloom path; twin of decontaminate_train_ngrams
     "streaming_tick_sessions",  # session windows live; family of streaming_ohlc_1m + batch tick_sessions
+    "corpus_dsir_resample",   # DSIR importance resampling; sampling family of corpus_domain_mix
 ]
 
 
