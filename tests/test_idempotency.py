@@ -279,3 +279,71 @@ def test_table_diff_classifies_added_removed_changed(spark):
     # single shuffle-join plan: no cartesian, no nested loop
     plan = table_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# --- incremental SCD2 merge-apply (r6) ---------------------------------------
+
+
+def _scd2_frames(spark):
+    from datetime import datetime
+
+    t = lambda d: datetime(2024, 1, d)
+    history = spark.createDataFrame(
+        [
+            # key 1: closed v1 run + open v2 run
+            (1, 10.0, t(1), t(3), False),
+            (1, 20.0, t(3), None, True),
+            # key 2: untouched by the new slice
+            (2, 5.0, t(2), None, True),
+        ],
+        "user_id long, dim_value double, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, t(10), 100, 20.0),  # equal to current → absorbed
+            (1, t(11), 101, 30.0),  # real change: closes v2 at Jan 11
+            (1, t(12), 102, 30.0),  # equal to previous event → absorbed
+            (1, t(13), 103, 40.0),  # chains: v3 [11,13), v4 [13, ∞)
+            (3, t(14), 104, 7.0),   # brand-new key
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    return history, changes
+
+
+def test_scd2_apply_merge_semantics(spark):
+    from datetime import datetime
+
+    from trading_etl_spark.operators.reconcile import scd2_apply
+
+    t = lambda d: datetime(2024, 1, d)
+    history, changes = _scd2_frames(spark)
+    out = {
+        (r.user_id, r.dim_value, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_apply(history, changes).collect()
+    }
+    assert out == {
+        (1, 10.0, t(1), t(3), False),
+        (1, 20.0, t(3), t(11), False),   # closed at the first REAL change
+        (1, 30.0, t(11), t(13), False),  # equal-value events absorbed
+        (1, 40.0, t(13), None, True),
+        (2, 5.0, t(2), None, True),      # untouched key streams through
+        (3, 7.0, t(14), None, True),     # new key inserted
+    }
+
+
+def test_scd2_apply_all_equal_slice_is_noop(spark):
+    from datetime import datetime
+
+    from trading_etl_spark.operators.reconcile import scd2_apply
+
+    t = lambda d: datetime(2024, 1, d)
+    history, _ = _scd2_frames(spark)
+    noop = spark.createDataFrame(
+        [(1, t(20), 200, 20.0), (2, t(21), 201, 5.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    before = {tuple(r) for r in history.collect()}
+    after = {tuple(r) for r in scd2_apply(history, noop).collect()}
+    assert after == before

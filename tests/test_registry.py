@@ -76,6 +76,7 @@ SIBLING = {
     "decontaminate_bloom_prefilter": "decontaminate_train_ngrams",
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "corpus_dsir_resample": "corpus_domain_mix",
+    "dim_scd2_merge_apply": "events_snapshot_diff",
 }
 
 

@@ -18,7 +18,7 @@ only the partitions a recompute touched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def table_diff(
@@ -57,3 +57,74 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental SCD2 merge-apply — the MERGE-shaped maintenance of a
+    type-2 dimension (the Delta/Iceberg ``MERGE INTO`` pattern, expressed
+    relationally): fold a new slice of the change log into an existing
+    history WITHOUT rebuilding untouched keys.
+
+    ``history`` is an SCD2 relation (key, dim_value, valid_from, valid_to,
+    is_current) built from the log up to a cursor; ``changes`` is the log
+    strictly after it (key, ts, event_id, value — the cursor guarantees
+    every change ts exceeds every history valid_from). Semantics are
+    exactly the full rebuild's change-point compression: a new event equal
+    to the key's current value is absorbed; the first real change closes
+    the current row at its ts; subsequent changes chain with half-open
+    validity; the last becomes current. The correctness statement is
+    INCREMENTAL VIEW MAINTENANCE: apply(history≤T, log>T) ≡ rebuild(log) —
+    the gate query certifies it by hash-matching the full-rebuild oracle.
+
+    Scale shape: the expensive windows run ONLY over the new slice
+    (O(changes), keyed on the dimension's natural key); history is touched
+    by two joins against the touched-key relation — broadcastable, since
+    keys-changed-per-increment ≪ dimension cardinality — so untouched
+    history streams through with zero shuffle and no window work. A full
+    rebuild would re-window the entire log every run; this is the
+    reference's W2 incremental-recompute discipline applied to a slowly
+    changing dimension.
+    """
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    cur = history.filter(F.col("is_current")).select(
+        key, F.col("dim_value").alias("_cur_value")
+    )
+    ch = (
+        changes.select(key, "ts", "event_id", value_col)
+        .join(F.broadcast(cur), key, "left")
+        .withColumn(
+            "_prev", F.coalesce(F.lag(value_col).over(w), F.col("_cur_value"))
+        )
+        .filter(F.col("_prev").isNull() | (F.col(value_col) != F.col("_prev")))
+        .select(key, "ts", "event_id", value_col)
+    )
+    wcp = Window.partitionBy(key).orderBy("ts", "event_id")
+    new_valid_to = F.lead("ts").over(wcp)
+    new_rows = ch.select(
+        key,
+        F.col(value_col).alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        new_valid_to.alias("valid_to"),
+        new_valid_to.isNull().alias("is_current"),
+    )
+    first_cp = ch.groupBy(key).agg(F.min("ts").alias("_close_ts"))
+    cur_rows = history.filter(F.col("is_current"))
+    closed = cur_rows.join(F.broadcast(first_cp), key).select(
+        key,
+        "dim_value",
+        "valid_from",
+        F.col("_close_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    untouched_cur = cur_rows.join(F.broadcast(first_cp), key, "left_anti")
+    return (
+        history.filter(~F.col("is_current"))
+        .unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(new_rows)
+    )

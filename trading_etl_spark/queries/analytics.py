@@ -305,6 +305,26 @@ def q_approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_build(ev):
+    """Full SCD2 rebuild from a (user_id, ts, event_id, value) change log —
+    the one-shuffle change-point compression both q_scd2_user_value_history
+    and the incremental merge-apply gate share."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change_points = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    )
+    valid_to = F.lead("ts").over(w)
+    return change_points.select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension-history compaction (absent in the reference — its
     alembic migrations version the SCHEMA, never the rows): treat events as
@@ -320,20 +340,26 @@ def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.ticks import load_events
 
     ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    change_points = (
-        ev.select("user_id", "ts", "event_id", "value")
-        .withColumn("prev", F.lag("value").over(w))
-        .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+    return scd2_build(ev)
+
+
+def q_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 merge-apply (r6-born): history built from the log
+    up to the shared incremental cursor, then reconcile.scd2_apply folds
+    the post-cursor slice in — windows run only over the new slice,
+    untouched keys stream through. Oracle = the FULL-rebuild SQL, so the
+    hash-match certifies incremental view maintenance:
+    apply(history≤T, log>T) ≡ rebuild(log)."""
+    from ..operators.reconcile import scd2_apply
+    from ..sources.ticks import load_events
+    from .trading import CURSOR
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    history = scd2_build(ev.filter(F.col("ts") <= F.lit(CURSOR)))
+    post = ev.filter(F.col("ts") > F.lit(CURSOR)).select(
+        "user_id", "ts", "event_id", "value"
     )
-    valid_to = F.lead("ts").over(w)
-    return change_points.select(
-        "user_id",
-        F.col("value").alias("dim_value"),
-        F.col("ts").alias("valid_from"),
-        valid_to.alias("valid_to"),
-        valid_to.isNull().alias("is_current"),
-    )
+    return scd2_apply(history, post)
 
 
 HIST_BINS = 10
@@ -474,6 +500,7 @@ QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "events_snapshot_diff": q_events_snapshot_diff,
     "dim_scd2_history": q_scd2_user_value_history,
+    "dim_scd2_merge_apply": q_scd2_merge_apply,
     "events_value_histogram": q_value_histogram,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
@@ -710,3 +737,7 @@ ORDER BY open_value DESC, custkey
 LIMIT 10 OFFSET 10
 """.strip(),
 }
+
+
+# incremental merge-apply is certified against the FULL rebuild
+ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]

@@ -93,6 +93,7 @@ _DEFER: list[str] = [
     "decontaminate_bloom_prefilter",  # exact-by-construction bloom path; twin of decontaminate_train_ngrams
     "streaming_tick_sessions",  # session windows live; family of streaming_ohlc_1m + batch tick_sessions
     "corpus_dsir_resample",   # DSIR importance resampling; sampling family of corpus_domain_mix
+    "dim_scd2_merge_apply",   # incremental SCD2 MERGE; reconcile family of events_snapshot_diff
 ]
 
 
