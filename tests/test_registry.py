@@ -77,6 +77,7 @@ SIBLING = {
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "corpus_dsir_resample": "corpus_domain_mix",
     "dim_scd2_merge_apply": "events_snapshot_diff",
+    "streaming_sma_cross": "sma_golden_cross",
 }
 
 

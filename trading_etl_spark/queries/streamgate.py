@@ -1,9 +1,10 @@
 """Structured Streaming inside the correctness gate (SURVEY.md §2.8 R1/R7).
 
-The other streaming paths (tick ingest, watermarked dedup, stateful EMA/RSI/
-SMA-cross) are pytest-covered; this module runs a REAL streaming job whose
-bounded result hash-matches a batch DuckDB oracle, so the driver's gate
-exercises the streaming engine too:
+This module runs REAL streaming jobs whose bounded results hash-match batch
+DuckDB oracles, so the driver's gate exercises the streaming engine too —
+tumbling/sliding/session windows, a stream-stream join, watermarked dedup,
+first-wins replay idempotence, live CMS state, and the stateful EMA / RSI /
+SMA-cross recursions (which share the batch oracles). The canonical shape:
 
   file-stream events → stream-static broadcast dim join (tickify) →
   tumbling 1-minute OHLC agg → availableNow drain → memory sink → DataFrame.
@@ -504,6 +505,70 @@ def q_streaming_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SESSIONS_SINK)
 
 
+_CROSS_SINK = "gate_streaming_sma_cross"
+_CROSS_PREFIX = "gate_streaming_cross_"
+
+
+def q_streaming_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST pytest-only streaming path brought into the oracle gate
+    (r6-born): golden/dead SMA(14/28) cross detection live via
+    ``applyInPandasWithState`` — per-symbol state is the rolling 28-close
+    tail plus the previous (short, long) pair, O(long_period) doubles.
+    ``round_dp=6`` makes the kernel share the batch path's half-up 6dp
+    decision regime, so the drained BUY∪SELL stream hash-matches the
+    batch golden+dead SQL (the same paired-SMA CTE, both predicates).
+    Single-file availableNow drain = batch arrival order, as in the
+    EMA/RSI gates."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.signals import stream_sma_cross
+    from .trading import _ohlc_1h
+
+    base = tempfile.mkdtemp(prefix=_CROSS_PREFIX)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    candles_path = f"{base}/candles_1h"
+    (
+        _ohlc_1h(spark, sf_dir)
+        .select("currency_pair_code", "time", "close")
+        .coalesce(1)
+        .write.parquet(candles_path)
+    )
+    stream = spark.readStream.schema(
+        "currency_pair_code string, time timestamp, close double"
+    ).parquet(candles_path)
+    out = stream_sma_cross(
+        stream.select(
+            F.col("currency_pair_code").alias("currency_pair_symbol"),
+            "time",
+            "close",
+        ),
+        short_period=14,
+        long_period=28,
+        round_dp=6,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_CROSS_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_CROSS_SINK).select(
+        F.col("time").alias("event_datetime"),
+        F.col("currency_pair_symbol").alias("currency_pair_code"),
+        F.col("short_value").alias("price"),
+        F.lit(0).cast("int").alias("quantity"),
+        "event_type",
+        F.lit("SMA").alias("trigger_indicator_name"),
+        F.col("short_value").alias("trigger_indicator_value"),
+        F.lit("1h").alias("trigger_indicator_timeframe"),
+        F.lit(14).cast("int").alias("trigger_indicator_period"),
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -514,6 +579,7 @@ QUERIES = {
     "streaming_ema_14_1h": q_streaming_ema_14_1h,
     "streaming_rsi_14_1h": q_streaming_rsi_14_1h,
     "streaming_tick_sessions": q_streaming_tick_sessions,
+    "streaming_sma_cross": q_streaming_sma_cross,
 }
 
 ORACLES = {
@@ -578,6 +644,11 @@ from . import trading as _tr  # noqa: E402
 
 ORACLES["streaming_ema_14_1h"] = _tr.ORACLES["ema_14_1h"]
 ORACLES["streaming_rsi_14_1h"] = _tr.ORACLES["rsi_14_1h"]
+# streaming cross emits BUY and SELL in one stream: batch golden ∪ dead
+ORACLES["streaming_sma_cross"] = (
+    _tr._with(*_tr._TO_1H, _tr._SMA_PAIRED_SQL)
+    + "\n" + _tr._GOLDEN_SQL + "\nUNION ALL\n" + _tr._DEAD_SQL
+)
 # session windows under streaming: gaps-and-islands over the PRE-dedup raw
 # validated ticks (the same relation streaming_ohlc_1m aggregates)
 ORACLES["streaming_tick_sessions"] = (

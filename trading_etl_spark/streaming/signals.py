@@ -57,11 +57,28 @@ def stream_sma_cross(
     long_period: int = 28,
     time_col: str = "time",
     close_col: str = "close",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Detect SMA(short/long) crosses on a streaming candle DataFrame keyed
-    by ``currency_pair_symbol``; emits BUY/SELL rows as they occur."""
+    by ``currency_pair_symbol``; emits BUY/SELL rows as they occur.
+
+    ``round_dp`` rounds both SMAs half-away-from-zero to that many decimals
+    BEFORE the cross compare (and emits the rounded values) — the batch
+    path's convention (operators/signals.py rounds fact_sma to 6dp so the
+    cross predicate decides identically in Spark and the SQL oracle); pass
+    6 to make the stream replay the batch decision stream exactly."""
     if short_period >= long_period:
         raise ValueError("short_period must be < long_period")
+
+    if round_dp is None:
+        _r = lambda x: x
+    else:
+        import math
+
+        scale = 10.0 ** round_dp
+        _r = lambda x: math.copysign(
+            math.floor(abs(x) * scale + 0.5) / scale, x
+        )
 
     def update(
         key: tuple[Any, ...],
@@ -82,8 +99,8 @@ def stream_sma_cross(
                 if len(closes) > long_period:
                     closes.pop(0)
                 if len(closes) == long_period:
-                    short_v = sum(closes[-short_period:]) / short_period
-                    long_v = sum(closes) / long_period
+                    short_v = _r(sum(closes[-short_period:]) / short_period)
+                    long_v = _r(sum(closes) / long_period)
                     if prev_short is not None:
                         if prev_short <= prev_long and short_v > long_v:
                             rows.append((symbol, t, "BUY", short_v, long_v))
