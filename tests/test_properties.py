@@ -8,6 +8,7 @@ import math
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from trading_etl_spark.operators.indicators import _ema_series, _rsi_series
 
@@ -231,3 +232,47 @@ def test_asof_nearest_matches_naive_on_random_series(spark_prop):
             want_lag = int((pt - qt).total_seconds())
             assert got[tag][1] == want_lag, (tag, got[tag], want_lag)
             assert got[tag][0] in bids, (tag, got[tag], bids)
+
+
+# --- incremental SCD2 merge ≡ full rebuild (Spark, few examples) -------------
+
+
+@given(
+    st.lists(  # change log: (user bucket, ts-second, value bucket)
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=500),  # cursor second
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_apply_equals_full_rebuild_property(spark, log, cursor_s):
+    """apply(rebuild(log ≤ T), log > T) must equal rebuild(log) for ANY log
+    and cursor — including empty pre/post slices, absorbed equal-value
+    runs, same-ts events for one key (event_id breaks the tie), and keys
+    that exist only on one side of the cursor."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.reconcile import scd2_apply
+    from trading_etl_spark.queries.analytics import scd2_build
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(seconds=s), i, float(v))
+        for i, (u, s, v) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    cursor = t0 + timedelta(seconds=cursor_s)
+    full = {tuple(r) for r in scd2_build(ev).collect()}
+    pre = ev.filter(F.col("ts") <= F.lit(cursor))
+    post = ev.filter(F.col("ts") > F.lit(cursor))
+    merged = {
+        tuple(r) for r in scd2_apply(scd2_build(pre), post).collect()
+    }
+    assert merged == full
