@@ -80,3 +80,43 @@ def test_gate_query_roundtrip_via_sql_views(spark):
     )
     df_rows = sorted(tuple(r) for r in q_latest_tick(spark, SF_DIR).collect())
     assert sql_rows == df_rows and len(sql_rows) == 6
+
+
+def test_indicator_views_match_query_surface(spark):
+    """The r6 catalog additions: SQL over fact_sma_1h must reproduce the
+    golden-cross gate query (the reference's users read fact_sma tables in
+    SQL; the view is the same cached relation the DataFrame path uses)."""
+    from trading_etl_spark.catalog import register_views
+    from trading_etl_spark.queries.trading import q_golden_cross
+
+    names = register_views(spark, SF_DIR)
+    assert "ohlc_1h" in names and "fact_sma_1h" in names
+    sql_rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            WITH paired AS (
+              SELECT s.currency_pair_code, s.timeframe_code, s.time,
+                     s.value AS short_value, l.value AS long_value,
+                     lag(s.value) OVER w AS prev_short,
+                     lag(l.value) OVER w AS prev_long
+              FROM fact_sma_1h s
+              JOIN fact_sma_1h l
+                USING (currency_pair_code, timeframe_code, time)
+              WHERE s.period = 14 AND l.period = 28
+              WINDOW w AS (PARTITION BY s.currency_pair_code ORDER BY s.time)
+            )
+            SELECT time AS event_datetime, currency_pair_code,
+                   short_value AS price, 0 AS quantity, 'BUY' AS event_type,
+                   'SMA' AS trigger_indicator_name,
+                   short_value AS trigger_indicator_value,
+                   timeframe_code AS trigger_indicator_timeframe,
+                   14 AS trigger_indicator_period
+            FROM paired
+            WHERE prev_short IS NOT NULL AND prev_short <= prev_long
+              AND short_value > long_value
+            """
+        ).collect()
+    )
+    df_rows = sorted(tuple(r) for r in q_golden_cross(spark, SF_DIR).collect())
+    assert sql_rows == df_rows and sql_rows

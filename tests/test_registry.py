@@ -78,6 +78,7 @@ SIBLING = {
     "corpus_dsir_resample": "corpus_domain_mix",
     "dim_scd2_merge_apply": "events_snapshot_diff",
     "streaming_sma_cross": "sma_golden_cross",
+    "events_value_winsorize": "events_value_histogram",
 }
 
 

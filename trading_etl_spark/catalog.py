@@ -13,7 +13,9 @@ Views registered:
 - raw driver tables: region nation customer supplier part orders lineitem
   events documents embeddings
 - curated: dim_currency, dim_timeframe, ticks (validated + deduped),
-  ohlc_1m, ohlc_all_tf (derived timeframes unioned with the 1m base)
+  ohlc_1m, ohlc_all_tf (derived timeframes unioned with the 1m base),
+  ohlc_1h, fact_sma_1h (the reference's materialized indicator tables as
+  single pair/timeframe-column views)
 """
 
 from __future__ import annotations
@@ -55,4 +57,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     base.createOrReplaceTempView("ohlc_1m")
     base.unionByName(derived).createOrReplaceTempView("ohlc_all_tf")
     names += ["ohlc_1m", "ohlc_all_tf"]
+
+    # the reference's materialized indicator tables (fact_sma_usd_jpy_1h
+    # etc., transform_services.py) — here ONE view each, pair/timeframe as
+    # columns, backed by the same cached relations the queries consume
+    trading._ohlc_1h(spark, sf_dir).createOrReplaceTempView("ohlc_1h")
+    trading._fact_sma_1h(spark, sf_dir, [14, 28]).createOrReplaceTempView(
+        "fact_sma_1h"
+    )
+    names += ["ohlc_1h", "fact_sma_1h"]
     return names

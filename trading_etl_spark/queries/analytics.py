@@ -365,6 +365,36 @@ def q_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BINS = 10
 
 
+def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-outlier clip every feature pipeline runs
+    before normalization (r6-born): per event_type p01/p99 bounds (exact
+    percentiles, 6dp-rounded so both engines share one clip decision),
+    broadcast back onto the events; values clamp into [lo, hi] with a
+    clipped audit flag. Two-pass shape like the histogram: at 100 TB the
+    bounds agg is a |types|-row result broadcast into a map-side clamp —
+    the corpus never shuffles. (Exact percentiles here are per-type
+    sort-based aggs; at extreme scale swap the GK sketch from
+    approx_value_quantiles for the bounds pass, same clamp.)"""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+        ).alias("value_w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of event values per event type (absent in the
     reference — no distribution profiling at all): per-type min/max bounds
@@ -502,6 +532,7 @@ QUERIES = {
     "dim_scd2_history": q_scd2_user_value_history,
     "dim_scd2_merge_apply": q_scd2_merge_apply,
     "events_value_histogram": q_value_histogram,
+    "events_value_winsorize": q_events_value_winsorize,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
     "approx_distinct_users": q_approx_distinct_users,
@@ -741,3 +772,17 @@ LIMIT 10 OFFSET 10
 
 # incremental merge-apply is certified against the FULL rebuild
 ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]
+
+ORACLES["events_value_winsorize"] = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS lo,
+         round(quantile_cont(value, 0.99), 6) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w,
+       (e.value < b.lo OR e.value > b.hi) AS clipped
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+""".strip()

@@ -95,6 +95,7 @@ _DEFER: list[str] = [
     "corpus_dsir_resample",   # DSIR importance resampling; sampling family of corpus_domain_mix
     "dim_scd2_merge_apply",   # incremental SCD2 MERGE; reconcile family of events_snapshot_diff
     "streaming_sma_cross",    # stateful cross detection; family of streaming_ema_14_1h + sma_golden_cross
+    "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
 ]
 
 
