@@ -949,3 +949,22 @@ def test_dsir_lookalike_outweighs_offdomain(spark):
     assert out[5][1] > out[3][1]
     # target-vocab docs score above the off-domain cluster too
     assert min(out[1][0], out[2][0]) > max(out[3][0], out[4][0])
+
+
+def test_rrf_fuse_combines_and_handles_missing_legs(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank long")
+    out = {r.doc_id: r for r in tx.rrf_fuse(a, b, k=10, rrf_k=60).collect()}
+    # doc 3 appears in both legs: 1/63 + 1/61
+    assert out[3].rrf_score == pytest.approx(round(1 / 63 + 1 / 61, 6))
+    assert out[3].rank_a == 3 and out[3].rank_b == 1
+    # single-leg docs contribute only their own leg
+    assert out[1].rrf_score == pytest.approx(round(1 / 61, 6))
+    assert out[1].rank_b is None
+    assert out[4].rrf_score == pytest.approx(round(1 / 62, 6))
+    assert out[4].rank_a is None
+    # both-leg doc outranks every single-leg doc
+    ordered = sorted(out.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    assert ordered[0].doc_id == 3

@@ -79,6 +79,7 @@ SIBLING = {
     "dim_scd2_merge_apply": "events_snapshot_diff",
     "streaming_sma_cross": "sma_golden_cross",
     "events_value_winsorize": "events_value_histogram",
+    "hybrid_search_rrf": "bm25_search",
 }
 
 

@@ -756,6 +756,48 @@ def bm25_scores(
     )
 
 
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: given two ranked lists,
+    score(d) = Σ 1/(rrf_k + rank_i(d)) over the lists containing d, take
+    the top-k. Rank-based, so the legs' incomparable raw scores (BM25 vs
+    cosine) never mix; a doc missing from one leg contributes 0 there.
+
+    Scale shape: the legs are already top-k relations (bounded), so the
+    full-outer join and the final TakeOrderedAndProject are k-row work —
+    fusion cost is independent of corpus size. Output columns:
+    (id, rank_a, rank_b, rrf_score), score rounded 6dp with id tie-break.
+    """
+    a = ranked_a.select(id_col, F.col("rank").alias("rank_a"))
+    b = ranked_b.select(id_col, F.col("rank").alias("rank_b"))
+    j = a.join(b, id_col, "full_outer")
+
+    def contrib(c: str):
+        return F.when(
+            F.col(c).isNotNull(), 1.0 / (F.lit(float(rrf_k)) + F.col(c))
+        ).otherwise(F.lit(0.0))
+
+    return (
+        j.select(
+            id_col,
+            "rank_a",
+            "rank_b",
+            F.round(contrib("rank_a") + contrib("rank_b"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters: duplicate word-2-gram fraction and
     most-common-word fraction, plus the keep/drop gate

@@ -114,6 +114,34 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.decontaminate(_docs(spark, sf_dir), broadcast_test=True)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (r6-born): the BM25
+    top-20 (fixed query terms) fused with the dense cosine top-20 against
+    the vec_id-0 query embedding (doc_id ≡ vec_id in the fixture —
+    the document's embedding row). RRF keeps the incomparable raw scores
+    apart and combines ranks only. The dense leg here is the one-query
+    exact scan (full scan + TakeOrderedAndProject — the right plan for a
+    single ad-hoc query); at scale with standing query load it swaps for
+    the IVFADC index path, same (doc_id, rank) contract."""
+    lex = tx.bm25_scores(_docs(spark, sf_dir)).select("doc_id", "rank")
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim.cosine("emb", "qv"), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(tx.BM25_TOP_K)
+        .coalesce(1)
+        .withColumn("rank", (F.monotonically_increasing_id() + F.lit(1)).cast("long"))
+        .select("doc_id", "rank")
+    )
+    return tx.rrf_fuse(lex, dense, k=10)
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward the src0 domain (r6-born):
     importance weight = exp(mean token log-ratio of the target vs raw
@@ -404,6 +432,7 @@ QUERIES = {
     "decontaminate_train_ngrams": q_decontaminate,
     "decontaminate_bloom_prefilter": q_decontaminate_bloom,
     "corpus_dsir_resample": q_dsir_resample,
+    "hybrid_search_rrf": q_hybrid_search,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1378,6 +1407,41 @@ ORACLES["embedding_knn_ivfadc"] = _ivfadc_oracle_sql()
 ORACLES["dedup_semantic_kmeans"] = _semantic_dedup_oracle_sql()
 # bloom prefilter is exact-by-construction — same oracle as the broadcast path
 ORACLES["decontaminate_bloom_prefilter"] = ORACLES["decontaminate_train_ngrams"]
+def _hybrid_rrf_oracle_sql() -> str:
+    """RRF twin: the bm25 CTE chain with its final top-k wrapped as ``lex``,
+    the one-query dense cosine top-k as ``dense``, ranks fused with the
+    1/(60+rank) formula in the Spark expression's addition order."""
+    bm25 = tx.bm25_sql()
+    marker = "\nSELECT doc_id, score, rank FROM"
+    ctes, final = bm25.split(marker, 1)
+    lex_cte = "lex AS (\nSELECT doc_id, score, rank FROM" + final + "\n)"
+    dense_cte = f"""
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(c.v, q.v), 6) DESC,
+                      c.vec_id) AS rank
+    FROM emb c, (SELECT v FROM emb WHERE vec_id = 0) q
+    WHERE c.vec_id != 0
+  ) WHERE rank <= {tx.BM25_TOP_K}
+)""".strip()
+    fuse = f"""
+SELECT doc_id, rank_a, rank_b,
+       round(CASE WHEN rank_a IS NULL THEN 0.0 ELSE 1.0 / ({float(tx.RRF_K)} + rank_a) END
+           + CASE WHEN rank_b IS NULL THEN 0.0 ELSE 1.0 / ({float(tx.RRF_K)} + rank_b) END,
+             6) AS rrf_score
+FROM (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.rank AS rank_a, d.rank AS rank_b
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10""".strip()
+    return _with(tx.DOCS_TOKS_SQL, ctes.rstrip().rstrip(","), lex_cte, sim.EMB_SQL, dense_cte) + "\n" + fuse
+
+
+ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle_sql()
 ORACLES["corpus_dsir_resample"] = (
     "WITH "
     + tx.DOCS_TOKS_SQL

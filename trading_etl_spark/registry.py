@@ -96,6 +96,7 @@ _DEFER: list[str] = [
     "dim_scd2_merge_apply",   # incremental SCD2 MERGE; reconcile family of events_snapshot_diff
     "streaming_sma_cross",    # stateful cross detection; family of streaming_ema_14_1h + sma_golden_cross
     "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
+    "hybrid_search_rrf",      # reciprocal rank fusion of bm25_search + dense cosine leg
 ]
 
 
