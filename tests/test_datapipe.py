@@ -968,3 +968,23 @@ def test_rrf_fuse_combines_and_handles_missing_legs(spark):
     # both-leg doc outranks every single-leg doc
     ordered = sorted(out.values(), key=lambda r: (-r.rrf_score, r.doc_id))
     assert ordered[0].doc_id == 3
+
+
+def test_matryoshka_exhaustive_candidates_equals_bruteforce(spark):
+    # With n_candidates >= corpus size the prefix stage filters nothing,
+    # so the full-dim rerank must reproduce exact brute-force row-for-row
+    # (the same degeneracy contract as IVF's exhaustive probe).
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    emb = sim.load_embeddings(spark, sf_dir)
+    n = emb.count()
+    exact = sorted(tuple(r) for r in sim.knn_bruteforce(emb).collect())
+    mrl = sorted(
+        tuple(r) for r in sim.knn_matryoshka(emb, n_candidates=n).collect()
+    )
+    assert mrl == exact and exact

@@ -80,6 +80,8 @@ SIBLING = {
     "streaming_sma_cross": "sma_golden_cross",
     "events_value_winsorize": "events_value_histogram",
     "hybrid_search_rrf": "bm25_search",
+    "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
+    "tick_zscore_outliers": "sma_golden_cross",
 }
 
 

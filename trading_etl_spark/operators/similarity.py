@@ -75,6 +75,62 @@ def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -
     )
 
 
+MRL_PREFIX_DIM = 16
+MRL_CANDIDATES = 32
+
+
+def knn_matryoshka(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    prefix_dim: int = MRL_PREFIX_DIM,
+    n_candidates: int = MRL_CANDIDATES,
+) -> DataFrame:
+    """Matryoshka two-stage ANN (Kusupati et al. 2022, arXiv:2205.13147):
+    stage 1 ranks the corpus by cosine over only the FIRST ``prefix_dim``
+    dimensions — MRL-trained embeddings front-load information, so the
+    prefix is a faithful coarse ranker (on this fixture's random vectors
+    it is an unbiased 4×-cheaper sketch) — keeping ``n_candidates`` per
+    query; stage 2 reranks just those with the exact full-dim cosine.
+
+    Scale shape: the stage-1 scan reads a dim/prefix_dim-times narrower
+    column (store the prefix as its own column/table for real IO savings —
+    column pruning then never touches the full vector); stage 2's exact
+    math runs on n_queries×n_candidates rows only. Both stages rank on
+    6dp-rounded similarity with vec_id tie-break (engine-independent).
+    """
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        F.slice("emb", 1, prefix_dim).alias("qp"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cv"),
+        F.slice("emb", 1, prefix_dim).alias("cp"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("prefix_sim", F.round(cosine("qp", "cp"), 6))
+        .withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= n_candidates)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def knn_ivf(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """IVF-style ANN: probe only the query's coarse cell (label column).
     Same output shape as brute force; recall limited to same-cell neighbors."""

@@ -377,6 +377,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.semantic_dedup(_emb(spark, sf_dir)), "cell")
 
 
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN (r6-born): coarse rank on the first 16
+    dims (4x narrower scan), exact full-dim rerank of the top-32
+    candidates per query."""
+    return _as_long(sim.knn_matryoshka(_emb(spark, sf_dir)), "rank")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture domain sampling: per-source md5-bucket weights (1-4×),
     budget bounded by the scarcest source, deterministic md5 keep draws."""
@@ -433,6 +440,7 @@ QUERIES = {
     "decontaminate_bloom_prefilter": q_decontaminate_bloom,
     "corpus_dsir_resample": q_dsir_resample,
     "hybrid_search_rrf": q_hybrid_search,
+    "embedding_knn_matryoshka": q_knn_matryoshka,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1442,6 +1450,30 @@ LIMIT 10""".strip()
 
 
 ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle_sql()
+
+ORACLES["embedding_knn_matryoshka"] = _with(sim.EMB_SQL) + f"""
+,
+cand AS (
+  SELECT query_id, neighbor_id, qv, cv FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        q.v[1:{sim.MRL_PREFIX_DIM}], c.v[1:{sim.MRL_PREFIX_DIM}]), 6) DESC,
+                      c.vec_id) AS crank
+    FROM emb q CROSS JOIN emb c
+    WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE crank <= {sim.MRL_CANDIDATES}
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                    neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {sim.TOP_K}"""
 ORACLES["corpus_dsir_resample"] = (
     "WITH "
     + tx.DOCS_TOKS_SQL

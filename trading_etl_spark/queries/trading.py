@@ -522,6 +522,36 @@ def q_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_WINDOW = 120
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_tick_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score surveillance (r6-born): each deduped tick judged
+    against the trailing ``ZSCORE_WINDOW``-tick mean/σ_pop of its pair with
+    the current row EXCLUDED from the frame (the self-exclusion every
+    anomaly detector needs — a spike must not inflate its own baseline);
+    |z| > 3 rows flag as outliers. Pure native windows, zero Python, one
+    (pair) shuffle; z rounds to 6dp before the threshold compare so both
+    engines flag the identical row set."""
+    t = _ticks(spark, sf_dir)
+    w = Window.partitionBy("currency_pair_code").orderBy("time")
+    frame = w.rowsBetween(-ZSCORE_WINDOW, -1)
+    rn = F.row_number().over(w)
+    mean = F.avg("bid").over(frame)
+    sd = F.stddev_pop("bid").over(frame)
+    z = F.when(
+        (F.col("_rn") > ZSCORE_WINDOW) & (sd > 0),
+        F.round((F.col("bid") - mean) / sd, 6),
+    )
+    return (
+        t.withColumn("_rn", rn)
+        .withColumn("z", z)
+        .filter(F.col("z").isNotNull() & (F.abs("z") > ZSCORE_THRESHOLD))
+        .select("currency_pair_code", "time", "bid", "z")
+    )
+
+
 def q_idempotent_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+W2: the rows an incremental recompute would actually append.
 
@@ -652,6 +682,7 @@ QUERIES = {
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
+    "tick_zscore_outliers": q_tick_zscore_outliers,
     "tick_sessions": q_tick_sessions,
     "candle_returns_quartile": q_candle_returns,
     "spread_quantiles": q_spread_quantiles,
@@ -1035,6 +1066,20 @@ WHERE i.time >= TIMESTAMP '{LOOKBACK}'
     # gap-island construction: a session break is a gap STRICTLY greater
     # than the session gap (Spark merges exactly-touching windows);
     # session_window's end = last event + gap, mirrored with max(time)+gap.
+    "tick_zscore_outliers": _with(_BASE)
+    + f"""
+SELECT currency_pair_code, time, bid, z FROM (
+  SELECT currency_pair_code, time, bid,
+         CASE WHEN row_number() OVER wb > {ZSCORE_WINDOW}
+               AND stddev_pop(bid) OVER wf > 0
+              THEN round((bid - avg(bid) OVER wf) / stddev_pop(bid) OVER wf, 6)
+         END AS z
+  FROM ticks
+  WINDOW wb AS (PARTITION BY currency_pair_code ORDER BY time),
+         wf AS (PARTITION BY currency_pair_code ORDER BY time
+                ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+WHERE z IS NOT NULL AND abs(z) > {ZSCORE_THRESHOLD}""",
     "tick_sessions": _with(_BASE)
     + f""",
 marked AS (

@@ -97,6 +97,8 @@ _DEFER: list[str] = [
     "streaming_sma_cross",    # stateful cross detection; family of streaming_ema_14_1h + sma_golden_cross
     "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
     "hybrid_search_rrf",      # reciprocal rank fusion of bm25_search + dense cosine leg
+    "embedding_knn_matryoshka",  # prefix-dim coarse rank + exact rerank; ANN family of embedding_knn_ivf_kmeans
+    "tick_zscore_outliers",   # rolling self-excluded z-score gate; window family of sma_golden_cross
 ]
 
 
