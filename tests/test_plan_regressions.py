@@ -278,3 +278,32 @@ def test_bloom_probe_is_map_side(spark):
     plan = _physical(probed)
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_zscore_single_window_shuffle_no_python(spark):
+    """The rolling z-score gate is a pure native-window pass: one pair
+    exchange, zero Python — the same contract as Bollinger/stochastic."""
+    from trading_etl_spark.operators.indicators import GROUP_KEYS  # noqa: F401
+    from pyspark.sql import Window
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("USD/JPY", t0 + timedelta(seconds=i), 100.0 + (i % 7)) for i in range(200)]
+    ticks_df = spark.createDataFrame(
+        rows, "currency_pair_code string, time timestamp, bid double"
+    )
+    w = Window.partitionBy("currency_pair_code").orderBy("time")
+    frame = w.rowsBetween(-120, -1)
+    sd = F.stddev_pop("bid").over(frame)
+    z = F.when(
+        (F.col("_rn") > 120) & (sd > 0),
+        F.round((F.col("bid") - F.avg("bid").over(frame)) / sd, 6),
+    )
+    df = (
+        ticks_df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("z", z)
+        .filter(F.col("z").isNotNull() & (F.abs("z") > 3.0))
+        .select("currency_pair_code", "time", "bid", "z")
+    )
+    plan = _physical(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
