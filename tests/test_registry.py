@@ -82,6 +82,7 @@ SIBLING = {
     "hybrid_search_rrf": "bm25_search",
     "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
     "tick_zscore_outliers": "sma_golden_cross",
+    "text_ccnet_ppl_buckets": "text_unigram_logprob",
 }
 
 

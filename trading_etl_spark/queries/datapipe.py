@@ -9,7 +9,7 @@ the Spark side (DuckDB len()/count() return int64).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import graph as gr
@@ -397,6 +397,27 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359; r6-born): documents ranked by the corpus-trained
+    unigram-LM score and cut into head/middle/tail TERCILES per language —
+    the quality tiers CCNet samples from when building CommonCrawl
+    corpora. ntile over the (desc score, doc_id) TOTAL order is
+    engine-independent; the per-lang window shuffles the tiny
+    (doc_id, lang, score) projection only."""
+    docs = _docs(spark, sf_dir)
+    lp = tx.unigram_logprob(docs).select("doc_id", "mean_logprob")
+    d = docs.select("doc_id", "lang").join(lp, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob"), F.asc("doc_id")
+    )
+    tier = F.ntile(3).over(w)
+    bucket = (
+        F.when(tier == 1, "head").when(tier == 2, "middle").otherwise("tail")
+    )
+    return d.select("doc_id", "lang", "mean_logprob", bucket.alias("bucket"))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one unigram LM mean log-prob per doc — the
     KenLM-perplexity-style quality signal, pure DataFrame aggregation."""
@@ -441,6 +462,7 @@ QUERIES = {
     "corpus_dsir_resample": q_dsir_resample,
     "hybrid_search_rrf": q_hybrid_search,
     "embedding_knn_matryoshka": q_knn_matryoshka,
+    "text_ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "dedup_passages": q_passage_dedup,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1450,6 +1472,31 @@ LIMIT 10""".strip()
 
 
 ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle_sql()
+
+ORACLES["text_ccnet_ppl_buckets"] = (
+    "WITH "
+    + tx.DOCS_TOKS_SQL
+    + """,
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+doc_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok),
+vocab AS (SELECT tok, sum(cnt) AS c FROM doc_tok GROUP BY tok),
+tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab),
+lp AS (
+  SELECT d.doc_id,
+         round(sum(d.cnt * ln((vb.c + 1.0) / (tot.n_total + tot.v_size)))
+               / sum(d.cnt), 6) AS mean_logprob
+  FROM doc_tok d JOIN vocab vb USING (tok) CROSS JOIN tot
+  GROUP BY d.doc_id
+)
+SELECT doc_id, lang, mean_logprob,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT doc_id, lang, mean_logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_logprob DESC, doc_id) AS nt
+  FROM documents JOIN lp USING (doc_id)
+)"""
+)
 
 ORACLES["embedding_knn_matryoshka"] = _with(sim.EMB_SQL) + f"""
 ,
