@@ -1173,7 +1173,9 @@ def dsir_resample(
     raw_vocab = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c_raw"))
     t_ids = docs.filter(F.col(target_col) == target_value).select("doc_id")
     t_vocab = (
-        doc_tok.join(F.broadcast(t_ids), "doc_id")
+        doc_tok.join(t_ids, "doc_id")  # no forced hint: AQE broadcasts a
+        # small curated target at runtime; a corpus-scale target (e.g. all
+        # of Wikipedia) correctly falls back to a shuffled join
         .groupBy("tok")
         .agg(F.sum("cnt").alias("c_t"))
     )
