@@ -988,3 +988,30 @@ def test_matryoshka_exhaustive_candidates_equals_bruteforce(spark):
         tuple(r) for r in sim.knn_matryoshka(emb, n_candidates=n).collect()
     )
     assert mrl == exact and exact
+
+
+def test_matryoshka_recall_monotone_in_candidates(spark):
+    # The candidate pool grows monotonically with n_candidates, and the
+    # final stage is an exact rerank — so recall@k vs brute-force ground
+    # truth is non-decreasing in n_candidates (the same degeneracy family
+    # as IVF's nprobe curve) and exactly 1.0 once candidates ⊇ corpus.
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    emb = sim.load_embeddings(spark, sf_dir)
+    n = emb.count()
+    truth = {(r.query_id, r.neighbor_id) for r in sim.knn_bruteforce(emb).collect()}
+    assert truth
+    recalls = []
+    for cand in (4, 16, 64, n):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.knn_matryoshka(emb, n_candidates=cand).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert all(lo <= hi + 1e-12 for lo, hi in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls
