@@ -83,6 +83,7 @@ SIBLING = {
     "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
     "tick_zscore_outliers": "sma_golden_cross",
     "text_ccnet_ppl_buckets": "text_unigram_logprob",
+    "streaming_scd2_apply": "events_snapshot_diff",
 }
 
 

@@ -569,6 +569,101 @@ def q_streaming_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_PREFIX = "gate_streaming_scd2_"
+
+
+def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance UNDER STREAMING (r6-born): the SCD2
+    dimension history maintained live by ``foreachBatch`` →
+    ``reconcile.scd2_apply``. The event log splits into three time slices
+    written as separate files with ascending mtimes; ``maxFilesPerTrigger=1``
+    under availableNow makes each slice its own ordered micro-batch, and
+    every batch folds into the parquet history table (read → apply → write
+    to a fresh dir → atomic swap, so a batch never overwrites the relation
+    it is lazily reading). The final table hash-matches the FULL-rebuild
+    oracle — the streaming statement of the same IVM equivalence the batch
+    ``dim_scd2_merge_apply`` certifies:
+    fold(fold(fold(∅, s1), s2), s3) ≡ rebuild(s1∪s2∪s3).
+
+    Scale notes: this is exactly the production CDC-merge loop (Delta
+    MERGE per micro-batch); per batch the windows run over the slice only
+    and untouched keys stream through (scd2_apply's contract). The slice
+    cursor ordering (every batch's ts after all history ts) is what a
+    time-ordered CDC feed guarantees upstream.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.reconcile import scd2_apply
+    from ..sources.ticks import load_events
+
+    base = tempfile.mkdtemp(prefix=_SCD2_PREFIX)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed = f"{base}/feed"
+    os.makedirs(feed)
+    hist_dir = f"{base}/history"
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    cut1, cut2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    slices = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    t0 = 1_700_000_000
+    for i, sl in enumerate(slices):
+        stage = f"{base}/stage_{i}"
+        sl.coalesce(1).write.parquet(stage)  # Spark-written µs timestamps
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        path = f"{feed}/slice{i}.parquet"
+        os.rename(f"{stage}/{part}", path)
+        os.utime(path, (t0 + 10 * i, t0 + 10 * i))  # file-source batch order
+
+    hist_schema = (
+        "user_id long, dim_value double, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean"
+    )
+
+    def apply_batch(batch_df, batch_id):
+        hist = (
+            spark.read.parquet(hist_dir)
+            if os.path.isdir(hist_dir)
+            else spark.createDataFrame([], hist_schema)
+        )
+        staged = f"{base}/history_next_{batch_id}"
+        scd2_apply(hist, batch_df).write.parquet(staged)
+        if os.path.isdir(hist_dir):
+            shutil.rmtree(hist_dir)
+        os.rename(staged, hist_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(hist_dir).select(
+        "user_id", "dim_value", "valid_from", "valid_to", "is_current"
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
     "streaming_dedup_exact": q_streaming_dedup_exact,
@@ -580,6 +675,7 @@ QUERIES = {
     "streaming_rsi_14_1h": q_streaming_rsi_14_1h,
     "streaming_tick_sessions": q_streaming_tick_sessions,
     "streaming_sma_cross": q_streaming_sma_cross,
+    "streaming_scd2_apply": q_streaming_scd2_apply,
 }
 
 ORACLES = {
@@ -644,6 +740,9 @@ from . import trading as _tr  # noqa: E402
 
 ORACLES["streaming_ema_14_1h"] = _tr.ORACLES["ema_14_1h"]
 ORACLES["streaming_rsi_14_1h"] = _tr.ORACLES["rsi_14_1h"]
+from . import analytics as _an  # noqa: E402
+
+ORACLES["streaming_scd2_apply"] = _an.ORACLES["dim_scd2_history"]
 # streaming cross emits BUY and SELL in one stream: batch golden ∪ dead
 ORACLES["streaming_sma_cross"] = (
     _tr._with(*_tr._TO_1H, _tr._SMA_PAIRED_SQL)

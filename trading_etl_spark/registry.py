@@ -100,6 +100,7 @@ _DEFER: list[str] = [
     "embedding_knn_matryoshka",  # prefix-dim coarse rank + exact rerank; ANN family of embedding_knn_ivf_kmeans
     "tick_zscore_outliers",   # rolling self-excluded z-score gate; window family of sma_golden_cross
     "text_ccnet_ppl_buckets",  # CCNet perplexity terciles; LM family of text_unigram_logprob
+    "streaming_scd2_apply",   # CDC-merge loop under streaming; IVM family of dim_scd2_merge_apply
 ]
 
 
