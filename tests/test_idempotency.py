@@ -347,3 +347,21 @@ def test_scd2_apply_all_equal_slice_is_noop(spark):
     before = {tuple(r) for r in history.collect()}
     after = {tuple(r) for r in scd2_apply(history, noop).collect()}
     assert after == before
+
+
+def test_table_profile_single_pass_metrics(spark):
+    from trading_etl_spark.operators.reconcile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        "k long, s string, v double",
+    )
+    prof = {r.column_name: r for r in table_profile(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert (prof["k"].n_nulls, prof["k"].n_distinct) == (0, 3)
+    assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
+    assert (prof["v"].n_nulls, prof["v"].n_distinct) == (1, 2)
+    assert (prof["v"].min_num, prof["v"].max_num) == (1.5, 2.5)
+    assert prof["s"].min_num is None and prof["s"].max_num is None
+    assert (prof["k"].min_num, prof["k"].max_num) == (1.0, 3.0)

@@ -84,6 +84,7 @@ SIBLING = {
     "tick_zscore_outliers": "sma_golden_cross",
     "text_ccnet_ppl_buckets": "text_unigram_logprob",
     "streaming_scd2_apply": "events_snapshot_diff",
+    "orders_table_profile": "events_snapshot_diff",
 }
 
 

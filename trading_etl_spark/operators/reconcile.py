@@ -130,3 +130,46 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(new_rows)
     )
+
+
+NUMERIC_PROFILE_TYPES = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler — the Deequ/dbt-style data-quality summary
+    every warehouse runs before trusting a table: per column, row count,
+    null count, exact distinct count, and (for numeric columns) 6dp-rounded
+    min/max. ONE aggregate pass over the table, melted to long format
+    (column_name, n_rows, n_nulls, n_distinct, min_num, max_num).
+
+    Scale shape: a single scan + one aggregate. The multiple exact
+    ``countDistinct`` columns compile to Spark's Expand (input ×|columns|
+    in the map stage before partial aggregation) — the standard cost of an
+    exact multi-column profile; swap ``approx_count_distinct`` (HLL, no
+    Expand) when 2% error is acceptable at 100 TB. The melt is a driver-
+    side restructure of the single 1-row aggregate — no second pass.
+    """
+    cols = columns or df.columns
+    types = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        if types.get(c, "").split("(")[0] in NUMERIC_PROFILE_TYPES:
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        has_minmax = f"_min_{c}" in one.columns
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if has_minmax else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"_max_{c}") if has_minmax else F.lit(None).cast("double")).alias("max_num"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

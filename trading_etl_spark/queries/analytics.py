@@ -362,6 +362,15 @@ def q_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(history, post)
 
 
+def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table (r6-born):
+    reconcile.table_profile — per-column rows/nulls/exact-distinct plus
+    numeric min/max, one scan, melted long."""
+    from ..operators.reconcile import table_profile
+
+    return table_profile(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
 HIST_BINS = 10
 
 
@@ -533,6 +542,7 @@ QUERIES = {
     "dim_scd2_merge_apply": q_scd2_merge_apply,
     "events_value_histogram": q_value_histogram,
     "events_value_winsorize": q_events_value_winsorize,
+    "orders_table_profile": q_orders_table_profile,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
     "approx_distinct_users": q_approx_distinct_users,
@@ -772,6 +782,44 @@ LIMIT 10 OFFSET 10
 
 # incremental merge-apply is certified against the FULL rebuild
 ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]
+
+ORACLES["orders_table_profile"] = """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       round(min(o_orderkey)::DOUBLE, 6) AS min_num, round(max(o_orderkey)::DOUBLE, 6) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       round(min(o_custkey)::DOUBLE, 6) AS min_num, round(max(o_custkey)::DOUBLE, 6) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_totalprice) AS n_distinct,
+       round(min(o_totalprice)::DOUBLE, 6) AS min_num, round(max(o_totalprice)::DOUBLE, 6) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderdate) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT o_orderpriority) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
+FROM orders
+""".strip()
 
 ORACLES["events_value_winsorize"] = """
 WITH b AS (

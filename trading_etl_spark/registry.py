@@ -101,6 +101,7 @@ _DEFER: list[str] = [
     "tick_zscore_outliers",   # rolling self-excluded z-score gate; window family of sma_golden_cross
     "text_ccnet_ppl_buckets",  # CCNet perplexity terciles; LM family of text_unigram_logprob
     "streaming_scd2_apply",   # CDC-merge loop under streaming; IVM family of dim_scd2_merge_apply
+    "orders_table_profile",   # one-pass Deequ-style column profile; quality family of events_snapshot_diff
 ]
 
 
