@@ -85,6 +85,7 @@ SIBLING = {
     "text_ccnet_ppl_buckets": "text_unigram_logprob",
     "streaming_scd2_apply": "events_snapshot_diff",
     "orders_table_profile": "events_snapshot_diff",
+    "shipping_priority_q3": "local_supplier_volume",
 }
 
 

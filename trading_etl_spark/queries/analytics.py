@@ -362,6 +362,50 @@ def q_scd2_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(history, post)
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15 00:00:00"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping-priority query (r6-born): unshipped
+    BUILDING-segment orders ranked by revenue. Join posture: customer
+    filters to one segment BEFORE the join (predicate below the join, so
+    the orders⨝customer probe side shrinks first); no forced broadcast —
+    customer scales with the corpus (the Q5 lesson), AQE picks broadcast
+    at small sf and shuffle-hash beyond. Top-10 via orderBy().limit() —
+    TakeOrderedAndProject, never a global sort; revenue rounds to 6dp and
+    ties break on (o_orderdate, l_orderkey) so both engines pick the same
+    10 rows."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < Q3_DATE)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > Q3_DATE)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
 def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of the orders table (r6-born):
     reconcile.table_profile — per-column rows/nulls/exact-distinct plus
@@ -543,6 +587,7 @@ QUERIES = {
     "events_value_histogram": q_value_histogram,
     "events_value_winsorize": q_events_value_winsorize,
     "orders_table_profile": q_orders_table_profile,
+    "shipping_priority_q3": q_shipping_priority,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
     "approx_distinct_users": q_approx_distinct_users,
@@ -782,6 +827,23 @@ LIMIT 10 OFFSET 10
 
 # incremental merge-apply is certified against the FULL rebuild
 ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]
+
+ORACLES["shipping_priority_q3"] = f"""
+SELECT l_orderkey, revenue, o_orderdate FROM (
+  SELECT l.l_orderkey,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
+         o.o_orderdate
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+    AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+  GROUP BY l.l_orderkey, o.o_orderdate
+)
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""".strip()
 
 ORACLES["orders_table_profile"] = """
 SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
