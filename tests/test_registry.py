@@ -86,6 +86,7 @@ SIBLING = {
     "streaming_scd2_apply": "events_snapshot_diff",
     "orders_table_profile": "events_snapshot_diff",
     "shipping_priority_q3": "local_supplier_volume",
+    "pair_rolling_correlation": "sma_golden_cross",
 }
 
 

@@ -103,6 +103,7 @@ _DEFER: list[str] = [
     "streaming_scd2_apply",   # CDC-merge loop under streaming; IVM family of dim_scd2_merge_apply
     "orders_table_profile",   # one-pass Deequ-style column profile; quality family of events_snapshot_diff
     "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
+    "pair_rolling_correlation",  # native corr window; family of sma_golden_cross
 ]
 
 
