@@ -1015,3 +1015,27 @@ def test_matryoshka_recall_monotone_in_candidates(spark):
         recalls.append(len(got & truth) / len(truth))
     assert all(lo <= hi + 1e-12 for lo, hi in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_semantic_dedup_correct_under_cell_skew(spark):
+    # 90 of 94 vectors are EXACT copies of just three embeddings (a
+    # massively skewed layout). Identical vectors always land in the same
+    # cell, so regardless of how Lloyd carves the ball into cells, each
+    # copy group collapses to exactly its min id (cross-group drops may
+    # remove even those); the orthogonal singletons always survive.
+    import math as _math
+
+    def unit(t):
+        return [_math.cos(t), _math.sin(t)] + [0.0] * 6
+
+    protos = [unit(0.0), unit(0.4), unit(0.8)]  # pairwise cos < 0.93
+    rows = [(i, protos[i % 3]) for i in range(90)]
+    rows += [(100 + d, [0.0] * d + [1.0] + [0.0] * (7 - d)) for d in range(2, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = sorted(r.vec_id for r in sim.semantic_dedup(
+        emb, threshold=0.99, n_cells=4, iters=2
+    ).collect())
+    ball = [v for v in out if v < 90]
+    # one survivor per copy group at most, and it is that group's min id
+    assert set(ball) <= {0, 1, 2} and 0 in ball
+    assert set(v for v in out if v >= 100) == {102, 103, 104, 105}
