@@ -1310,8 +1310,11 @@ def decontaminate_bloom(
         test = shingles(test_docs, n=n).select(
             F.col("doc_id").alias("test_doc_id"), "shingle"
         )
+    # no .distinct() before the build: bitmap insertion is idempotent, so
+    # deduping the hashes would only add a full shuffle to what is
+    # otherwise a single map-only pass over the test scan
     bloom = bloom_build(
-        test.select(F.xxhash64("shingle").alias("h")).distinct(), "h", m_bits, k
+        test.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
     )
     probe = _bloom_probe_udf(bloom, m_bits, k)
     candidates = (
