@@ -324,6 +324,7 @@ def knn_ivf_kmeans(
     nprobe: int = 2,
     n_cells: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer — the full production shape.
 
@@ -350,7 +351,8 @@ def knn_ivf_kmeans(
     becomes exhaustive). On a real clusterable corpus recall tracks the
     cluster structure; probing cost is nprobe/n_cells of the corpus.
     """
-    cent = kmeans_codebook(emb, n_cells, iters)
+    if cent is None:
+        cent = kmeans_codebook(emb, n_cells, iters)
     assigned = assign_cells(emb, cent).select(
         F.col("vec_id").alias("neighbor_id"), "cell", F.col("emb").alias("nv")
     )
@@ -573,6 +575,7 @@ def knn_ivfadc(
     pq_k: int = PQ_K,
     pq_iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
+    coarse_cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI 2011 §IV) — the production ANN read
     path a 100 TB vector store actually runs, composing this repo's two
@@ -608,9 +611,9 @@ def knn_ivfadc(
     """
     dsub = dim // m
     spark = emb.sparkSession
-    cent = kmeans_codebook(emb, n_coarse, coarse_iters).select(
-        F.col("cell").alias("ivf_cell"), "cv"
-    )
+    if coarse_cent is None:
+        coarse_cent = kmeans_codebook(emb, n_coarse, coarse_iters)
+    cent = coarse_cent.select(F.col("cell").alias("ivf_cell"), "cv")
     assigned = assign_cells(
         emb, cent.select(F.col("ivf_cell").alias("cell"), "cv")
     ).select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ivf_cell"))
@@ -702,6 +705,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     n_cells: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the trained k-means codebook,
@@ -727,7 +731,8 @@ def semantic_dedup(
     6dp (the shared Spark/NumPy/DuckDB regime) before the threshold compare,
     so the DuckDB oracle replays the identical drop set.
     """
-    cent = kmeans_codebook(emb, n_cells, iters)
+    if cent is None:
+        cent = kmeans_codebook(emb, n_cells, iters)
     assigned = assign_cells(emb, cent)  # (vec_id, cell, emb)
 
     def survivors(pdf: pd.DataFrame) -> pd.DataFrame:

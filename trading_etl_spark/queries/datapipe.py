@@ -34,6 +34,27 @@ def _as_long(df: DataFrame, *cols: str) -> DataFrame:
 
 # --- deduplication ------------------------------------------------------------
 
+# The trained coarse quantizer is a MODEL ARTIFACT: train once per
+# (app, corpus), serve every consumer — kmeans-IVF, the IVFADC coarse
+# stage, SemDeDup's cells — the reference's materialize-then-read
+# discipline applied to models. Lloyd's loop is eager (driver-reduced
+# per iteration), so sharing removes two full retrainings per gate run.
+# FIFO-bounded like the candle caches; entries are tiny k×dim local
+# relations (nothing persisted, no unpersist needed on eviction).
+_CODEBOOK_CACHE: dict = {}
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CODEBOOK_CACHE.get(key)
+    if df is None:
+        if len(_CODEBOOK_CACHE) >= 8:
+            _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+        df = sim.kmeans_codebook(_emb(spark, sf_dir))
+        _CODEBOOK_CACHE[key] = df
+    return df
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
     return tx.dedup_exact(_docs(spark, sf_dir))
@@ -182,7 +203,10 @@ def q_knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED k-means codebook (deterministic Lloyd) —
     the no-label production path; nprobe=2 of 8 learned cells."""
-    return _as_long(sim.knn_ivf_kmeans(_emb(spark, sf_dir)), "rank")
+    return _as_long(
+        sim.knn_ivf_kmeans(_emb(spark, sf_dir), cent=_codebook(spark, sf_dir)),
+        "rank",
+    )
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,14 +391,20 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: kmeans coarse quantizer restricts candidates to the nprobe=2
     nearest of 8 learned cells; PQ codes + ADC tables score them — the
     composed production ANN read path (Jégou et al. 2011)."""
-    return _as_long(sim.knn_ivfadc(_emb(spark, sf_dir)), "rank")
+    return _as_long(
+        sim.knn_ivfadc(_emb(spark, sf_dir), coarse_cent=_codebook(spark, sf_dir)),
+        "rank",
+    )
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (r6-born): trained-kmeans cells bound the pairwise cosine
     compare; within-cell duplicate balls keep their min-id member. Output =
     surviving (vec_id, cell)."""
-    return _as_long(sim.semantic_dedup(_emb(spark, sf_dir)), "cell")
+    return _as_long(
+        sim.semantic_dedup(_emb(spark, sf_dir), cent=_codebook(spark, sf_dir)),
+        "cell",
+    )
 
 
 def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
