@@ -414,6 +414,7 @@ def pq_codes(
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
+    model: tuple | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI 2011) — the compressed ANN
     sidecar format beyond scalar int8: split each vector into ``m``
@@ -434,7 +435,7 @@ def pq_codes(
     100 TB the codebooks train on a sample while only the final coding
     pass reads everything.
     """
-    codes, _books = pq_model(emb, m, k, iters, dim)
+    codes, _books = model if model is not None else pq_model(emb, m, k, iters, dim)
     return codes.select(
         "vec_id",
         F.concat_ws(
@@ -485,6 +486,7 @@ def knn_pq_adc(
     n_cells: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
+    model: tuple | None = None,
 ) -> DataFrame:
     """ANN search over PQ codes with Asymmetric Distance Computation (the
     ADC of Jégou et al.): each query precomputes a tiny m×k table of
@@ -505,7 +507,7 @@ def knn_pq_adc(
     the labeled verification baseline.
     """
     dsub = dim // m
-    codes, books = pq_model(emb, m, n_cells, iters, dim)
+    codes, books = model if model is not None else pq_model(emb, m, n_cells, iters, dim)
     spark = emb.sparkSession
     books_df = spark.createDataFrame(
         [(s, cell, cv) for s, rows in enumerate(books) for cell, cv in rows],
@@ -576,6 +578,7 @@ def knn_ivfadc(
     pq_iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
     coarse_cent: DataFrame | None = None,
+    pq: tuple | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI 2011 §IV) — the production ANN read
     path a 100 TB vector store actually runs, composing this repo's two
@@ -617,7 +620,7 @@ def knn_ivfadc(
     assigned = assign_cells(
         emb, cent.select(F.col("ivf_cell").alias("cell"), "cv")
     ).select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ivf_cell"))
-    codes, books = pq_model(emb, m, pq_k, pq_iters, dim)
+    codes, books = pq if pq is not None else pq_model(emb, m, pq_k, pq_iters, dim)
     books_df = spark.createDataFrame(
         [(s, cell, cv) for s, rows in enumerate(books) for cell, cv in rows],
         "s int, cell int, cv array<double>",

@@ -42,6 +42,7 @@ def _as_long(df: DataFrame, *cols: str) -> DataFrame:
 # FIFO-bounded like the candle caches; entries are tiny k×dim local
 # relations (nothing persisted, no unpersist needed on eviction).
 _CODEBOOK_CACHE: dict = {}
+_PQ_CACHE: dict = {}
 
 
 def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,6 +54,20 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = sim.kmeans_codebook(_emb(spark, sf_dir))
         _CODEBOOK_CACHE[key] = df
     return df
+
+
+def _pq(spark: SparkSession, sf_dir: str):
+    """The trained PQ model (codes relation + per-subspace books) shared by
+    pq_codes / ADC search / IVFADC — same train-once discipline as
+    :func:`_codebook`."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _PQ_CACHE.get(key)
+    if model is None:
+        if len(_PQ_CACHE) >= 8:
+            _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
+        model = sim.pq_model(_emb(spark, sf_dir))
+        _PQ_CACHE[key] = model
+    return model
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,13 +393,15 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes (4 subspaces × 8 centroids, deterministic
     per-subspace Lloyd) — the compressed ANN sidecar beyond int8."""
-    return sim.pq_codes(_emb(spark, sf_dir))
+    return sim.pq_codes(_emb(spark, sf_dir), model=_pq(spark, sf_dir))
 
 
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over PQ codes via asymmetric distance computation: per-query
     m×k lookup tables, candidates scored by code cells only."""
-    return _as_long(sim.knn_pq_adc(_emb(spark, sf_dir)), "rank")
+    return _as_long(
+        sim.knn_pq_adc(_emb(spark, sf_dir), model=_pq(spark, sf_dir)), "rank"
+    )
 
 
 def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +409,11 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 8 learned cells; PQ codes + ADC tables score them — the
     composed production ANN read path (Jégou et al. 2011)."""
     return _as_long(
-        sim.knn_ivfadc(_emb(spark, sf_dir), coarse_cent=_codebook(spark, sf_dir)),
+        sim.knn_ivfadc(
+            _emb(spark, sf_dir),
+            coarse_cent=_codebook(spark, sf_dir),
+            pq=_pq(spark, sf_dir),
+        ),
         "rank",
     )
 
