@@ -1084,6 +1084,7 @@ def decontaminate(
     test_docs: DataFrame | None = None,
     broadcast_test: bool | None = None,
     test_docs_count: int | None = None,
+    split_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test decontamination: flag TRAIN documents sharing any token
     n-gram (n=8) with any TEST/benchmark document, with shared-shingle
@@ -1106,7 +1107,11 @@ def decontaminate(
     A big test side → plain shuffle hash join on shingle.
     """
     if test_docs is None:
-        sh = shingles(docs, n=n).withColumn("split", _split_col())
+        sh = (
+            split_shingles
+            if split_shingles is not None
+            else shingles(docs, n=n).withColumn("split", _split_col())
+        )
         train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
         test = sh.filter(F.col("split") == "test").select(
             F.col("doc_id").alias("test_doc_id"), "shingle"
@@ -1282,6 +1287,7 @@ def decontaminate_bloom(
     test_docs: DataFrame | None = None,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    split_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom-filter runtime prefilter — the
     scale path for the regime where the TEST side is too big to broadcast
@@ -1300,7 +1306,11 @@ def decontaminate_bloom(
     false negatives by construction) and shares its oracle.
     """
     if test_docs is None:
-        sh = shingles(docs, n=n).withColumn("split", _split_col())
+        sh = (
+            split_shingles
+            if split_shingles is not None
+            else shingles(docs, n=n).withColumn("split", _split_col())
+        )
         train = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
         test = sh.filter(F.col("split") == "test").select(
             F.col("doc_id").alias("test_doc_id"), "shingle"
