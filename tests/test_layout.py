@@ -1,0 +1,67 @@
+"""Z-order layout: Morton key correctness + the data-skipping property it
+exists for — per-row-group min/max ranges tight in BOTH dimensions, where a
+single-column sort leaves the other dimension full-width."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from trading_etl_spark.layout import interleave_bits, write_zordered, zorder_key
+
+
+def test_interleave_bits_morton_pattern(spark):
+    rows = spark.range(1).select(
+        interleave_bits(F.lit(3), F.lit(0), 4).alias("a3"),
+        interleave_bits(F.lit(0), F.lit(3), 4).alias("b3"),
+        interleave_bits(F.lit(2), F.lit(1), 4).alias("m"),
+        interleave_bits(F.lit(15), F.lit(15), 4).alias("full"),
+    ).collect()[0]
+    assert rows.a3 == 0b0101          # a occupies even bit positions
+    assert rows.b3 == 0b1010          # b occupies odd bit positions
+    assert rows.m == 0b0110           # a=2 → bit 2, b=1 → bit 1
+    assert rows.full == 0xFF          # 4+4 bits all set
+
+
+def _avg_rowgroup_range(files, col):
+    spans, total = [], 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    spans.append(c.statistics.max - c.statistics.min)
+                    total += 1
+    assert total > 0
+    return sum(spans) / total
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    # deterministic pseudo-random 2-D points on a 1024×1024 grid
+    df = spark.range(0, 1 << 15).select(
+        ((F.col("id") * 7919) % 1024).alias("u"),
+        ((F.col("id") * 104729) % 1024).alias("t"),
+    )
+    z_dir = str(tmp_path / "zorder")
+    t_dir = str(tmp_path / "tsorted")
+    write_zordered(
+        df, z_dir, zorder_key(F.col("u"), F.col("t"), 1023, 1023, 10), n_files=16
+    )
+    (
+        df.repartitionByRange(16, "t")
+        .sortWithinPartitions("t")
+        .write.mode("overwrite")
+        .parquet(t_dir)
+    )
+    zf = glob.glob(f"{z_dir}/part-*.parquet")
+    tf = glob.glob(f"{t_dir}/part-*.parquet")
+    # the time-sorted layout answers t-predicates well but leaves u
+    # full-width; z-order must tighten u dramatically while keeping t
+    # far below full-width too — the both-dimensions pruning property.
+    u_z, u_t = _avg_rowgroup_range(zf, "u"), _avg_rowgroup_range(tf, "u")
+    t_z = _avg_rowgroup_range(zf, "t")
+    assert u_t > 900                  # single-sort leaves u unpruned
+    assert u_z < u_t / 2, (u_z, u_t)  # z-order at least halves it
+    assert t_z < 1024 * 0.75          # and t stays prunable as well
