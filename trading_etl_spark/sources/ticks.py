@@ -213,3 +213,45 @@ ticks AS (
   QUALIFY row_number() OVER (PARTITION BY currency_pair_code, time ORDER BY _ts, _event_id) = 1
 )
 """.strip()
+
+
+def tickify_with_dlq(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """:func:`tickify` with a DEAD-LETTER side output instead of the
+    silent drop: returns ``(ticks, dlq)`` where dlq carries every event
+    the validation gate rejected, tagged with the machine-readable reason
+    — the production upgrade over the reference's log-and-drop
+    (``src/gmo/ws-connection.py`` drops malformed frames on the floor).
+    Quarantined rows keep their FULL original payload so they can be
+    replayed after an upstream fix.
+
+    Scale shape: one shared parse/enrich subtree; the valid/invalid split
+    is two map-side filters over it (Spark evaluates the common subtree
+    per branch — at scale, persist the parsed relation or write both
+    sides from one pass via ``foreachBatch``). Reasons are evaluated in
+    priority order so each bad row gets exactly one verdict.
+    """
+    dim = dim_currency(events.sparkSession)
+    k = F.get_json_object("props", "$.k").cast("int")
+    parsed = (
+        events.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
+        .join(F.broadcast(dim), F.col("pair_id") == dim.id, "left")
+        .withColumn("bid", F.col("value"))
+        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("time", F.date_trunc("second", F.col("ts")))
+    )
+    reason = (
+        F.when(F.col("currency_pair_code").isNull(), "unknown_pair")
+        .when(F.col("bid").isNull(), "missing_value")
+        .when(F.col("ask").isNull(), "bad_props_spread")
+        .when(F.col("bid") <= 0, "nonpositive_bid")
+        .when(F.col("ask") <= 0, "nonpositive_ask")
+        .when(F.col("bid") > F.col("ask"), "crossed_market")
+    )
+    tagged = parsed.withColumn("dlq_reason", reason)
+    ticks = tagged.filter(F.col("dlq_reason").isNull()).select(
+        "currency_pair_code", "time", "bid", "ask", "ts", "event_id"
+    )
+    dlq = tagged.filter(F.col("dlq_reason").isNotNull()).select(
+        "event_id", "user_id", "ts", "value", "props", "dlq_reason"
+    )
+    return ticks, dlq
