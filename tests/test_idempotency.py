@@ -365,3 +365,36 @@ def test_table_profile_single_pass_metrics(spark):
     assert (prof["v"].min_num, prof["v"].max_num) == (1.5, 2.5)
     assert prof["s"].min_num is None and prof["s"].max_num is None
     assert (prof["k"].min_num, prof["k"].max_num) == (1.0, 3.0)
+
+
+# --- additive schema evolution (r6) ------------------------------------------
+
+
+def test_schema_evolution_additive_and_guarded(spark, tmp_path):
+    from trading_etl_spark.io import (
+        SchemaEvolutionError,
+        append_with_schema_evolution,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    append_with_schema_evolution(v1, path)
+    # additive: new column appears, old rows read NULL for it
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double")
+    append_with_schema_evolution(v2, path)
+    out = {r.id: r for r in read_evolved(spark, path).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].score is None and out[2].score == 9.5
+    # a batch may OMIT a column (its rows read NULL there)
+    v3 = spark.createDataFrame([(3, 1.5)], "id long, score double")
+    append_with_schema_evolution(v3, path)
+    out = {r.id: r for r in read_evolved(spark, path).collect()}
+    assert out[3].s is None and out[3].score == 1.5
+    # a TYPE CHANGE fails loudly at append time, not at some future read
+    bad = spark.createDataFrame([(4, 7)], "id long, s long")
+    import pytest
+
+    with pytest.raises(SchemaEvolutionError, match="s: "):
+        append_with_schema_evolution(bad, path)
+    assert len(read_evolved(spark, path).collect()) == 3  # nothing appended

@@ -188,3 +188,44 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+class SchemaEvolutionError(RuntimeError):
+    """Incompatible schema change on append (type change / non-additive)."""
+
+
+def append_with_schema_evolution(df: DataFrame, path: str) -> None:
+    """Append a batch to a parquet table allowing ADDITIVE schema
+    evolution only: new nullable columns may appear (readers with
+    ``mergeSchema`` see the union; old files read NULL for them) and a
+    batch may omit existing columns (its rows read NULL there). A TYPE
+    CHANGE on a shared column hard-fails loudly — plain parquet would
+    otherwise defer the failure to some future read of the mixed table
+    (the worst place to discover it) or silently coerce. The reference
+    versions schemas via alembic migrations with downtime; additive
+    evolution is the zero-downtime fraction of that, and anything
+    non-additive still belongs to an explicit rewrite/migration.
+    """
+    spark = df.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(jvm_path):
+        existing = {f.name: f.dataType for f in spark.read.parquet(path).schema}
+        clashes = [
+            (c.name, str(existing[c.name]), str(c.dataType))
+            for c in df.schema
+            if c.name in existing and c.dataType != existing[c.name]
+        ]
+        if clashes:
+            detail = "; ".join(f"{n}: {o} -> {new}" for n, o, new in clashes)
+            raise SchemaEvolutionError(
+                f"type change on append to {path} ({detail}); "
+                "run an explicit migration rewrite instead"
+            )
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written under additive evolution: ``mergeSchema``
+    unions all file footers; files missing a column yield NULLs."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
