@@ -50,3 +50,41 @@ def test_dlq_empty_on_clean_feed(spark):
     ticks, dlq = tickify_with_dlq(ev)
     assert dlq.count() == 0
     assert ticks.count() == 6
+
+
+def test_dlq_under_streaming_foreachbatch(spark, tmp_path):
+    # the same split runs on a stream: foreachBatch writes BOTH sides from
+    # one pass — quarantine keeps flowing while good ticks keep landing.
+    import glob
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    _events(
+        spark,
+        [
+            (1, 0, t, 100.0, '{"k": 3}', "view"),
+            (2, 1, t, -5.0, '{"k": 1}', "view"),
+            (3, 2, t, 101.0, '{"k": 2}', "view"),
+        ],
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double,"
+        " props string, event_type string"
+    ).parquet(src)
+    good_dir, dlq_dir = str(tmp_path / "good"), str(tmp_path / "dlq")
+
+    def route(batch_df, _bid):
+        ticks, dlq = tickify_with_dlq(batch_df)
+        ticks.write.mode("append").parquet(good_dir)
+        dlq.write.mode("append").parquet(dlq_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(good_dir).count() == 2
+    bad = spark.read.parquet(dlq_dir).collect()
+    assert len(bad) == 1 and bad[0].dlq_reason == "nonpositive_bid"

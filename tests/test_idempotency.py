@@ -374,8 +374,8 @@ def test_schema_evolution_additive_and_guarded(spark, tmp_path):
     from trading_etl_spark.io import (
         SchemaEvolutionError,
         append_with_schema_evolution,
-        read_evolved,
     )
+    from trading_etl_spark.plans.maintenance import read_evolved
 
     path = str(tmp_path / "t")
     v1 = spark.createDataFrame([(1, "a")], "id long, s string")

@@ -314,3 +314,24 @@ def test_maintained_sink_retention_cutoff_blocks_replay_resurrection(spark, tmp_
     ).awaitTermination()
     assert list_partitions(spark, sink, "dt") == ["2024-01-02", "2024-01-03"]
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_freshness_report_flags_stale_groups(spark):
+    from datetime import datetime
+
+    from trading_etl_spark.plans.maintenance import freshness_report
+
+    rows = [
+        ("USD/JPY", datetime(2024, 1, 1, 11, 59, 30)),
+        ("USD/JPY", datetime(2024, 1, 1, 11, 58, 0)),
+        ("EUR/JPY", datetime(2024, 1, 1, 11, 30, 0)),  # 30 min behind
+    ]
+    df = spark.createDataFrame(rows, "currency_pair_code string, time timestamp")
+    rep = {
+        r.currency_pair_code: r
+        for r in freshness_report(
+            df, datetime(2024, 1, 1, 12, 0, 0), expected_interval_s=120
+        ).collect()
+    }
+    assert rep["USD/JPY"].lag_seconds == 30 and not rep["USD/JPY"].stale
+    assert rep["EUR/JPY"].lag_seconds == 1800 and rep["EUR/JPY"].stale

@@ -225,7 +225,5 @@ def append_with_schema_evolution(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
-def read_evolved(spark: SparkSession, path: str) -> DataFrame:
-    """Read a table written under additive evolution: ``mergeSchema``
-    unions all file footers; files missing a column yield NULLs."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+# Read side: plans.maintenance.read_evolved (mergeSchema, or a declared
+# contract schema at scale) — this module owns only the write-side guard.

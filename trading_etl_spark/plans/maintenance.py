@@ -19,7 +19,8 @@ Hadoop ``FileSystem`` API (fs.py) — the same code runs against ``file:/``,
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import fs
 
@@ -168,3 +169,30 @@ def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None
     if contract_ddl is not None:
         return spark.read.schema(contract_ddl).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def freshness_report(
+    df: DataFrame,
+    as_of,
+    expected_interval_s: int,
+    group_keys: list[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-group data-freshness SLA report: latest row time, lag against
+    ``as_of`` (the orchestrator's clock — passed in, never wall-clock
+    inside the plan, so the report is deterministic and testable), and a
+    stale flag when the lag exceeds ``expected_interval_s``. The T-shaped
+    monitoring query every ingest pipeline schedules next to the
+    reference's heartbeat (ws_ticker_server's client ping): the heartbeat
+    says the PROCESS is alive, this says the DATA is.
+
+    Scale shape: a MAX hash-agg per group key (partial-combinable, shuffle
+    bounded by key cardinality) — the same aggregate the W2 cursor runs,
+    reused for observability."""
+    keys = group_keys or ["currency_pair_code"]
+    lag = F.unix_timestamp(F.lit(as_of)) - F.unix_timestamp(F.max(time_col))
+    return df.groupBy(*keys).agg(
+        F.max(time_col).alias("latest_time"),
+        lag.alias("lag_seconds"),
+        (lag > expected_interval_s).alias("stale"),
+    )
