@@ -1039,3 +1039,26 @@ def test_semantic_dedup_correct_under_cell_skew(spark):
     # one survivor per copy group at most, and it is that group's min id
     assert set(ball) <= {0, 1, 2} and 0 in ball
     assert set(v for v in out if v >= 100) == {102, 103, 104, 105}
+
+
+def test_model_caches_key_on_corpus(spark):
+    # the train-once caches must never serve one corpus's model for
+    # another: keys are (applicationId, sf_dir).
+    import os
+
+    import pytest as _pytest
+
+    from trading_etl_spark.queries import datapipe as dp
+
+    a = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    b = "/root/testdata/sf0.01"
+    if not (os.path.isdir(a) and os.path.isdir(b)):
+        _pytest.skip("driver testdata corpora not present")
+    ca1 = dp._codebook(spark, a)
+    ca2 = dp._codebook(spark, a)
+    cb = dp._codebook(spark, b)
+    assert ca1 is ca2          # same (app, corpus) → cached object
+    assert ca1 is not cb       # different corpus → different model
+    rows_a = {(r.cell, tuple(r.cv)) for r in ca1.collect()}
+    rows_b = {(r.cell, tuple(r.cv)) for r in cb.collect()}
+    assert rows_a != rows_b    # and genuinely different centroids
