@@ -65,3 +65,26 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert u_t > 900                  # single-sort leaves u unpruned
     assert u_z < u_t / 2, (u_z, u_t)  # z-order at least halves it
     assert t_z < 1024 * 0.75          # and t stays prunable as well
+
+
+def test_zorder_key_monotone_per_axis(spark):
+    # With the other coordinate fixed, the Morton key is strictly
+    # increasing along each axis (each axis owns disjoint bit positions) —
+    # the property that makes range predicates on either column map to
+    # key ranges.
+    from pyspark.sql import Window
+
+    vals = spark.range(0, 64).select(F.col("id").alias("v"))
+    for fixed in (0, 17, 63):
+        w = Window.orderBy("v")
+        ka = vals.select(
+            "v", interleave_bits(F.col("v"), F.lit(fixed), 6).alias("k")
+        ).withColumn("prev", F.lag("k").over(w))
+        bad = ka.filter(F.col("prev").isNotNull() & (F.col("k") <= F.col("prev")))
+        assert bad.count() == 0
+        kb = vals.select(
+            "v", interleave_bits(F.lit(fixed), F.col("v"), 6).alias("k")
+        ).withColumn("prev", F.lag("k").over(w))
+        assert kb.filter(
+            F.col("prev").isNotNull() & (F.col("k") <= F.col("prev"))
+        ).count() == 0

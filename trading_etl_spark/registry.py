@@ -81,8 +81,13 @@ _DEFER: list[str] = [
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
     "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
                               # through the stricter stateful-streaming path
-    # r6-born (post-rotation) — certified by tools/check.py this round,
-    # rotation candidates for the r7 driver window:
+    # r6-born (post-rotation) — all 20 certified by tools/check.py (full
+    # ALL-OK sweeps) this round; rotation candidates for the r7 window.
+    # 20 won't fit one rotation without evicting whole families — suggest
+    # two waves: r7 takes the operator-family firsts (macd, bollinger,
+    # semantic dedup, bloom decontaminate, streaming sessions+cross+scd2,
+    # dsir, scd2 merge, rrf, matryoshka, profile), r8 the remainder —
+    # every r6-born key keeps an in-window sibling either way:
     "macd_12_26_9_1h",        # coupled EMA recursions; grouped-kernel family of rsi_14_1h
     "atr_14_1h",              # Wilder true-range recursion; grouped-kernel family of rsi_14_1h
     "bollinger_20_2_1h",      # native-window bands; window family of sma_golden_cross
