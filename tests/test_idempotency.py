@@ -398,3 +398,10 @@ def test_schema_evolution_additive_and_guarded(spark, tmp_path):
     with pytest.raises(SchemaEvolutionError, match="s: "):
         append_with_schema_evolution(bad, path)
     assert len(read_evolved(spark, path).collect()) == 3  # nothing appended
+    # the guard must see columns that exist only in LATER files: score is
+    # absent from the v1 footer, so a single-footer schema inference would
+    # miss this clash and defer the failure to a future mergeSchema read
+    bad2 = spark.createDataFrame([(5, "x")], "id long, score string")
+    with pytest.raises(SchemaEvolutionError, match="score: "):
+        append_with_schema_evolution(bad2, path)
+    assert len(read_evolved(spark, path).collect()) == 3

@@ -282,28 +282,28 @@ def test_bloom_probe_is_map_side(spark):
 
 def test_zscore_single_window_shuffle_no_python(spark):
     """The rolling z-score gate is a pure native-window pass: one pair
-    exchange, zero Python — the same contract as Bollinger/stochastic."""
-    from trading_etl_spark.operators.indicators import GROUP_KEYS  # noqa: F401
-    from pyspark.sql import Window
+    exchange on top of the cached tick relation, zero Python — asserted
+    on the REAL query so a refactor to a pandas kernel fails here."""
+    import os
 
-    t0 = datetime(2024, 1, 1)
-    rows = [("USD/JPY", t0 + timedelta(seconds=i), 100.0 + (i % 7)) for i in range(200)]
-    ticks_df = spark.createDataFrame(
-        rows, "currency_pair_code string, time timestamp, bid double"
-    )
-    w = Window.partitionBy("currency_pair_code").orderBy("time")
-    frame = w.rowsBetween(-120, -1)
-    sd = F.stddev_pop("bid").over(frame)
-    z = F.when(
-        (F.col("_rn") > 120) & (sd > 0),
-        F.round((F.col("bid") - F.avg("bid").over(frame)) / sd, 6),
-    )
-    df = (
-        ticks_df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("z", z)
-        .filter(F.col("z").isNotNull() & (F.abs("z") > 3.0))
-        .select("currency_pair_code", "time", "bid", "z")
-    )
-    plan = _physical(df)
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.trading import _ticks, q_tick_zscore_outliers
+
+    import re
+
+    _ticks(spark, sf_dir).count()  # materialize the shared tick cache
+    plan = _physical(q_tick_zscore_outliers(spark, sf_dir))
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "InMemoryTableScan" in plan, plan  # reads the cached ticks
+    # exactly ONE exchange keyed on the pair alone (the window's); the
+    # (pair, time) exchanges in the display belong to the cached dedup
+    # subtree InMemoryRelation prints, which does not re-execute
+    pair_only = re.findall(
+        r"Exchange hashpartitioning\(currency_pair_code#\d+, \d+\)", plan
+    )
+    assert len(pair_only) == 1, plan
+    assert plan.count("Window") == 1, plan

@@ -108,9 +108,14 @@ def try_acquire_marker(spark: SparkSession, path: str) -> bool:
     except Exception as e:  # Py4JJavaError wrapping the JVM exception
         java_exc = getattr(e, "java_exception", None)
         name = java_exc.getClass().getName() if java_exc is not None else type(e).__name__
-        msg = str(e)
+        # Classify on the exception CLASS and its DIRECT message only —
+        # str(e) on a Py4JJavaError renders the whole Java stack trace and
+        # cause chain, where "already exists" about some unrelated path
+        # would misreport a real IO error as "lock held".
+        msg = java_exc.getMessage() if java_exc is not None else str(e)
+        msg = (msg or "").lower()
         # Hadoop ≥2.x local/HDFS raise o.a.h.fs.FileAlreadyExistsException;
         # some FS impls raise plain IOException("... already exists").
-        if "FileAlreadyExistsException" in name or "already exists" in msg.lower():
+        if "FileAlreadyExistsException" in name or "already exists" in msg:
             return False
         raise

@@ -210,7 +210,15 @@ def append_with_schema_evolution(df: DataFrame, path: str) -> None:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
     if fs.exists(jvm_path):
-        existing = {f.name: f.dataType for f in spark.read.parquet(path).schema}
+        # mergeSchema is load-bearing: without it Spark infers the table
+        # schema from ONE sampled footer, so a clash on a column absent
+        # from that file would slip through and defer the failure to a
+        # future mergeSchema read — the exact outcome this guard exists
+        # to prevent.
+        existing = {
+            f.name: f.dataType
+            for f in spark.read.option("mergeSchema", "true").parquet(path).schema
+        }
         clashes = [
             (c.name, str(existing[c.name]), str(c.dataType))
             for c in df.schema

@@ -41,9 +41,29 @@ def _as_long(df: DataFrame, *cols: str) -> DataFrame:
 # per iteration), so sharing removes two full retrainings per gate run.
 # FIFO-bounded like the candle caches; entries are tiny k×dim local
 # relations (nothing persisted, no unpersist needed on eviction).
+# FIFO-bounded with trading's shared helper (one eviction policy for every
+# materialized-relation/model cache in the repo).
+from .trading import _cache_put  # noqa: E402
+
 _CODEBOOK_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
+
+
+def clear_model_caches() -> int:
+    """Eagerly drop the train-once model/relation caches (the datapipe
+    counterpart of trading.clear_candle_caches). Returns entries evicted."""
+    n = 0
+    for cache in (_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE):
+        for key in list(cache):
+            entry = cache.pop(key)
+            for df in entry if isinstance(entry, tuple) else (entry,):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # non-DF member (PQ books) / stopped session
+            n += 1
+    return n
 
 
 def _split_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,14 +75,12 @@ def _split_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        if len(_SHINGLE_CACHE) >= 8:
-            _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))).unpersist()
         df = (
             tx.shingles(_docs(spark, sf_dir), n=tx.CONTAM_SHINGLE_N)
             .withColumn("split", tx._split_col())
             .cache()
         )
-        _SHINGLE_CACHE[key] = df
+        _cache_put(_SHINGLE_CACHE, key, df)
     return df
 
 
@@ -70,10 +88,8 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _CODEBOOK_CACHE.get(key)
     if df is None:
-        if len(_CODEBOOK_CACHE) >= 8:
-            _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
         df = sim.kmeans_codebook(_emb(spark, sf_dir))
-        _CODEBOOK_CACHE[key] = df
+        _cache_put(_CODEBOOK_CACHE, key, df)
     return df
 
 
@@ -84,10 +100,8 @@ def _pq(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     model = _PQ_CACHE.get(key)
     if model is None:
-        if len(_PQ_CACHE) >= 8:
-            _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
         model = sim.pq_model(_emb(spark, sf_dir))
-        _PQ_CACHE[key] = model
+        _cache_put(_PQ_CACHE, key, model)
     return model
 
 

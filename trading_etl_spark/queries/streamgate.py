@@ -181,18 +181,13 @@ def q_streaming_firstwins_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing side to the batch's time range (partition pruning), the
     writer lock serializes appenders, no sink commit log accretes.
     """
-    import atexit
-    import shutil
-    import tempfile
-
     from .. import io as tio
 
-    base = tempfile.mkdtemp(prefix=_FIRSTWINS_PREFIX)
     # The returned DataFrame reads this dir lazily (the driver collects it
-    # after we return), so it can't be removed here — reclaim it at
-    # interpreter exit instead so repeated gate/bench runs don't accrete
-    # /tmp state (ADVICE r5).
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # after we return), so it can't be removed here — _fresh_run_dir
+    # reclaims the PREVIOUS invocation's dir now and this one at exit, so
+    # repeated gate/bench runs hold at most one copy (ADVICE r5).
+    base = _fresh_run_dir("firstwins", _FIRSTWINS_PREFIX)
     table = f"{base}/table"
     t = ticks.tickify(ticks.stream_events(spark, sf_dir))
     first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
@@ -333,8 +328,95 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- shared scaffold for the candle-fed stateful gates -----------------------
+
+# one single-file 1h-candle dump per (app, sf_dir), reused across
+# invocations — a fresh mkdtemp per call accreted /tmp copies in a
+# long-lived gate/bench session. Each drain still replays from scratch
+# (fresh implicit temp checkpoint per start()).
+_CANDLE_DUMPS: dict = {}
+
+
+def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h candles as a file stream in the stateful kernels' input shape
+    (currency_pair_symbol, time, mid/close). ONE parquet file → the
+    availableNow drain is a single micro-batch whose rows each state
+    update sorts by time per symbol — the exact batch order (the
+    determinism contract all three stateful gates share)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .trading import _ohlc_1h
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _CANDLE_DUMPS.get(key)
+    if path is None:
+        base = tempfile.mkdtemp(prefix="gate_streaming_candles_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = f"{base}/candles_1h"
+        (
+            _ohlc_1h(spark, sf_dir)
+            .select("currency_pair_code", "time", "close")
+            .coalesce(1)
+            .write.parquet(path)
+        )
+        _CANDLE_DUMPS[key] = path
+    stream = spark.readStream.schema(
+        "currency_pair_code string, time timestamp, close double"
+    ).parquet(path)
+    return stream.select(
+        F.col("currency_pair_code").alias("currency_pair_symbol"),
+        "time",
+        F.col("close").alias("mid"),
+        F.col("close"),
+    )
+
+
+def _drain_append(out: DataFrame, sink: str) -> DataFrame:
+    """availableNow append-mode drain into a memory sink; returns the table."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(sink)
+
+
+def _indicator_shape(t: DataFrame, value_col: str) -> DataFrame:
+    return t.select(
+        F.col("currency_pair_symbol").alias("currency_pair_code"),
+        F.lit("1h").alias("timeframe_code"),
+        F.lit(14).cast("int").alias("period"),
+        F.lit("0").alias("calc_version"),
+        "time",
+        F.round(value_col, 6).alias("value"),
+    )
+
+
+# per-gate previous-invocation dir, reclaimed at the NEXT call (not only at
+# interpreter exit) so repeated gate/bench runs don't accrete /tmp state
+_LAST_RUN_DIRS: dict = {}
+
+
+def _fresh_run_dir(tag: str, prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    prev = _LAST_RUN_DIRS.pop(tag, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix=prefix)
+    _LAST_RUN_DIRS[tag] = base
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 _EMA_SINK = "gate_streaming_ema_14_1h"
-_EMA_PREFIX = "gate_streaming_ema_"
 
 
 def q_streaming_ema_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,53 +440,13 @@ def q_streaming_ema_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol — the same key the candle chain upstream already partitions
     on, so at 100 TB the stateful stage adds no new shuffle key.
     """
-    import atexit
-    import shutil
-    import tempfile
-
     from ..streaming.indicators import stream_ema
-    from .trading import _ohlc_1h
 
-    base = tempfile.mkdtemp(prefix=_EMA_PREFIX)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    candles_path = f"{base}/candles_1h"
-    (
-        _ohlc_1h(spark, sf_dir)
-        .select("currency_pair_code", "time", "close")
-        .coalesce(1)
-        .write.parquet(candles_path)
-    )
-    stream = spark.readStream.schema(
-        "currency_pair_code string, time timestamp, close double"
-    ).parquet(candles_path)
-    out = stream_ema(
-        stream.select(
-            F.col("currency_pair_code").alias("currency_pair_symbol"),
-            "time",
-            F.col("close").alias("mid"),
-        ),
-        period=14,
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_EMA_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(_EMA_SINK).select(
-        F.col("currency_pair_symbol").alias("currency_pair_code"),
-        F.lit("1h").alias("timeframe_code"),
-        F.lit(14).cast("int").alias("period"),
-        F.lit("0").alias("calc_version"),
-        "time",
-        F.round("ema", 6).alias("value"),
-    )
+    out = stream_ema(_candle_symbol_stream(spark, sf_dir), period=14)
+    return _indicator_shape(_drain_append(out, _EMA_SINK), "ema")
 
 
 _RSI_SINK = "gate_streaming_rsi_14_1h"
-_RSI_PREFIX = "gate_streaming_rsi_"
 
 
 def q_streaming_rsi_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,49 +456,10 @@ def q_streaming_rsi_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) across micro-batches and restarts. Same single-file availableNow
     drain, so the stateful path must replay the batch ``rsi_14_1h``
     recursive-CTE trajectory step for step (shared oracle)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..streaming.indicators import stream_rsi
-    from .trading import _ohlc_1h
 
-    base = tempfile.mkdtemp(prefix=_RSI_PREFIX)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    candles_path = f"{base}/candles_1h"
-    (
-        _ohlc_1h(spark, sf_dir)
-        .select("currency_pair_code", "time", "close")
-        .coalesce(1)
-        .write.parquet(candles_path)
-    )
-    stream = spark.readStream.schema(
-        "currency_pair_code string, time timestamp, close double"
-    ).parquet(candles_path)
-    out = stream_rsi(
-        stream.select(
-            F.col("currency_pair_code").alias("currency_pair_symbol"),
-            "time",
-            F.col("close").alias("mid"),
-        ),
-        period=14,
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_RSI_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(_RSI_SINK).select(
-        F.col("currency_pair_symbol").alias("currency_pair_code"),
-        F.lit("1h").alias("timeframe_code"),
-        F.lit(14).cast("int").alias("period"),
-        F.lit("0").alias("calc_version"),
-        "time",
-        F.round("rsi", 6).alias("value"),
-    )
+    out = stream_rsi(_candle_symbol_stream(spark, sf_dir), period=14)
+    return _indicator_shape(_drain_append(out, _RSI_SINK), "rsi")
 
 
 _SESSIONS_SINK = "gate_streaming_sessions"
@@ -506,7 +509,6 @@ def q_streaming_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CROSS_SINK = "gate_streaming_sma_cross"
-_CROSS_PREFIX = "gate_streaming_cross_"
 
 
 def q_streaming_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,44 +521,17 @@ def q_streaming_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch golden+dead SQL (the same paired-SMA CTE, both predicates).
     Single-file availableNow drain = batch arrival order, as in the
     EMA/RSI gates."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..streaming.signals import stream_sma_cross
-    from .trading import _ohlc_1h
 
-    base = tempfile.mkdtemp(prefix=_CROSS_PREFIX)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    candles_path = f"{base}/candles_1h"
-    (
-        _ohlc_1h(spark, sf_dir)
-        .select("currency_pair_code", "time", "close")
-        .coalesce(1)
-        .write.parquet(candles_path)
-    )
-    stream = spark.readStream.schema(
-        "currency_pair_code string, time timestamp, close double"
-    ).parquet(candles_path)
     out = stream_sma_cross(
-        stream.select(
-            F.col("currency_pair_code").alias("currency_pair_symbol"),
-            "time",
-            "close",
+        _candle_symbol_stream(spark, sf_dir).select(
+            "currency_pair_symbol", "time", "close"
         ),
         short_period=14,
         long_period=28,
         round_dp=6,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_CROSS_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(_CROSS_SINK).select(
+    return _drain_append(out, _CROSS_SINK).select(
         F.col("time").alias("event_datetime"),
         F.col("currency_pair_symbol").alias("currency_pair_code"),
         F.col("short_value").alias("price"),
@@ -591,16 +566,13 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cursor ordering (every batch's ts after all history ts) is what a
     time-ordered CDC feed guarantees upstream.
     """
-    import atexit
     import os
     import shutil
-    import tempfile
 
     from ..operators.reconcile import scd2_apply
     from ..sources.ticks import load_events
 
-    base = tempfile.mkdtemp(prefix=_SCD2_PREFIX)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = _fresh_run_dir("scd2", _SCD2_PREFIX)
     feed = f"{base}/feed"
     os.makedirs(feed)
     hist_dir = f"{base}/history"
@@ -640,10 +612,19 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             else spark.createDataFrame([], hist_schema)
         )
         staged = f"{base}/history_next_{batch_id}"
-        scd2_apply(hist, batch_df).write.parquet(staged)
+        # overwrite: a failed/retried batch re-invokes foreachBatch with
+        # the SAME batch_id, and errorifexists would wedge on the
+        # half-written staged dir instead of recovering
+        scd2_apply(hist, batch_df).write.mode("overwrite").parquet(staged)
+        # crash-safe swap: park the old history, rename the new one in,
+        # THEN delete the parked copy — at every intermediate point either
+        # the old or the new table exists under some name (rmtree-then-
+        # rename would lose BOTH on a crash between the two steps)
+        parked = f"{base}/history_old_{batch_id}"
         if os.path.isdir(hist_dir):
-            shutil.rmtree(hist_dir)
+            os.rename(hist_dir, parked)
         os.rename(staged, hist_dir)
+        shutil.rmtree(parked, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(
