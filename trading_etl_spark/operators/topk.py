@@ -1,0 +1,66 @@
+"""Grouped top-k with map-side combining — the scale-out of the
+``row_number().over(partitionBy(key))`` window.
+
+The window form shuffles and sorts EVERY row of every group to keep k of
+them. The two-level form cuts shuffle volume to ≤ k rows per (key,
+input-batch): a map-side pass keeps each Arrow batch's local top-k per key,
+and only those survivors shuffle into the final per-key merge — the same
+partial-aggregation idea hash-aggregates get for free, applied to top-k
+(Spark has no built-in bounded-heap aggregate for it). With P input
+partitions the merge input is ≤ k·P rows per key instead of the full group —
+the difference between sorting a Zipf-hot key's millions of rows and merging
+a few hundred.
+
+Several in-repo windows document this as their 100 TB replacement (e.g.
+weighted_sample's per-stratum top-k); this operator is that replacement,
+verified equal to the window form by tests/test_topk.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_top_k(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per key group by ``order_col`` DESC (ties broken by
+    ``tie_col`` ASC — required for deterministic results; defaults to
+    ``order_col`` itself being unique). Output = input columns.
+
+    Stage 1 (map-side, no shuffle): each Arrow batch keeps its local
+    top-k per key — output bounded by k·keys-per-batch. Stage 2: the
+    survivors shuffle once on the key and a bounded sort-slice per group
+    picks the global top-k. Equal to the row_number window by the
+    exchange-the-extremes argument: any row outside a batch's local
+    top-k is beaten by k rows in that batch alone, so it can never be in
+    the global top-k.
+    """
+    cols = df.columns
+    tie = tie_col or order_col
+
+    def local_heads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                yield (
+                    pdf.sort_values([order_col, tie], ascending=[False, True])
+                    .groupby(list(keys), sort=False)
+                    .head(k)
+                )
+
+    survivors = df.mapInPandas(local_heads, df.schema)
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(tie))
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*cols)
+    )
