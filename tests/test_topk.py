@@ -66,3 +66,22 @@ def test_map_stage_bounds_shuffle_input(spark):
     assert survivors <= 3 * 8 * 2  # k × partitions (×2 slack for arrow batching)
     out = gtk(df, ["g"], "score", 3, tie_col="id").collect()
     assert [r.score for r in sorted(out, key=lambda r: r.id)] == [996.0, 996.0, 996.0]
+
+
+def test_weighted_sample_two_level_path_matches_window(spark):
+    import os
+
+    import pytest as _pytest
+
+    from trading_etl_spark.operators import text as tx
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    docs = tx.load_documents(spark, sf_dir)
+    scored = docs.select("doc_id", "lang").join(
+        tx.quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    a = sorted(tuple(r) for r in tx.weighted_sample(scored).collect())
+    b = sorted(tuple(r) for r in tx.weighted_sample(scored, two_level=True).collect())
+    assert a == b and a

@@ -119,6 +119,7 @@ def weighted_sample(
     k: int = SAMPLE_K,
     weight_col: str = "quality",
     strata_col: str = "lang",
+    two_level: bool = False,
 ) -> DataFrame:
     """Weighted sampling without replacement, per stratum — the
     quality-weighted corpus subsampling step of a training-data pipeline
@@ -133,8 +134,11 @@ def weighted_sample(
 
     Scale shape: key computation is map-side codegen; the only shuffle is
     the per-stratum top-k window — shuffle volume is the corpus's (id,
-    key) projection, and at 100 TB the window is replaceable by a
-    two-level top-k (per-partition heads then merge) with the same keys.
+    key) projection. ``two_level=True`` swaps the window for
+    operators.topk.grouped_top_k (per-batch heads map-side, then a merge
+    over ≤ k rows per batch) — the 100 TB path, identical results
+    (tests/test_topk.py pins the general equivalence; the datapipe test
+    pins it on this sampler's keys).
     """
     key_expr = (
         f"round(power({hex32_unit_expr('samp_h')},"
@@ -143,6 +147,13 @@ def weighted_sample(
     d = scored.withColumn(
         "samp_h", F.md5(F.col("doc_id").cast("string"))
     ).withColumn("samp_key", F.expr(key_expr))
+    if two_level:
+        from .topk import grouped_top_k
+
+        proj = d.select(strata_col, "doc_id", weight_col, "samp_key")
+        return grouped_top_k(
+            proj, [strata_col], "samp_key", k, tie_col="doc_id"
+        )
     w = Window.partitionBy(strata_col).orderBy(
         F.desc("samp_key"), F.asc("doc_id")
     )
