@@ -55,3 +55,18 @@ def test_bad_timeframes_raise():
     for raw in ["2h", "2h:xx", "2h:0", " , ", "2h:-60"]:
         with pytest.raises(ValueError):
             EngineConfig.from_env({"ETL_EXTRA_TIMEFRAMES": raw})
+
+
+def test_session_scale_configs_pinned(spark):
+    """The scale posture every plan in this repo assumes: AQE (runtime
+    re-plan + skew-join splitting + partition coalescing), Arrow transfer
+    for every pandas kernel, UTC, and subset co-partitioning for bucketed
+    joins. A refactor that drops one of these silently invalidates the
+    PLANS.md story — pin them."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert conf.get("spark.sql.requireAllClusterKeysForCoPartition") == "false"
