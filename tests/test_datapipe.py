@@ -1062,3 +1062,30 @@ def test_model_caches_key_on_corpus(spark):
     rows_a = {(r.cell, tuple(r.cv)) for r in ca1.collect()}
     rows_b = {(r.cell, tuple(r.cv)) for r in cb.collect()}
     assert rows_a != rows_b    # and genuinely different centroids
+
+
+def test_write_training_shards_manifest_consistent(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    docs = tx.load_documents(spark, sf_dir)
+    packed = tx.pack_sequences(docs)
+    out = str(tmp_path / "shards")
+    manifest = {r.shard_id: r for r in tx.write_training_shards(packed, docs, out).collect()}
+    # one directory per shard, and each holds exactly the manifest's docs
+    dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(dirs) == len(manifest) and manifest
+    total_docs = 0
+    for d in dirs:
+        sid = int(d.rsplit("=", 1)[1])
+        rows = spark.read.parquet(d).collect()
+        assert len(rows) == manifest[sid].n_docs
+        assert sum(r.n_tokens for r in rows) == manifest[sid].n_tokens
+        assert all(r.text for r in rows)  # the text rode along
+        total_docs += len(rows)
+    assert total_docs == docs.count()

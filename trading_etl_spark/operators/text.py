@@ -1489,3 +1489,37 @@ verified AS (
   JOIN sizes sb ON sb.doc_id = i.doc_b
 )
 """.strip()
+
+
+def write_training_shards(
+    packed_docs: DataFrame, docs: DataFrame, path: str
+) -> DataFrame:
+    """Materialize the packed corpus as the training-data DELIVERY
+    artifact: text joined back onto the shard plan, written partitioned
+    by ``shard_id`` (one directory per shard — the unit a data loader
+    streams), plus a returned manifest relation (shard_id, n_docs,
+    n_tokens, min/max token_offset) the training job uses for sizing,
+    sharding across workers, and resume bookkeeping.
+
+    Scale shape: one key join (plan ⨝ text, both sides keyed doc_id) and
+    a partitioned write — ``partitionBy`` routes rows by shard in the
+    write tasks, no extra shuffle beyond the join; the manifest is a
+    |shards|-row hash-agg over the (already small) plan relation. The
+    manifest is computed from the PLAN, not re-read from the written
+    files, so a manifest/files mismatch can only mean a failed write —
+    which the loader then catches by checksum, not by silently training
+    on a short corpus.
+    """
+    plan = packed_docs.select("doc_id", "n_tokens", "shard_id", "token_offset")
+    (
+        plan.join(docs.select("doc_id", "text"), "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return plan.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("token_offset").alias("first_token_offset"),
+        F.max("token_offset").alias("last_token_offset"),
+    )
