@@ -10,7 +10,9 @@ from trading_etl_spark.operators.topk import grouped_top_k
 
 
 def _window_topk(df, keys, order_col, k, tie):
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(tie))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last(order_col), F.asc_nulls_last(tie)
+    )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
@@ -21,7 +23,7 @@ def _window_topk(df, keys, order_col, k, tie):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),    # key
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # key (nullable!)
             st.integers(min_value=-50, max_value=50), # score (ties likely)
         ),
         min_size=1,
@@ -32,11 +34,17 @@ def _window_topk(df, keys, order_col, k, tie):
 @settings(max_examples=10, deadline=None)
 def test_two_level_equals_window_property(spark, rows, k):
     data = [(key, float(score), i) for i, (key, score) in enumerate(rows)]
+    # null keys must form their own group, exactly like the window form
     df = spark.createDataFrame(data, "g int, score double, id long").repartition(4)
+    nullsafe = lambda t: tuple((v is None, v) for v in t)
     got = sorted(
-        tuple(r) for r in grouped_top_k(df, ["g"], "score", k, tie_col="id").collect()
+        (tuple(r) for r in grouped_top_k(df, ["g"], "score", k, tie_col="id").collect()),
+        key=nullsafe,
     )
-    want = sorted(tuple(r) for r in _window_topk(df, ["g"], "score", k, "id").collect())
+    want = sorted(
+        (tuple(r) for r in _window_topk(df, ["g"], "score", k, "id").collect()),
+        key=nullsafe,
+    )
     assert got == want
 
 

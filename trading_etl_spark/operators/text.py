@@ -1501,18 +1501,20 @@ def write_training_shards(
     n_tokens, min/max token_offset) the training job uses for sizing,
     sharding across workers, and resume bookkeeping.
 
-    Scale shape: one key join (plan ⨝ text, both sides keyed doc_id) and
+    Scale shape: one key join (plan ⟕ text, both sides keyed doc_id) and
     a partitioned write — ``partitionBy`` routes rows by shard in the
     write tasks, no extra shuffle beyond the join; the manifest is a
     |shards|-row hash-agg over the (already small) plan relation. The
-    manifest is computed from the PLAN, not re-read from the written
-    files, so a manifest/files mismatch can only mean a failed write —
-    which the loader then catches by checksum, not by silently training
-    on a short corpus.
+    join is LEFT so every planned row is written even if its text is
+    missing from ``docs`` (the row lands with NULL text — visible to the
+    loader) — with an inner join a plan/docs mismatch would silently
+    shrink the files while the plan-derived manifest still counted the
+    missing docs, inverting the "manifest mismatch ⇒ failed write"
+    guarantee this function exists to provide.
     """
     plan = packed_docs.select("doc_id", "n_tokens", "shard_id", "token_offset")
     (
-        plan.join(docs.select("doc_id", "text"), "doc_id")
+        plan.join(docs.select("doc_id", "text"), "doc_id", "left")
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)

@@ -33,9 +33,12 @@ def grouped_top_k(
     k: int,
     tie_col: str | None = None,
 ) -> DataFrame:
-    """Top-k rows per key group by ``order_col`` DESC (ties broken by
-    ``tie_col`` ASC — required for deterministic results; defaults to
-    ``order_col`` itself being unique). Output = input columns.
+    """Top-k rows per key group by ``order_col`` DESC (NULL scores last,
+    matching ``F.desc``), ties broken by ``tie_col`` ASC with NULL ties
+    LAST — the one ordering both engines of this operator (pandas map
+    stage, Spark merge window) express identically. NULL group keys form
+    their own group (``dropna=False``), as the window form does. Output =
+    input columns.
 
     Stage 1 (map-side, no shuffle): each Arrow batch keeps its local
     top-k per key — output bounded by k·keys-per-batch. Stage 2: the
@@ -52,13 +55,19 @@ def grouped_top_k(
         for pdf in it:
             if len(pdf):
                 yield (
-                    pdf.sort_values([order_col, tie], ascending=[False, True])
-                    .groupby(list(keys), sort=False)
+                    pdf.sort_values(
+                        [order_col, tie],
+                        ascending=[False, True],
+                        na_position="last",
+                    )
+                    .groupby(list(keys), sort=False, dropna=False)
                     .head(k)
                 )
 
     survivors = df.mapInPandas(local_heads, df.schema)
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.asc(tie))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc_nulls_last(order_col), F.asc_nulls_last(tie)
+    )
     return (
         survivors.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)

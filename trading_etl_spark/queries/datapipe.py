@@ -50,20 +50,14 @@ _PQ_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
 
 
-def clear_model_caches() -> int:
+def clear_model_caches(spark: SparkSession | None = None) -> int:
     """Eagerly drop the train-once model/relation caches (the datapipe
-    counterpart of trading.clear_candle_caches). Returns entries evicted."""
-    n = 0
-    for cache in (_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE):
-        for key in list(cache):
-            entry = cache.pop(key)
-            for df in entry if isinstance(entry, tuple) else (entry,):
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass  # non-DF member (PQ books) / stopped session
-            n += 1
-    return n
+    counterpart of trading.clear_candle_caches, same shared eviction loop;
+    optionally only the given session's). Returns entries evicted."""
+    from .trading import clear_caches
+
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    return clear_caches((_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE), app_id)
 
 
 def _split_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

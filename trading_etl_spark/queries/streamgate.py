@@ -333,8 +333,11 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one single-file 1h-candle dump per (app, sf_dir), reused across
 # invocations — a fresh mkdtemp per call accreted /tmp copies in a
 # long-lived gate/bench session. Each drain still replays from scratch
-# (fresh implicit temp checkpoint per start()).
+# (fresh implicit temp checkpoint per start()). FIFO-bounded like every
+# other cache (bespoke eviction: an evicted entry also rmtree's its dump,
+# which the generic _cache_put can't do).
 _CANDLE_DUMPS: dict = {}
+_CANDLE_DUMPS_MAX = 4
 
 
 def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +347,7 @@ def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     update sorts by time per symbol — the exact batch order (the
     determinism contract all three stateful gates share)."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -352,6 +356,9 @@ def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _CANDLE_DUMPS.get(key)
     if path is None:
+        while len(_CANDLE_DUMPS) >= _CANDLE_DUMPS_MAX:
+            old = _CANDLE_DUMPS.pop(next(iter(_CANDLE_DUMPS)))
+            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
         base = tempfile.mkdtemp(prefix="gate_streaming_candles_")
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         path = f"{base}/candles_1h"
@@ -397,9 +404,11 @@ def _indicator_shape(t: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-# per-gate previous-invocation dir, reclaimed at the NEXT call (not only at
-# interpreter exit) so repeated gate/bench runs don't accrete /tmp state
-_LAST_RUN_DIRS: dict = {}
+# per-gate run dirs: the PREVIOUS invocation's dir must stay alive (its
+# returned DataFrame may still be lazily read by the caller), so each call
+# reclaims only GRANDPARENT generations — repeated gate/bench runs hold at
+# most two copies instead of accreting until interpreter exit
+_RUN_DIRS: dict = {}
 
 
 def _fresh_run_dir(tag: str, prefix: str) -> str:
@@ -407,11 +416,11 @@ def _fresh_run_dir(tag: str, prefix: str) -> str:
     import shutil
     import tempfile
 
-    prev = _LAST_RUN_DIRS.pop(tag, None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
+    dirs = _RUN_DIRS.setdefault(tag, [])
+    while len(dirs) > 1:  # keep only the immediately-previous dir
+        shutil.rmtree(dirs.pop(0), ignore_errors=True)
     base = tempfile.mkdtemp(prefix=prefix)
-    _LAST_RUN_DIRS[tag] = base
+    dirs.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 
@@ -606,6 +615,15 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df, batch_id):
+        import glob as _glob
+
+        # recover a crash between the two swap renames: hist_dir missing
+        # but a parked copy present → the parked copy IS the history
+        # (without this, a retry would silently rebuild from empty)
+        if not os.path.isdir(hist_dir):
+            parked_prev = sorted(_glob.glob(f"{base}/history_old_*"))
+            if parked_prev:
+                os.rename(parked_prev[-1], hist_dir)
         hist = (
             spark.read.parquet(hist_dir)
             if os.path.isdir(hist_dir)

@@ -46,15 +46,29 @@ _CHAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _CACHE_MAX_ENTRIES = 8
 
 
+def _unpersist_entry(entry) -> None:
+    for df in entry if isinstance(entry, tuple) else (entry,):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # non-DF member / session already stopped
+
+
 def _cache_put(cache: dict, key, value) -> None:
     while len(cache) >= _CACHE_MAX_ENTRIES:
-        old = cache.pop(next(iter(cache)))
-        for df in old if isinstance(old, tuple) else (old,):
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped
+        _unpersist_entry(cache.pop(next(iter(cache))))
     cache[key] = value
+
+
+def clear_caches(caches, app_id: str | None = None) -> int:
+    """Shared eviction loop for every materialized-relation/model cache:
+    unpersist + drop all entries (optionally only one session's)."""
+    evicted = 0
+    for cache in caches:
+        for key in [k for k in cache if app_id is None or k[0] == app_id]:
+            _unpersist_entry(cache.pop(key))
+            evicted += 1
+    return evicted
 
 
 def clear_candle_caches(spark: SparkSession | None = None) -> int:
@@ -64,17 +78,9 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     accumulate unboundedly), and this clears them eagerly. Returns the
     number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
-    evicted = 0
-    for cache in (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE):
-        for key in [k for k in cache if app_id is None or k[0] == app_id]:
-            entry = cache.pop(key)
-            for df in entry if isinstance(entry, tuple) else (entry,):
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass  # session already stopped — nothing to unpersist
-            evicted += 1
-    return evicted
+    return clear_caches(
+        (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE), app_id
+    )
 
 
 def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
