@@ -87,6 +87,7 @@ SIBLING = {
     "orders_table_profile": "events_snapshot_diff",
     "shipping_priority_q3": "local_supplier_volume",
     "pair_rolling_correlation": "sma_golden_cross",
+    "candle_unpivot": "candle_rollup",
 }
 
 

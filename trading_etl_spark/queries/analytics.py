@@ -406,6 +406,25 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candle_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (r6-born — the inverse of avg_close_pivot): the wide
+    OHLC candle relation melted to long (pair, time, field, value) rows,
+    the shape feature stores and plotting layers consume. Map-side
+    ``stack`` inside codegen — zero shuffle beyond the cached candle
+    build; output is 4× the candle rows by construction."""
+    from .trading import _ohlc_1h
+
+    c = _ohlc_1h(spark, sf_dir)
+    return c.select(
+        "currency_pair_code",
+        "time",
+        F.expr(
+            "stack(4, 'open', open, 'high', high, 'low', low, 'close', close)"
+            " AS (field, value)"
+        ),
+    ).withColumn("value", F.round("value", 6))
+
+
 def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of the orders table (r6-born):
     reconcile.table_profile — per-column rows/nulls/exact-distinct plus
@@ -587,6 +606,7 @@ QUERIES = {
     "events_value_histogram": q_value_histogram,
     "events_value_winsorize": q_events_value_winsorize,
     "orders_table_profile": q_orders_table_profile,
+    "candle_unpivot": q_candle_unpivot,
     "shipping_priority_q3": q_shipping_priority,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
@@ -827,6 +847,20 @@ LIMIT 10 OFFSET 10
 
 # incremental merge-apply is certified against the FULL rebuild
 ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]
+
+from .trading import _TO_1H as _TR_TO_1H
+from .trading import _with as _tr_with
+
+ORACLES["candle_unpivot"] = _tr_with(*_TR_TO_1H) + """
+SELECT currency_pair_code, time, field, round(v, 6) AS value FROM (
+  SELECT currency_pair_code, time, 'open' AS field, "open" AS v FROM ohlc_1h
+  UNION ALL
+  SELECT currency_pair_code, time, 'high', high FROM ohlc_1h
+  UNION ALL
+  SELECT currency_pair_code, time, 'low', low FROM ohlc_1h
+  UNION ALL
+  SELECT currency_pair_code, time, 'close', "close" FROM ohlc_1h
+)"""
 
 ORACLES["shipping_priority_q3"] = f"""
 SELECT l_orderkey, revenue, o_orderdate FROM (

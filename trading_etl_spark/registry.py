@@ -109,6 +109,7 @@ _DEFER: list[str] = [
     "orders_table_profile",   # one-pass Deequ-style column profile; quality family of events_snapshot_diff
     "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
     "pair_rolling_correlation",  # native corr window; family of sma_golden_cross
+    "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
 ]
 
 
