@@ -81,9 +81,9 @@ _DEFER: list[str] = [
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
     "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
                               # through the stricter stateful-streaming path
-    # r6-born (post-rotation) — all 20 certified by tools/check.py (full
+    # r6-born (post-rotation) — all 21 certified by tools/check.py (full
     # ALL-OK sweeps) this round; rotation candidates for the r7 window.
-    # 20 won't fit one rotation without evicting whole families — suggest
+    # 21 won't fit one rotation without evicting whole families — suggest
     # two waves: r7 takes the operator-family firsts (macd, bollinger,
     # semantic dedup, bloom decontaminate, streaming sessions+cross+scd2,
     # dsir, scd2 merge, rrf, matryoshka, profile), r8 the remainder —
