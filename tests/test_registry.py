@@ -88,6 +88,7 @@ SIBLING = {
     "shipping_priority_q3": "local_supplier_volume",
     "pair_rolling_correlation": "sma_golden_cross",
     "candle_unpivot": "candle_rollup",
+    "event_type_copairs": "events_value_histogram",
 }
 
 

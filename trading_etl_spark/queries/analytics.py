@@ -425,6 +425,34 @@ def q_candle_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 6))
 
 
+def q_event_type_copairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (r6-born — the frequent-itemset first
+    pass, A-priori k=2): for every pair of event types, how many users
+    performed both, with support against the user universe. The
+    recommendation/affinity primitive the reference has no analog for.
+
+    Scale shape: the basket relation collapses to DISTINCT (user, type)
+    FIRST (partial-agg shuffle bounded by users × |types|, |types| tiny),
+    then the pair join is per-user over ≤|types| rows — never a raw-event
+    self-join; the pair count is a |types|²-row hash-agg. support rounds
+    to 6dp with both engines dividing the same exact longs."""
+    from ..sources.ticks import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    a = ev.select("user_id", F.col("event_type").alias("type_a"))
+    b = ev.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+        .withColumn(
+            "support", F.round(F.col("n_users_both") / F.lit(float(n_users)), 6)
+        )
+    )
+
+
 def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data-quality profile of the orders table (r6-born):
     reconcile.table_profile — per-column rows/nulls/exact-distinct plus
@@ -607,6 +635,7 @@ QUERIES = {
     "events_value_winsorize": q_events_value_winsorize,
     "orders_table_profile": q_orders_table_profile,
     "candle_unpivot": q_candle_unpivot,
+    "event_type_copairs": q_event_type_copairs,
     "shipping_priority_q3": q_shipping_priority,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
@@ -850,6 +879,17 @@ ORACLES["dim_scd2_merge_apply"] = ORACLES["dim_scd2_history"]
 
 from .trading import _TO_1H as _TR_TO_1H
 from .trading import _with as _tr_with
+
+ORACLES["event_type_copairs"] = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users_both,
+       round(count(*) / (SELECT n_users FROM n), 6) AS support
+FROM baskets a JOIN baskets b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+""".strip()
 
 ORACLES["candle_unpivot"] = _tr_with(*_TR_TO_1H) + """
 SELECT currency_pair_code, time, field, round(v, 6) AS value FROM (

@@ -81,9 +81,9 @@ _DEFER: list[str] = [
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
     "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
                               # through the stricter stateful-streaming path
-    # r6-born (post-rotation) — all 21 certified by tools/check.py (full
+    # r6-born (post-rotation) — all 22 certified by tools/check.py (full
     # ALL-OK sweeps) this round; rotation candidates for the r7 window.
-    # 21 won't fit one rotation without evicting whole families — suggest
+    # 22 won't fit one rotation without evicting whole families — suggest
     # two waves: r7 takes the operator-family firsts (macd, bollinger,
     # semantic dedup, bloom decontaminate, streaming sessions+cross+scd2,
     # dsir, scd2 merge, rrf, matryoshka, profile), r8 the remainder —
@@ -110,6 +110,7 @@ _DEFER: list[str] = [
     "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
     "pair_rolling_correlation",  # native corr window; family of sma_golden_cross
     "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
+    "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
 ]
 
 
