@@ -15,9 +15,9 @@ DRIVER_WINDOW = 50
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
     "sma_dead_cross": "sma_golden_cross",
-    "spread_quantiles": "approx_value_quantiles",
+    "spread_quantiles": "orders_table_profile",
     "avg_close_pivot": "candle_rollup",
-    "text_fingerprint": "text_rolling_fingerprint",
+    "text_fingerprint": "dedup_exact",
     "media_resize": "media_extract_meta",
     "embedding_near_dup": "embedding_near_dup_lsh",
     "dedup_ngram_jaccard": "dedup_minhash_lsh",
@@ -39,12 +39,12 @@ SIBLING = {
     # same-family twin still in the window.
     "ohlc_derived_multi_tf": "candle_rollup",
     "sma_14_1h": "sma_golden_cross",
-    "tick_sessions": "streaming_ohlc_1m",
-    "candle_returns_quartile": "approx_value_quantiles",
+    "tick_sessions": "streaming_tick_sessions",
+    "candle_returns_quartile": "orders_table_profile",
     "event_reaction_window": "event_asof_tick",
     "dedup_simhash": "dedup_minhash_lsh",
     "dedup_connected_components": "dedup_cc_two_phase",
-    "dedup_passages": "text_rolling_fingerprint",
+    "dedup_passages": "corpus_pack_sequences",
     "text_repetition_filter": "text_quality_score",
     "train_test_split": "stratified_sample_by_lang",
     "embedding_label_centroids": "embedding_knn_ivf_kmeans",
@@ -61,30 +61,34 @@ SIBLING = {
     "dim_scd2_history": "user_cohort_retention",
     "user_funnel_conversion": "user_cohort_retention",
     "sample_weighted_quality": "stratified_sample_by_lang",
-    "text_chunk_rag": "text_rolling_fingerprint",
+    "text_chunk_rag": "corpus_pack_sequences",
     "streaming_sliding_stats": "streaming_ohlc_1m",
     "text_pii_redact": "text_quality_score",
     "urgent_not_finished_setops": "customers_no_open_orders_anti",
-    "ema_14_1h": "streaming_ema_14_1h",
-    # r6-born, registered deferred until the r7 rotation:
-    "macd_12_26_9_1h": "rsi_14_1h",
+    "ema_14_1h": "rsi_14_1h",
+    # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
+    # 22 r6-born operators get driver rows; each keeps a same-family twin
+    # still in the window (ohlc_1m / text_heavy_hitters_cms /
+    # decontaminate_train_ngrams twins run their EXACT oracles).
+    "ohlc_1m": "streaming_ohlc_1m",
+    "event_asof_nearest_tick": "event_asof_tick",
+    "embedding_pq_codes": "embedding_knn_ivfadc",
+    "embedding_knn_pq_adc": "embedding_knn_ivfadc",
+    "decontaminate_train_ngrams": "decontaminate_bloom_prefilter",
+    "streaming_ema_14_1h": "streaming_sma_cross",
+    "text_heavy_hitters_cms": "streaming_heavy_hitters",
+    "streaming_dedup_exact": "dedup_exact",
+    "approx_value_quantiles": "orders_table_profile",
+    "star_join_revenue": "local_supplier_volume",
+    "text_rolling_fingerprint": "corpus_pack_sequences",
+    "corpus_clean_pipeline": "dedup_minhash_lsh",
+    # r6-born still deferred (rotation wave 2, r8):
     "atr_14_1h": "rsi_14_1h",
-    "bollinger_20_2_1h": "sma_golden_cross",
     "stochastic_14_3_1h": "sma_golden_cross",
-    "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
-    "streaming_rsi_14_1h": "streaming_ema_14_1h",
-    "decontaminate_bloom_prefilter": "decontaminate_train_ngrams",
-    "streaming_tick_sessions": "streaming_ohlc_1m",
-    "corpus_dsir_resample": "corpus_domain_mix",
-    "dim_scd2_merge_apply": "events_snapshot_diff",
-    "streaming_sma_cross": "sma_golden_cross",
+    "streaming_rsi_14_1h": "streaming_sma_cross",
     "events_value_winsorize": "events_value_histogram",
-    "hybrid_search_rrf": "bm25_search",
-    "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
     "tick_zscore_outliers": "sma_golden_cross",
     "text_ccnet_ppl_buckets": "text_unigram_logprob",
-    "streaming_scd2_apply": "events_snapshot_diff",
-    "orders_table_profile": "events_snapshot_diff",
     "shipping_priority_q3": "local_supplier_volume",
     "pair_rolling_correlation": "sma_golden_cross",
     "candle_unpivot": "candle_rollup",
@@ -113,25 +117,25 @@ def test_deferred_queries_register_last_and_have_siblings():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
 
 
-def test_round6_rotation_in_window():
-    # VERDICT r5 task #1: the 9 r5-born queries plus the 2 r6-born ones
-    # (IVFADC, stateful streaming EMA) are inside the 50-row correctness
-    # window this round. (Earlier rounds' in-window assertions are
-    # superseded by rotation; their driver certifications are on record in
-    # CORRECTNESS_r{1..5}.json.)
+def test_round7_rotation_in_window():
+    # VERDICT r6 task #1 (rotation wave 1): 12 of the 22 r6-born queries are
+    # inside the 50-row correctness window this round. (Earlier rounds'
+    # in-window assertions are superseded by rotation; their driver
+    # certifications are on record in CORRECTNESS_r{1..6}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "corpus_domain_mix",
-        "text_unigram_logprob",
-        "events_snapshot_diff",
-        "text_heavy_hitters_cms",
-        "streaming_heavy_hitters",
-        "event_asof_nearest_tick",
-        "embedding_pq_codes",
-        "embedding_knn_pq_adc",
-        "local_supplier_volume",
-        "embedding_knn_ivfadc",
-        "streaming_ema_14_1h",
+        "macd_12_26_9_1h",
+        "bollinger_20_2_1h",
+        "dedup_semantic_kmeans",
+        "decontaminate_bloom_prefilter",
+        "streaming_tick_sessions",
+        "streaming_sma_cross",
+        "streaming_scd2_apply",
+        "corpus_dsir_resample",
+        "dim_scd2_merge_apply",
+        "hybrid_search_rrf",
+        "embedding_knn_matryoshka",
+        "orders_table_profile",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

@@ -81,34 +81,37 @@ _DEFER: list[str] = [
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
     "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
                               # through the stricter stateful-streaming path
-    # r6-born (post-rotation) — all 22 certified by tools/check.py (full
-    # ALL-OK sweeps) this round; rotation candidates for the r7 window.
-    # 22 won't fit one rotation without evicting whole families — suggest
-    # two waves: r7 takes the operator-family firsts (macd, bollinger,
-    # semantic dedup, bloom decontaminate, streaming sessions+cross+scd2,
-    # dsir, scd2 merge, rrf, matryoshka, profile), r8 the remainder —
-    # every r6-born key keeps an in-window sibling either way:
-    "macd_12_26_9_1h",        # coupled EMA recursions; grouped-kernel family of rsi_14_1h
+    # r7 rotation wave 1 (VERDICT r6 task #1): 12 of the 22 r6-born queries
+    # (macd, bollinger, semantic dedup, bloom decontaminate, streaming
+    # sessions/sma-cross/scd2, dsir, scd2 merge, rrf, matryoshka, profile)
+    # moved INTO the window for driver certification; these 12 rotated out
+    # to make room — every one carries an r6 (most also earlier) driver-green
+    # row and a same-family twin still in the window. All stay
+    # oracle-verified by tools/check.py.
+    "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
+    "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family
+    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window
+    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it
+    "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle
+    "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel
+                              # family, batch rsi_14_1h the grouped recursion family
+    "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
+    "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
+    "approx_value_quantiles",  # GK sketch; orders_table_profile computes the same approx percentiles
+    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family
+    "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
+    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window
+    # r6-born still deferred — rotation wave 2 candidates for the r8 window
+    # (VERDICT r6 task #1 schedules them next round); every key keeps an
+    # in-window sibling:
     "atr_14_1h",              # Wilder true-range recursion; grouped-kernel family of rsi_14_1h
-    "bollinger_20_2_1h",      # native-window bands; window family of sma_golden_cross
     "stochastic_14_3_1h",     # native min/max/avg windows; family of sma_golden_cross
-    "dedup_semantic_kmeans",  # SemDeDup; kmeans family of embedding_knn_ivf_kmeans,
-                              # near-dup family of embedding_near_dup_lsh
-    "streaming_rsi_14_1h",    # stateful Wilder recursion; twin of streaming_ema_14_1h
-    "decontaminate_bloom_prefilter",  # exact-by-construction bloom path; twin of decontaminate_train_ngrams
-    "streaming_tick_sessions",  # session windows live; family of streaming_ohlc_1m + batch tick_sessions
-    "corpus_dsir_resample",   # DSIR importance resampling; sampling family of corpus_domain_mix
-    "dim_scd2_merge_apply",   # incremental SCD2 MERGE; reconcile family of events_snapshot_diff
-    "streaming_sma_cross",    # stateful cross detection; family of streaming_ema_14_1h + sma_golden_cross
+    "streaming_rsi_14_1h",    # stateful Wilder recursion; family of streaming_sma_cross
     "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
-    "hybrid_search_rrf",      # reciprocal rank fusion of bm25_search + dense cosine leg
-    "embedding_knn_matryoshka",  # prefix-dim coarse rank + exact rerank; ANN family of embedding_knn_ivf_kmeans
     "tick_zscore_outliers",   # rolling self-excluded z-score gate; window family of sma_golden_cross
     "text_ccnet_ppl_buckets",  # CCNet perplexity terciles; LM family of text_unigram_logprob
-    "streaming_scd2_apply",   # CDC-merge loop under streaming; IVM family of dim_scd2_merge_apply
-    "orders_table_profile",   # one-pass Deequ-style column profile; quality family of events_snapshot_diff
     "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
-    "pair_rolling_correlation",  # native corr window; family of sma_golden_cross
+    "pair_rolling_correlation",  # keyed corr window; family of sma_golden_cross
     "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
     "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
 ]
