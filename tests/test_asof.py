@@ -153,6 +153,87 @@ def test_asof_bucketed_matches_plain(spark):
     assert bucketed["long-carry"] == 102.0
 
 
+def test_horizon_prune_is_identity(spark):
+    """VERDICT r6 task #4: pruning the in-bucket window's build side to the
+    probe's bucket horizon must not change results — build rows OUTSIDE the
+    horizon reach probes only through the finals/carry relation, which
+    reads the full build side. The fixture puts the only quote for one
+    probe MANY buckets before the probe horizon (the carry-through-pruned-
+    history case that a naive min-minus-one-bucket filter on the whole
+    build side would break) and quotes after the horizon that backward
+    as-of must ignore either way."""
+    from trading_etl_spark.operators.asof import (
+        asof_join_backward_bucketed,
+        asof_join_forward_bucketed,
+    )
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 01:00:00"), 90.0),   # far before horizon
+            ("A", _ts("2024-01-01 10:30:00"), 100.0),  # inside horizon
+            ("A", _ts("2024-01-01 20:00:00"), 110.0),  # far after horizon
+            ("B", _ts("2024-01-01 02:15:00"), 200.0),  # B's ONLY quote: before
+        ],
+        "k string, time timestamp, bid double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), "a-mid"),
+            ("A", _ts("2024-01-01 11:00:00"), "a-late"),
+            ("B", _ts("2024-01-01 10:15:00"), "b-carry-far"),
+        ],
+        "k string, time timestamp, tag string",
+    )
+    for fn in (asof_join_backward_bucketed, asof_join_forward_bucketed):
+        pruned = {
+            r["tag"]: r["bid"]
+            for r in fn(
+                probes, quotes, on="time", by=["k"], value_cols=["bid"],
+                bucket_seconds=3600, prune_build_horizon=True,
+            ).collect()
+        }
+        full = {
+            r["tag"]: r["bid"]
+            for r in fn(
+                probes, quotes, on="time", by=["k"], value_cols=["bid"],
+                bucket_seconds=3600, prune_build_horizon=False,
+            ).collect()
+        }
+        assert pruned == full, fn.__name__
+    # and the backward carry through pruned history is the far-early quote
+    got = {
+        r["tag"]: r["bid"]
+        for r in asof_join_backward_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"],
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == {"a-mid": 90.0, "a-late": 100.0, "b-carry-far": 200.0}
+
+
+def test_horizon_prune_build_is_lazy_and_broadcast(spark):
+    """The bounds must be a lazy broadcast 1-row aggregate: building the
+    pruned as-of submits no job, and the plan shows the broadcast range
+    condition feeding a map-side filter (not a shuffled join)."""
+    from trading_etl_spark.operators.asof import asof_join_backward_bucketed
+
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:30:00"), 1.0)], "k string, time timestamp, bid double"
+    )
+    probes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:45:00"), "p")], "k string, time timestamp, tag string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = asof_join_backward_bucketed(
+        probes, quotes, on="time", by=["k"], value_cols=["bid"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, f"as-of build submitted jobs: {sorted(after - before)}"
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_asof_forward_semantics_and_bucket_boundaries(spark):
     from trading_etl_spark.operators.asof import asof_join_forward_bucketed
 

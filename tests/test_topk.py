@@ -48,6 +48,37 @@ def test_two_level_equals_window_property(spark, rows, k):
     assert got == want
 
 
+def test_nan_scores_rank_last_consistently(spark):
+    """Advisor finding (r6): a real NaN double in order_col must behave as
+    MISSING (rank last) in BOTH stages — pandas' na_position already did,
+    but Spark's desc_nulls_last ranks non-null NaN as the largest double,
+    so pre-normalization a NaN row could be dropped map-side yet rank #1
+    in the merge window. The operator now normalizes NaN→NULL in its sort
+    keys; NaN rows still appear in output (surfacing as NULL — the Arrow
+    map stage already carried NaN→NULL, per the repo-wide convention) but
+    never beat a real score."""
+    data = [
+        (0, float("nan"), 0),
+        (0, 5.0, 1),
+        (0, 3.0, 2),
+        (0, None, 3),
+        (1, float("nan"), 4),
+        (1, 1.0, 5),
+    ]
+    df = spark.createDataFrame(data, "g int, score double, id long").repartition(3)
+    out = grouped_top_k(df, ["g"], "score", 2, tie_col="id").collect()
+    by_g = {}
+    for r in sorted(out, key=lambda r: (r.g, r.id)):
+        by_g.setdefault(r.g, []).append(r.id)
+    # group 0: real scores 5.0, 3.0 beat NaN and NULL
+    assert by_g[0] == [1, 2]
+    # group 1: 1.0 first, then the NaN row fills k=2 (ties by id)
+    assert by_g[1] == [4, 5] or by_g[1] == [5, 4]
+    got_scores = {r.id: r.score for r in out}
+    # the NaN row survives selection; its value surfaces as NULL (Arrow)
+    assert got_scores[4] is None
+
+
 def test_map_stage_bounds_shuffle_input(spark):
     # 10k rows in one hot key across 8 partitions: at most k rows per key
     # PER BATCH survive the map stage — the shuffle sees ≤ k·partitions

@@ -53,10 +53,20 @@ def zorder_key(
     (bucket ids, epoch minutes, ranks…): each is scaled into [0, 2^bits)
     against its known max so both dimensions get equal bit-resolution,
     then Morton-interleaved. ``a_max``/``b_max`` come from catalog stats
-    (or a bounds pass) — the same two-pass shape as the histogram."""
+    (or a bounds pass) — the same two-pass shape as the histogram.
+
+    Out-of-range inputs (stale catalog stats: value > max, or a negative
+    value) clamp to the edge of the key space instead of overflowing —
+    an unclamped scaled value would spill past ``bits`` bits and
+    ``interleave_bits`` would silently drop the high bits, WRAPPING the
+    key so fresh out-of-range rows sort into arbitrary buckets (advisor
+    finding, r6). Clamping degrades them to the edge bucket: still
+    clustered, stats merely looser until the next bounds refresh."""
     scale = (1 << bits) - 1
     an = F.floor(a.cast("double") / F.lit(float(max(a_max, 1))) * scale).cast("long")
     bn = F.floor(b.cast("double") / F.lit(float(max(b_max, 1))) * scale).cast("long")
+    an = F.least(F.greatest(an, F.lit(0).cast("long")), F.lit(scale).cast("long"))
+    bn = F.least(F.greatest(bn, F.lit(0).cast("long")), F.lit(scale).cast("long"))
     return interleave_bits(an, bn, bits)
 
 

@@ -34,6 +34,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _horizon_prune(
+    b: DataFrame, probe: DataFrame, on: str, bucket_seconds: int
+) -> DataFrame:
+    """Prune the UNION's build side to the probe's bucket horizon
+    (VERDICT r6 task #4): build rows in buckets outside
+    [min(probe bucket), max(probe bucket)] can only ever reach a probe row
+    through the finals/carry relation — which is built from the FULL build
+    side and is candle-sized — so dropping them from the heavy in-bucket
+    window input is a semantic identity (pinned by
+    tests/test_asof.py::test_horizon_prune_is_identity). The bounds are a
+    lazy 1-row min/max aggregate broadcast into a range condition (a
+    map-side filter after a 1-row BroadcastNestedLoopJoin — no driver
+    action at build time), so the carry-forward window never sorts history
+    no probe can reach: at 100 TB, a week of events against years of ticks
+    windows one week of ticks, not the archive. ``b`` must already carry
+    the ``_bkt`` column."""
+    bounds = probe.agg(
+        F.floor(
+            F.min(F.unix_timestamp(F.col(on))) / F.lit(bucket_seconds)
+        ).alias("_lo_bkt"),
+        F.floor(
+            F.max(F.unix_timestamp(F.col(on))) / F.lit(bucket_seconds)
+        ).alias("_hi_bkt"),
+    )
+    return (
+        b.join(
+            F.broadcast(bounds),
+            on=(F.col("_bkt") >= F.col("_lo_bkt"))
+            & (F.col("_bkt") <= F.col("_hi_bkt")),
+            how="inner",
+        )
+        .drop("_lo_bkt", "_hi_bkt")
+    )
+
+
 def asof_join_backward(
     probe: DataFrame,
     build: DataFrame,
@@ -78,6 +113,7 @@ def asof_join_backward_bucketed(
     by: list[str],
     value_cols: list[str],
     bucket_seconds: int = 3600,
+    prune_build_horizon: bool = True,
 ) -> DataFrame:
     """Same semantics as :func:`asof_join_backward`, parallelism that scales
     with the TIME RANGE instead of the key cardinality.
@@ -108,6 +144,11 @@ def asof_join_backward_bucketed(
     fixture by tests/test_asof.py::test_bucketed_asof_bounds_skew — max
     per-task group size drops ~bucket-count-fold vs the plain variant
     while the result stays identical.
+
+    Horizon prune (``prune_build_horizon``, default on — VERDICT r6 task
+    #4): see :func:`_horizon_prune` — the heavy window's build side drops
+    buckets outside the probe's [min, max] bucket range; the finals/carry
+    relation still reads the full build side, so the result is identical.
     """
     collisions = set(value_cols) & set(probe.columns)
     if collisions:
@@ -123,7 +164,10 @@ def asof_join_backward_bucketed(
         if c not in b.columns:
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
 
-    u = p.unionByName(b).withColumn("_bkt", bkt)
+    b_win = b.withColumn("_bkt", bkt)
+    if prune_build_horizon:
+        b_win = _horizon_prune(b_win, probe, on, bucket_seconds)
+    u = p.withColumn("_bkt", bkt).unionByName(b_win)
     w_in = (
         Window.partitionBy(*by, "_bkt")
         .orderBy(F.col(on).asc(), F.col("_side").asc())
@@ -240,6 +284,7 @@ def asof_join_forward_bucketed(
     by: list[str],
     value_cols: list[str],
     bucket_seconds: int = 3600,
+    prune_build_horizon: bool = True,
 ) -> DataFrame:
     """Forward as-of: for each probe row, the EARLIEST build values with
     build.on >= probe.on — the fill-price lookup of a backtester (a market
@@ -256,6 +301,10 @@ def asof_join_forward_bucketed(
        a frame-(1, unbounded-following) window over that candle-sized
        relation yields each bucket's earliest-next-bucket value;
     3. probe rows take ``coalesce(in-bucket, next-bucket carry)``.
+
+    ``prune_build_horizon`` mirrors the backward variant: the in-bucket
+    window's build side keeps only the probe's bucket range; later build
+    rows reach earlier probes through the firsts/carry relation alone.
     """
     collisions = set(value_cols) & set(probe.columns)
     if collisions:
@@ -271,7 +320,10 @@ def asof_join_forward_bucketed(
         if c not in b.columns:
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
 
-    u = p.unionByName(b).withColumn("_bkt", bkt)
+    b_win = b.withColumn("_bkt", bkt)
+    if prune_build_horizon:
+        b_win = _horizon_prune(b_win, probe, on, bucket_seconds)
+    u = p.withColumn("_bkt", bkt).unionByName(b_win)
     w_in = (
         Window.partitionBy(*by, "_bkt")
         .orderBy(F.col(on).desc(), F.col("_side").asc())

@@ -33,30 +33,46 @@ def grouped_top_k(
     k: int,
     tie_col: str | None = None,
 ) -> DataFrame:
-    """Top-k rows per key group by ``order_col`` DESC (NULL scores last,
-    matching ``F.desc``), ties broken by ``tie_col`` ASC with NULL ties
-    LAST — the one ordering both engines of this operator (pandas map
-    stage, Spark merge window) express identically. NULL group keys form
-    their own group (``dropna=False``), as the window form does. Output =
-    input columns.
+    """Top-k rows per key group by ``order_col`` DESC (NULL **and NaN**
+    scores last), ties broken by ``tie_col`` ASC with NULL/NaN ties LAST —
+    the one ordering both engines of this operator (pandas map stage, Spark
+    merge window) express identically. Float NaN is normalized to NULL in
+    the sort keys before EITHER stage sees it: pandas' ``na_position`` treats
+    NaN as missing while Spark's ``desc_nulls_last`` sorts a non-null NaN
+    double as the LARGEST value, so without the normalization a NaN row the
+    window form would rank #1 could be discarded map-side (advisor finding,
+    r6). NULL group keys form their own group (``dropna=False``), as the
+    window form does. Output = input columns; note float NaN VALUES in the
+    output surface as NULL — the rows themselves are selected correctly,
+    but the Arrow map stage carries NaN→NULL (the repo-wide convention).
 
     Stage 1 (map-side, no shuffle): each Arrow batch keeps its local
     top-k per key — output bounded by k·keys-per-batch. Stage 2: the
     survivors shuffle once on the key and a bounded sort-slice per group
-    picks the global top-k. Equal to the row_number window by the
-    exchange-the-extremes argument: any row outside a batch's local
+    picks the global top-k. Equal to the NaN-normalized row_number window
+    by the exchange-the-extremes argument: any row outside a batch's local
     top-k is beaten by k rows in that batch alone, so it can never be in
     the global top-k.
     """
     cols = df.columns
     tie = tie_col or order_col
 
+    def _null_if_nan(c: str) -> F.Column:
+        # isnan is only defined on float/double columns.
+        if df.schema[c].dataType.typeName() in ("float", "double"):
+            return F.when(F.isnan(c), F.lit(None)).otherwise(F.col(c))
+        return F.col(c)
+
+    work = df.withColumn("_ord", _null_if_nan(order_col)).withColumn(
+        "_tie", _null_if_nan(tie)
+    )
+
     def local_heads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf):
                 yield (
                     pdf.sort_values(
-                        [order_col, tie],
+                        ["_ord", "_tie"],
                         ascending=[False, True],
                         na_position="last",
                     )
@@ -64,9 +80,9 @@ def grouped_top_k(
                     .head(k)
                 )
 
-    survivors = df.mapInPandas(local_heads, df.schema)
+    survivors = work.mapInPandas(local_heads, work.schema)
     w = Window.partitionBy(*keys).orderBy(
-        F.desc_nulls_last(order_col), F.asc_nulls_last(tie)
+        F.desc_nulls_last("_ord"), F.asc_nulls_last("_tie")
     )
     return (
         survivors.withColumn("_rk", F.row_number().over(w))

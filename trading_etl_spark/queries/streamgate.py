@@ -407,7 +407,13 @@ def _indicator_shape(t: DataFrame, value_col: str) -> DataFrame:
 # per-gate run dirs: the PREVIOUS invocation's dir must stay alive (its
 # returned DataFrame may still be lazily read by the caller), so each call
 # reclaims only GRANDPARENT generations — repeated gate/bench runs hold at
-# most two copies instead of accreting until interpreter exit
+# most two copies instead of accreting until interpreter exit.
+#
+# Lifetime CONTRACT (advisor, r6): keep-last-2 serves the gate's
+# call-once-collect-once pattern. A caller that holds a lazily-read
+# DataFrame across ≥2 further invocations of the SAME gate will see
+# FileNotFound on collect — such callers must materialize (collect/cache)
+# before re-invoking, or raise the retention here.
 _RUN_DIRS: dict = {}
 
 
