@@ -6,18 +6,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes end-to-end into a noop sink (full plan, no driver
 collect). Timings exclude session startup.
 
-Methodology (VERDICT r3 task #2, r5 task #2): single-run timings on this
-box vary ±30-70%, and even median-of-3 is not robust to SUSTAINED box load
-(the r5 report needed a manual re-run to adjudicate two phantom
-regressions). Each query now runs ``N_RUNS`` = 5 times; ``queries`` holds
-per-query MEDIANS (``value`` = their sum, the series-comparable headline)
-and ``queries_min`` per-query MINIMA (``min_total_sec`` = their sum) —
-min is the standard noise-robust estimator for a CPU-bound deterministic
+Methodology (VERDICT r3 task #2, r5 task #2, r6 task #7): single-run
+timings on this box vary ±30-70%, and even median-of-3 is not robust to
+SUSTAINED box load. Each query runs ``N_RUNS`` = 5 times, and the runs are
+ROUND-INTERLEAVED: the whole headline set executes once per round and the
+rounds repeat, so a query's 5 samples are spread across the full bench
+duration instead of being consecutive — a multi-minute load burst poisons
+one round of every query rather than all 5 runs of a few (the r6 creep
+that forced a judge-side re-run even at min-of-5 was exactly consecutive
+runs under a sustained burst). ``queries`` holds per-query MEDIANS
+(``value`` = their sum, the series-comparable headline) and
+``queries_min`` per-query MINIMA (``min_total_sec`` = their sum) — min is
+the standard noise-robust estimator for a CPU-bound deterministic
 workload, since external load only ever ADDS time. Compare rounds on the
 min first; a real regression moves both statistics, box load moves only
-the median. Raw per-run numbers persist in ``queries_runs`` and the old
-single-(first-)run total in ``first_run_total_sec`` so the series stays
-comparable with BENCH_r01..r05.
+the median. Raw per-run numbers persist in ``queries_runs`` (run index =
+round index, so a burst shows up as a stripe across one column) and the
+old single-(first-)run total in ``first_run_total_sec`` so the series
+stays comparable with BENCH_r01..r06.
 """
 
 from __future__ import annotations
@@ -113,42 +119,40 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {}
 
-    # Cold candle-chain build, reported as its own line: tick scan → dedup →
-    # 1m agg → derived agg, single shuffle. The chain cache it populates is
-    # the in-session analog of the reference's materialized OHLC tables;
-    # subsequent per-query numbers measure query logic over those cached
-    # relations (and say so here rather than pretending otherwise). Each of
-    # the N_RUNS repeats is genuinely cold — caches cleared before each — and
-    # the LAST build leaves the caches warm for the headline queries.
+    # Round-interleaved measurement (VERDICT r6 task #7): each round runs
+    # the full set once — cold candle-chain build, cold quantizer training,
+    # then every headline query warm — and the rounds repeat N_RUNS times.
+    #
+    # candle_chain_cold: tick scan → dedup → 1m agg → derived agg, single
+    # shuffle, caches cleared first so each sample is genuinely cold; the
+    # build leaves the chain caches warm for the headline queries of the
+    # SAME round (the chain cache is the in-session analog of the
+    # reference's materialized OHLC tables — per-query numbers measure
+    # query logic over those cached relations, and say so here rather than
+    # pretending otherwise).
+    #
+    # kmeans_train_cold: the r6 train-once model caches mean the
+    # ANN/SemDeDup headline numbers measure serving over a warm codebook
+    # (as intended — that is the production read path); this line keeps the
+    # training cost itself measured, cleared and retrained every round.
+    from trading_etl_spark.queries.datapipe import _CODEBOOK_CACHE, _codebook
     from trading_etl_spark.queries.trading import clear_candle_caches
 
     chain_fn = queries["ohlc_derived_multi_tf"]
-    cold: list[float] = []
     for _ in range(N_RUNS):
         clear_candle_caches(spark)
-        cold.append(run_once(chain_fn))
-    runs["candle_chain_cold"] = cold
+        runs.setdefault("candle_chain_cold", []).append(run_once(chain_fn))
 
-    # Cold coarse-quantizer training, its own line for the same honesty
-    # reason: the r6 train-once model caches mean the ANN/SemDeDup headline
-    # numbers measure serving over a warm codebook (as intended — that is
-    # the production read path); this line keeps the training cost itself
-    # measured. The last run leaves the cache warm for the consumers.
-    from trading_etl_spark.queries.datapipe import _CODEBOOK_CACHE, _codebook
-
-    train_cold: list[float] = []
-    for _ in range(N_RUNS):
         _CODEBOOK_CACHE.clear()
         t0 = time.time()
         _codebook(spark, sf_dir)  # eager Lloyd loop — no action needed
-        train_cold.append(round(time.time() - t0, 3))
-    runs["kmeans_train_cold"] = train_cold
+        runs.setdefault("kmeans_train_cold", []).append(round(time.time() - t0, 3))
 
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        runs[name] = [run_once(fn) for _ in range(N_RUNS)]
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            runs.setdefault(name, []).append(run_once(fn))
 
     medians = {k: sorted(v)[len(v) // 2] for k, v in runs.items()}
     minima = {k: min(v) for k, v in runs.items()}
@@ -168,6 +172,9 @@ def main() -> None:
                 "queries_runs": runs,
                 "first_run_total_sec": first_run_total,
                 "methodology": (
+                    "round-interleaved: the whole set runs once per round, "
+                    "rounds repeat N times, so a load burst hits one round "
+                    "of every query instead of all runs of a few; "
                     "queries=median-of-N, queries_min=min-of-N; min is the "
                     "load-noise-robust statistic (external load only adds "
                     "time) — adjudicate regressions on min, not median"

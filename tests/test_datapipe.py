@@ -294,6 +294,55 @@ def test_connected_components_transitive_clusters(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6}
 
 
+def test_exact_substring_planted_overlap(spark):
+    """VERDICT r6 task #6 'done' criterion: a planted 200-token verbatim
+    overlap between two otherwise-disjoint documents is detected EXACTLY —
+    right positions, right length — and unique-token padding produces no
+    other span."""
+    shared = " ".join(f"s{i}" for i in range(200))
+    pre_a = " ".join(f"a{i}" for i in range(37))
+    post_a = " ".join(f"a{i}" for i in range(37, 60))
+    pre_b = " ".join(f"b{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{pre_a} {shared} {post_a}", "en"),
+            (1, f"{pre_b} {shared}", "en"),
+            (2, "totally unrelated filler text with no overlap at all", "en"),
+        ],
+        DOC_SCHEMA,
+    )
+    spans = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in tx.exact_substring_spans(docs).collect()
+    }
+    # doc 0: shared block occupies 1-indexed tokens 38..237
+    # doc 1: tokens 12..211
+    assert spans == {0: (38, 237, 200), 1: (12, 211, 200)}
+
+
+def test_exact_substring_min_length_and_within_doc_repeats(spark):
+    """Spans below min_tokens are suppressed, and a shingle repeated only
+    WITHIN one document is not 'duplicated' (cross-doc means ≥2 distinct
+    docs)."""
+    short_shared = " ".join(f"c{i}" for i in range(10))  # ≥ k=8 but < 16
+    rep = " ".join(f"r{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (0, f"x0 x1 {short_shared} x2 x3", "en"),
+            (1, f"y0 {short_shared} y1 y2", "en"),
+            (2, f"{rep} z0 z1 z2 {rep}", "en"),  # within-doc repeat only
+        ],
+        DOC_SCHEMA,
+    )
+    assert tx.exact_substring_spans(docs).count() == 0
+    # lowering the reporting floor surfaces the 10-token cross-doc span
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tx.exact_substring_spans(docs, min_tokens=10).collect()
+    }
+    assert got == {0: 10, 1: 10}
+
+
 def test_decontaminate_flags_shared_ngrams(spark):
     # doc_ids chosen so the md5-hex split rule puts 3 in 'test'
     # (md5('3') starts 'ec' >= 'e6') and 1/2/19 in 'train'.

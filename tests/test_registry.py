@@ -93,6 +93,8 @@ SIBLING = {
     "pair_rolling_correlation": "sma_golden_cross",
     "candle_unpivot": "candle_rollup",
     "event_type_copairs": "events_value_histogram",
+    # r7-born, registered deferred until the r8 rotation:
+    "dedup_exact_substring": "dedup_minhash_lsh",
 }
 
 

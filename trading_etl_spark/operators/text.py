@@ -1389,6 +1389,81 @@ def passage_dedup(docs: DataFrame, p: int = PASSAGE_TOKENS) -> DataFrame:
     )
 
 
+EXSUB_K = 8          # detection shingle width (tokens)
+EXSUB_MIN_TOKENS = 16  # minimum duplicated span length to report
+
+
+def exact_substring_spans(
+    docs: DataFrame, k: int = EXSUB_K, min_tokens: int = EXSUB_MIN_TOKENS
+) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document, the
+    maximal token spans of length ≥ ``min_tokens`` that appear VERBATIM in
+    at least one other document — the long-exact-overlap family the
+    n-gram/minhash near-dup paths don't localize (they score documents;
+    this finds the shared spans themselves, the paper's unit of removal).
+
+    The paper builds a corpus-wide suffix array; the distributed
+    equivalent here is rolling k-token shingles with POSITIONS kept,
+    cross-doc duplicate marking, and adjacent-position stitching:
+
+    1. map-side: every position i of every doc emits (doc_id, i,
+       xxhash64 of the k-token shingle at i) — raw text never shuffles;
+    2. one hash-agg on the shingle hash marks hashes seen in ≥2 distinct
+       docs (partial-aggregable; the hash join back is key-co-partitioned);
+    3. per doc, consecutive duplicated positions stitch into maximal
+       islands (pos − row_number() over the doc-partitioned window): a
+       duplicated span of L tokens is exactly an island of L−k+1
+       consecutive duplicated positions, so ``n_tokens`` is EXACT, not a
+       shingle-count approximation.
+
+    Equivalence: a span of length ≥ k is shared verbatim between two docs
+    iff ALL of its k-shingles are shared, so detection at granularity k is
+    lossless for spans ≥ ``min_tokens`` ≥ k. One documented relaxation vs
+    a true suffix array: a stitched island certifies every k-window in the
+    span is shared with SOME other document, not that one single document
+    shares the whole span (the chimera case — two sources each share half,
+    overlapping ≥ k−1 tokens). For dedup-removal purposes (the paper's
+    use) every reported token still sits inside a ≥k-token verbatim
+    cross-doc overlap. Planted-overlap exactness is pinned by
+    tests/test_datapipe.py::test_exact_substring_planted_overlap.
+
+    Scale shape: the positions relation is ~one compact (doc_id, pos,
+    hash) row per corpus token — two key shuffles total (dup-mark on hash,
+    stitch on doc_id); the per-doc window partitions on doc_id, bounded by
+    document length. Output: (doc_id, start_pos, end_pos, n_tokens),
+    1-indexed inclusive token positions.
+    """
+    pos_hashes = F.expr(
+        f"IF(size(toks) >= {k},"
+        f" transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> xxhash64(array_join(slice(toks, i, {k}), ' '))),"
+        f" array())"
+    )
+    pos = with_tokens(docs).select(
+        "doc_id", F.posexplode(pos_hashes).alias("idx", "h")
+    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h")
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = pos.join(dup, "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select("doc_id", "start_pos", "end_pos", "n_tokens")
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 DOCS_TOKS_SQL = """

@@ -233,6 +233,15 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(tx.passage_dedup(_docs(spark, sf_dir)), "n_passages")
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022; r7-born —
+    VERDICT r6 task #6): maximal ≥16-token verbatim cross-document spans
+    per document, located by position. See
+    operators/text.py::exact_substring_spans for the construction and the
+    one documented relaxation vs a true suffix array."""
+    return tx.exact_substring_spans(_docs(spark, sf_dir))
+
+
 # --- similarity search --------------------------------------------------------
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +559,7 @@ QUERIES = {
     "embedding_knn_matryoshka": q_knn_matryoshka,
     "text_ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "dedup_passages": q_passage_dedup,
+    "dedup_exact_substring": q_exact_substring,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
@@ -862,6 +872,26 @@ JOIN s sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
 JOIN g b ON b.shingle = a.shingle
 JOIN s sb ON sb.doc_id = b.doc_id AND sb.split = 'test'
 GROUP BY 1""",
+    # exact-substring spans: positions kept (no DISTINCT), dup = shingle in
+    # ≥2 docs, islands of consecutive duplicated positions stitch to spans.
+    "dedup_exact_substring": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{tx.EXSUB_K - 1}], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {tx.EXSUB_K - 1}, 0))) AS u(i)
+),
+dup AS (SELECT sh FROM pos GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM pos JOIN dup USING (sh)
+)
+SELECT doc_id,
+       min(pos) AS start_pos,
+       max(pos) + {tx.EXSUB_K - 1} AS end_pos,
+       max(pos) - min(pos) + {tx.EXSUB_K} AS n_tokens
+FROM m GROUP BY doc_id, isl
+HAVING max(pos) - min(pos) + {tx.EXSUB_K} >= {tx.EXSUB_MIN_TOKENS}""",
     "dedup_passages": _with(tx.DOCS_TOKS_SQL)
     + f""",
 ps AS (

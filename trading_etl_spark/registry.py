@@ -114,6 +114,9 @@ _DEFER: list[str] = [
     "pair_rolling_correlation",  # keyed corr window; family of sma_golden_cross
     "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
     "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
+    # r7-born — certified by tools/check.py this round; rotation candidates
+    # for the r8 window alongside wave 2:
+    "dedup_exact_substring",  # Lee et al. exact-span dedup; shingle family of dedup_minhash_lsh
 ]
 
 
