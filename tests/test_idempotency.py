@@ -241,6 +241,59 @@ def test_writer_lock_hard_fails_on_object_store_schemes(spark):
     assert not fs.has_atomic_create("s3a://bucket/t")
 
 
+def test_first_wins_merge_gate_and_condition():
+    """VERDICT r6 task #5: the ACID W1 path. In this sandbox delta-spark is
+    absent, so the feature gate must raise the documented
+    AcidFormatUnavailable with setup guidance (never a bare ImportError),
+    and the MERGE condition builder must produce PK-equality SQL."""
+    import pytest
+
+    from trading_etl_spark import io
+
+    assert (
+        io.merge_not_matched_condition(["k"]) == "t.`k` = s.`k`"
+    )
+    assert (
+        io.merge_not_matched_condition(["currency_pair_code", "time"])
+        == "t.`currency_pair_code` = s.`currency_pair_code` AND t.`time` = s.`time`"
+    )
+    with pytest.raises(ValueError):
+        io.merge_not_matched_condition([])
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        with pytest.raises(io.AcidFormatUnavailable, match="delta-spark"):
+            io._import_delta_table()
+
+
+def test_first_wins_merge_interleaved_writers_cannot_double_write(spark, tmp_path):
+    """Contract test for the ACID path (runs wherever delta-spark IS
+    installed — importorskip-gated here, the same discipline as the other
+    environment gates): two interleaved writers merging overlapping key
+    batches must end with exactly one row per key, first writer's values
+    winning — MERGE WHEN NOT MATCHED under the format's optimistic
+    concurrency replaces the marker lock the plain-parquet path needs."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from trading_etl_spark import io
+
+    path = str(tmp_path / "acid_t")
+    a1 = spark.createDataFrame([(1, "a"), (2, "a")], "k long, v string")
+    b = spark.createDataFrame([(2, "b"), (3, "b")], "k long, v string")
+    a2 = spark.createDataFrame([(3, "a"), (4, "a")], "k long, v string")
+    io.first_wins_merge(spark, path, a1, keys=["k"])
+    io.first_wins_merge(spark, path, b, keys=["k"])   # k=2 must be skipped
+    io.first_wins_merge(spark, path, a2, keys=["k"])  # k=3 must be skipped
+    got = {r["k"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
+    assert got == {1: "a", 2: "a", 3: "b", 4: "a"}
+    # internally-duplicated batch writes one copy
+    dup = spark.createDataFrame([(5, "x"), (5, "y")], "k long, v string")
+    io.first_wins_merge(spark, path, dup, keys=["k"])
+    n5 = spark.read.format("delta").load(path).filter("k = 5").count()
+    assert n5 == 1
+
+
 def test_try_acquire_marker_propagates_non_exists_errors(spark):
     """ADVICE r5: only the already-exists rejection maps to False; a real
     IO failure (here: an unresolvable HDFS namenode) must propagate, not

@@ -95,6 +95,7 @@ SIBLING = {
     "event_type_copairs": "events_value_histogram",
     # r7-born, registered deferred until the r8 rotation:
     "dedup_exact_substring": "dedup_minhash_lsh",
+    "ticks_freshness_sla": "latest_tick_per_pair",
 }
 
 

@@ -601,6 +601,25 @@ def q_pair_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRESHNESS_AS_OF = "2024-01-31 00:00:00"  # orchestrator clock (literal, never wall-clock)
+FRESHNESS_SLA_S = 3600
+
+
+def q_ticks_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-SLA report over the tick feed (r7-born — VERDICT r6 task
+    #9, oracle-grade evidence for the maintenance layer): per currency
+    pair, latest tick time, lag against the ORCHESTRATOR'S clock (a passed
+    literal — plans/maintenance.freshness_report never reads wall-clock,
+    so the report is deterministic and engine-comparable), and the stale
+    flag against a 1-hour SLA. Scale shape: one MAX hash-agg per pair —
+    partial-combinable, shuffle bounded by |pairs|."""
+    from ..plans.maintenance import freshness_report
+
+    return freshness_report(
+        _ticks(spark, sf_dir), FRESHNESS_AS_OF, FRESHNESS_SLA_S
+    )
+
+
 def q_idempotent_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1+W2: the rows an incremental recompute would actually append.
 
@@ -718,6 +737,7 @@ QUERIES = {
     "ohlc_derived_multi_tf": q_ohlc_derived,
     "latest_tick_per_pair": q_latest_tick,
     "incremental_cursor_scan": q_incremental_scan,
+    "ticks_freshness_sla": q_ticks_freshness_sla,
     "watermark_max_time": q_watermark_max_time,
     "dim_broadcast_enrich": q_dim_enrich,
     "sma_14_1h": q_sma,
@@ -841,6 +861,13 @@ SELECT currency_pair_code, time, bid, ask FROM ticks
 QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time DESC) = 1""",
     "incremental_cursor_scan": _with(_BASE)
     + f"\nSELECT * FROM ticks WHERE time > TIMESTAMP '{CURSOR}'",
+    "ticks_freshness_sla": _with(_BASE)
+    + f"""
+SELECT currency_pair_code,
+       max(time) AS latest_time,
+       date_diff('second', max(time), TIMESTAMP '{FRESHNESS_AS_OF}') AS lag_seconds,
+       date_diff('second', max(time), TIMESTAMP '{FRESHNESS_AS_OF}') > {FRESHNESS_SLA_S} AS stale
+FROM ticks GROUP BY 1""",
     "watermark_max_time": _with(*_TO_1M)
     + """
 SELECT currency_pair_code, timeframe_code, max(time) AS max_time

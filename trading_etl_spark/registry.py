@@ -117,6 +117,7 @@ _DEFER: list[str] = [
     # r7-born — certified by tools/check.py this round; rotation candidates
     # for the r8 window alongside wave 2:
     "dedup_exact_substring",  # Lee et al. exact-span dedup; shingle family of dedup_minhash_lsh
+    "ticks_freshness_sla",    # maintenance freshness SLA; MAX-agg family of latest_tick_per_pair
 ]
 
 
