@@ -79,7 +79,8 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     return clear_caches(
-        (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE), app_id
+        (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE, _EVENTS_1H_CACHE),
+        app_id,
     )
 
 
@@ -167,6 +168,26 @@ def _fact_sma_1h(spark: SparkSession, sf_dir: str, periods: list[int]) -> DataFr
     df = df.cache()
     _cache_put(_SMA_CACHE, key, df)
     return df
+
+
+# The buy/sell signal events are read by 6+ consumers (backtests, the three
+# as-of variants, the reaction window) and — since the r7 as-of horizon
+# prune — TWICE per as-of plan (once as the probe union side, once as the
+# 1-row min/max bounds aggregate). The relation is tiny (hundreds of rows);
+# caching it makes the bounds pass a sub-ms scan instead of a re-derivation
+# of the whole signal window chain.
+_EVENTS_1H_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _buysell_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EVENTS_1H_CACHE.get(key)
+    if cached is None:
+        cached = signals.buysell_events(
+            _fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28
+        ).cache()
+        _cache_put(_EVENTS_1H_CACHE, key, cached)
+    return cached
 
 
 def q_ticks_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,9 +355,9 @@ def q_event_reaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: for each signal event, the tick activity in the 5
     minutes that follow (bucketized range join — equi-join, no cross
     product), aggregated per event."""
-    events = signals.buysell_events(
-        _fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28
-    ).select("event_datetime", "currency_pair_code", "event_type")
+    events = _buysell_events_1h(spark, sf_dir).select(
+        "event_datetime", "currency_pair_code", "event_type"
+    )
     quotes = _ticks(spark, sf_dir).select(
         "currency_pair_code", "time", "bid"
     )
@@ -639,19 +660,19 @@ def q_idempotent_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest replay: realized PnL from alternating BUY/SELL events."""
-    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    events = _buysell_events_1h(spark, sf_dir)
     return backtest_pnl(events)
 
 
 def q_backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-trade round-trip listing (buy/sell time + prices + PnL)."""
-    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    events = _buysell_events_1h(spark, sf_dir)
     return backtest_trades(events)
 
 
 def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running cumulative PnL per (pair, timeframe, period) over trades."""
-    events = signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+    events = _buysell_events_1h(spark, sf_dir)
     return equity_curve(events)
 
 
@@ -661,7 +682,7 @@ def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions on (pair, hour-bucket), not just the 6 pairs, so
     parallelism scales with the tick history length."""
     events = (
-        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        _buysell_events_1h(spark, sf_dir)
         .select("event_datetime", "currency_pair_code", "event_type", "price")
         .withColumn("time", F.col("event_datetime"))
     )
@@ -683,7 +704,7 @@ def q_event_asof_next_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal fired"; this answers "price you could trade at"). Same
     bucketed two-level construction, mirrored."""
     events = (
-        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        _buysell_events_1h(spark, sf_dir)
         .select("event_datetime", "currency_pair_code", "event_type", "price")
         .withColumn("time", F.col("event_datetime"))
     )
@@ -708,7 +729,7 @@ def q_event_asof_nearest_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join_nearest_bucketed
 
     events = (
-        signals.buysell_events(_fact_sma_1h(spark, sf_dir, [14, 28]), 14, 28)
+        _buysell_events_1h(spark, sf_dir)
         .select("event_datetime", "currency_pair_code", "event_type", "price")
         .withColumn("time", F.col("event_datetime"))
     )
