@@ -324,6 +324,30 @@ def test_pair_correlation_window_is_keyed(spark):
     assert "Exchange hashpartitioning(pair_a" in plan, plan
 
 
+def test_q19_part_disjunction_reaches_the_scan(spark):
+    """The factored part-side predicate (brand IN (...) AND size <= max)
+    must reach the parquet scan as pushed filters — the point of the
+    OR-of-ANDs query shape: the build side shrinks BEFORE the join
+    shuffle; only the mixed part×lineitem arm conditions stay above."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.analytics import q_disjunctive_revenue
+
+    df = q_disjunctive_revenue(spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    assert "p_brand" in pushed and "p_size" in pushed, formatted
+
+
 def test_zscore_single_window_shuffle_no_python(spark):
     """The rolling z-score gate is a pure native-window pass: one pair
     exchange on top of the cached tick relation, zero Python — asserted

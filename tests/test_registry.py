@@ -96,6 +96,8 @@ SIBLING = {
     # r7-born, registered deferred until the r8 rotation:
     "dedup_exact_substring": "dedup_minhash_lsh",
     "ticks_freshness_sla": "latest_tick_per_pair",
+    "priority_shipmonth_q12": "local_supplier_volume",
+    "disjunctive_revenue_q19": "local_supplier_volume",
 }
 
 

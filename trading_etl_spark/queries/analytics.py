@@ -406,6 +406,93 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q12_DATE_LO, Q12_DATE_HI = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+def q_priority_shipmonth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation (r7-born): per ship-month
+    of one year, how many shipped line items belong to HIGH-priority
+    orders (1-URGENT/2-HIGH) vs lower — the CASE-sum-over-a-join shape
+    (Q12 proper splits by ship mode; the reduced fixture has no
+    l_shipmode, so the probe splits by month — same operator shape:
+    one join, two conditional sums, no second pass).
+
+    Scale: the lineitem side filters to the year AT THE SCAN (pushed
+    range predicate on l_shipdate); both conditional sums fold in ONE
+    partial-aggregable hash-agg — a naive two-query/self-join form would
+    scan twice. Orders joins on its key; no forced broadcast (customer/
+    orders scale with the corpus — the Q5 lesson)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= Q12_DATE_LO) & (F.col("l_shipdate") < Q12_DATE_HI)
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+# Q19-shaped disjunction: three (brand, size-range, quantity-range) arms.
+Q19_ARMS = [
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#34", 1, 15, 20.0, 30.0),
+]
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue (r7-born): total
+    discounted revenue of line items matching ANY of three
+    (brand, part-size range, quantity range) arms — the OR-of-ANDs
+    predicate that exercises pushdown planning: the part-side disjunction
+    (brand OR brand OR brand; size ≤ max of the arms) is factored out and
+    pushed to the part SCAN, so the join build side shrinks before the
+    shuffle, while the mixed part×lineitem arm predicates evaluate after
+    the join (they reference both sides and cannot push). Fixture note:
+    the reduced part table has no p_container, so the arms pair brand
+    with p_size instead — identical operator shape. Output is one
+    6dp-rounded revenue row."""
+    brands = [a[0] for a in Q19_ARMS]
+    size_hi = max(a[2] for a in Q19_ARMS)
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        # factored common disjunction — pushed to the parquet scan
+        .filter(F.col("p_brand").isin(brands) & (F.col("p_size") <= size_hi))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    arm = None
+    for brand, slo, shi, qlo, qhi in Q19_ARMS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm = c if arm is None else (arm | c)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
 def q_candle_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt (r6-born — the inverse of avg_close_pivot): the wide
     OHLC candle relation melted to long (pair, time, field, value) rows,
@@ -645,6 +732,8 @@ QUERIES = {
     "candle_unpivot": q_candle_unpivot,
     "event_type_copairs": q_event_type_copairs,
     "shipping_priority_q3": q_shipping_priority,
+    "priority_shipmonth_q12": q_priority_shipmonth,
+    "disjunctive_revenue_q19": q_disjunctive_revenue,
     "user_funnel_conversion": q_user_funnel,
     "user_cohort_retention": q_cohort_retention,
     "approx_distinct_users": q_approx_distinct_users,
@@ -925,6 +1014,30 @@ SELECT l_orderkey, revenue, o_orderdate FROM (
 )
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
+""".strip()
+
+ORACLES["priority_shipmonth_q12"] = f"""
+SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q12_DATE_HI}'
+GROUP BY 1
+""".strip()
+
+ORACLES["disjunctive_revenue_q19"] = f"""
+SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {" OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_ARMS
+)}
 """.strip()
 
 ORACLES["orders_table_profile"] = """

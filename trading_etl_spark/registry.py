@@ -118,6 +118,8 @@ _DEFER: list[str] = [
     # for the r8 window alongside wave 2:
     "dedup_exact_substring",  # Lee et al. exact-span dedup; shingle family of dedup_minhash_lsh
     "ticks_freshness_sla",    # maintenance freshness SLA; MAX-agg family of latest_tick_per_pair
+    "priority_shipmonth_q12",  # conditional CASE-sum agg; star family of local_supplier_volume
+    "disjunctive_revenue_q19",  # OR-of-ANDs pushdown; star family of local_supplier_volume
 ]
 
 
