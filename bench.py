@@ -58,6 +58,9 @@ HEADLINE = [
     "bollinger_20_2_1h",
     "dedup_semantic_kmeans",
     "decontaminate_bloom_prefilter",
+    # r7-born additions
+    "dedup_exact_substring",
+    "pair_rolling_correlation",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup
