@@ -1410,7 +1410,10 @@ def exact_substring_spans(
     1. map-side: every position i of every doc emits (doc_id, i,
        xxhash64 of the k-token shingle at i) — raw text never shuffles;
     2. one hash-agg on the shingle hash marks hashes seen in ≥2 distinct
-       docs (partial-aggregable; the hash join back is key-co-partitioned);
+       docs via ``min(doc_id) != max(doc_id)`` — the same decision as a
+       distinct-count ≥ 2 but with constant-size partial aggregates (a
+       countDistinct would carry per-hash doc-id sets through the
+       shuffle); the hash join back is key-co-partitioned;
     3. per doc, consecutive duplicated positions stitch into maximal
        islands (pos − row_number() over the doc-partitioned window): a
        duplicated span of L tokens is exactly an island of L−k+1
@@ -1445,8 +1448,8 @@ def exact_substring_spans(
     ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h")
     dup = (
         pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     marked = pos.join(dup, "h")
