@@ -86,3 +86,44 @@ def test_two_phase_clique_isolated_and_empty(spark):
     assert _labels(gr.connected_components_two_phase(nodes2, edges2)) == {
         i: i for i in range(5)
     }
+
+
+def test_pagerank_fixed_point_and_dangling(spark):
+    """Triangle {0,1,2} + isolated node 3: the uniform start IS the
+    triangle's fixed point (regular graph), so every iteration returns
+    0.25 for triangle nodes; the dangling node keeps teleport-only mass
+    0.15/4 — the no-redistribution variant the oracle replays."""
+    nodes, edges = _frames(spark, 4, [(0, 1), (0, 2), (1, 2)])
+    got = {r["id"]: r["rank"] for r in gr.pagerank(nodes, edges).collect()}
+    assert got[3] == round(0.15 / 4, 6)
+    for i in range(3):
+        assert abs(got[i] - 0.25) < 1e-6, got
+
+
+def test_pagerank_star_hub_outranks_leaves_and_sums(spark):
+    """Star 0-{1..4}: the hub accumulates every leaf's full mass and must
+    outrank the leaves; ranks stay positive and bounded by 1."""
+    nodes, edges = _frames(spark, 5, [(0, i) for i in range(1, 5)])
+    got = {r["id"]: r["rank"] for r in gr.pagerank(nodes, edges).collect()}
+    assert got[0] > got[1] > 0
+    leaves = {got[i] for i in range(1, 5)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
+    assert 0 < sum(got.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_build_submits_no_job(spark):
+    """Fixed-iteration formulation: building the plan runs NO driver-side
+    action (the convergence-probe pattern of CC is deliberately absent)
+    except the edge-list localCheckpoint materialization, which is the
+    one documented eager step — so assert only jobs from the checkpoint
+    lineage run, i.e. building twice adds the same bounded job count."""
+    nodes, edges = _frames(spark, 4, [(0, 1)])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    gr.pagerank(nodes, edges)
+    mid = len(tracker.getJobIdsForGroup(None))
+    gr.pagerank(nodes, edges)
+    after = len(tracker.getJobIdsForGroup(None))
+    # constant per build (the checkpoint's own stages), not growing with
+    # plan reuse — a convergence probe would add per-iteration jobs
+    assert (mid - before) == (after - mid) <= 6

@@ -98,6 +98,7 @@ SIBLING = {
     "ticks_freshness_sla": "latest_tick_per_pair",
     "priority_shipmonth_q12": "local_supplier_volume",
     "disjunctive_revenue_q19": "local_supplier_volume",
+    "dupgraph_pagerank": "dedup_cc_two_phase",
 }
 
 

@@ -191,3 +191,73 @@ def connected_components_two_phase(
         .select("id", F.coalesce("star_comp", F.col("id")).alias("comp"))
     )
     return (labels, rounds) if return_rounds else labels
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "u",
+    dst: str = "v",
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration — the centrality score
+    of the dup-pair graph family (a high-rank document is the hub its
+    near-dup cluster orbits: the natural KEEPER choice when canonicalizing
+    by representativeness instead of min-id; CC answers "which cluster",
+    this answers "which member matters").
+
+    ``edges`` are undirected pairs in either orientation (symmetrized
+    here, like :func:`connected_components`); dangling nodes (no edges)
+    keep the bare teleport mass — the no-redistribution variant, chosen
+    because it is expressible identically in the DuckDB oracle. A FIXED
+    iteration count (no convergence probe) keeps the whole query a single
+    lazy plan: no driver-side action at build time (the repo's laziness
+    convention) and an oracle expressible as ``iters`` chained
+    non-recursive CTEs. Every iteration rounds ranks to 6dp
+    half-away-from-zero in BOTH engines, so cross-engine float drift
+    cannot accumulate across iterations.
+
+    Scale shape (the classic distributed PageRank): the symmetrized
+    degree-annotated edge list materializes ONCE (``localCheckpoint``, so
+    the upstream pair-finding lineage is not replayed per iteration);
+    each iteration is one ranks⋈edges equi-join on the source id plus one
+    partial-aggregable hash-agg of contributions keyed on the destination
+    — two node-id-keyed shuffles per round over a ranks relation of |V|
+    rows, never the corpus. The |V| count rides along as a broadcast
+    1-row aggregate column, not an eager ``.count()``.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    e = sym.join(deg, "u").localCheckpoint()
+
+    base = (
+        nodes.select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n"))))
+    )
+    ranks = base.withColumn("r", F.round(F.lit(1.0) / F.col("_n"), 6))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("u"), "r"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
+        )
+        ranks = (
+            base.join(contrib, base["id"] == contrib["v"], "left")
+            .select(
+                "id",
+                "_n",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
+                    6,
+                ).alias("r"),
+            )
+        )
+    return ranks.select("id", F.col("r").alias("rank"))

@@ -138,6 +138,27 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
+def q_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-dup graph (r7-born): 5 power
+    iterations, damping 0.85, teleport-only dangling mass — scores each
+    vector by how central it is to its near-dup neighborhood (the
+    representativeness-based keeper choice; CC picks clusters, this ranks
+    members). Edges are the SRP-LSH verified pairs (certain recall at the
+    0.35 threshold), so the oracle chains 5 non-recursive CTEs over the
+    exact all-pairs edge set."""
+    from ..operators.graph import pagerank
+
+    emb = _emb(spark, sf_dir)
+    pairs = sim.embedding_near_dup_lsh(emb)
+    return pagerank(
+        emb.select(F.col("vec_id").alias("id")),
+        pairs,
+        id_col="id",
+        src="vec_a",
+        dst="vec_b",
+    ).select(F.col("id").alias("vec_id"), "rank")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster canonicalization: simhash near-dup pairs → connected
     components (iterative min-label propagation) → one keeper per cluster
@@ -560,6 +581,7 @@ QUERIES = {
     "text_ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "dedup_passages": q_passage_dedup,
     "dedup_exact_substring": q_exact_substring,
+    "dupgraph_pagerank": q_dupgraph_pagerank,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
@@ -920,6 +942,11 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
 """.strip(),
+    # PageRank: iters chained non-recursive CTEs over the exact all-pairs
+    # edge set (the LSH edge relation's own oracle); constants embedded via
+    # repr so both engines parse the identical doubles, ranks rounded to
+    # 6dp every iteration in both engines.
+    "dupgraph_pagerank": None,  # assigned below (_pagerank_sql)
     # The LSH path is tuned for certain recall at the 0.35 threshold
     # (per-pair miss ≈ 4e-7), so its oracle IS the exact all-pairs query.
     "embedding_near_dup_lsh": _with(sim.EMB_SQL)
@@ -1671,3 +1698,48 @@ FROM keyed
 ORDER BY samp_key DESC, doc_id
 LIMIT {tx.DSIR_SAMPLE_K}"""
 )
+
+
+def _pagerank_sql() -> str:
+    """iters chained non-recursive CTEs replaying the fixed-iteration power
+    method: same init (round(1/n, 6)), same per-iteration 6dp rounding,
+    same teleport/damping doubles (embedded via repr so DuckDB parses the
+    exact values Python computed), dangling nodes teleport-only."""
+    from ..operators.graph import PAGERANK_DAMPING, PAGERANK_ITERS
+
+    d = repr(PAGERANK_DAMPING)
+    t = repr(1.0 - PAGERANK_DAMPING)
+    parts = [
+        sim.EMB_SQL,
+        f"""pairs AS (
+  SELECT a.vec_id AS pu, b.vec_id AS pv
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
+)""",
+        "edges AS (SELECT pu AS u, pv AS v FROM pairs"
+        " UNION ALL SELECT pv, pu FROM pairs)",
+        "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM emb)",
+        "pr0 AS (SELECT vec_id AS id, round(1.0 / nn.n, 6) AS r"
+        " FROM emb CROSS JOIN nn)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f"""pr{k} AS (
+  SELECT p.id, round({t} / nn.n + {d} * coalesce(c.s, 0.0), 6) AS r
+  FROM pr{k - 1} p CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.v AS id, sum(q.r / deg.d) AS s
+    FROM edges e JOIN pr{k - 1} q ON q.id = e.u JOIN deg ON deg.u = e.u
+    GROUP BY e.v
+  ) c ON c.id = p.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f'\nSELECT id AS vec_id, r AS "rank" FROM pr{PAGERANK_ITERS}'
+    )
+
+
+ORACLES["dupgraph_pagerank"] = _pagerank_sql()

@@ -120,6 +120,7 @@ _DEFER: list[str] = [
     "ticks_freshness_sla",    # maintenance freshness SLA; MAX-agg family of latest_tick_per_pair
     "priority_shipmonth_q12",  # conditional CASE-sum agg; star family of local_supplier_volume
     "disjunctive_revenue_q19",  # OR-of-ANDs pushdown; star family of local_supplier_volume
+    "dupgraph_pagerank",      # power-iteration centrality; graph family of dedup_cc_two_phase
 ]
 
 
