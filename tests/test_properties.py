@@ -276,3 +276,64 @@ def test_scd2_apply_equals_full_rebuild_property(spark, log, cursor_s):
         tuple(r) for r in scd2_apply(scd2_build(pre), post).collect()
     }
     assert merged == full
+
+
+def _brute_exsub(doc_texts, k, min_tokens):
+    """Reference mirror of exact_substring_spans: per doc, positions whose
+    k-gram occurs in ANY other doc, stitched into maximal islands."""
+    toks = {d: (t.split(" ") if t else [""]) for d, t in doc_texts}
+    grams = {
+        d: [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+        for d, tk in toks.items()
+    }
+    gram_sets = {d: set(g) for d, g in grams.items()}
+    out = set()
+    for d, gs in grams.items():
+        dup = [
+            i + 1  # 1-indexed
+            for i, g in enumerate(gs)
+            if any(g in gram_sets[o] for o in gram_sets if o != d)
+        ]
+        if not dup:
+            continue
+        start = prev = dup[0]
+        islands = []
+        for p in dup[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            islands.append((start, prev))
+            start = prev = p
+        islands.append((start, prev))
+        for s, e in islands:
+            n = e - s + k
+            if n >= min_tokens:
+                out.add((d, s, e + k - 1, n))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=25),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_substring_matches_bruteforce(spark, docs_tokens):
+    """Property: the distributed positional-shingle + island-stitch
+    construction equals a per-doc brute force on arbitrary low-alphabet
+    corpora (max gram collisions — the stress case for stitching and the
+    cross-doc-distinct rule). k=3/min=4 keeps tiny docs meaningful."""
+    from trading_etl_spark.operators import text as tx
+
+    doc_texts = [(i, " ".join(tks)) for i, tks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(
+        [(d, t, "en") for d, t in doc_texts], "doc_id long, text string, lang string"
+    )
+    got = {
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in tx.exact_substring_spans(df, k=3, min_tokens=4).collect()
+    }
+    want = _brute_exsub(doc_texts, k=3, min_tokens=4)
+    assert got == want
