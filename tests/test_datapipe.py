@@ -343,6 +343,56 @@ def test_exact_substring_min_length_and_within_doc_repeats(spark):
     assert got == {0: 10, 1: 10}
 
 
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich BPE: leftmost-greedy merge application,
+    (count DESC, pair ASC) tie-break."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for k in range(1, n_merges + 1):
+        pc = Counter()
+        for w, s in seqs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((k, a, b, a + b, c))
+        for w, s in seqs.items():
+            ns = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(x)
+            seqs[w] = ns
+    return merges
+
+
+def test_bpe_train_matches_reference_with_repeat_runs(spark):
+    """BPE merge training equals the Python reference, including the
+    left==right repeat-run case ('aaaa' → leftmost-greedy pairs the 1st+2nd
+    and 3rd+4th 'a', never the overlapping middle) and multi-round merges
+    that consume earlier merged symbols."""
+    texts = [
+        "aaaa aaaa aab banana banana bandana",
+        "aaaa banana low lower lowest low low",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    got = [tuple(r) for r in tx.bpe_train(docs, 8).orderBy("merge_rank").collect()]
+    assert got == _bpe_reference(texts, 8)
+    # the repeat-run rule concretely: 'aa' merges must count 'aaaa' as TWO
+    # non-overlapping pairs per occurrence, not three
+    aa = [m for m in got if (m[1], m[2]) == ("a", "a")]
+    if aa:
+        # 4 'aaaa' words (3+1) contribute 2 each; 'aab' 1; bananas 0
+        assert aa[0][4] >= 8
+
+
 def test_decontaminate_flags_shared_ngrams(spark):
     # doc_ids chosen so the md5-hex split rule puts 3 in 'test'
     # (md5('3') starts 'ec' >= 'e6') and 1/2/19 in 'train'.

@@ -99,6 +99,7 @@ SIBLING = {
     "priority_shipmonth_q12": "local_supplier_volume",
     "disjunctive_revenue_q19": "local_supplier_volume",
     "dupgraph_pagerank": "dedup_cc_two_phase",
+    "bpe_train_merges": "embedding_knn_ivf_kmeans",
 }
 
 

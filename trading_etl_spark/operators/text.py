@@ -1467,6 +1467,87 @@ def exact_substring_spans(
     )
 
 
+BPE_MERGES = 12
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-construction step of a training-data pipeline, distributed:
+    learn the ``n_merges`` highest-count adjacent-symbol merges over the
+    corpus word distribution, character-level start, counts weighted by
+    word frequency. Ties break deterministically on (count DESC, left
+    ASC, right ASC) so both engines pick the identical merge.
+
+    Iterative like kmeans/CC — the standard driver-loop shape: each round
+    one map-side pair extraction (``transform`` over the symbol array, no
+    window), one partial-aggregable hash-agg of pair counts keyed on the
+    pair, and a 1-ROW collect of the argmax (the bounded driver traffic,
+    k×1 rows total); the merge then applies MAP-SIDE via a codegen
+    ``aggregate`` fold over each word's symbol array (leftmost-greedy,
+    Sennrich's semantics), and ``localCheckpoint`` truncates lineage per
+    round. The working relation is the DISTINCT-WORD vocabulary (not the
+    corpus): at 100 TB the corpus collapses to (word, count) in one
+    initial shuffle and every round touches only |vocab| rows.
+
+    Returns one row per learned merge: (merge_rank, left, right, merged,
+    pair_count). Oracle: the identical fixed-iteration trajectory as
+    chained CTEs — the merge application's relational twin marks adjacent
+    pairs and keeps odd positions within each marked run (equivalent to
+    the leftmost-greedy fold; runs longer than 1 only occur for
+    left == right), verified by tests/test_datapipe.py against a pure
+    Python reference."""
+    spark = docs.sparkSession
+    words = (
+        with_tokens(docs)
+        .select(F.explode("toks").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seq", F.expr("regexp_extract_all(w, '.', 0)"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "IF(size(seq) >= 2,"
+                        " transform(sequence(1, size(seq) - 1),"
+                        " i -> struct(seq[i - 1] AS a, seq[i] AS b)),"
+                        " array())"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((k, a, b, a + b, c))
+        # leftmost-greedy merge fold: if the accumulator's last symbol is
+        # `a` and the current symbol is `b`, replace the tail with the
+        # merged symbol; pure codegen, no Python.
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        words = words.withColumn(
+            "seq",
+            F.expr(
+                "aggregate(seq, cast(array() AS array<string>),"
+                f" (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}'"
+                f" AND x = '{qb}',"
+                f" concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')),"
+                " concat(acc, array(x))))"
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 DOCS_TOKS_SQL = """

@@ -138,6 +138,15 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge training over the documents corpus (r7-born):
+    the 12 highest-count adjacent-symbol merges, character-level start,
+    word-frequency weighted, deterministic tie-break — see
+    operators/text.py::bpe_train. Oracle: the identical fixed-iteration
+    trajectory as chained CTEs (relational leftmost-greedy application)."""
+    return tx.bpe_train(tx.load_documents(spark, sf_dir))
+
+
 def q_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the embedding near-dup graph (r7-born): 5 power
     iterations, damping 0.85, teleport-only dangling mass — scores each
@@ -582,6 +591,7 @@ QUERIES = {
     "dedup_passages": q_passage_dedup,
     "dedup_exact_substring": q_exact_substring,
     "dupgraph_pagerank": q_dupgraph_pagerank,
+    "bpe_train_merges": q_bpe_train,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1743,3 +1753,62 @@ def _pagerank_sql() -> str:
 
 
 ORACLES["dupgraph_pagerank"] = _pagerank_sql()
+
+
+def _bpe_sql() -> str:
+    """Fixed-iteration BPE trajectory as chained CTEs: per round, pair
+    counting over the symbol lists, the deterministic argmax, and the
+    RELATIONAL leftmost-greedy merge application — mark adjacent (a, b)
+    positions, keep the odd positions of each marked run (runs longer
+    than 1 occur only when a = b), drop each kept pair's right symbol.
+    Equivalent to the Spark fold; both replay Sennrich's scan."""
+    from ..operators.text import BPE_MERGES
+
+    parts = [
+        """w0 AS (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w
+)""",
+        "s0 AS MATERIALIZED (SELECT w AS wid, cnt, regexp_extract_all(w, '.') AS s FROM w0)",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, sum(cnt)::BIGINT AS c
+  FROM s{k - 1}, unnest(generate_series(1, len(s) - 1)) AS u{k}(i)
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+e{k} AS (
+  SELECT wid, cnt, i, s[i] AS sym, m.a || m.b AS mg,
+         coalesce(s[i] = m.a AND s[i + 1] = m.b, false) AS mk
+  FROM s{k - 1}, unnest(generate_series(1, len(s))) AS v{k}(i), m{k} m
+),
+r{k} AS (
+  SELECT *, CASE WHEN mk THEN i - row_number()
+                 OVER (PARTITION BY wid, mk ORDER BY i) END AS isl
+  FROM e{k}
+),
+f{k} AS (
+  SELECT *, mk AND (row_number() OVER (PARTITION BY wid, isl ORDER BY i) % 2 = 1) AS eff
+  FROM r{k}
+),
+g{k} AS (
+  SELECT *, coalesce(lag(eff) OVER (PARTITION BY wid ORDER BY i), false) AS prev_eff
+  FROM f{k}
+),
+s{k} AS MATERIALIZED (
+  SELECT wid, cnt, list(CASE WHEN eff THEN mg ELSE sym END ORDER BY i) AS s
+  FROM g{k} WHERE NOT prev_eff GROUP BY wid, cnt
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT {k}::INTEGER AS merge_rank, a AS "left", b AS "right",'
+        f" a || b AS merged, c AS pair_count FROM m{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+ORACLES["bpe_train_merges"] = _bpe_sql()

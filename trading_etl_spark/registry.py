@@ -121,6 +121,7 @@ _DEFER: list[str] = [
     "priority_shipmonth_q12",  # conditional CASE-sum agg; star family of local_supplier_volume
     "disjunctive_revenue_q19",  # OR-of-ANDs pushdown; star family of local_supplier_volume
     "dupgraph_pagerank",      # power-iteration centrality; graph family of dedup_cc_two_phase
+    "bpe_train_merges",       # BPE tokenizer training; iterative family of embedding_knn_ivf_kmeans
 ]
 
 
