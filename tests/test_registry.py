@@ -100,6 +100,7 @@ SIBLING = {
     "disjunctive_revenue_q19": "local_supplier_volume",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     "bpe_train_merges": "embedding_knn_ivf_kmeans",
+    "dedup_keeper_centrality": "dedup_cc_two_phase",
 }
 
 

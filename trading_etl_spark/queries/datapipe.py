@@ -138,6 +138,41 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
+def q_dedup_keeper_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup capstone composition (r7-born): near-dup pair finding
+    (SRP-LSH, certain recall) → connected components (which cluster) →
+    PageRank (which member matters) → per-cluster keeper election by
+    HIGHEST centrality, ties to the lowest vec_id — canonicalization by
+    representativeness instead of min-id. All three stages are the
+    already-verified operators composed; the oracle composes their SQL
+    twins (recursive reachability + the chained power-iteration CTEs) and
+    elects with the same (rank DESC, vec_id ASC) rule."""
+    from ..operators.graph import connected_components_two_phase, pagerank
+
+    emb = _emb(spark, sf_dir)
+    pairs = sim.embedding_near_dup_lsh(emb).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    comp = connected_components_two_phase(nodes, pairs)
+    ranks = pagerank(nodes, pairs)
+    scored = comp.join(ranks, "id")
+    keepers = scored.groupBy("comp").agg(
+        F.max_by(
+            "id", F.struct(F.col("rank"), (-F.col("id")).alias("nid"))
+        ).alias("keeper_id")
+    )
+    return (
+        scored.join(keepers, "comp")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("comp").alias("component_id"),
+            "keeper_id",
+            (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-merge training over the documents corpus (r7-born):
     the 12 highest-count adjacent-symbol merges, character-level start,
@@ -591,6 +626,7 @@ QUERIES = {
     "dedup_passages": q_passage_dedup,
     "dedup_exact_substring": q_exact_substring,
     "dupgraph_pagerank": q_dupgraph_pagerank,
+    "dedup_keeper_centrality": q_dedup_keeper_centrality,
     "bpe_train_merges": q_bpe_train,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
@@ -1710,11 +1746,13 @@ LIMIT {tx.DSIR_SAMPLE_K}"""
 )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_parts() -> tuple[list[str], str]:
     """iters chained non-recursive CTEs replaying the fixed-iteration power
     method: same init (round(1/n, 6)), same per-iteration 6dp rounding,
     same teleport/damping doubles (embedded via repr so DuckDB parses the
-    exact values Python computed), dangling nodes teleport-only."""
+    exact values Python computed), dangling nodes teleport-only. Returns
+    (CTE parts, name of the final ranks CTE) so the keeper-election
+    composition can reuse the identical trajectory."""
     from ..operators.graph import PAGERANK_DAMPING, PAGERANK_ITERS
 
     d = repr(PAGERANK_DAMPING)
@@ -1745,14 +1783,48 @@ def _pagerank_sql() -> str:
   ) c ON c.id = p.id
 )"""
         )
+    return parts, f"pr{PAGERANK_ITERS}"
+
+
+def _pagerank_sql() -> str:
+    parts, final = _pagerank_parts()
     return (
-        "WITH "
+        "WITH " + ",\n".join(parts) + f'\nSELECT id AS vec_id, r AS "rank" FROM {final}'
+    )
+
+
+def _keeper_sql() -> str:
+    """Keeper-election composition: the pagerank trajectory's CTEs plus
+    recursive min-label reachability over the SAME edge relation, electing
+    per component with the identical (rank DESC, vec_id ASC) rule."""
+    parts, final = _pagerank_parts()
+    parts = parts + [
+        """reach AS (
+  SELECT vec_id, vec_id AS comp FROM emb
+  UNION
+  SELECT e.v AS vec_id, r.comp FROM reach r JOIN edges e ON e.u = r.vec_id
+)""",
+        "cc AS (SELECT vec_id, min(comp) AS comp FROM reach GROUP BY 1)",
+        f"""scored AS (
+  SELECT c.vec_id, c.comp, p.r FROM cc c JOIN {final} p ON p.id = c.vec_id
+),
+keepers AS (
+  SELECT comp, vec_id AS keeper_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY comp ORDER BY r DESC, vec_id) = 1
+)""",
+    ]
+    return (
+        "WITH RECURSIVE "
         + ",\n".join(parts)
-        + f'\nSELECT id AS vec_id, r AS "rank" FROM pr{PAGERANK_ITERS}'
+        + """
+SELECT s.vec_id, s.comp AS component_id, k.keeper_id,
+       (s.vec_id = k.keeper_id) AS is_keeper
+FROM scored s JOIN keepers k ON k.comp = s.comp"""
     )
 
 
 ORACLES["dupgraph_pagerank"] = _pagerank_sql()
+ORACLES["dedup_keeper_centrality"] = _keeper_sql()
 
 
 def _bpe_sql() -> str:

@@ -122,6 +122,7 @@ _DEFER: list[str] = [
     "disjunctive_revenue_q19",  # OR-of-ANDs pushdown; star family of local_supplier_volume
     "dupgraph_pagerank",      # power-iteration centrality; graph family of dedup_cc_two_phase
     "bpe_train_merges",       # BPE tokenizer training; iterative family of embedding_knn_ivf_kmeans
+    "dedup_keeper_centrality",  # LSH→CC→PageRank keeper election; graph family of dedup_cc_two_phase
 ]
 
 
