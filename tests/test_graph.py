@@ -127,3 +127,25 @@ def test_pagerank_build_submits_no_job(spark):
     # constant per build (the checkpoint's own stages), not growing with
     # plan reuse — a convergence probe would add per-iteration jobs
     assert (mid - before) == (after - mid) <= 6
+
+
+def test_keeper_election_centrality_and_ties(spark):
+    """Composition rule check at operator level: star cluster keeps its
+    hub (highest PageRank), a symmetric pair ties down to the lower id,
+    an isolated node keeps itself."""
+    from pyspark.sql import functions as F
+
+    nodes, edges = _frames(spark, 7, [(1, 0), (1, 2), (1, 3), (4, 5)])
+    comp = gr.connected_components_two_phase(nodes, edges)
+    ranks = gr.pagerank(nodes, edges)
+    scored = comp.join(ranks, "id")
+    keepers = scored.groupBy("comp").agg(
+        F.max_by("id", F.struct(F.col("rank"), (-F.col("id")).alias("nid"))).alias(
+            "keeper_id"
+        )
+    )
+    got = {
+        r["id"]: r["keeper_id"]
+        for r in scored.join(keepers, "comp").collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
