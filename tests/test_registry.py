@@ -101,6 +101,7 @@ SIBLING = {
     "dupgraph_pagerank": "dedup_cc_two_phase",
     "bpe_train_merges": "embedding_knn_ivf_kmeans",
     "dedup_keeper_centrality": "dedup_cc_two_phase",
+    "bpe_encode_fertility": "text_quality_score",
 }
 
 

@@ -1496,7 +1496,48 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     the leftmost-greedy fold; runs longer than 1 only occur for
     left == right), verified by tests/test_datapipe.py against a pure
     Python reference."""
-    spark = docs.sparkSession
+    merges, _ = _bpe_fit(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus: per document, the
+    whitespace token count, the BPE symbol count under the trained
+    vocabulary, and their ratio — the tokenizer-evaluation metric
+    (fertility: BPE tokens per word) a pipeline computes before freezing a
+    tokenizer. Encoding is the same vocabulary-relation fold the training
+    loop uses, so the per-word final sequences are BY CONSTRUCTION the
+    trained state; the corpus side then just re-joins words to their
+    encoded length — one key join + one doc-keyed hash-agg, the corpus
+    never carries symbol arrays. (The fit reruns its bounded driver loop
+    per call — train-once caching belongs to the caller/session layer.)"""
+    _, final_words = _bpe_fit(docs, n_merges)
+    toks = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    enc = final_words.select("w", F.size("seq").alias("_bpe_len"))
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("_bpe_len").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_tokens_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6),
+        )
+    )
+
+
+def _bpe_fit(docs: DataFrame, n_merges: int):
+    """Shared BPE fit loop: returns (merge tuples, final (w, cnt, seq)
+    vocabulary relation after all merges applied)."""
     words = (
         with_tokens(docs)
         .select(F.explode("toks").alias("w"))
@@ -1542,10 +1583,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 " concat(acc, array(x))))"
             ),
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left string, right string, merged string, pair_count bigint",
-    )
+    return merges, words
 
 
 # --- DuckDB oracle fragments -------------------------------------------------

@@ -173,6 +173,14 @@ def q_dedup_keeper_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE fertility stats (r7-born): whitespace vs trained-BPE token
+    counts per document and their ratio — the tokenizer-evaluation query
+    run before freezing a vocabulary. Shares the trained state with
+    bpe_train_merges by construction (operators/text.py::_bpe_fit)."""
+    return tx.bpe_encode_stats(tx.load_documents(spark, sf_dir))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-merge training over the documents corpus (r7-born):
     the 12 highest-count adjacent-symbol merges, character-level start,
@@ -628,6 +636,7 @@ QUERIES = {
     "dupgraph_pagerank": q_dupgraph_pagerank,
     "dedup_keeper_centrality": q_dedup_keeper_centrality,
     "bpe_train_merges": q_bpe_train,
+    "bpe_encode_fertility": q_bpe_encode,
     "text_simhash": q_simhash,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1883,4 +1892,32 @@ s{k} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_encode_sql() -> str:
+    """Fertility stats over the SAME trained trajectory: the final state
+    CTE s{N} holds each word's fully-merged symbol sequence; the corpus
+    words re-join to their encoded lengths and fold per document."""
+    from ..operators.text import BPE_MERGES
+
+    # reuse _bpe_sql's CTE chain up to the final state, swap the tail
+    chain = _bpe_sql()
+    idx = chain.index("\nSELECT 1::INTEGER")
+    ctes = chain[:idx]
+    return (
+        ctes
+        + f""",
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+)
+SELECT dw.doc_id,
+       count(*)::BIGINT AS n_ws_tokens,
+       sum(len(sN.s))::BIGINT AS n_bpe_tokens,
+       round(sum(len(sN.s))::DOUBLE / count(*), 6) AS bpe_tokens_per_word
+FROM dw JOIN s{BPE_MERGES} sN ON sN.wid = dw.w
+GROUP BY 1"""
+    )
+
+
 ORACLES["bpe_train_merges"] = _bpe_sql()
+ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()

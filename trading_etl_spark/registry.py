@@ -123,6 +123,7 @@ _DEFER: list[str] = [
     "dupgraph_pagerank",      # power-iteration centrality; graph family of dedup_cc_two_phase
     "bpe_train_merges",       # BPE tokenizer training; iterative family of embedding_knn_ivf_kmeans
     "dedup_keeper_centrality",  # LSH→CC→PageRank keeper election; graph family of dedup_cc_two_phase
+    "bpe_encode_fertility",   # trained-BPE fertility stats; tokenizer family of bpe_train_merges
 ]
 
 
