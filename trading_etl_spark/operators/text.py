@@ -1571,16 +1571,27 @@ def _bpe_fit(docs: DataFrame, n_merges: int):
         merges.append((k, a, b, a + b, c))
         # leftmost-greedy merge fold: if the accumulator's last symbol is
         # `a` and the current symbol is `b`, replace the tail with the
-        # merged symbol; pure codegen, no Python.
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # merged symbol; pure codegen, no Python. Built with the Column
+        # API (F.lit for the learned symbols) rather than an expr string,
+        # so arbitrary symbols — quotes, backslashes — can never break or
+        # inject into the expression.
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def _fold(acc: F.Column, x: F.Column) -> F.Column:
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb)
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
         words = words.withColumn(
             "seq",
-            F.expr(
-                "aggregate(seq, cast(array() AS array<string>),"
-                f" (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{qa}'"
-                f" AND x = '{qb}',"
-                f" concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')),"
-                " concat(acc, array(x))))"
+            F.aggregate(
+                "seq", F.array().cast("array<string>"), _fold
             ),
         ).localCheckpoint()
     return merges, words
