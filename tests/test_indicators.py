@@ -161,3 +161,29 @@ def test_stochastic_golden_trend_and_flat(spark):
     flat = stochastic(_ohlc(spark, [5.0] * 5, "EUR/JPY"), 3, 2)
     vals = [r["pct_k"] for r in sorted(flat.collect(), key=lambda r: r["time"])]
     assert vals[2:] == pytest.approx([0.0] * 3)
+
+
+def test_holt_forecast_reference_and_constant_series(spark):
+    """Holt kernel: matches a hand-rolled scalar recursion, and on a
+    constant series the forecast equals the constant from step 2 with
+    trend exactly 0 (causal init, no lookahead)."""
+    import numpy as np
+
+    from trading_etl_spark.operators.indicators import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        _holt_series,
+    )
+
+    ys = [1.0, 4.0, 2.0, 8.0, 5.0, 5.5]
+    f, ls, bs = _holt_series(np.array(ys))
+    level, trend = ys[0], 0.0
+    assert np.isnan(f[0])
+    for i in range(1, len(ys)):
+        assert f[i] == level + trend
+        nl = HOLT_ALPHA * ys[i] + (1.0 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (nl - level) + (1.0 - HOLT_BETA) * trend
+        level = nl
+        assert ls[i] == level and bs[i] == trend
+    fc, lc, bc = _holt_series(np.full(50, 7.25))
+    assert np.allclose(fc[1:], 7.25) and np.allclose(bc, 0.0)

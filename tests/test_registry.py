@@ -102,6 +102,7 @@ SIBLING = {
     "bpe_train_merges": "embedding_knn_ivf_kmeans",
     "dedup_keeper_centrality": "dedup_cc_two_phase",
     "bpe_encode_fertility": "text_quality_score",
+    "holt_forecast_1h": "macd_12_26_9_1h",
 }
 
 

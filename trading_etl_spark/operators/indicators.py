@@ -311,3 +311,72 @@ def indicators_all(
             df = df.unionByName(part)
         out[name] = df
     return out
+
+
+HOLT_ALPHA, HOLT_BETA = 0.2, 0.1
+HOLT_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, time timestamp, "
+    "forecast double, level double, trend double"
+)
+
+
+def _holt_series(
+    closes: np.ndarray, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Holt's linear-trend double exponential smoothing (causal init:
+    level_1 = y_1, trend_1 = 0 — no lookahead): one-step-ahead forecast
+    f_t = l_{t-1} + b_{t-1}; l_t = α·y_t + (1−α)(l_{t-1}+b_{t-1});
+    b_t = β(l_t − l_{t-1}) + (1−β)·b_{t-1}. forecast[0] is NaN. The
+    arithmetic uses PRECOMPUTED (1−α)/(1−β) constants and the exact
+    association order the recursive-CTE oracle replays, so both engines
+    walk bit-identical double trajectories."""
+    n = len(closes)
+    f = np.full(n, np.nan)
+    ls = np.full(n, np.nan)
+    bs = np.full(n, np.nan)
+    if n == 0:
+        return f, ls, bs
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    level, trend = float(closes[0]), 0.0
+    ls[0], bs[0] = level, trend
+    for i in range(1, n):
+        f[i] = level + trend
+        new_level = alpha * float(closes[i]) + oma * (level + trend)
+        trend = beta * (new_level - level) + omb * trend
+        level = new_level
+        ls[i], bs[i] = level, trend
+    return f, ls, bs
+
+
+def holt_forecast(
+    ohlc: DataFrame, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> DataFrame:
+    """Holt linear-trend forecast per (pair, timeframe) — the forecasting
+    member of the recursive-indicator family (same grouped Arrow kernel
+    shape as EMA/RSI/MACD; reference computes single EMAs driver-side,
+    ``src/etl/flows/transform_services.py:268-270``). Emits the one-step-
+    ahead forecast alongside the smoothed level and trend states; the
+    first row of each group carries a NULL forecast (nothing to predict
+    it from)."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        f, ls, bs = _holt_series(
+            pdf["close"].to_numpy(dtype=np.float64), alpha, beta
+        )
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "forecast": f,
+                "level": ls,
+                "trend": bs,
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, HOLT_OUT_SCHEMA)
+    )

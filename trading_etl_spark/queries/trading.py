@@ -306,6 +306,25 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend one-step-ahead forecast on 1h closes (r7-born):
+    coupled level+trend exponential recursion in the grouped Arrow kernel
+    shape of EMA/RSI/MACD — the forecasting member of the indicator
+    family. Causal init (trend_1 = 0, no lookahead); first row of each
+    pair has nothing to predict from and is excluded; outputs round to
+    6dp against a recursive-CTE oracle replaying the identical
+    double-precision trajectory."""
+    out = indicators.holt_forecast(_ohlc_1h(spark, sf_dir))
+    return out.filter(F.col("forecast").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("forecast", 6).alias("forecast"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )
+
+
 def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ATR(14) on 1h candles, Wilder smoothing over true range (r6-born)."""
     out = indicators.atr(_ohlc_1h(spark, sf_dir), 14)
@@ -766,6 +785,7 @@ QUERIES = {
     "ema_14_1h": q_ema,
     "rsi_14_1h": q_rsi,
     "macd_12_26_9_1h": q_macd,
+    "holt_forecast_1h": q_holt_forecast,
     "atr_14_1h": q_atr,
     "bollinger_20_2_1h": q_bollinger,
     "stochastic_14_3_1h": q_stochastic,
@@ -1013,6 +1033,27 @@ SELECT m.pair AS currency_pair_code, '1h' AS timeframe_code, m.time,
        round(m.macd, 6) AS macd, round(r.sig, 6) AS macd_signal,
        round(m.macd - r.sig, 6) AS macd_hist
 FROM macd_line m JOIN sig_rec r ON r.pair = m.pair AND r.mrn = m.mrn""",
+    "holt_forecast_1h": _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True)
+    + f""",
+holt_rec(pair, rn, time, l, b, f) AS (
+  -- anchor literals must be DOUBLE: an un-cast 0.0 types the trend column
+  -- DECIMAL(2,1) and silently truncates every recursive value
+  SELECT c.pair, c.rn, c.time, CAST(c."close" AS DOUBLE),
+         CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM closes c WHERE c.rn = 1
+  UNION ALL
+  SELECT c.pair, c.rn, c.time,
+         {indicators.HOLT_ALPHA!r} * c."close"
+           + {1.0 - indicators.HOLT_ALPHA!r} * (r.l + r.b),
+         {indicators.HOLT_BETA!r} * (({indicators.HOLT_ALPHA!r} * c."close"
+           + {1.0 - indicators.HOLT_ALPHA!r} * (r.l + r.b)) - r.l)
+           + {1.0 - indicators.HOLT_BETA!r} * r.b,
+         r.l + r.b
+  FROM holt_rec r JOIN closes c ON c.pair = r.pair AND c.rn = r.rn + 1
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round(f, 6) AS forecast, round(l, 6) AS level, round(b, 6) AS trend
+FROM holt_rec WHERE f IS NOT NULL""",
     "atr_14_1h": _with(*_TO_1H, recursive=True)
     + """,
 hlc AS (

@@ -124,6 +124,7 @@ _DEFER: list[str] = [
     "bpe_train_merges",       # BPE tokenizer training; iterative family of embedding_knn_ivf_kmeans
     "dedup_keeper_centrality",  # LSH→CC→PageRank keeper election; graph family of dedup_cc_two_phase
     "bpe_encode_fertility",   # trained-BPE fertility stats; tokenizer family of bpe_train_merges
+    "holt_forecast_1h",       # Holt level+trend forecast; grouped-kernel family of rsi_14_1h/macd
 ]
 
 
