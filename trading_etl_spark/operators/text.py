@@ -1470,7 +1470,9 @@ def exact_substring_spans(
 BPE_MERGES = 12
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES, fitted=None
+) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
     tokenizer-construction step of a training-data pipeline, distributed:
     learn the ``n_merges`` highest-count adjacent-symbol merges over the
@@ -1495,15 +1497,18 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     pairs and keeps odd positions within each marked run (equivalent to
     the leftmost-greedy fold; runs longer than 1 only occur for
     left == right), verified by tests/test_datapipe.py against a pure
-    Python reference."""
-    merges, _ = _bpe_fit(docs, n_merges)
+    Python reference. ``fitted`` short-circuits with a shared
+    :func:`_bpe_fit` result (the query layer's train-once cache)."""
+    merges, _ = fitted if fitted is not None else _bpe_fit(docs, n_merges)
     return docs.sparkSession.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count bigint",
     )
 
 
-def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = BPE_MERGES, fitted=None
+) -> DataFrame:
     """Apply the learned BPE merges back to the corpus: per document, the
     whitespace token count, the BPE symbol count under the trained
     vocabulary, and their ratio — the tokenizer-evaluation metric
@@ -1512,9 +1517,11 @@ def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     loop uses, so the per-word final sequences are BY CONSTRUCTION the
     trained state; the corpus side then just re-joins words to their
     encoded length — one key join + one doc-keyed hash-agg, the corpus
-    never carries symbol arrays. (The fit reruns its bounded driver loop
-    per call — train-once caching belongs to the caller/session layer.)"""
-    _, final_words = _bpe_fit(docs, n_merges)
+    never carries symbol arrays. ``fitted`` short-circuits with a shared
+    :func:`_bpe_fit` result (queries/datapipe._bpe_fitted is the
+    train-once cache; without it the fit reruns its bounded driver loop
+    per call)."""
+    _, final_words = fitted if fitted is not None else _bpe_fit(docs, n_merges)
     toks = (
         with_tokens(docs)
         .select("doc_id", F.explode("toks").alias("w"))

@@ -48,6 +48,7 @@ from .trading import _cache_put  # noqa: E402
 _CODEBOOK_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
+_BPE_CACHE: dict = {}
 
 
 def clear_model_caches(spark: SparkSession | None = None) -> int:
@@ -57,7 +58,24 @@ def clear_model_caches(spark: SparkSession | None = None) -> int:
     from .trading import clear_caches
 
     app_id = spark.sparkContext.applicationId if spark is not None else None
-    return clear_caches((_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE), app_id)
+    return clear_caches(
+        (_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE, _BPE_CACHE), app_id
+    )
+
+
+def _bpe_fitted(spark: SparkSession, sf_dir: str):
+    """The fitted BPE state (merge tuples + final vocabulary relation),
+    train-once per (app, sf_dir) like :func:`_codebook` — both BPE
+    queries (merge table, fertility stats) share one fit instead of
+    re-running the 12-round driver loop each (the r6 train-once
+    discipline). The vocabulary member is localCheckpointed, so eviction's
+    unpersist is a no-op and storage frees with the RDD."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        got = tx._bpe_fit(tx.load_documents(spark, sf_dir), tx.BPE_MERGES)
+        _cache_put(_BPE_CACHE, key, got)
+    return got
 
 
 def _split_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,9 +194,11 @@ def q_dedup_keeper_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE fertility stats (r7-born): whitespace vs trained-BPE token
     counts per document and their ratio — the tokenizer-evaluation query
-    run before freezing a vocabulary. Shares the trained state with
-    bpe_train_merges by construction (operators/text.py::_bpe_fit)."""
-    return tx.bpe_encode_stats(tx.load_documents(spark, sf_dir))
+    run before freezing a vocabulary. Shares the train-once fitted state
+    with bpe_train_merges (:func:`_bpe_fitted`)."""
+    return tx.bpe_encode_stats(
+        tx.load_documents(spark, sf_dir), fitted=_bpe_fitted(spark, sf_dir)
+    )
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,8 +206,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 12 highest-count adjacent-symbol merges, character-level start,
     word-frequency weighted, deterministic tie-break — see
     operators/text.py::bpe_train. Oracle: the identical fixed-iteration
-    trajectory as chained CTEs (relational leftmost-greedy application)."""
-    return tx.bpe_train(tx.load_documents(spark, sf_dir))
+    trajectory as chained CTEs (relational leftmost-greedy application).
+    Trains once per (app, corpus) via :func:`_bpe_fitted`."""
+    return tx.bpe_train(
+        tx.load_documents(spark, sf_dir), fitted=_bpe_fitted(spark, sf_dir)
+    )
 
 
 def q_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
