@@ -39,7 +39,7 @@ SIBLING = {
     # same-family twin still in the window.
     "ohlc_derived_multi_tf": "candle_rollup",
     "sma_14_1h": "sma_golden_cross",
-    "tick_sessions": "streaming_tick_sessions",
+    "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
     "candle_returns_quartile": "orders_table_profile",
     "event_reaction_window": "event_asof_tick",
     "dedup_simhash": "dedup_minhash_lsh",
@@ -75,34 +75,40 @@ SIBLING = {
     "embedding_pq_codes": "embedding_knn_ivfadc",
     "embedding_knn_pq_adc": "embedding_knn_ivfadc",
     "decontaminate_train_ngrams": "decontaminate_bloom_prefilter",
-    "streaming_ema_14_1h": "streaming_sma_cross",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
-    "approx_value_quantiles": "orders_table_profile",
     "star_join_revenue": "local_supplier_volume",
     "text_rolling_fingerprint": "corpus_pack_sequences",
     "corpus_clean_pipeline": "dedup_minhash_lsh",
-    # r6-born still deferred (rotation wave 2, r8):
-    "atr_14_1h": "rsi_14_1h",
-    "stochastic_14_3_1h": "sma_golden_cross",
-    "streaming_rsi_14_1h": "streaming_sma_cross",
+    # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
+    # prioritized r6/r7-born operators + approx_value_quantiles (the
+    # GK-quantile family's representative, VERDICT r7 task #4) get driver
+    # rows; each keeps a same-family twin still in the window
+    # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
+    # stricter stateful-streaming path).
+    "macd_12_26_9_1h": "rsi_14_1h",
+    "bollinger_20_2_1h": "sma_golden_cross",
+    "hybrid_search_rrf": "bm25_search",
+    "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
+    "corpus_dsir_resample": "text_unigram_logprob",
+    "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
+    "dim_scd2_merge_apply": "streaming_scd2_apply",
+    "events_snapshot_diff": "streaming_scd2_apply",
+    "streaming_tick_sessions": "streaming_ohlc_1m",
+    "streaming_sma_cross": "streaming_heavy_hitters",
+    "tpch_pricing_summary": "priority_shipmonth_q12",
+    "streaming_view_click_join": "streaming_ohlc_1m",
+    "text_lang_id": "text_quality_score",
+    # wave 3 candidates, still deferred (siblings re-pointed where their
+    # previous sibling rotated out this round):
+    "streaming_ema_14_1h": "streaming_heavy_hitters",
+    "streaming_rsi_14_1h": "streaming_heavy_hitters",
     "events_value_winsorize": "events_value_histogram",
-    "tick_zscore_outliers": "sma_golden_cross",
-    "text_ccnet_ppl_buckets": "text_unigram_logprob",
     "shipping_priority_q3": "local_supplier_volume",
     "pair_rolling_correlation": "sma_golden_cross",
     "candle_unpivot": "candle_rollup",
     "event_type_copairs": "events_value_histogram",
-    # r7-born, registered deferred until the r8 rotation:
-    "dedup_exact_substring": "dedup_minhash_lsh",
-    "ticks_freshness_sla": "latest_tick_per_pair",
-    "priority_shipmonth_q12": "local_supplier_volume",
-    "disjunctive_revenue_q19": "local_supplier_volume",
-    "dupgraph_pagerank": "dedup_cc_two_phase",
-    "bpe_train_merges": "embedding_knn_ivf_kmeans",
-    "dedup_keeper_centrality": "dedup_cc_two_phase",
-    "bpe_encode_fertility": "text_quality_score",
-    "holt_forecast_1h": "macd_12_26_9_1h",
+    "bpe_encode_fertility": "bpe_train_merges",
 }
 
 
@@ -127,24 +133,29 @@ def test_deferred_queries_register_last_and_have_siblings():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
 
 
-def test_round7_rotation_in_window():
-    # VERDICT r6 task #1 (rotation wave 1): 12 of the 22 r6-born queries are
-    # inside the 50-row correctness window this round. (Earlier rounds'
-    # in-window assertions are superseded by rotation; their driver
-    # certifications are on record in CORRECTNESS_r{1..6}.json.)
+def test_round8_rotation_in_window():
+    # VERDICT r7 tasks #3/#4 (rotation wave 2): the 12 prioritized
+    # uncertified r6/r7-born queries plus approx_value_quantiles (GK-quantile
+    # family representative restored) are inside the 50-row correctness
+    # window this round, and orders_table_profile stays in to certify its
+    # oracle-cast fix. (Earlier rounds' in-window assertions are superseded
+    # by rotation; their driver certifications are on record in
+    # CORRECTNESS_r{1..7}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "macd_12_26_9_1h",
-        "bollinger_20_2_1h",
-        "dedup_semantic_kmeans",
-        "decontaminate_bloom_prefilter",
-        "streaming_tick_sessions",
-        "streaming_sma_cross",
-        "streaming_scd2_apply",
-        "corpus_dsir_resample",
-        "dim_scd2_merge_apply",
-        "hybrid_search_rrf",
-        "embedding_knn_matryoshka",
+        "atr_14_1h",
+        "stochastic_14_3_1h",
+        "tick_zscore_outliers",
+        "text_ccnet_ppl_buckets",
+        "dedup_exact_substring",
+        "ticks_freshness_sla",
+        "priority_shipmonth_q12",
+        "disjunctive_revenue_q19",
+        "dupgraph_pagerank",
+        "bpe_train_merges",
+        "dedup_keeper_centrality",
+        "holt_forecast_1h",
+        "approx_value_quantiles",
         "orders_table_profile",
     ]:
         assert q in keys, f"{q} still outside the driver window"

@@ -44,6 +44,82 @@ def canon_rows(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# The canonicalized-value compare above is type-blind (str(5) == str(Decimal(5)))
+# but the DRIVER's hash is type-sensitive: r7's orders_table_profile shipped
+# check.py-green and driver-RED because DuckDB typed sum(CASE...) as HUGEINT
+# (arrow decimal128) vs Spark's BIGINT. These maps canonicalize both engines'
+# column types to one vocabulary so the divergence fails LOCALLY.
+#
+# Types with no exact Spark scalar twin (HUGEINT, DECIMAL, unsigned ints) are
+# flagged unconditionally — the repo convention is to cast oracle aggregates
+# to ::BIGINT / ::DOUBLE.
+_DUCK_TYPES = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIME": "time",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "TIMESTAMP_MS": "timestamp",
+    "TIMESTAMP_S": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+_DUCK_BANNED = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+                "UTINYINT", "DECIMAL")
+
+
+def canon_duck_type(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{canon_duck_type(t[:-2])}>"
+    for banned in _DUCK_BANNED:
+        if t.startswith(banned):
+            return f"BANNED:{t}"
+    return _DUCK_TYPES.get(t, f"other:{t}")
+
+
+def canon_spark_type(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{canon_spark_type(t[6:-1])}>"
+    if t == "timestamp_ntz":
+        return "timestamp"
+    if t.startswith("decimal"):
+        return f"BANNED:{t}"
+    return t
+
+
+def type_mismatches(scols, sdtypes, con, sql):
+    """Strict per-column type parity: Spark dtypes vs DESCRIBE'd oracle types.
+
+    Returns a list of human-readable problems (empty == parity). Any oracle
+    column whose type has no exact Spark twin (HUGEINT/DECIMAL/unsigned) is a
+    problem even if Spark's type 'looks close' — the driver hashes the arrow
+    representation, where decimal128 != int64.
+    """
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    otypes = {r[0]: canon_duck_type(r[1]) for r in desc}
+    stypes = dict(zip(scols, (canon_spark_type(t) for _, t in sdtypes)))
+    problems = []
+    for col in sorted(set(otypes) & set(stypes)):
+        o, s = otypes[col], stypes[col]
+        if o.startswith("BANNED:"):
+            problems.append(f"{col}: oracle type {o[7:]} has no Spark twin — cast it (::BIGINT/::DOUBLE)")
+        elif s.startswith("BANNED:"):
+            problems.append(f"{col}: spark type {s[7:]} — cast to long/double for driver-hash stability")
+        elif o != s:
+            problems.append(f"{col}: spark={s} oracle={o}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -88,6 +164,14 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        try:
+            tprob = type_mismatches(scols, sdf.dtypes, con, oracles[name])
+        except Exception as e:
+            tprob = [f"DESCRIBE failed: {e}"]
+        if tprob:
+            failures.append(name)
+            print(f"FAIL  {name}: type mismatch: {'; '.join(tprob)}")
             continue
         if len(srows) != len(orows):
             failures.append(name)

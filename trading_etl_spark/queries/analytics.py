@@ -1042,37 +1042,37 @@ WHERE {" OR ".join(
 
 ORACLES["orders_table_profile"] = """
 SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_orderkey) AS n_distinct,
        round(min(o_orderkey)::DOUBLE, 6) AS min_num, round(max(o_orderkey)::DOUBLE, 6) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_custkey) AS n_distinct,
        round(min(o_custkey)::DOUBLE, 6) AS min_num, round(max(o_custkey)::DOUBLE, 6) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_orderstatus) AS n_distinct,
        NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_totalprice' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_totalprice) AS n_distinct,
        round(min(o_totalprice)::DOUBLE, 6) AS min_num, round(max(o_totalprice)::DOUBLE, 6) AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderdate' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_orderdate) AS n_distinct,
        NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
        count(DISTINCT o_orderpriority) AS n_distinct,
        NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num
 FROM orders

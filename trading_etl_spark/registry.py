@@ -51,7 +51,7 @@ _DEFER: list[str] = [
     # out to make room. All stay oracle-verified by tools/check.py.
     "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family
     "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross
-    "tick_sessions",          # session windows; R7 window family with streaming_sliding_stats in window
+    "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
     "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window
     "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick
     "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window
@@ -97,34 +97,39 @@ _DEFER: list[str] = [
                               # family, batch rsi_14_1h the grouped recursion family
     "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
     "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
-    "approx_value_quantiles",  # GK sketch; orders_table_profile computes the same approx percentiles
     "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family
     "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
     "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window
-    # r6-born still deferred — rotation wave 2 candidates for the r8 window
-    # (VERDICT r6 task #1 schedules them next round); every key keeps an
+    # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
+    # r6/r7-born queries (operator-family firsts prioritized) plus
+    # approx_value_quantiles (task #4: the GK-sketch quantile family regains
+    # its in-window representative — its r7 deferral wrongly claimed
+    # orders_table_profile computes percentiles) moved INTO the window; these
+    # 13 rotated out to make room — every one carries an r7 (most also
+    # earlier) driver-green row and a same-family twin still in the window.
+    # All stay oracle-verified by tools/check.py.
+    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family
+    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family
+    "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
+    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN
+    "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
+    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells
+    "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window
+    "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family
+    "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
+    "streaming_sma_cross",    # stateful kernel; streaming_heavy_hitters keeps applyInPandasWithState
+    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family
+    "streaming_view_click_join",  # stream-stream join; streaming_ohlc_1m keeps the streaming family
+    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family
+    # still-deferred wave 3 candidates for the r9 window — every key keeps an
     # in-window sibling:
-    "atr_14_1h",              # Wilder true-range recursion; grouped-kernel family of rsi_14_1h
-    "stochastic_14_3_1h",     # native min/max/avg windows; family of sma_golden_cross
-    "streaming_rsi_14_1h",    # stateful Wilder recursion; family of streaming_sma_cross
+    "streaming_rsi_14_1h",    # stateful Wilder recursion; stateful family of streaming_heavy_hitters
     "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
-    "tick_zscore_outliers",   # rolling self-excluded z-score gate; window family of sma_golden_cross
-    "text_ccnet_ppl_buckets",  # CCNet perplexity terciles; LM family of text_unigram_logprob
     "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
     "pair_rolling_correlation",  # keyed corr window; family of sma_golden_cross
     "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
     "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
-    # r7-born — certified by tools/check.py this round; rotation candidates
-    # for the r8 window alongside wave 2:
-    "dedup_exact_substring",  # Lee et al. exact-span dedup; shingle family of dedup_minhash_lsh
-    "ticks_freshness_sla",    # maintenance freshness SLA; MAX-agg family of latest_tick_per_pair
-    "priority_shipmonth_q12",  # conditional CASE-sum agg; star family of local_supplier_volume
-    "disjunctive_revenue_q19",  # OR-of-ANDs pushdown; star family of local_supplier_volume
-    "dupgraph_pagerank",      # power-iteration centrality; graph family of dedup_cc_two_phase
-    "bpe_train_merges",       # BPE tokenizer training; iterative family of embedding_knn_ivf_kmeans
-    "dedup_keeper_centrality",  # LSH→CC→PageRank keeper election; graph family of dedup_cc_two_phase
     "bpe_encode_fertility",   # trained-BPE fertility stats; tokenizer family of bpe_train_merges
-    "holt_forecast_1h",       # Holt level+trend forecast; grouped-kernel family of rsi_14_1h/macd
 ]
 
 
