@@ -149,6 +149,38 @@ def main() -> None:
         cold.append(run_once(chain_fn))
     runs["candle_chain_cold"] = cold
 
+    # Cold DOWNSTREAM-cache materialization, its own line (VERDICT r7 task
+    # #5): the as-of/backtest/signal queries read through four cached
+    # relations derived from the chain — deduped ticks, 1h candles, SMA
+    # facts, buy/sell signal events. candle_chain_cold above measures only
+    # the chain build; this line measures building those four relations over
+    # a WARM chain, so the headline as-of number below is pure steady-state
+    # query cost (round 1 previously re-paid this materialization). Each
+    # repeat clears only the downstream caches (_CHAIN_CACHE stays warm);
+    # the last build leaves everything warm for the headline rounds.
+    from trading_etl_spark.queries import trading as trading_mod
+
+    cache_cold: list[float] = []
+    for _ in range(N_RUNS):
+        trading_mod.clear_caches(
+            (
+                trading_mod._TICKS_CACHE,
+                trading_mod._CANDLE_CACHE,
+                trading_mod._SMA_CACHE,
+                trading_mod._EVENTS_1H_CACHE,
+            ),
+            spark.sparkContext.applicationId,
+        )
+        t0 = time.time()
+        trading_mod._buysell_events_1h(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        trading_mod._ticks(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cache_cold.append(round(time.time() - t0, 3))
+    runs["candle_cache_cold"] = cache_cold
+
     # Cold coarse-quantizer training, its own line for the same honesty
     # reason: the train-once model caches mean the ANN/SemDeDup headline
     # numbers measure serving over a warm codebook (the production read

@@ -224,12 +224,14 @@ def first_wins_merge(
     """
     DeltaTable = _import_delta_table()
     inc = incoming.dropDuplicates(keys)
-    if not DeltaTable.isDeltaTable(spark, path):
-        # Create the table as an EMPTY commit, then always MERGE: a direct
-        # first append could race another creator and double-write a key;
-        # an empty create is idempotent under the commit protocol, and the
-        # key check then lives entirely inside serialized MERGE commits.
-        inc.limit(0).write.format("delta").mode("append").save(path)
+    # Create the table as an EMPTY commit, then always MERGE: a direct
+    # first append could race another creator and double-write a key;
+    # createIfNotExists is idempotent under the commit protocol (both
+    # racers may attempt it; the log serializes them), and the key check
+    # then lives entirely inside serialized MERGE commits.
+    DeltaTable.createIfNotExists(spark).location(path).addColumns(
+        inc.schema
+    ).execute()
     tbl = DeltaTable.forPath(spark, path)
     cond = merge_not_matched_condition(keys)
     last: Exception | None = None
