@@ -94,29 +94,170 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(probe, META_FIELDS)
 
 
-def resize_images(media: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Resize image payloads worker-side (real plumbing, stub kernel).
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Image media table with REAL (synthesized) BMP payloads — the input
+    the real-pixel resize path operates on. Dimensions and pixel values are
+    pure functions of doc_id so both an oracle (dims/byte_len) and a pytest
+    NumPy reference (pixels) can recompute them:
 
-    Without codecs the "resize" is a deterministic truncation of the payload
-    to ``max_dim²`` bytes — preserving the contract a real PIL kernel has:
-    binary in, smaller binary out, same partitioning, schema declared.
+        w = doc_id % 24 + 8, h = doc_id % 16 + 8
+        pixel[y, x, c] = (13*doc_id + 7*y + 3*x + c) % 256
+
+    Synthesis runs worker-side in the same Arrow-batched mapInPandas shape
+    as every other payload kernel.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 24 + 8, did % 16 + 8
+                y, x, c = np.ogrid[:h, :w, :3]
+                payloads.append(
+                    encode_bmp((13 * did + 7 * y + 3 * x + c) % 256)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "media_id long, media_type string, payload binary"
+    )
+
+
+# --- pure-NumPy BMP codec (VERDICT r7 task #7) --------------------------------
+#
+# BMP (BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up, rows padded to 4 bytes) is
+# uncompressed, so decode/resize/re-encode needs no codec library — the resize
+# kernel below does REAL pixel work on BMP payloads; only compressed formats
+# (PNG/JPEG/...) remain gated behind PIL.
+
+_BMP_HEADER_LEN = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_row_stride(width: int) -> int:
+    return (3 * width + 3) // 4 * 4
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array → 24-bit uncompressed BMP bytes."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    stride = _bmp_row_stride(w)
+    size = _BMP_HEADER_LEN + stride * h
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + _BMP_HEADER_LEN.to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")             # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")                # positive = bottom-up
+        + (1).to_bytes(2, "little")              # planes
+        + (24).to_bytes(2, "little")             # bpp
+        + (0).to_bytes(4, "little")              # BI_RGB (uncompressed)
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16                           # ppm + palette fields
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes):
+    """24-bit uncompressed bottom-up BMP bytes → (h, w, 3) uint8 RGB array.
+
+    Compressed BMPs / other bit depths / other container formats raise
+    NotImplementedError — those need a real codec (PIL), absent here.
+    """
+    import numpy as np
+
+    data = bytes(data)
+    if data[:2] != b"BM":
+        raise NotImplementedError(
+            "not a BMP payload — compressed formats (PNG/JPEG/...) need PIL, "
+            "which is not installed in this container"
+        )
+    offset = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0 or h <= 0 or w <= 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed bottom-up BMP is codec-free "
+            f"(got bpp={bpp}, compression={compression}, h={h}); "
+            "other encodings need PIL"
+        )
+    stride = _bmp_row_stride(w)
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # bottom-up BGR → top-down RGB
+
+
+def resize_max_dim(arr, max_dim: int):
+    """Aspect-preserving nearest-neighbor downscale so max(h, w) <= max_dim.
+
+    Output dims use integer math — ``max(1, old * max_dim // max(h, w))`` —
+    so an oracle can compute them exactly. Nearest-neighbor source index is
+    ``y_src = y_out * h // new_h`` (floor), the deterministic classic.
+    """
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    if max(h, w) <= max_dim:
+        return np.asarray(arr)
+    new_w = max(1, w * max_dim // max(h, w))
+    new_h = max(1, h * max_dim // max(h, w))
+    ys = np.arange(new_h) * h // new_h
+    xs = np.arange(new_w) * w // new_w
+    return np.asarray(arr)[ys][:, xs]
+
+
+def resize_images(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize image payloads worker-side via mapInPandas.
+
+    BMP payloads (the codec-free uncompressed format) get REAL pixel work:
+    decode → nearest-neighbor downscale to ``max_dim`` → re-encode, all
+    NumPy. Compressed formats raise NotImplementedError from decode_bmp
+    unless PIL is installed (it is not in this container) — the honesty
+    gate now covers only genuinely codec-requiring inputs.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_CODECS:  # pragma: no cover - codecs absent in container
-                raise NotImplementedError("real PIL resize goes here")
-            budget = max_dim * max_dim
+            payloads, widths, heights = [], [], []
+            for pl in pdf["payload"]:
+                raw = bytes(pl)
+                if raw[:2] != b"BM" and HAVE_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real PIL decode goes here")
+                arr = resize_max_dim(decode_bmp(raw), max_dim)
+                payloads.append(encode_bmp(arr))
+                heights.append(arr.shape[0])
+                widths.append(arr.shape[1])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [bytes(p)[:budget] for p in pdf["payload"]],
-                    "byte_len": [min(len(p), budget) for p in pdf["payload"]],
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "byte_len": [len(p) for p in payloads],
                 }
             )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
-        kernel, "media_id long, payload binary, byte_len long"
+        kernel, "media_id long, payload binary, width int, height int, byte_len long"
     )
 
 

@@ -822,7 +822,7 @@ WITH c AS (
 sz AS (SELECT cohort_day, count(DISTINCT user_id) AS cohort_size FROM c GROUP BY 1),
 a AS (
   SELECT c.cohort_day,
-         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         date_diff('day', c.cohort_day, CAST(e.ts AS DATE))::INT AS day_offset,
          count(DISTINCT e.user_id) AS n_active
   FROM events e JOIN c ON e.user_id = c.user_id
   GROUP BY 1, 2

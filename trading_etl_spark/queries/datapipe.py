@@ -633,12 +633,16 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-payload resize through the Arrow-batched kernel (stub codec);
-    the resized binary comes back md5-summarized for hash comparison."""
-    resized = mm.resize_images(mm.media_from_documents(_docs(spark, sf_dir)))
-    return resized.select(
-        "media_id", F.md5("payload").alias("payload_md5"), "byte_len"
+    """REAL pixel resize (VERDICT r7 task #7): synthesized 24-bit BMP
+    payloads decoded, nearest-neighbor-downscaled to max_dim=16, and
+    re-encoded — all pure NumPy in the Arrow-batched kernel. The oracle
+    recomputes the integer-math output dims and BMP byte length; pixel
+    values are pytest-verified against a NumPy reference
+    (tests/test_multimodal.py)."""
+    resized = mm.resize_images(
+        mm.bmp_media_from_documents(_docs(spark, sf_dir)), max_dim=16
     )
+    return resized.select("media_id", "width", "height", "byte_len")
 
 
 QUERIES = {
@@ -1262,17 +1266,25 @@ SELECT vec_id,
                (a, b) -> a + b) / len(v), 6) AS mean_abs_err
 FROM q""",
     "media_extract_meta": _with(mm.MEDIA_META_SQL),
-    # text is ASCII so char-substr == byte-truncation; md5(string) == md5(bytes)
+    # mirrors bmp_media_from_documents dims + resize_max_dim integer math +
+    # the BMP size formula (54-byte header, rows padded to 4 bytes); pixel
+    # bytes are pytest-verified (tests/test_multimodal.py)
     "media_resize": """
-WITH media AS (
+WITH m AS (
   SELECT doc_id AS media_id,
-         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
-         text
+         (doc_id % 24 + 8)::BIGINT AS w, (doc_id % 16 + 8)::BIGINT AS h
   FROM documents
+), r AS (
+  SELECT media_id,
+         CASE WHEN greatest(w, h) <= 16 THEN w
+              ELSE greatest(1, w * 16 // greatest(w, h)) END AS new_w,
+         CASE WHEN greatest(w, h) <= 16 THEN h
+              ELSE greatest(1, h * 16 // greatest(w, h)) END AS new_h
+  FROM m
 )
-SELECT media_id, md5(substr(text, 1, 4096)) AS payload_md5,
-       least(octet_length(encode(text)), 4096)::BIGINT AS byte_len
-FROM media WHERE media_type = 'image'
+SELECT media_id, new_w::INT AS width, new_h::INT AS height,
+       (54 + new_h * ((3 * new_w + 3) // 4 * 4))::BIGINT AS byte_len
+FROM r
 """.strip(),
     # text is ASCII so byte slices == char slices; md5(string) == md5(bytes)
     "media_frame_sample": """
@@ -1351,7 +1363,7 @@ n AS (
   FROM toks
 )
 SELECT doc_id,
-       g.i AS chunk_idx,
+       g.i::INT AS chunk_idx,
        (g.i * {tx.CHUNK_STRIDE})::INT AS token_start,
        len(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}])::INT AS chunk_tokens,
        md5(array_to_string(t[g.i * {tx.CHUNK_STRIDE} + 1 : g.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_TOKENS}], ' ')) AS chunk_hash
