@@ -88,3 +88,27 @@ def test_zorder_key_monotone_per_axis(spark):
         assert kb.filter(
             F.col("prev").isNotNull() & (F.col("k") <= F.col("prev"))
         ).count() == 0
+
+
+def test_zorder_bucket_stats_rectangles(spark):
+    """Each range bucket of the Morton key space is an axis-aligned
+    rectangle: with 8 buckets over 2 dims the key's top 3 bits are
+    (b_hi, a_hi, b_mid), so per-bucket ranges must sit inside halves of
+    dim a and quarters of dim b — the row-group stats a scan prunes on."""
+    from trading_etl_spark.layout import zorder_bucket_stats
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    rows = zorder_bucket_stats(
+        df, F.col("a"), F.col("b"), 63, 63, n_buckets=8
+    ).collect()
+    assert len(rows) == 8 and sum(r["n_rows"] for r in rows) == 4096
+    for r in rows:
+        assert r["max_a"] - r["min_a"] <= 31, r  # half of dim a
+        assert r["max_b"] - r["min_b"] <= 15, r  # quarter of dim b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_bucket_stats(df, F.col("a"), F.col("b"), 63, 63, n_buckets=6)

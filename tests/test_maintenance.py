@@ -335,3 +335,26 @@ def test_freshness_report_flags_stale_groups(spark):
     }
     assert rep["USD/JPY"].lag_seconds == 30 and not rep["USD/JPY"].stale
     assert rep["EUR/JPY"].lag_seconds == 1800 and rep["EUR/JPY"].stale
+
+
+def test_retention_plan_classifies_partitions(spark):
+    from datetime import datetime
+
+    from trading_etl_spark.plans.maintenance import retention_plan
+
+    rows = [
+        (datetime(2024, 1, 10, 5), 1.0),
+        (datetime(2024, 1, 10, 9), 2.0),
+        (datetime(2024, 1, 15, 0), 3.0),   # on the cutoff → keep
+        (datetime(2024, 1, 20, 12), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    plan = {
+        r["partition_value"]: r
+        for r in retention_plan(df, "ts", "2024-01-15").collect()
+    }
+    assert plan["2024-01-10"]["action"] == "drop"
+    assert plan["2024-01-10"]["n_rows"] == 2
+    assert plan["2024-01-15"]["action"] == "keep"  # cutoff day survives
+    assert plan["2024-01-20"]["action"] == "keep"
+    assert plan["2024-01-10"]["min_ts"] == datetime(2024, 1, 10, 5)

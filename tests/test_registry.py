@@ -109,6 +109,9 @@ SIBLING = {
     "candle_unpivot": "candle_rollup",
     "event_type_copairs": "events_value_histogram",
     "bpe_encode_fertility": "bpe_train_merges",
+    # r8-born, registered deferred until the r9 rotation:
+    "events_retention_plan": "ticks_freshness_sla",
+    "events_zorder_stats": "events_value_histogram",
 }
 
 

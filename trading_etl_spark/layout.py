@@ -70,6 +70,48 @@ def zorder_key(
     return interleave_bits(an, bn, bits)
 
 
+def zorder_bucket_stats(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    a_max: int,
+    b_max: int,
+    n_buckets: int = 8,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Layout-quality report for a Z-order clustering: assign every row to
+    its range bucket of the Morton key space and report each bucket's
+    row count and per-dimension min/max — the exact rectangle a parquet
+    row group's statistics would carry after ``write_zordered``, i.e. what
+    a scan with a predicate on EITHER dimension could prune against.
+
+    Deliberately NOT a global sort/ntile: the bucket id is
+    ``zkey >> (2*bits - log2(n_buckets))`` — a pure map-side expression —
+    so the plan is scan → project → hash-agg, shuffle bounded by
+    ``n_buckets``, no single-partition window at any scale.
+    ``n_buckets`` must be a power of two for the shift to be exact.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 2 * bits - n_buckets.bit_length() + 1
+    key = zorder_key(a, b, a_max, b_max, bits)
+    return (
+        df.select(
+            F.shiftrightunsigned(key, shift).cast("int").alias("bucket"),
+            a.cast("long").alias("_a"),
+            b.cast("long").alias("_b"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_a").alias("min_a"),
+            F.max("_a").alias("max_a"),
+            F.min("_b").alias("min_b"),
+            F.max("_b").alias("max_b"),
+        )
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

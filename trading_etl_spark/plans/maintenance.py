@@ -154,6 +154,33 @@ def maintain_table(
     return {"dropped": dropped, "compacted": compacted}
 
 
+def retention_plan(
+    df: DataFrame, time_col: str, cutoff: str, pattern: str = "yyyy-MM-dd"
+) -> DataFrame:
+    """DRY-RUN twin of :func:`drop_partitions_before`: classify each
+    day-partition of ``df`` as drop/keep against ``cutoff`` (ISO date
+    string, same lexicographic comparison the destructive path uses) with
+    its row count and time bounds. ``cutoff`` is an argument — the
+    orchestrator's clock, never wall-clock inside the plan — so the report
+    is deterministic and oracle-testable, the same discipline as
+    :func:`freshness_report`. One hash-agg, shuffle bounded by the number
+    of partitions; the operator a retention rollout runs (and audits)
+    before the first real drop."""
+    pv = F.date_format(F.date_trunc("day", F.col(time_col)), pattern)
+    return (
+        df.groupBy(pv.alias("partition_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(time_col).alias("min_ts"),
+            F.max(time_col).alias("max_ts"),
+        )
+        .withColumn(
+            "action",
+            F.when(F.col("partition_value") < cutoff, "drop").otherwise("keep"),
+        )
+    )
+
+
 def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None):
     """Schema-evolution read — the parquet analog of the reference's alembic
     add-column migrations (``alembic/versions/e2444ebd2a06_baseline_current_

@@ -721,8 +721,65 @@ def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(old, new, keys=["event_id"])
 
 
+RETENTION_CUTOFF = "2024-01-15"  # orchestrator clock argument, not wall-clock
+ZORDER_BUCKETS = 8
+
+
+def q_events_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance dry-run (plans/maintenance.retention_plan): classify the
+    events table's day-partitions as drop/keep against the retention
+    cutoff with row counts and time bounds — the audited plan the nightly
+    T11 sweep (reference: docs/devops-tasks/t11-retention-policy.md)
+    executes via drop_partitions_before. One hash-agg, shuffle bounded by
+    the partition count."""
+    from ..plans.maintenance import retention_plan
+
+    return retention_plan(_t(spark, sf_dir, "events"), "ts", RETENTION_CUTOFF)
+
+
+def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout-quality report (layout.zorder_bucket_stats): Morton
+    key over (user_id, epoch-minute), range-bucketed into 8 slices of the
+    key space, per-bucket row count + per-dimension min/max — the
+    rectangles parquet row-group stats would carry after write_zordered,
+    i.e. what a predicate on EITHER dimension can prune against. Bucket id
+    is a map-side shift of the key (no global sort/ntile); the bounds pass
+    is an eager 1-row agg standing in for catalog stats at scale."""
+    from ..layout import zorder_bucket_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "minute", F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    )
+    # epoch-minutes sit far from 0, so scale the OFFSET from the min —
+    # straight value/max would collapse the whole month into the top of
+    # the key space and leave most buckets empty
+    bounds = ev.agg(
+        F.max("user_id").alias("amax"),
+        F.min("minute").alias("bmin"),
+        F.max("minute").alias("bmax"),
+    ).first()
+    stats = zorder_bucket_stats(
+        ev,
+        F.col("user_id"),
+        F.col("minute") - F.lit(int(bounds["bmin"])),
+        int(bounds["amax"]),
+        int(bounds["bmax"]) - int(bounds["bmin"]),
+        n_buckets=ZORDER_BUCKETS,
+    )
+    return stats.select(
+        "bucket",
+        "n_rows",
+        F.col("min_a").alias("min_user"),
+        F.col("max_a").alias("max_user"),
+        F.col("min_b").alias("min_minute"),
+        F.col("max_b").alias("max_minute"),
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "events_retention_plan": q_events_retention_plan,
+    "events_zorder_stats": q_events_zorder_stats,
     "events_snapshot_diff": q_events_snapshot_diff,
     "dim_scd2_history": q_scd2_user_value_history,
     "dim_scd2_merge_apply": q_scd2_merge_apply,
@@ -749,7 +806,47 @@ QUERIES = {
     "top_customers_page2_offset": q_top_customers_page2,
 }
 
+# unrolled Morton interleave (16 bits/dim), mirroring layout.interleave_bits;
+# + is | here because the shifted terms never overlap
+_MORTON_SQL = " + ".join(
+    f"(((an >> {i}) & 1) << {2 * i}) + (((bn >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
 ORACLES = {
+    "events_retention_plan": f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS partition_value,
+       count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts,
+       CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') < '{RETENTION_CUTOFF}'
+            THEN 'drop' ELSE 'keep' END AS action
+FROM events GROUP BY 1
+""".strip(),
+    "events_zorder_stats": f"""
+WITH m AS (
+  SELECT user_id, epoch_ms(ts) // 60000 AS minute FROM events
+),
+bounds AS (
+  SELECT max(user_id)::DOUBLE AS amax,
+         min(minute) AS bmin,
+         (max(minute) - min(minute))::DOUBLE AS bspan
+  FROM m
+),
+-- minute dimension is the OFFSET from the min (straight value/max would
+-- collapse the month into the top of the key space), mirroring the query
+scaled AS (
+  SELECT least(greatest(floor(user_id::DOUBLE / amax * 65535)::BIGINT, 0), 65535) AS an,
+         least(greatest(floor((minute - bmin)::DOUBLE / bspan * 65535)::BIGINT, 0), 65535) AS bn,
+         user_id, minute - bmin AS minute_off
+  FROM m, bounds
+),
+keyed AS (
+  SELECT ({_MORTON_SQL}) AS zkey, user_id, minute_off FROM scaled
+)
+SELECT (zkey >> 29)::INT AS bucket, count(*) AS n_rows,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       min(minute_off) AS min_minute, max(minute_off) AS max_minute
+FROM keyed GROUP BY 1
+""".strip(),
     "local_supplier_volume": """
 SELECT n.n_name AS nation_name,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,

@@ -130,6 +130,10 @@ _DEFER: list[str] = [
     "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
     "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
     "bpe_encode_fertility",   # trained-BPE fertility stats; tokenizer family of bpe_train_merges
+    # r8-born — registered deferred until the r9 rotation (discipline: never
+    # rotate mid-round); each keeps an in-window sibling:
+    "events_retention_plan",  # maintenance dry-run agg; MAX-agg family of ticks_freshness_sla
+    "events_zorder_stats",    # Morton-key layout stats; agg family of events_value_histogram
 ]
 
 
