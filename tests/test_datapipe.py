@@ -393,6 +393,43 @@ def test_bpe_train_matches_reference_with_repeat_runs(spark):
         assert aa[0][4] >= 8
 
 
+def test_bpe_degenerate_corpus_engines_agree(spark):
+    """ADVICE r7: a corpus whose merges run DRY before n_merges rounds
+    ('ab ab cd' is fully merged after 2 rounds; BPE_MERGES=12) must not
+    diverge cross-engine — the Spark fit breaks and keeps the last
+    vocabulary, and the oracle's LEFT-JOIN-on-constant rounds are no-ops,
+    so BOTH sides still emit per-doc fertility stats and the same (short)
+    merge list instead of the oracle collapsing to zero rows."""
+    import duckdb
+
+    from trading_etl_spark.queries.datapipe import ORACLES
+
+    texts = ["ab ab cd", "ab cd cd"]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+    merges = [tuple(r) for r in tx.bpe_train(docs).orderBy("merge_rank").collect()]
+    stats = {r["doc_id"]: r for r in tx.bpe_encode_stats(docs).collect()}
+    assert [m[:4] for m in merges] == [(1, "a", "b", "ab"), (2, "c", "d", "cd")]
+    assert stats[0]["n_bpe_tokens"] == 3 and stats[0]["bpe_tokens_per_word"] == 1.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 'en')" for i, t in enumerate(texts))
+        + ") AS t(doc_id, text, lang)"
+    )
+    o_merges = con.execute(
+        ORACLES["bpe_train_merges"] + " ORDER BY merge_rank"
+    ).fetchall()
+    assert [tuple(m) for m in o_merges] == merges
+    o_stats = {r[0]: r for r in con.execute(ORACLES["bpe_encode_fertility"]).fetchall()}
+    assert set(o_stats) == {0, 1}
+    for did in (0, 1):
+        assert o_stats[did][1] == stats[did]["n_ws_tokens"]
+        assert o_stats[did][2] == stats[did]["n_bpe_tokens"]
+
+
 def test_decontaminate_flags_shared_ngrams(spark):
     # doc_ids chosen so the md5-hex split rule puts 3 in 'test'
     # (md5('3') starts 'ec' >= 'e6') and 1/2/19 in 'train'.

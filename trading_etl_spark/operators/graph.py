@@ -234,6 +234,14 @@ def pagerank(
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # dedup after symmetrization (advisor finding, r7): duplicate input
+    # pairs — or the same pair given in both orientations — would silently
+    # double-count degrees and contributions. The LSH call sites emit
+    # distinct single-orientation pairs already, but a general operator
+    # cannot rely on that; the dedup also matches the oracle's
+    # distinct-by-construction edge set. One extra pre-aggregate shuffle
+    # on the same (u, v) keys the degree count shuffles on anyway.
+    sym = sym.dropDuplicates(["u", "v"])
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     e = sym.join(deg, "u").localCheckpoint()
 

@@ -55,6 +55,16 @@ def grouped_top_k(
     the global top-k.
     """
     cols = df.columns
+    reserved = {"_ord", "_tie", "_rk"} & set(cols)
+    if reserved:
+        # withColumn would silently OVERWRITE an input column with one of
+        # these names and the final select(*cols) would return the
+        # normalized internal values instead of the user's data (advisor
+        # finding, r7) — refuse loudly instead.
+        raise ValueError(
+            f"grouped_top_k reserves internal column names {sorted(reserved)}; "
+            "rename the input column(s) first"
+        )
     tie = tie_col or order_col
 
     def _null_if_nan(c: str) -> F.Column:

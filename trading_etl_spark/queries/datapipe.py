@@ -1897,9 +1897,16 @@ def _bpe_sql() -> str:
 ),
 m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
 e{k} AS (
+  -- LEFT JOIN on a constant key (advisor finding, r7): when the corpus
+  -- runs dry before n_merges rounds, m{{k}} is EMPTY — a cross join would
+  -- empty s{{k}} and every later state, diverging from the Spark fit's
+  -- break-and-keep-last-vocabulary. With the left join, NULL a/b make
+  -- mk false everywhere, so the round is a no-op and s{{k}} = s{{k-1}}.
   SELECT wid, cnt, i, s[i] AS sym, m.a || m.b AS mg,
          coalesce(s[i] = m.a AND s[i + 1] = m.b, false) AS mk
-  FROM s{k - 1}, unnest(generate_series(1, len(s))) AS v{k}(i), m{k} m
+  FROM s{k - 1}
+  CROSS JOIN unnest(generate_series(1, len(s))) AS v{k}(i)
+  LEFT JOIN m{k} m ON true
 ),
 r{k} AS (
   SELECT *, CASE WHEN mk THEN i - row_number()
