@@ -112,6 +112,9 @@ SIBLING = {
     # r8-born, registered deferred until the r9 rotation:
     "events_retention_plan": "ticks_freshness_sla",
     "events_zorder_stats": "events_value_histogram",
+    "volatility_20_1h": "sma_golden_cross",
+    "returned_item_q10": "priority_shipmonth_q12",
+    "dedup_lsh_eval": "dedup_minhash_lsh",
 }
 
 

@@ -967,6 +967,12 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     explode+distinct instead of recomputing it 4× (materialized at scale).
     """
     sh = shingles(docs).cache()
+    return _jaccard_verify(_minhash_band_candidates(sh), sh, threshold)
+
+
+def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a shingle relation: signatures → band keys
+    → band-bucket equi-join, distinct (doc_a < doc_b)."""
     sig = _minhash_from_shingles(sh)
     r = MINHASH_SEEDS // MINHASH_BANDS
     bands = F.array(
@@ -983,14 +989,63 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     doc_bands = sig.select("doc_id", F.explode(bands).alias("bd")).select(
         "doc_id", "bd.band_idx", "bd.band_key"
     )
-    cand = (
+    return (
         doc_bands.alias("a")
         .join(doc_bands.alias("b"), ["band_idx", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_verify(cand, sh, threshold)
+
+
+def lsh_eval_report(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Empirical quality report for the MinHash banding scheme — the eval
+    harness a dedup rollout runs on a SAMPLE before trusting LSH on the
+    full corpus: candidate-set precision (what fraction of band collisions
+    survive exact-jaccard verification) and recall against the exact
+    co-shingle baseline (what fraction of true ≥threshold pairs the bands
+    surfaced; the theoretical banding bound made measurable).
+
+    One row: (n_candidates, n_verified, n_exact, candidate_precision,
+    recall). The exact side shares :func:`dedup_ngram_jaccard`'s
+    deliberately-quadratic candidate join — this is an evaluation
+    baseline for sampled data, not a production path (the production path
+    IS the LSH being evaluated). All three counts are 1-row aggregates
+    cross-joined lazily; the cached shingle relation feeds every stage.
+    """
+    sh = shingles(docs).cache()
+    cand = _minhash_band_candidates(sh)
+    verified = _jaccard_verify(cand, sh, threshold)
+    exact_cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = _jaccard_verify(exact_cand, sh, threshold)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    n_ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        n_cand.crossJoin(n_ver)
+        .crossJoin(n_ex)
+        .select(
+            "n_candidates",
+            "n_verified",
+            "n_exact",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+            ).alias("candidate_precision"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_verified") / F.col("n_exact"), 6),
+            ).alias("recall"),
+        )
+    )
 
 
 SIMHASH_BITS = 64

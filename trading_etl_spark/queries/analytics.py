@@ -721,6 +721,47 @@ def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(old, new, keys=["event_id"])
 
 
+Q10_DATE_LO, Q10_DATE_HI = "1996-01-01", "1996-04-01"
+
+
+def q_returned_item_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (r8-born): top-20 customers by revenue lost to
+    returned items in one quarter. Scale design: the date predicate
+    pushes to the orders scan and the returnflag predicate to the
+    lineitem scan BEFORE the one fact-fact shuffle join; the per-customer
+    aggregate is partial; nation broadcasts onto customer, and the
+    customer-dim join is left to AQE (at 100 TB neither the full customer
+    dim nor a quarter's active-customer aggregate is safely
+    broadcastable — AQE picks broadcast when runtime stats allow);
+    top-20 is TakeOrderedAndProject with a custkey tie-break, never a
+    full sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        rev.join(dim, rev.o_custkey == dim.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 RETENTION_CUTOFF = "2024-01-15"  # orchestrator clock argument, not wall-clock
 ZORDER_BUCKETS = 8
 
@@ -780,6 +821,7 @@ QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "events_retention_plan": q_events_retention_plan,
     "events_zorder_stats": q_events_zorder_stats,
+    "returned_item_q10": q_returned_item_q10,
     "events_snapshot_diff": q_events_snapshot_diff,
     "dim_scd2_history": q_scd2_user_value_history,
     "dim_scd2_merge_apply": q_scd2_merge_apply,
@@ -820,6 +862,23 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS partition_value,
        CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') < '{RETENTION_CUTOFF}'
             THEN 'drop' ELSE 'keep' END AS action
 FROM events GROUP BY 1
+""".strip(),
+    "returned_item_q10": f"""
+SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
+FROM (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO}'
+    AND o.o_orderdate < TIMESTAMP '{Q10_DATE_HI}'
+  GROUP BY 1
+) r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue DESC, c.c_custkey
+LIMIT 20
 """.strip(),
     "events_zorder_stats": f"""
 WITH m AS (

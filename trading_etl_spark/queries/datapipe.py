@@ -132,6 +132,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_ngram_jaccard(_docs(spark, sf_dir))
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding quality report (r8-born): candidate precision +
+    empirical recall vs the exact co-shingle baseline — the sampled eval
+    a dedup rollout runs before trusting LSH at corpus scale."""
+    return tx.lsh_eval_report(_docs(spark, sf_dir))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash signature per document."""
     return tx.simhash(_docs(spark, sf_dir))
@@ -649,6 +656,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_lsh_eval": q_lsh_eval,
     "dedup_simhash": q_dedup_simhash,
     "dedup_connected_components": q_dedup_components,
     "dedup_cc_two_phase": q_dedup_components_two_phase,
@@ -921,6 +929,48 @@ cand AS (
         tx.JACCARD_VERIFY_SQL,
     )
     + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    "dedup_lsh_eval": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        tx.minhash_sig_sql(),
+        tx.band_sql(),
+        """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM doc_bands a
+  JOIN doc_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+""".strip(),
+        """
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+exact_pairs AS (
+  SELECT p.doc_a, p.doc_b,
+         round(p.i * 1.0 / (sa.sz + sb.sz - p.i), 6) AS jaccard
+  FROM pair_inter p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+nv AS (SELECT count(*)::BIGINT AS n_verified
+       FROM cand c JOIN exact_pairs e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+       WHERE e.jaccard >= 0.5),
+ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact_pairs WHERE jaccard >= 0.5)
+""".strip(),
+    )
+    + """
+SELECT n_candidates, n_verified, n_exact,
+       CASE WHEN n_candidates > 0
+            THEN round(n_verified * 1.0 / n_candidates, 6) END AS candidate_precision,
+       CASE WHEN n_exact > 0
+            THEN round(n_verified * 1.0 / n_exact, 6) END AS recall
+FROM nc, nv, ne""",
     "dedup_ngram_jaccard": _with(
         tx.DOCS_TOKS_SQL,
         tx.SHINGLES_SQL,

@@ -12,6 +12,8 @@ Conventions shared with the DuckDB oracles:
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -357,6 +359,21 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time",
         F.round("pct_k", 6).alias("pct_k"),
         F.round("pct_d", 6).alias("pct_d"),
+    )
+
+
+def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling volatility pair on 1h candles (r8-born): realized
+    (stddev_samp of 20 log returns) + Parkinson high-low range estimator —
+    pure native windows, zero Python (operators/indicators.volatility).
+    Warm-up rows excluded."""
+    out = indicators.volatility(_ohlc_1h(spark, sf_dir), 20)
+    return out.filter(F.col("realized_vol").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("realized_vol", 6).alias("realized_vol"),
+        F.round("parkinson_vol", 6).alias("parkinson_vol"),
     )
 
 
@@ -789,6 +806,7 @@ QUERIES = {
     "atr_14_1h": q_atr,
     "bollinger_20_2_1h": q_bollinger,
     "stochastic_14_3_1h": q_stochastic,
+    "volatility_20_1h": q_volatility,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
@@ -1116,6 +1134,23 @@ SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
 FROM kv
 QUALIFY rn >= 16""",
+    "volatility_20_1h": _with(*_TO_1H)
+    + f""",
+r AS (
+  SELECT currency_pair_code, time, high, low,
+         row_number() OVER w AS rn,
+         ln("close" / lag("close") OVER w) AS lr,
+         pow(ln(high / low), 2) AS hl2
+  FROM ohlc_1h
+  WINDOW w AS (PARTITION BY currency_pair_code ORDER BY time)
+)
+SELECT currency_pair_code, '1h' AS timeframe_code, time,
+       round(stddev_samp(lr) OVER wp, 6) AS realized_vol,
+       round(sqrt(avg(hl2) OVER wp / {4 * _math.log(2)!r}), 6) AS parkinson_vol
+FROM r
+WINDOW wp AS (PARTITION BY currency_pair_code ORDER BY time
+              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 21""",
     "candle_gap_fill": _with(*_TO_1H)
     + """,
 spans AS (

@@ -134,6 +134,9 @@ _DEFER: list[str] = [
     # rotate mid-round); each keeps an in-window sibling:
     "events_retention_plan",  # maintenance dry-run agg; MAX-agg family of ticks_freshness_sla
     "events_zorder_stats",    # Morton-key layout stats; agg family of events_value_histogram
+    "volatility_20_1h",       # realized+Parkinson vol windows; family of sma_golden_cross
+    "returned_item_q10",      # TPC-H Q10 top-k star; family of priority_shipmonth_q12
+    "dedup_lsh_eval",         # banding precision/recall report; family of dedup_minhash_lsh
 ]
 
 
