@@ -187,3 +187,31 @@ def test_holt_forecast_reference_and_constant_series(spark):
         assert ls[i] == level and bs[i] == trend
     fc, lc, bc = _holt_series(np.full(50, 7.25))
     assert np.allclose(fc[1:], 7.25) and np.allclose(bc, 0.0)
+
+
+def test_volatility_matches_numpy_reference(spark):
+    """realized_vol == sample stddev of the trailing `period` log returns,
+    parkinson_vol == sqrt(mean(ln(high/low)^2)/(4 ln 2)) over the same
+    window; first `period` rows NULL (one consumed by the first return)."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.indicators import volatility
+
+    closes = [100.0, 101.0, 99.5, 102.0, 103.5, 102.5, 104.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), c, c * 1.01, c * 0.99, c)
+        for i, c in enumerate(closes)
+    ]
+    out = volatility(spark.createDataFrame(rows, OHLC_SCHEMA), period=3)
+    got = sorted(out.collect(), key=lambda r: r["time"])
+    assert [r["realized_vol"] for r in got[:3]] == [None, None, None]
+
+    lr = np.diff(np.log(closes))
+    hl2 = math.log(1.01 / 0.99) ** 2  # constant across rows by construction
+    for i in range(3, len(closes)):
+        exp_rv = float(np.std(lr[i - 3 : i], ddof=1))
+        assert got[i]["realized_vol"] == pytest.approx(exp_rv, rel=1e-9)
+        assert got[i]["parkinson_vol"] == pytest.approx(
+            math.sqrt(hl2 / (4 * math.log(2))), rel=1e-9
+        )
