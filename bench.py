@@ -52,6 +52,8 @@ HEADLINE = [
     "sma_golden_cross",
     "backtest_pnl",
     "event_asof_tick",
+    "event_asof_tick_plain",  # plain twin: quantifies the bucketed form's
+    # fixed small-scale overhead vs its scale win (see operators/asof.py)
     "event_reaction_window",
     "dedup_exact",
     "dedup_minhash_lsh",

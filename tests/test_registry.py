@@ -115,6 +115,7 @@ SIBLING = {
     "volatility_20_1h": "sma_golden_cross",
     "returned_item_q10": "priority_shipmonth_q12",
     "dedup_lsh_eval": "dedup_minhash_lsh",
+    "event_asof_tick_plain": "event_asof_tick",
 }
 
 

@@ -733,6 +733,30 @@ def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_asof_tick_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLAIN as-of twin (r8): one window partitioned on the join key
+    only — same oracle and identical rows as event_asof_tick. Registered
+    so the plain/bucketed trade-off is MEASURED, not asserted: at sf0.1
+    the plain form wins ~5x on fixed overhead (one shuffle, no
+    finals/carry stages), but its per-key single-task window caps
+    parallelism at |pairs| — the bucketed form stays the production path
+    at scale (operators/asof.py docstring)."""
+    from ..operators.asof import asof_join_backward
+
+    events = (
+        _buysell_events_1h(spark, sf_dir)
+        .select("event_datetime", "currency_pair_code", "event_type", "price")
+        .withColumn("time", F.col("event_datetime"))
+    )
+    quotes = _ticks(spark, sf_dir).select("currency_pair_code", "time", "bid")
+    out = asof_join_backward(
+        events, quotes, on="time", by=["currency_pair_code"], value_cols=["bid"]
+    )
+    return out.select(
+        "event_datetime", "currency_pair_code", "event_type", "price", "bid"
+    )
+
+
 def q_event_asof_next_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each signal event matched to the first tick bid
     at or after its event time — the fill price a market order placed at
@@ -824,6 +848,7 @@ QUERIES = {
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
     "event_asof_tick": q_event_asof_tick,
+    "event_asof_tick_plain": q_event_asof_tick_plain,
     "event_asof_next_tick": q_event_asof_next_tick,
     "event_asof_nearest_tick": q_event_asof_nearest_tick,
 }
@@ -1448,3 +1473,8 @@ JOIN ticks t
  AND t.time <= e.event_datetime + INTERVAL 300 SECOND
 GROUP BY 1, 2, 3""",
 }
+
+# the plain as-of twin computes IDENTICAL rows to the bucketed form —
+# one oracle serves both (the same-oracle convention ohlc_1m /
+# streaming_ohlc_1m use)
+ORACLES["event_asof_tick_plain"] = ORACLES["event_asof_tick"]

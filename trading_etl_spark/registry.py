@@ -137,6 +137,7 @@ _DEFER: list[str] = [
     "volatility_20_1h",       # realized+Parkinson vol windows; family of sma_golden_cross
     "returned_item_q10",      # TPC-H Q10 top-k star; family of priority_shipmonth_q12
     "dedup_lsh_eval",         # banding precision/recall report; family of dedup_minhash_lsh
+    "event_asof_tick_plain",  # plain as-of twin, SAME oracle as event_asof_tick
 ]
 
 
