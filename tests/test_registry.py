@@ -116,6 +116,7 @@ SIBLING = {
     "returned_item_q10": "priority_shipmonth_q12",
     "dedup_lsh_eval": "dedup_minhash_lsh",
     "event_asof_tick_plain": "event_asof_tick",
+    "backtest_max_drawdown": "backtest_pnl",
 }
 
 

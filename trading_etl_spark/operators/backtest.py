@@ -60,6 +60,32 @@ def equity_curve(events: DataFrame) -> DataFrame:
     )
 
 
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """Peak cumulative PnL and maximum drawdown per (pair, timeframe,
+    period) — THE risk statistic a backtest report leads with. Drawdown at
+    time t is ``running-peak(cum_pnl) − cum_pnl`` (absolute PnL terms —
+    the ratio form divides by a peak that can be ≤ 0 for losing
+    strategies); max over the curve is the answer. The running-max window
+    shares the equity curve's (keys, sell_time) partitioning/order, so no
+    extra exchange; the final agg collapses to one row per strategy."""
+    keys = ["currency_pair_code", "timeframe_code", "period"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("sell_time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = equity_curve(events)
+    dd = F.round(F.max("cum_pnl").over(w) - F.col("cum_pnl"), 6)
+    return (
+        curve.withColumn("_dd", dd)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.max("cum_pnl"), 6).alias("peak_cum_pnl"),
+            F.max("_dd").alias("max_drawdown"),
+        )
+    )
+
+
 def backtest_pnl(events: DataFrame) -> DataFrame:
     """Per (pair, timeframe, period): number of closed trades + realized PnL."""
     return (

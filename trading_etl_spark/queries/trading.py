@@ -712,6 +712,15 @@ def q_equity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equity_curve(events)
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak cumulative PnL + max drawdown per strategy (r8-born) — the
+    running-max window over the equity curve, collapsed to one row per
+    (pair, timeframe, period)."""
+    from ..operators.backtest import max_drawdown
+
+    return max_drawdown(_buysell_events_1h(spark, sf_dir))
+
+
 def q_event_asof_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each signal event matched to the last tick bid at or
     before its event time. Bucketed two-level construction — the heavy
@@ -847,6 +856,7 @@ QUERIES = {
     "backtest_pnl": q_backtest,
     "backtest_trades": q_backtest_trades,
     "backtest_equity_curve": q_equity_curve,
+    "backtest_max_drawdown": q_max_drawdown,
     "event_asof_tick": q_event_asof_tick,
     "event_asof_tick_plain": q_event_asof_tick_plain,
     "event_asof_next_tick": q_event_asof_next_tick,
@@ -1418,6 +1428,46 @@ SELECT currency_pair_code, timeframe_code, period, sell_time, pnl,
                             ORDER BY sell_time
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_pnl
 FROM closed""",
+    "backtest_max_drawdown": _with(*_TO_1H, _SMA_PAIRED_SQL)
+    + f""",
+sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL}),
+trades AS (
+  SELECT currency_pair_code, trigger_indicator_timeframe, trigger_indicator_period,
+         event_datetime, event_type, price,
+         lag(event_type) OVER w AS prev_type,
+         lag(price) OVER w AS prev_price
+  FROM sig_events
+  WINDOW w AS (PARTITION BY currency_pair_code, trigger_indicator_timeframe,
+               trigger_indicator_period ORDER BY event_datetime)
+),
+closed AS (
+  SELECT currency_pair_code,
+         trigger_indicator_timeframe AS timeframe_code,
+         trigger_indicator_period AS period,
+         event_datetime AS sell_time,
+         round(price - prev_price, 6) AS pnl
+  FROM trades
+  WHERE event_type = 'SELL' AND prev_type = 'BUY'
+),
+curve AS (
+  SELECT currency_pair_code, timeframe_code, period, sell_time,
+         round(sum(pnl) OVER wc, 6) AS cum_pnl
+  FROM closed
+  WINDOW wc AS (PARTITION BY currency_pair_code, timeframe_code, period
+                ORDER BY sell_time
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+peaked AS (
+  SELECT *, round(max(cum_pnl) OVER wc - cum_pnl, 6) AS dd
+  FROM curve
+  WINDOW wc AS (PARTITION BY currency_pair_code, timeframe_code, period
+                ORDER BY sell_time
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT currency_pair_code, timeframe_code, period,
+       round(max(cum_pnl), 6) AS peak_cum_pnl,
+       max(dd) AS max_drawdown
+FROM peaked GROUP BY 1, 2, 3""",
     "event_asof_tick": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
 sig_events AS ({_GOLDEN_SQL} UNION ALL {_DEAD_SQL})

@@ -138,6 +138,7 @@ _DEFER: list[str] = [
     "returned_item_q10",      # TPC-H Q10 top-k star; family of priority_shipmonth_q12
     "dedup_lsh_eval",         # banding precision/recall report; family of dedup_minhash_lsh
     "event_asof_tick_plain",  # plain as-of twin, SAME oracle as event_asof_tick
+    "backtest_max_drawdown",  # running-peak drawdown agg; backtest family of backtest_pnl
 ]
 
 
