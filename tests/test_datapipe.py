@@ -320,6 +320,39 @@ def test_exact_substring_planted_overlap(spark):
     assert spans == {0: (38, 237, 200), 1: (12, 211, 200)}
 
 
+def test_strip_duplicate_spans_keeps_first_occurrence(spark):
+    """Removal twin of the span finder: the FIRST (doc_id, pos) occurrence
+    of a duplicated block survives, the later copy loses exactly the span
+    tokens, a fully-duplicated document empties (md5 of ''), and a
+    WITHIN-doc repetition (ignored by the cross-doc span finder) is
+    removed too."""
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    pre_b = " ".join(f"b{i}" for i in range(11))
+    rep = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, shared, "en"),                  # keeper: untouched
+            (1, f"{pre_b} {shared}", "en"),     # loses the 30-token block
+            (2, shared, "en"),                  # full duplicate → empties
+            (3, f"{rep} {rep}", "en"),          # internal repeat → 2nd copy goes
+            (4, "totally unrelated filler text", "en"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in tx.strip_duplicate_spans(docs).collect()}
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[0]["cleaned_md5"] == hashlib.md5(shared.encode()).hexdigest()
+    assert out[1]["n_tokens_removed"] == 30 and out[1]["n_tokens_after"] == 11
+    assert out[1]["cleaned_md5"] == hashlib.md5(pre_b.encode()).hexdigest()
+    assert out[2]["n_tokens_after"] == 0
+    assert out[2]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[3]["n_tokens_before"] == 40 and out[3]["n_tokens_removed"] == 20
+    assert out[3]["cleaned_md5"] == hashlib.md5(rep.encode()).hexdigest()
+    assert out[4]["n_tokens_removed"] == 0
+
+
 def test_exact_substring_min_length_and_within_doc_repeats(spark):
     """Spans below min_tokens are suppressed, and a shingle repeated only
     WITHIN one document is not 'duplicated' (cross-doc means ≥2 distinct

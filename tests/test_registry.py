@@ -117,6 +117,7 @@ SIBLING = {
     "dedup_lsh_eval": "dedup_minhash_lsh",
     "event_asof_tick_plain": "event_asof_tick",
     "backtest_max_drawdown": "backtest_pnl",
+    "corpus_strip_dup_spans": "dedup_exact_substring",
 }
 
 

@@ -21,6 +21,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
+import hashlib
 from functools import reduce
 from operator import add
 
@@ -1519,6 +1520,94 @@ def exact_substring_spans(
         )
         .filter(F.col("n_tokens") >= min_tokens)
         .select("doc_id", "start_pos", "end_pos", "n_tokens")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame, k: int = EXSUB_K, min_tokens: int = EXSUB_MIN_TOKENS
+) -> DataFrame:
+    """APPLY exact-substring dedup (the removal step of Lee et al. 2022 —
+    :func:`exact_substring_spans` finds spans; this strips them): delete
+    every duplicated span of ≥ ``min_tokens`` tokens while KEEPING the
+    first occurrence. Occurrence policy is window-level and total-ordered:
+    for each k-token window the minimal (doc_id, pos) occurrence is the
+    keeper; non-first occurrences stitch into islands exactly like the
+    span finder (so within-doc repetitions are removed too, which the
+    count-distinct-docs span finder deliberately ignores).
+
+    Output one row per document: token counts before/removed/after and
+    the md5 of the cleaned (space-rejoined) text — a fully-deduplicated
+    document can come back empty (md5 of ''). Scale shape: the first-
+    occurrence pick is a partial-aggregable ``min(struct(doc, pos))``
+    hash-agg (never a per-hash window — hot shingles would skew it), span
+    expansion is bounded by document length, and the token re-assembly is
+    one doc-keyed agg; raw text never shuffles, only (doc, pos, token)
+    rows do.
+    """
+    pos_hashes = F.expr(
+        f"IF(size(toks) >= {k},"
+        f" transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> xxhash64(array_join(slice(toks, i, {k}), ' '))),"
+        f" array())"
+    )
+    toked = with_tokens(docs)
+    pos = toked.select(
+        "doc_id", F.posexplode(pos_hashes).alias("idx", "h")
+    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h")
+    first = pos.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    marked = (
+        pos.join(first, "h")
+        .filter(
+            (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        marked.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).alias("end_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    rem = spans.select(
+        "doc_id", F.explode(F.sequence("start_pos", "end_pos")).alias("pos")
+    ).distinct()
+    tok_pos = toked.select(
+        "doc_id", F.posexplode("toks").alias("idx", "tok")
+    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "tok")
+    cleaned = (
+        tok_pos.join(rem, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_after"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    return (
+        toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens_before"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before") - F.coalesce("n_tokens_after", F.lit(0))
+            ).alias("n_tokens_removed"),
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+            F.coalesce("cleaned_md5", F.lit(empty_md5)).alias("cleaned_md5"),
+        )
     )
 
 

@@ -132,6 +132,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_ngram_jaccard(_docs(spark, sf_dir))
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (r8-born): strip ≥16-token duplicated
+    spans keeping each window's first (doc_id, pos) occurrence; per-doc
+    before/removed/after counts + cleaned-text md5."""
+    return tx.strip_duplicate_spans(_docs(spark, sf_dir))
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding quality report (r8-born): candidate precision +
     empirical recall vs the exact co-shingle baseline — the sampled eval
@@ -668,6 +675,7 @@ QUERIES = {
     "text_ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "dedup_passages": q_passage_dedup,
     "dedup_exact_substring": q_exact_substring,
+    "corpus_strip_dup_spans": q_strip_dup_spans,
     "dupgraph_pagerank": q_dupgraph_pagerank,
     "dedup_keeper_centrality": q_dedup_keeper_centrality,
     "bpe_train_merges": q_bpe_train,
@@ -1046,6 +1054,51 @@ SELECT doc_id,
        max(pos) - min(pos) + {tx.EXSUB_K} AS n_tokens
 FROM m GROUP BY doc_id, isl
 HAVING max(pos) - min(pos) + {tx.EXSUB_K} >= {tx.EXSUB_MIN_TOKENS}""",
+    # removal twin: occurrence policy is window-level rn>1 over
+    # (doc_id, pos) — identical to the Spark side's min(struct) keeper
+    "corpus_strip_dup_spans": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+pos AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+{tx.EXSUB_K - 1}], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(t) - {tx.EXSUB_K - 1}, 0))) AS u(i)
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM pos
+),
+m AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM occ WHERE rn > 1
+),
+spans AS (
+  SELECT doc_id, min(pos) AS start_pos, max(pos) + {tx.EXSUB_K - 1} AS end_pos
+  FROM m GROUP BY doc_id, isl
+  HAVING max(pos) - min(pos) + {tx.EXSUB_K} >= {tx.EXSUB_MIN_TOKENS}
+),
+rem AS (
+  SELECT DISTINCT doc_id, u.p AS pos
+  FROM spans, unnest(generate_series(start_pos, end_pos)) AS u(p)
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+  ANTI JOIN rem r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+),
+cleaned AS (
+  SELECT doc_id, count(*)::BIGINT AS n_after,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cmd5
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id, len(t)::BIGINT AS n_tokens_before,
+       (len(t) - coalesce(n_after, 0))::BIGINT AS n_tokens_removed,
+       coalesce(n_after, 0)::BIGINT AS n_tokens_after,
+       coalesce(cmd5, md5('')) AS cleaned_md5
+FROM toks LEFT JOIN cleaned USING (doc_id)""",
     "dedup_passages": _with(tx.DOCS_TOKS_SQL)
     + f""",
 ps AS (

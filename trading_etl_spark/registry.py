@@ -139,6 +139,7 @@ _DEFER: list[str] = [
     "dedup_lsh_eval",         # banding precision/recall report; family of dedup_minhash_lsh
     "event_asof_tick_plain",  # plain as-of twin, SAME oracle as event_asof_tick
     "backtest_max_drawdown",  # running-peak drawdown agg; backtest family of backtest_pnl
+    "corpus_strip_dup_spans",  # span REMOVAL applying dedup_exact_substring's family
 ]
 
 
