@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line LAST: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: median_sec}, "min_total_sec": ..., "sf": ...}. The full
+per-run series + methodology go to BENCH_DETAIL.json next to this file
+(the driver tail-captures stdout; see summarize()).
 
 Each query executes end-to-end into a noop sink (full plan, no driver
 collect). Timings exclude session startup.
@@ -210,37 +212,62 @@ def main() -> None:
                 continue
             runs.setdefault(name, []).append(run_once(fn))
 
+    spark.stop()
+    headline_json, detail = summarize(runs, sf)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # LAST stdout line, after spark.stop() so no shutdown logging can trail
+    # it: the driver tail-captures output, so the headline JSON must be
+    # compact and final (see summarize()).
+    print(headline_json)
+
+
+def summarize(runs: dict[str, list[float]], sf: float | None) -> tuple[str, dict]:
+    """(compact headline JSON line, full-detail dict for BENCH_DETAIL.json).
+
+    The stdout line stays COMPACT and LAST (VERDICT r8 task #2): the driver
+    captures only the ~2000-char tail of output, and the raw queries_runs
+    data added in r6 grew the single JSON line past that capture —
+    BENCH_r06..r08 all recorded "parsed": null. The full series moves to
+    BENCH_DETAIL.json (the judge reads it); tests/test_bench_contract.py
+    pins the line-length budget and key set.
+    """
     medians = {k: sorted(v)[len(v) // 2] for k, v in runs.items()}
     minima = {k: min(v) for k, v in runs.items()}
-    total = round(sum(medians.values()), 3)
     first_run_total = round(sum(v[0] for v in runs.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "queries_min": minima,
-                "min_total_sec": round(sum(minima.values()), 3),
-                "sf": sf,
-                "runs_per_query": N_RUNS,
-                "queries_runs": runs,
-                "first_run_total_sec": first_run_total,
-                "methodology": (
-                    "headline set round-interleaved over warm caches: the "
-                    "whole set runs once per round, rounds repeat N times, "
-                    "so a load burst hits one round of every query instead "
-                    "of all runs of a few; cold lines consecutive (they "
-                    "clear caches); queries=median-of-N, queries_min="
-                    "min-of-N; min is the load-noise-robust statistic "
-                    "(external load only adds time) — adjudicate "
-                    "regressions on min, not median"
-                ),
-            }
-        )
+    detail = {
+        "queries_min": minima,
+        "queries_runs": runs,
+        "first_run_total_sec": first_run_total,
+        "methodology": (
+            "headline set round-interleaved over warm caches: the "
+            "whole set runs once per round, rounds repeat N times, "
+            "so a load burst hits one round of every query instead "
+            "of all runs of a few; cold lines consecutive (they "
+            "clear caches); queries=median-of-N, queries_min="
+            "min-of-N; min is the load-noise-robust statistic "
+            "(external load only adds time) — adjudicate "
+            "regressions on min, not median"
+        ),
+    }
+    headline_json = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": round(sum(medians.values()), 3),
+            "unit": "sec",
+            "queries": medians,
+            "min_total_sec": round(sum(minima.values()), 3),
+            "first_run_total_sec": first_run_total,
+            "sf": sf,
+            "runs_per_query": N_RUNS,
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
-    spark.stop()
+    return headline_json, detail
 
 
 if __name__ == "__main__":

@@ -14,35 +14,35 @@ DRIVER_WINDOW = 50
 
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
-    "sma_dead_cross": "sma_golden_cross",
+    "sma_dead_cross": "pair_rolling_correlation",
     "spread_quantiles": "orders_table_profile",
-    "avg_close_pivot": "candle_rollup",
+    "avg_close_pivot": "candle_unpivot",
     "text_fingerprint": "dedup_exact",
     "media_resize": "media_extract_meta",
     "embedding_near_dup": "embedding_near_dup_lsh",
-    "dedup_ngram_jaccard": "dedup_minhash_lsh",
+    "dedup_ngram_jaccard": "dedup_lsh_eval",
     "embedding_knn_bruteforce": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
-    "text_simhash": "dedup_minhash_lsh",
-    "event_props_json_agg": "events_value_histogram",
+    "text_simhash": "dedup_lsh_eval",
+    "event_props_json_agg": "events_value_winsorize",
     "top_customers_by_open_value": "top_customers_page2_offset",
-    "candle_cube": "candle_rollup",
-    "backtest_equity_curve": "backtest_pnl",
+    "candle_cube": "candle_unpivot",
+    "backtest_equity_curve": "backtest_max_drawdown",
     "media_frame_sample": "media_extract_meta",
-    "sma_fanout_all_tf": "sma_golden_cross",
-    "backtest_trades": "backtest_pnl",
+    "sma_fanout_all_tf": "pair_rolling_correlation",
+    "backtest_trades": "backtest_max_drawdown",
     "watermark_max_time": "incremental_cursor_scan",
     "text_token_count": "text_quality_score",
     "text_top_terms_per_lang": "text_tfidf_top_terms",
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
-    "ohlc_derived_multi_tf": "candle_rollup",
-    "sma_14_1h": "sma_golden_cross",
+    "ohlc_derived_multi_tf": "candle_unpivot",
+    "sma_14_1h": "pair_rolling_correlation",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
     "candle_returns_quartile": "orders_table_profile",
-    "event_reaction_window": "event_asof_tick",
-    "dedup_simhash": "dedup_minhash_lsh",
+    "event_reaction_window": "event_asof_tick_plain",
+    "dedup_simhash": "dedup_lsh_eval",
     "dedup_connected_components": "dedup_cc_two_phase",
     "dedup_passages": "corpus_pack_sequences",
     "text_repetition_filter": "text_quality_score",
@@ -55,8 +55,8 @@ SIBLING = {
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
     # the stateful-streaming path).
-    "candle_gap_fill": "candle_rollup",
-    "event_asof_next_tick": "event_asof_tick",
+    "candle_gap_fill": "candle_unpivot",
+    "event_asof_next_tick": "event_asof_tick_plain",
     "text_bigram_pmi": "text_tfidf_top_terms",
     "dim_scd2_history": "user_cohort_retention",
     "user_funnel_conversion": "user_cohort_retention",
@@ -65,29 +65,29 @@ SIBLING = {
     "streaming_sliding_stats": "streaming_ohlc_1m",
     "text_pii_redact": "text_quality_score",
     "urgent_not_finished_setops": "customers_no_open_orders_anti",
-    "ema_14_1h": "rsi_14_1h",
+    "ema_14_1h": "holt_forecast_1h",
     # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
-    "event_asof_nearest_tick": "event_asof_tick",
+    "event_asof_nearest_tick": "event_asof_tick_plain",
     "embedding_pq_codes": "embedding_knn_ivfadc",
     "embedding_knn_pq_adc": "embedding_knn_ivfadc",
     "decontaminate_train_ngrams": "decontaminate_bloom_prefilter",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
-    "star_join_revenue": "local_supplier_volume",
+    "star_join_revenue": "shipping_priority_q3",
     "text_rolling_fingerprint": "corpus_pack_sequences",
-    "corpus_clean_pipeline": "dedup_minhash_lsh",
+    "corpus_clean_pipeline": "dedup_lsh_eval",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "rsi_14_1h",
-    "bollinger_20_2_1h": "sma_golden_cross",
+    "macd_12_26_9_1h": "holt_forecast_1h",
+    "bollinger_20_2_1h": "volatility_20_1h",
     "hybrid_search_rrf": "bm25_search",
     "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
     "corpus_dsir_resample": "text_unigram_logprob",
@@ -96,28 +96,31 @@ SIBLING = {
     "events_snapshot_diff": "streaming_scd2_apply",
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "streaming_sma_cross": "streaming_heavy_hitters",
-    "tpch_pricing_summary": "priority_shipmonth_q12",
+    "tpch_pricing_summary": "returned_item_q10",
     "streaming_view_click_join": "streaming_ohlc_1m",
     "text_lang_id": "text_quality_score",
-    # wave 3 candidates, still deferred (siblings re-pointed where their
-    # previous sibling rotated out this round):
     "streaming_ema_14_1h": "streaming_heavy_hitters",
-    "streaming_rsi_14_1h": "streaming_heavy_hitters",
-    "events_value_winsorize": "events_value_histogram",
-    "shipping_priority_q3": "local_supplier_volume",
-    "pair_rolling_correlation": "sma_golden_cross",
-    "candle_unpivot": "candle_rollup",
-    "event_type_copairs": "events_value_histogram",
-    "bpe_encode_fertility": "bpe_train_merges",
-    # r8-born, registered deferred until the r9 rotation:
-    "events_retention_plan": "ticks_freshness_sla",
-    "events_zorder_stats": "events_value_histogram",
-    "volatility_20_1h": "sma_golden_cross",
-    "returned_item_q10": "priority_shipmonth_q12",
-    "dedup_lsh_eval": "dedup_minhash_lsh",
-    "event_asof_tick_plain": "event_asof_tick",
-    "backtest_max_drawdown": "backtest_pnl",
-    "corpus_strip_dup_spans": "dedup_exact_substring",
+    # r9 rotation wave 3: ALL 15 never-driver-certified queries moved INTO
+    # the window (certification backlog emptied); these 15 r8-driver-green
+    # queries rotated out, each with a same-family twin in the window
+    # (event_asof_tick_plain / streaming_rsi_14_1h run their rotated-out
+    # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
+    # dedup_lsh_eval apply the same trained artifacts or spans).
+    "event_asof_tick": "event_asof_tick_plain",
+    "backtest_pnl": "backtest_max_drawdown",
+    "events_value_histogram": "events_value_winsorize",
+    "ticks_freshness_sla": "events_retention_plan",
+    "dedup_minhash_lsh": "dedup_lsh_eval",
+    "dedup_exact_substring": "corpus_strip_dup_spans",
+    "bpe_train_merges": "bpe_encode_fertility",
+    "priority_shipmonth_q12": "returned_item_q10",
+    "local_supplier_volume": "shipping_priority_q3",
+    "rsi_14_1h": "streaming_rsi_14_1h",
+    "sma_golden_cross": "pair_rolling_correlation",
+    "candle_rollup": "candle_unpivot",
+    "atr_14_1h": "holt_forecast_1h",
+    "stochastic_14_3_1h": "holt_forecast_1h",
+    "dupgraph_pagerank": "dedup_keeper_centrality",
 }
 
 
@@ -142,30 +145,29 @@ def test_deferred_queries_register_last_and_have_siblings():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
 
 
-def test_round8_rotation_in_window():
-    # VERDICT r7 tasks #3/#4 (rotation wave 2): the 12 prioritized
-    # uncertified r6/r7-born queries plus approx_value_quantiles (GK-quantile
-    # family representative restored) are inside the 50-row correctness
-    # window this round, and orders_table_profile stays in to certify its
-    # oracle-cast fix. (Earlier rounds' in-window assertions are superseded
-    # by rotation; their driver certifications are on record in
-    # CORRECTNESS_r{1..7}.json.)
+def test_round9_rotation_in_window():
+    # VERDICT r8 task #1 (rotation wave 3): ALL 15 never-driver-certified
+    # queries are inside the 50-row correctness window this round — the
+    # certification backlog is empty for the first time since round 4.
+    # (Earlier rounds' in-window assertions are superseded by rotation;
+    # their driver certifications are on record in CORRECTNESS_r{1..8}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "atr_14_1h",
-        "stochastic_14_3_1h",
-        "tick_zscore_outliers",
-        "text_ccnet_ppl_buckets",
-        "dedup_exact_substring",
-        "ticks_freshness_sla",
-        "priority_shipmonth_q12",
-        "disjunctive_revenue_q19",
-        "dupgraph_pagerank",
-        "bpe_train_merges",
-        "dedup_keeper_centrality",
-        "holt_forecast_1h",
-        "approx_value_quantiles",
-        "orders_table_profile",
+        "streaming_rsi_14_1h",
+        "events_value_winsorize",
+        "shipping_priority_q3",
+        "pair_rolling_correlation",
+        "candle_unpivot",
+        "event_type_copairs",
+        "bpe_encode_fertility",
+        "events_retention_plan",
+        "events_zorder_stats",
+        "volatility_20_1h",
+        "returned_item_q10",
+        "dedup_lsh_eval",
+        "event_asof_tick_plain",
+        "backtest_max_drawdown",
+        "corpus_strip_dup_spans",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

@@ -25,7 +25,9 @@ _DEFER: list[str] = [
     "spread_quantiles",       # percentiles covered by approx_value_quantiles
     "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint
-    "media_resize",           # mapInPandas multimodal covered by extract_meta/frame_sample
+    "media_resize",           # WAVE-4 ROTATION CANDIDATE (VERDICT r8 task #6): the r8 BMP
+                              # kernel does real pixel work, materially beyond extract_meta;
+                              # rotate into the r10 window. Sibling: media_extract_meta.
     "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path
     "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window
     "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path
@@ -121,25 +123,29 @@ _DEFER: list[str] = [
     "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family
     "streaming_view_click_join",  # stream-stream join; streaming_ohlc_1m keeps the streaming family
     "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family
-    # still-deferred wave 3 candidates for the r9 window — every key keeps an
-    # in-window sibling:
-    "streaming_rsi_14_1h",    # stateful Wilder recursion; stateful family of streaming_heavy_hitters
-    "events_value_winsorize",  # two-pass percentile clip; family of events_value_histogram
-    "shipping_priority_q3",   # TPC-H Q3 shape; star-join family of local_supplier_volume
-    "pair_rolling_correlation",  # keyed corr window; family of sma_golden_cross
-    "candle_unpivot",         # stack/melt, inverse of avg_close_pivot; family of candle_rollup
-    "event_type_copairs",     # A-priori pair co-occurrence; agg family of events_value_histogram
-    "bpe_encode_fertility",   # trained-BPE fertility stats; tokenizer family of bpe_train_merges
-    # r8-born — registered deferred until the r9 rotation (discipline: never
-    # rotate mid-round); each keeps an in-window sibling:
-    "events_retention_plan",  # maintenance dry-run agg; MAX-agg family of ticks_freshness_sla
-    "events_zorder_stats",    # Morton-key layout stats; agg family of events_value_histogram
-    "volatility_20_1h",       # realized+Parkinson vol windows; family of sma_golden_cross
-    "returned_item_q10",      # TPC-H Q10 top-k star; family of priority_shipmonth_q12
-    "dedup_lsh_eval",         # banding precision/recall report; family of dedup_minhash_lsh
-    "event_asof_tick_plain",  # plain as-of twin, SAME oracle as event_asof_tick
-    "backtest_max_drawdown",  # running-peak drawdown agg; backtest family of backtest_pnl
-    "corpus_strip_dup_spans",  # span REMOVAL applying dedup_exact_substring's family
+    # r9 rotation wave 3 (VERDICT r8 task #1): ALL 15 never-driver-certified
+    # queries (7 r6/r7-born wave-3 carryovers + 8 r8-born) moved INTO the
+    # window — this empties the certification backlog. These 15 r8-green
+    # queries rotated out to make room; every one keeps a same-family twin
+    # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
+    # apply the SAME oracle/operator as their rotated-out twins).
+    "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
+    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family
+    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family
+    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family
+    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window
+    "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
+    "bpe_train_merges",       # BPE trainer; bpe_encode_fertility encodes with the SAME merges
+    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family
+    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family
+    "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
+                              # oracle through the stricter stateful-streaming path
+    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation +
+                              # volatility_20_1h keep the keyed native-window family
+    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family
+    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
+    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
+    "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window
 ]
 
 
