@@ -311,13 +311,21 @@ class _FakeDeltaTable:
     above stays importorskip-gated for environments that have it)."""
 
     _tables: dict = {}          # path -> {key tuple: row dict}
+    _schemas: dict = {}         # path -> [field names, CREATE-time order]
     _interleave: dict = {}      # path -> callable run mid-commit (popped)
     merge_attempts: int = 0
 
     def __init__(self, path):
         self._path = path
 
-    # --- createIfNotExists builder (idempotent create commit) ---
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        return path in cls._tables
+
+    # --- createIfNotExists builder (idempotent create commit). Mirrors the
+    # real builder's column-order-SENSITIVE validation against an existing
+    # table (ADVICE r8: the earlier fake ignored addColumns, so the
+    # unguarded always-create regression was untestable here). ---
     @classmethod
     def createIfNotExists(cls, spark):
         class _Builder:
@@ -326,10 +334,18 @@ class _FakeDeltaTable:
                 return self
 
             def addColumns(self, schema):
+                self._cols = [f.name for f in schema.fields]
                 return self
 
             def execute(self):
+                existing = cls._schemas.get(self._loc)
+                if existing is not None and existing != self._cols:
+                    raise AssertionError(
+                        f"The specified schema does not match the existing "
+                        f"schema at {self._loc}: {self._cols} vs {existing}"
+                    )
                 cls._tables.setdefault(self._loc, {})
+                cls._schemas.setdefault(self._loc, self._cols)
 
         return _Builder()
 
@@ -383,6 +399,7 @@ def test_first_wins_merge_emulated_race_retries_and_skips(spark, monkeypatch):
     from trading_etl_spark import io
 
     _FakeDeltaTable._tables.clear()
+    _FakeDeltaTable._schemas.clear()
     _FakeDeltaTable._interleave.clear()
     _FakeDeltaTable.merge_attempts = 0
     monkeypatch.setattr(io, "_import_delta_table", lambda: _FakeDeltaTable)
@@ -420,6 +437,7 @@ def test_first_wins_merge_emulated_race_exhaustion_and_foreign_errors(
     from trading_etl_spark import io
 
     _FakeDeltaTable._tables.clear()
+    _FakeDeltaTable._schemas.clear()
     _FakeDeltaTable._interleave.clear()
     _FakeDeltaTable.merge_attempts = 0
     monkeypatch.setattr(io, "_import_delta_table", lambda: _FakeDeltaTable)
@@ -631,3 +649,51 @@ def test_schema_evolution_additive_and_guarded(spark, tmp_path):
     with pytest.raises(SchemaEvolutionError, match="score: "):
         append_with_schema_evolution(bad2, path)
     assert len(read_evolved(spark, path).collect()) == 3
+
+
+def test_first_wins_merge_existing_table_reordered_batch(spark, monkeypatch):
+    """ADVICE r8 (medium): the create builder validates its schema against
+    an existing table COLUMN-ORDER-sensitively, so an unguarded
+    createIfNotExists on every merge threw a schema mismatch for a batch
+    whose columns arrive reordered — where the name-based MERGE succeeds.
+    The existence guard must skip the create; the fake builder now mirrors
+    the real order-sensitive validation, so removing the guard fails here."""
+    from trading_etl_spark import io
+
+    _FakeDeltaTable._tables.clear()
+    _FakeDeltaTable._schemas.clear()
+    _FakeDeltaTable._interleave.clear()
+    _FakeDeltaTable.merge_attempts = 0
+    monkeypatch.setattr(io, "_import_delta_table", lambda: _FakeDeltaTable)
+
+    path = "/fake/acid_reordered"
+    a = spark.createDataFrame([(1, "a")], "k long, v string")
+    io.first_wins_merge(spark, path, a, keys=["k"])
+    assert _FakeDeltaTable._schemas[path] == ["k", "v"]
+
+    # same logical rows, columns reordered (v, k) — e.g. upstream SELECT drift
+    b = spark.createDataFrame([("b", 1), ("b", 2)], "v string, k long")
+    io.first_wins_merge(spark, path, b, keys=["k"])
+    got = {k[0]: r["v"] for k, r in _FakeDeltaTable._tables[path].items()}
+    assert got == {1: "a", 2: "b"}  # k=1 first-wins, k=2 inserted
+
+
+def test_fake_delta_table_shape_synced_with_real_api():
+    """VERDICT r8 task #5: the emulation must not rot — every DeltaTable
+    attribute io.first_wins_merge relies on exists on the fake, and when
+    delta-spark IS importable the same names must exist on the real class
+    (so an API rename breaks this test before it silently breaks the
+    emulated race coverage)."""
+    # the exact builder-chain surface io.py touches
+    used = ["isDeltaTable", "createIfNotExists", "forPath", "alias", "merge"]
+    for name in used:
+        assert hasattr(_FakeDeltaTable, name), f"fake lost {name}"
+    builder = _FakeDeltaTable.createIfNotExists(spark=None)
+    for name in ["location", "addColumns", "execute"]:
+        assert hasattr(builder, name), f"fake create builder lost {name}"
+    try:
+        from delta.tables import DeltaTable as RealDeltaTable
+    except ImportError:
+        return  # sandbox: fake-vs-real diff is asserted where delta exists
+    for name in used:
+        assert hasattr(RealDeltaTable, name), f"real DeltaTable lost {name}"

@@ -112,3 +112,9 @@ def test_zorder_bucket_stats_rectangles(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         zorder_bucket_stats(df, F.col("a"), F.col("b"), 63, 63, n_buckets=6)
+
+    # ADVICE r8: 0 & -1 == 0 slipped the bit test and silently collapsed
+    # every row into bucket 0; non-positive counts must raise too
+    for bad in (0, -8):
+        with pytest.raises(ValueError, match="power of two"):
+            zorder_bucket_stats(df, F.col("a"), F.col("b"), 63, 63, n_buckets=bad)

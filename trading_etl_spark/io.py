@@ -224,14 +224,21 @@ def first_wins_merge(
     """
     DeltaTable = _import_delta_table()
     inc = incoming.dropDuplicates(keys)
-    # Create the table as an EMPTY commit, then always MERGE: a direct
-    # first append could race another creator and double-write a key;
+    # Create the table as an EMPTY commit, then MERGE: a direct first
+    # append could race another creator and double-write a key;
     # createIfNotExists is idempotent under the commit protocol (both
     # racers may attempt it; the log serializes them), and the key check
-    # then lives entirely inside serialized MERGE commits.
-    DeltaTable.createIfNotExists(spark).location(path).addColumns(
-        inc.schema
-    ).execute()
+    # then lives entirely inside serialized MERGE commits. The create is
+    # GUARDED on table existence (ADVICE r8): the builder validates its
+    # schema against an existing table column-order-sensitively, so an
+    # established table + a batch with reordered columns would throw a
+    # schema mismatch here even though the name-based MERGE below handles
+    # it fine. (Guard-then-create still cannot double-write: two racing
+    # creators both reach createIfNotExists, which is idempotent.)
+    if not DeltaTable.isDeltaTable(spark, path):
+        DeltaTable.createIfNotExists(spark).location(path).addColumns(
+            inc.schema
+        ).execute()
     tbl = DeltaTable.forPath(spark, path)
     cond = merge_not_matched_condition(keys)
     last: Exception | None = None

@@ -91,7 +91,10 @@ def zorder_bucket_stats(
     ``n_buckets``, no single-partition window at any scale.
     ``n_buckets`` must be a power of two for the shift to be exact.
     """
-    if n_buckets & (n_buckets - 1):
+    # n_buckets <= 0 must be rejected too (ADVICE r8: 0 & -1 == 0 slipped
+    # the bit test and collapsed every row into bucket 0 via an oversized
+    # shift instead of raising).
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     shift = 2 * bits - n_buckets.bit_length() + 1
     key = zorder_key(a, b, a_max, b_max, bits)

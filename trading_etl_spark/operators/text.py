@@ -1196,6 +1196,11 @@ def decontaminate(
         if test_docs_count is not None:
             broadcast_test = test_docs_count <= DECONTAM_BROADCAST_MAX_TEST_DOCS
         else:
+            # Eager count at build time — stands in for catalog stats at
+            # scale (same shape as the zorder bounds pass): a production
+            # deployment passes test_docs_count from table stats /
+            # AQE-observed sizes and takes no job here; the count is over
+            # the (small, by contract) test split only, never the corpus.
             broadcast_test = n_test.count() <= DECONTAM_BROADCAST_MAX_TEST_DOCS
     return (
         train.join(F.broadcast(test) if broadcast_test else test, "shingle")

@@ -884,10 +884,13 @@ LIMIT 20
 WITH m AS (
   SELECT user_id, epoch_ms(ts) // 60000 AS minute FROM events
 ),
+-- greatest(..., 1) mirrors the Spark-side max(a_max, 1) clamp in
+-- layout.zorder_key: degenerate bounds (single-minute table, max id 0)
+-- must divide by 1, not produce NaN/inf keys (ADVICE r8)
 bounds AS (
-  SELECT max(user_id)::DOUBLE AS amax,
+  SELECT greatest(max(user_id), 1)::DOUBLE AS amax,
          min(minute) AS bmin,
-         (max(minute) - min(minute))::DOUBLE AS bspan
+         greatest(max(minute) - min(minute), 1)::DOUBLE AS bspan
   FROM m
 ),
 -- minute dimension is the OFFSET from the min (straight value/max would
