@@ -358,3 +358,68 @@ def test_retention_plan_classifies_partitions(spark):
     assert plan["2024-01-15"]["action"] == "keep"  # cutoff day survives
     assert plan["2024-01-20"]["action"] == "keep"
     assert plan["2024-01-10"]["min_ts"] == datetime(2024, 1, 10, 5)
+
+
+def test_compaction_plan_rows_mode_models_real_listing(spark, tmp_path):
+    """Rows mode (the oracle-gate twin): over a maxRecordsPerFile fixture,
+    files_before must equal ceil(rows/N) from the REAL listing, targets
+    ceil(rows/M), and the action matches compact_partition's decision rule
+    (target < before => compact)."""
+    from trading_etl_spark.plans.maintenance import compaction_plan
+
+    path = str(tmp_path / "t")
+    df = spark.range(330).select(
+        F.element_at(
+            F.array(F.lit("2024-01-01"), F.lit("2024-01-02"), F.lit("2024-01-03")),
+            F.when(F.col("id") < 300, 1).when(F.col("id") < 320, 2).otherwise(3).cast("int"),
+        ).alias("dt"),
+        F.col("id").alias("v"),
+    )
+    (
+        df.repartition(1)
+        .sortWithinPartitions("dt")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 50)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+    got = {
+        r["partition_value"]: (r["n_rows"], r["files_before"], r["target_files"], r["action"])
+        for r in compaction_plan(spark, path, "dt", rows_per_file=200).collect()
+    }
+    assert got == {
+        "2024-01-01": (300, 6, 2, "compact"),  # 300 rows: ceil/50=6, ceil/200=2
+        "2024-01-02": (20, 1, 1, "skip"),
+        "2024-01-03": (10, 1, 1, "skip"),
+    }
+
+
+def test_compaction_plan_bytes_mode_agrees_with_compact_partition(spark, tmp_path):
+    """Bytes mode (production parity): same max(1, ceil(bytes/target))
+    arithmetic as compact_partition — for every partition the dry-run's
+    (files_before, target) must equal what compact_partition then DOES."""
+    from trading_etl_spark.plans.maintenance import compaction_plan, compact_partition
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=8)
+    target_bytes = 64 * 1024  # small enough that some partitions skip
+    plan = {
+        r["partition_value"]: r
+        for r in compaction_plan(
+            spark, path, "dt", target_file_bytes=target_bytes
+        ).collect()
+    }
+    for value, row in plan.items():
+        before, after = compact_partition(spark, path, "dt", value, target_bytes)
+        assert before == row["files_before"]
+        if row["action"] == "compact":
+            assert after == row["target_files"] < before
+        else:
+            assert after == before  # short-circuited, nothing rewritten
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        compaction_plan(spark, path, "dt")
+    with pytest.raises(ValueError, match="exactly one"):
+        compaction_plan(spark, path, "dt", target_file_bytes=1, rows_per_file=1)

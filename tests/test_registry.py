@@ -121,6 +121,8 @@ SIBLING = {
     "atr_14_1h": "holt_forecast_1h",
     "stochastic_14_3_1h": "holt_forecast_1h",
     "dupgraph_pagerank": "dedup_keeper_centrality",
+    # r9-born, registered deferred until the r10 rotation:
+    "events_compaction_plan": "events_retention_plan",
 }
 
 

@@ -249,15 +249,21 @@ def bollinger(ohlc: DataFrame, period: int = 20, num_std: float = 2.0) -> DataFr
     """Bollinger Bands as native frame windows (JVM-side, zero Python):
     mid = SMA(period), upper/lower = mid ± num_std·σ with POPULATION stddev
     (TA-Lib's choice). Warm-up rows (first period−1 per series) are NULL.
-    Same single (pair, timeframe) shuffle as :func:`sma`."""
+    Same single (pair, timeframe) shuffle as :func:`sma`.
+
+    The warm-up gate is COUNT over the same rows frame as the aggregates,
+    not row_number: count-over-frame equals row_number clamped at
+    ``period`` (identical ``>= period`` decision), and sharing the frame
+    lets WindowExec run one frame processor instead of adding an
+    unbounded-preceding frame for the row number alone (r9 diagnosis:
+    ~0.22 s -> ~0.18 s at sf0.1)."""
     w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
     frame = w.rowsBetween(-(period - 1), 0)
-    rn = F.row_number().over(w)
-    warm = F.col("_rn") >= period
+    warm = F.col("_n") >= period
     mid = F.avg("close").over(frame)
     sd = F.stddev_pop("close").over(frame)
     return (
-        ohlc.withColumn("_rn", rn)
+        ohlc.withColumn("_n", F.count(F.lit(1)).over(frame))
         .select(
             *GROUP_KEYS,
             "time",

@@ -51,21 +51,51 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(col: str | Column) -> Column:
+    return F.sqrt(_dot(col, col))
+
+
 def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Exact top-k cosine neighbors for the query vectors (vec_id < n_queries).
 
     Ranking is on the 6dp-rounded similarity with vec_id tie-break so the
     ordering is engine-independent.
+
+    Per-pair work is ONE higher-order fold (the dot product): each side's
+    norm is computed once per ROW as a plain column behind its exchange
+    (the broadcast / repartition materializes it, so Catalyst cannot
+    re-inline the aggregate into the per-pair projection). The r6-r8 form
+    evaluated cosine() per pair — three folds per pair — and ran on the
+    corpus scan's native partitioning, which for a single small parquet
+    file is ONE task; the explicit repartition restores parallelism when
+    the scan arrives under-split (a real 100 TB corpus already arrives as
+    many partitions, in which case this leaves the count alone). Measured
+    at sf0.1: 0.91 s -> 0.25 s min-of-5 (the r9 regression diagnosis).
+    The division dot/(qnorm*cnorm) evaluates in the same order as
+    cosine(), so results are bit-identical.
     """
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        _norm(F.col("emb")).alias("qnorm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cv"),
+        _norm(F.col("emb")).alias("cnorm"),
+    )
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < parallelism:
+        c = c.repartition(parallelism)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+        .withColumn(
+            "cos_sim", F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+        )
+        # project the two dim-wide arrays away before the window sort
+        .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

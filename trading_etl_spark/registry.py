@@ -146,6 +146,9 @@ _DEFER: list[str] = [
     "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
     "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window
+    # r9-born — registered deferred until the r10 rotation (discipline:
+    # never rotate mid-round); each keeps an in-window sibling:
+    "events_compaction_plan",  # compaction dry-run; maintenance family of events_retention_plan
 ]
 
 

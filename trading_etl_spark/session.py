@@ -36,6 +36,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local-mode default is a 1g heap regardless of box size — far too
+        # small for 32 executor threads (a 4M-row salted agg OOMs it, r9).
+        # Size to the box the way a cluster deploy sizes executors; applies
+        # only when this process launches the JVM (getOrCreate on an
+        # existing session keeps its sizing).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
