@@ -212,8 +212,94 @@ def main() -> None:
                 continue
             runs.setdefault(name, []).append(run_once(fn))
 
+    # --- Partition-pruning proof lines (VERDICT r8 task #8b) -------------
+    # The day-partitioned many-small-files events twin (the compaction
+    # gate's fixture — ~2000 files at sf0.1) scanned whole vs with a
+    # 3-day dt predicate. The predicate lands in PartitionFilters
+    # (CI-asserted in test_plan_regressions), so the pruned scan lists and
+    # reads only 3 of ~30 partition directories — the effect PLANS.md
+    # claims, now measured (~5× at sf0.1). Fixture build is one-time
+    # setup, not a timed line.
+    from trading_etl_spark.queries.analytics import _compaction_fixture
+
+    fixture = _compaction_fixture(spark, sf_dir)
+    prune_days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    def _scan_full(spark_, _sf):
+        return spark_.read.parquet(fixture).groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def _scan_pruned(spark_, _sf):
+        return (
+            spark_.read.parquet(fixture)
+            .filter(F.col("dt").cast("string").isin(*prune_days))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    import glob
+
+    pruning_files = {
+        "files_total": len(glob.glob(f"{fixture}/dt=*/*.parquet")),
+        "files_in_pruned_partitions": sum(
+            len(glob.glob(f"{fixture}/dt={d}/*.parquet")) for d in prune_days
+        ),
+    }
+    for _ in range(N_RUNS):
+        runs.setdefault("events_scan_full", []).append(run_once(_scan_full))
+        runs.setdefault("events_scan_pruned_3d", []).append(run_once(_scan_pruned))
+
+    # --- Skew-stress lines (VERDICT r8 task #8a) -------------------------
+    # Hot-key join fixture: 95% of the big side carries ONE key; the small
+    # side is deliberately too wide to broadcast (thresholds pinned to -1
+    # for these lines only) and the downstream per-key agg pins the join's
+    # output partitioning, which blocks AQE's skew-split rewrite — the
+    # documented niche of operators/skew.salted_join. The pair of lines
+    # shows the salted path beating the naive shuffle join ~2x in exactly
+    # that niche (when the small side CAN broadcast, AQE's runtime
+    # broadcast conversion wins instead — measured r9, see skew.py).
+    from trading_etl_spark.operators.skew import salted_join
+
+    skew_big = spark.range(4_000_000).select(
+        F.when(F.pmod("id", 100) < 95, 0)
+        .otherwise(F.pmod("id", 200_000) + 1)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    skew_small = spark.range(200_001).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 120), F.col("id").cast("string")).alias("payload"),
+    )
+
+    def _skew_agg(joined):
+        return joined.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("payload").alias("p")
+        )
+
+    def _skew_naive(spark_, _sf):
+        return _skew_agg(skew_big.join(skew_small, "k"))
+
+    def _skew_salted(spark_, _sf):
+        return _skew_agg(
+            salted_join(skew_big, skew_small, ["k"], salt_from="v", n_salts=32)
+        )
+
+    prev_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for _ in range(N_RUNS):
+            runs.setdefault("skew_join_agg_naive", []).append(run_once(_skew_naive))
+            runs.setdefault("skew_join_agg_salted", []).append(run_once(_skew_salted))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bjt)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     spark.stop()
     headline_json, detail = summarize(runs, sf)
+    detail["partition_pruning"] = pruning_files
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -24,6 +24,10 @@ def _fake_runs():
         "candle_chain_cold",
         "candle_cache_cold",
         "kmeans_train_cold",
+        "events_scan_full",
+        "events_scan_pruned_3d",
+        "skew_join_agg_naive",
+        "skew_join_agg_salted",
     ]
     return {n: [round(10 + 0.001 * i, 3) for i in range(bench.N_RUNS)] for n in names}
 

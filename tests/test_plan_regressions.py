@@ -375,3 +375,38 @@ def test_zscore_single_window_shuffle_no_python(spark):
     )
     assert len(pair_only) == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_partitioned_scan_prunes_day_partitions(spark, tmp_path):
+    """Partition-pruning proof, plan + filesystem ground truth (VERDICT r8
+    task #8b): a dt predicate over a Hive-partitioned table must land in
+    the scan's PartitionFilters (so only matching partition directories
+    are listed/read — the property the bench's events_scan_pruned_3d line
+    measures in seconds), and the matching directories must hold fewer
+    files than the table."""
+    import os
+
+    path = str(tmp_path / "part")
+    spark.range(3000).select(
+        F.concat(
+            F.lit("2024-01-"), F.lpad((F.pmod("id", 30) + 1).cast("string"), 2, "0")
+        ).alias("dt"),
+        F.col("id").alias("v"),
+    ).repartition(4).write.mode("overwrite").partitionBy("dt").parquet(path)
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    pruned = spark.read.parquet(path).filter(F.col("dt").isin(*days))
+    plan = _physical(pruned)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    def files_under(dirs):
+        return sum(
+            sum(1 for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet"))
+            for d in dirs
+        )
+
+    all_dirs = [d for d in os.listdir(path) if d.startswith("dt=")]
+    pruned_dirs = [f"dt={d}" for d in days]
+    assert files_under(pruned_dirs) < files_under(all_dirs)
+    # and the pruned read returns exactly the pruned partitions' rows
+    assert pruned.count() == 300

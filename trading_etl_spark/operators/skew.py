@@ -15,6 +15,23 @@ helpers cover the cases AQE cannot rewrite:
 Both are exact — results identical to the unsalted plan (tested) — and both
 use deterministic salts (crc32, not rand()) so retried tasks produce the
 same rows, which Spark's speculative execution / task-retry model requires.
+
+Measured adjudication (r9, local[32], 95%-hot-key fixtures — the bench's
+skew_join_agg_* lines keep it measured every round):
+
+- ``salted_join`` wins ~2-4x over the naive shuffle join exactly in its
+  documented niche: the small side too wide to broadcast AND a downstream
+  per-key agg pinning the join's output partitioning (which blocks AQE's
+  skew-split rewrite). When the small side CAN broadcast, AQE's runtime
+  broadcast conversion beats salting ~10x — always leave broadcast
+  available first.
+- ``salted_count_distinct`` did NOT beat the native plan at any tested
+  size (4M-48M rows): Spark rewrites a distinct agg into a two-phase
+  aggregate whose first shuffle keys on (group, value), which already
+  spreads a hot group, and map-side partial aggregation does the same for
+  algebraic aggs. Keep the helper for cluster-scale cases where the
+  final per-group stage concentrates enough distinct values on one
+  reducer to spill; prefer the native plan elsewhere.
 """
 
 from __future__ import annotations
