@@ -123,6 +123,7 @@ SIBLING = {
     "dupgraph_pagerank": "dedup_keeper_centrality",
     # r9-born, registered deferred until the r10 rotation:
     "events_compaction_plan": "events_retention_plan",
+    "embedding_ann_recall_eval": "embedding_knn_ivf_kmeans",
 }
 
 

@@ -378,6 +378,37 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k report (r9-born) — the pre-rollout quality gate for the
+    IVF serving path, the ANN analog of dedup_lsh_eval: exact brute-force
+    top-k as ground truth, trained-kmeans IVF top-k (nprobe=2 of 8 cells)
+    as the candidate, one report row (n_queries, k, n_exact, n_hits,
+    recall_at_k). Both sides are themselves oracle-verified queries, so
+    the recall number is engine-independent; the exact side is the
+    sampled-eval baseline, not a production path (the production path IS
+    the IVF being evaluated). Lazily cross-joined 1-row aggregates — no
+    eager action at build time."""
+    e = _emb(spark, sf_dir)
+    exact = sim.knn_bruteforce(e).select("query_id", "neighbor_id")
+    approx = sim.knn_ivf_kmeans(e, cent=_codebook(spark, sf_dir)).select(
+        "query_id", "neighbor_id"
+    )
+    totals = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return totals.crossJoin(hits).select(
+        "n_queries",
+        F.lit(sim.TOP_K).alias("k"),
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_k"),
+    )
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -687,6 +718,7 @@ QUERIES = {
     "embedding_knn_ivf": q_knn_ivf,
     "embedding_knn_ivf_multiprobe": q_knn_ivf_multiprobe,
     "embedding_knn_ivf_kmeans": q_knn_ivf_kmeans,
+    "embedding_ann_recall_eval": q_ann_recall_eval,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
@@ -915,6 +947,57 @@ scored AS (
 )""".strip()
     )
     return _with(*parts) + "\n" + _KNN_RANK_SQL
+
+
+def _ann_recall_oracle_sql() -> str:
+    """Recall@k of the trained-kmeans IVF path vs the exact brute-force
+    baseline, composed from the two verified oracle bodies (the kmeans
+    trajectory replay and the all-pairs exact scan)."""
+    parts = _kmeans_probe_parts()
+    parts.append(
+        """
+ivf_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, a.v), 6) AS cos_sim
+      FROM probed p
+      JOIN assignf a ON a.cell = p.cell
+      JOIN emb q ON q.vec_id = p.query_id
+      WHERE a.vec_id != p.query_id
+    ) s
+  ) WHERE rank <= """
+        + str(sim.TOP_K)
+        + "\n)"
+    )
+    parts.append(
+        f"""
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sim.COS_SQL.format(a="q.v", b="c.v")} AS cos_sim
+      FROM emb q, emb c
+      WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+    ) s
+  ) WHERE rank <= {sim.TOP_K}
+)""".strip()
+    )
+    return (
+        _with(*parts)
+        + f"""
+SELECT t.n_queries, {sim.TOP_K}::INT AS k, t.n_exact, h.n_hits,
+       round(h.n_hits / t.n_exact, 6) AS recall_at_k
+FROM (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact
+      FROM exact_topk) t,
+     (SELECT count(*) AS n_hits
+      FROM exact_topk e JOIN ivf_topk i USING (query_id, neighbor_id)) h
+""".strip()
+    )
 
 ORACLES = {
     "dedup_exact": """
@@ -1204,6 +1287,7 @@ scored AS (
     + "\n"
     + _KNN_RANK_SQL,
     "embedding_knn_ivf_kmeans": _kmeans_oracle_sql(),
+    "embedding_ann_recall_eval": _ann_recall_oracle_sql(),
     "embedding_label_centroids": _with(sim.EMB_SQL)
     + """
 SELECT label, (i - 1)::BIGINT AS pos,

@@ -149,6 +149,7 @@ _DEFER: list[str] = [
     # r9-born — registered deferred until the r10 rotation (discipline:
     # never rotate mid-round); each keeps an in-window sibling:
     "events_compaction_plan",  # compaction dry-run; maintenance family of events_retention_plan
+    "embedding_ann_recall_eval",  # IVF recall@k report; ANN family of embedding_knn_ivf_kmeans
 ]
 
 
