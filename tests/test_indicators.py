@@ -215,3 +215,69 @@ def test_volatility_matches_numpy_reference(spark):
         assert got[i]["parkinson_vol"] == pytest.approx(
             math.sqrt(hl2 / (4 * math.log(2))), rel=1e-9
         )
+
+
+def test_donchian_channels_reference(spark):
+    """upper/lower = trailing max(high)/min(low), mid their mean; NULL
+    until a full window exists."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.indicators import donchian
+
+    highs = [10.0, 12.0, 11.0, 15.0, 13.0, 9.0]
+    lows = [8.0, 9.0, 7.0, 11.0, 10.0, 6.0]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), h, h, l, (h + l) / 2)
+        for i, (h, l) in enumerate(zip(highs, lows))
+    ]
+    out = donchian(spark.createDataFrame(rows, OHLC_SCHEMA), period=3)
+    got = sorted(out.collect(), key=lambda r: r["time"])
+    assert [r["upper"] for r in got[:2]] == [None, None]
+    for i in range(2, len(highs)):
+        hh, ll = max(highs[i - 2 : i + 1]), min(lows[i - 2 : i + 1])
+        assert (got[i]["upper"], got[i]["lower"], got[i]["mid"]) == (
+            hh,
+            ll,
+            (hh + ll) / 2,
+        )
+
+
+def test_ichimoku_reference(spark):
+    """Component-by-component against a hand-rolled NumPy reference on a
+    short series with tenkan=2, kijun=3, senkou_b=4 (scaled-down periods;
+    the production 9/26/52 shares the same expressions)."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.indicators import ichimoku
+
+    n = 12
+    highs = [10.0 + (i * 7 % 5) for i in range(n)]
+    lows = [h - 2.0 - (i % 3) for i, h in enumerate(highs)]
+    closes = [(h + l) / 2 for h, l in zip(highs, lows)]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), h, h, l, c)
+        for i, (h, l, c) in enumerate(zip(highs, lows, closes))
+    ]
+    out = ichimoku(
+        spark.createDataFrame(rows, OHLC_SCHEMA), tenkan=2, kijun=3, senkou_b=4
+    )
+    got = sorted(out.collect(), key=lambda r: r["time"])
+
+    def mid(p, i):
+        if i + 1 < p:
+            return None
+        return (max(highs[i - p + 1 : i + 1]) + min(lows[i - p + 1 : i + 1])) / 2
+
+    for i in range(n):
+        tk, kj = mid(2, i), mid(3, i)
+        assert got[i]["tenkan_sen"] == tk
+        assert got[i]["kijun_sen"] == kj
+        j = i - 3  # senkou lines lag kijun=3 rows
+        if j >= 0 and mid(2, j) is not None and mid(3, j) is not None:
+            assert got[i]["senkou_a"] == (mid(2, j) + mid(3, j)) / 2
+        else:
+            assert got[i]["senkou_a"] is None
+        assert got[i]["senkou_b_ln"] == (mid(4, j) if j >= 0 else None)
+        assert got[i]["chikou"] == (closes[i + 3] if i + 3 < n else None)

@@ -124,6 +124,8 @@ SIBLING = {
     # r9-born, registered deferred until the r10 rotation:
     "events_compaction_plan": "events_retention_plan",
     "embedding_ann_recall_eval": "embedding_knn_ivf_kmeans",
+    "donchian_20_1h": "volatility_20_1h",
+    "ichimoku_9_26_52_1h": "volatility_20_1h",
 }
 
 

@@ -427,3 +427,76 @@ def holt_forecast(
         .groupBy(*GROUP_KEYS)
         .applyInPandas(compute, HOLT_OUT_SCHEMA)
     )
+
+
+def donchian(ohlc: DataFrame, period: int = 20) -> DataFrame:
+    """Donchian channels as native frame windows (zero Python): upper =
+    highest high, lower = lowest low over the trailing ``period`` rows,
+    mid = their mean — the breakout-channel indicator (r9-born, widening
+    the native-window family beyond the reference's SMA). All three NULL
+    until a full window is available (the same count-over-frame warm-up
+    gate as :func:`bollinger`); one (pair, timeframe) shuffle."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    frame = w.rowsBetween(-(period - 1), 0)
+    warm = F.col("_n") >= period
+    hi = F.max("high").over(frame)
+    lo = F.min("low").over(frame)
+    return (
+        ohlc.withColumn("_n", F.count(F.lit(1)).over(frame))
+        .select(
+            *GROUP_KEYS,
+            "time",
+            F.when(warm, hi).alias("upper"),
+            F.when(warm, lo).alias("lower"),
+            F.when(warm, (hi + lo) / 2).alias("mid"),
+        )
+    )
+
+
+ICHIMOKU_TENKAN = 9
+ICHIMOKU_KIJUN = 26
+ICHIMOKU_SENKOU_B = 52
+
+
+def ichimoku(
+    ohlc: DataFrame,
+    tenkan: int = ICHIMOKU_TENKAN,
+    kijun: int = ICHIMOKU_KIJUN,
+    senkou_b: int = ICHIMOKU_SENKOU_B,
+) -> DataFrame:
+    """Ichimoku Kinko Hyo as native windows + row offsets (zero Python,
+    r9-born). Midpoint lines over trailing highs/lows:
+
+    - ``tenkan_sen``  = (HH(tenkan) + LL(tenkan)) / 2
+    - ``kijun_sen``   = (HH(kijun) + LL(kijun)) / 2
+    - ``senkou_a``    = lag((tenkan_sen + kijun_sen)/2, kijun) — the cloud
+      edge PLOTTED kijun periods ahead, expressed as data at row t from
+      inputs at t−kijun (no future leak);
+    - ``senkou_b_ln`` = lag((HH(senkou_b) + LL(senkou_b))/2, kijun)
+    - ``chikou``      = lead(close, kijun) — the lagging span (close
+      plotted kijun periods BACK, so at row t it is the future close;
+      NULL for the last kijun rows).
+
+    Every component is NULL until its full input window exists (the
+    count-over-frame warm-up contract). All expressions share ONE
+    (pair, timeframe) shuffle and stay in whole-stage codegen.
+    """
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+
+    def mid(p: int) -> Column:
+        fr = w.rowsBetween(-(p - 1), 0)
+        return F.when(
+            F.count(F.lit(1)).over(fr) >= p,
+            (F.max("high").over(fr) + F.min("low").over(fr)) / 2,
+        )
+
+    tk, kj = mid(tenkan), mid(kijun)
+    return ohlc.select(
+        *GROUP_KEYS,
+        "time",
+        tk.alias("tenkan_sen"),
+        kj.alias("kijun_sen"),
+        F.lag((tk + kj) / 2, kijun).over(w).alias("senkou_a"),
+        F.lag(mid(senkou_b), kijun).over(w).alias("senkou_b_ln"),
+        F.lead("close", kijun).over(w).alias("chikou"),
+    )

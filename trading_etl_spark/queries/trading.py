@@ -349,6 +349,40 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian(20) channels on 1h candles — native min/max windows, zero
+    Python (r9-born). Warm-up rows excluded."""
+    out = indicators.donchian(_ohlc_1h(spark, sf_dir), 20)
+    return out.filter(F.col("mid").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("upper", 6).alias("upper_channel"),
+        F.round("lower", 6).alias("lower_channel"),
+        F.round("mid", 6).alias("mid_channel"),
+    )
+
+
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku(9, 26, 52) on 1h candles — midpoint windows + row offsets,
+    zero Python (r9-born). ALL rows kept: each component is NULL exactly
+    until its input window exists (senkou lines additionally lag 26), and
+    the oracle reproduces the same NULL pattern natively — nothing to
+    filter (the NaN→NULL exclusion convention applies only to pandas-UDF
+    outputs)."""
+    out = indicators.ichimoku(_ohlc_1h(spark, sf_dir))
+    return out.select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("tenkan_sen", 6).alias("tenkan_sen"),
+        F.round("kijun_sen", 6).alias("kijun_sen"),
+        F.round("senkou_a", 6).alias("senkou_a"),
+        F.round("senkou_b_ln", 6).alias("senkou_b_ln"),
+        F.round("chikou", 6).alias("chikou"),
+    )
+
+
 def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast stochastic %K(14)/%D(3) on 1h candles — native min/max/avg
     windows, zero Python (r6-born). Rows with both outputs defined."""
@@ -838,6 +872,8 @@ QUERIES = {
     "holt_forecast_1h": q_holt_forecast,
     "atr_14_1h": q_atr,
     "bollinger_20_2_1h": q_bollinger,
+    "donchian_20_1h": q_donchian,
+    "ichimoku_9_26_52_1h": q_ichimoku,
     "stochastic_14_3_1h": q_stochastic,
     "volatility_20_1h": q_volatility,
     "sma_golden_cross": q_golden_cross,
@@ -1146,6 +1182,51 @@ FROM ohlc_1h
 WINDOW w20 AS (PARTITION BY currency_pair_code ORDER BY time
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) >= 20""",
+    "donchian_20_1h": _with(*_TO_1H)
+    + """
+SELECT currency_pair_code, '1h' AS timeframe_code, time,
+       round(max(high) OVER w20, 6) AS upper_channel,
+       round(min(low) OVER w20, 6) AS lower_channel,
+       round((max(high) OVER w20 + min(low) OVER w20) / 2, 6) AS mid_channel
+FROM ohlc_1h
+WINDOW w20 AS (PARTITION BY currency_pair_code ORDER BY time
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) >= 20""",
+    # each component NULL until its window exists; senkou lines lag the
+    # NULL-gated midpoints by 26 rows — same NULL propagation both engines
+    "ichimoku_9_26_52_1h": _with(*_TO_1H)
+    + """,
+base AS (
+  SELECT currency_pair_code, time, "close",
+         row_number() OVER w0 AS rn,
+         (max(high) OVER w9 + min(low) OVER w9) / 2 AS tk_raw,
+         (max(high) OVER w26 + min(low) OVER w26) / 2 AS kj_raw,
+         (max(high) OVER w52 + min(low) OVER w52) / 2 AS sb_raw,
+         lead("close", 26) OVER w0 AS chikou
+  FROM ohlc_1h
+  WINDOW w0 AS (PARTITION BY currency_pair_code ORDER BY time),
+         w9 AS (PARTITION BY currency_pair_code ORDER BY time
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY currency_pair_code ORDER BY time
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         w52 AS (PARTITION BY currency_pair_code ORDER BY time
+                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+),
+gated AS (
+  SELECT currency_pair_code, time, chikou,
+         CASE WHEN rn >= 9 THEN tk_raw END AS tenkan,
+         CASE WHEN rn >= 26 THEN kj_raw END AS kijun,
+         CASE WHEN rn >= 52 THEN sb_raw END AS sb
+  FROM base
+)
+SELECT currency_pair_code, '1h' AS timeframe_code, time,
+       round(tenkan, 6) AS tenkan_sen,
+       round(kijun, 6) AS kijun_sen,
+       round(lag((tenkan + kijun) / 2, 26) OVER w0, 6) AS senkou_a,
+       round(lag(sb, 26) OVER w0, 6) AS senkou_b_ln,
+       round(chikou, 6) AS chikou
+FROM gated
+WINDOW w0 AS (PARTITION BY currency_pair_code ORDER BY time)""",
     "stochastic_14_3_1h": _with(*_TO_1H)
     + """,
 k AS (

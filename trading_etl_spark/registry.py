@@ -150,6 +150,8 @@ _DEFER: list[str] = [
     # never rotate mid-round); each keeps an in-window sibling:
     "events_compaction_plan",  # compaction dry-run; maintenance family of events_retention_plan
     "embedding_ann_recall_eval",  # IVF recall@k report; ANN family of embedding_knn_ivf_kmeans
+    "donchian_20_1h",         # min/max channel windows; family of volatility_20_1h
+    "ichimoku_9_26_52_1h",    # midpoint windows + row offsets; family of volatility_20_1h
 ]
 
 
