@@ -70,6 +70,12 @@ HEADLINE = [
     # r7-born additions
     "dedup_exact_substring",
     "pair_rolling_correlation",
+    # r9 addition: the R1/R7 streaming path as a measured line — each run
+    # executes a REAL availableNow streaming drain (ticks → watermark →
+    # 1m windowed OHLC → memory sink) and times ingest-to-result; the
+    # reference publishes no streaming throughput to compare against, so
+    # this line IS the series baseline.
+    "streaming_ohlc_1m",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup
