@@ -149,3 +149,26 @@ def test_keeper_election_centrality_and_ties(spark):
         for r in scored.join(keepers, "comp").collect()
     }
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_triangle_stats_known_graph(spark):
+    """Triangle + pendant edge: 1-2-3 closed, 3-4 hanging. One triangle;
+    wedges = C(2,2)+C(2,2)+C(3,2)+0 = 1+1+3 = 5; transitivity 3/5."""
+    from trading_etl_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    row = triangle_stats(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"], row["n_wedges"]) == (
+        4,
+        4,
+        1,
+        5,
+    )
+    assert row["transitivity"] == 0.6
+
+    # edgeless graph: no wedges -> NULL transitivity, not a crash
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    row0 = triangle_stats(empty).collect()[0]
+    assert (row0["n_triangles"], row0["transitivity"]) == (0, None)

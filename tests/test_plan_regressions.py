@@ -410,3 +410,36 @@ def test_partitioned_scan_prunes_day_partitions(spark, tmp_path):
     assert files_under(pruned_dirs) < files_under(all_dirs)
     # and the pruned read returns exactly the pruned partitions' rows
     assert pruned.count() == 300
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_star_join(spark, tmp_path):
+    """At 100 TB the fact side is date-partitioned and a dimension filter
+    must prune fact PARTITIONS at runtime, not just rows post-scan —
+    Spark's dynamic partition pruning injects the filtered dim as a
+    subquery into the fact scan's PartitionFilters. Pin that it fires for
+    the star shape the analytics queries use (fact ⨝ filtered dim on the
+    partition column), so a session-config regression (DPP disabled,
+    non-broadcastable dim) fails CI instead of silently scanning every
+    partition."""
+    path = str(tmp_path / "fact")
+    spark.range(10000).select(
+        (F.col("id") % 20).cast("string").alias("dt"),
+        F.col("id").alias("v"),
+    ).write.mode("overwrite").partitionBy("dt").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(20).select(
+        F.col("id").cast("string").alias("dt"), (F.col("id") < 3).alias("active")
+    )
+    j = (
+        fact.join(dim, "dt")
+        .filter(F.col("active"))
+        .groupBy("dt")
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = _physical(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    # the pruning subquery must sit in the fact scan's PARTITION filters
+    fact_scan = [
+        l for l in plan.splitlines() if "dpp" not in l and "/fact" in l
+    ]
+    assert any("dynamicpruning" in l.lower() and "PartitionFilters" in l for l in fact_scan), plan

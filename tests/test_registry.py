@@ -126,6 +126,7 @@ SIBLING = {
     "embedding_ann_recall_eval": "embedding_knn_ivf_kmeans",
     "donchian_20_1h": "volatility_20_1h",
     "ichimoku_9_26_52_1h": "volatility_20_1h",
+    "dupgraph_triangle_stats": "dedup_keeper_centrality",
 }
 
 

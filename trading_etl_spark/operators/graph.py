@@ -269,3 +269,49 @@ def pagerank(
             )
         )
     return ranks.select("id", F.col("r").alias("rank"))
+
+
+def triangle_stats(edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Global triangle/transitivity report over an undirected edge set
+    (r9-born): n_nodes, n_edges, n_triangles, n_wedges and transitivity =
+    3·triangles / wedges — the clustering-quality metric of a near-dup
+    graph (dense dup clusters → transitivity near 1; chains of borderline
+    pairs → near 0, a signal the banding threshold is admitting noise).
+
+    Edges must arrive CANONICAL (a < b), which the LSH pair producers
+    guarantee; triangles then enumerate exactly once as a<b<c via two
+    equi-joins on the canonical edge list — the standard distributed
+    triangle count. Wedges = Σ deg·(deg−1)/2 from one degree aggregate.
+    All counts are lazy 1-row aggregates cross-joined at the end.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    tri = (
+        e.alias("ab")
+        .join(e.alias("bc"), F.col("ab.b") == F.col("bc.a"))
+        .join(
+            e.alias("ac"),
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ends = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    wedge = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedge.crossJoin(n_e)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("transitivity"),
+        )
+    )

@@ -227,6 +227,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dupgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle/transitivity report over the embedding near-dup graph
+    (r9-born): n_nodes (nodes with ≥1 edge), n_edges, n_triangles,
+    n_wedges, transitivity = 3·triangles/wedges — the clustering-quality
+    diagnostic of the dup graph (dense clusters → near 1; chains of
+    borderline pairs → near 0, a banding-threshold smell). Edges are the
+    SRP-LSH verified pairs (certain recall at the 0.35 threshold), so the
+    oracle counts over the exact all-pairs edge set."""
+    from ..operators.graph import triangle_stats
+
+    pairs = sim.embedding_near_dup_lsh(_emb(spark, sf_dir))
+    return triangle_stats(pairs, a_col="vec_a", b_col="vec_b")
+
+
 def q_dupgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the embedding near-dup graph (r7-born): 5 power
     iterations, damping 0.85, teleport-only dangling mass — scores each
@@ -708,6 +722,7 @@ QUERIES = {
     "dedup_exact_substring": q_exact_substring,
     "corpus_strip_dup_spans": q_strip_dup_spans,
     "dupgraph_pagerank": q_dupgraph_pagerank,
+    "dupgraph_triangle_stats": q_dupgraph_triangles,
     "dedup_keeper_centrality": q_dedup_keeper_centrality,
     "bpe_train_merges": q_bpe_train,
     "bpe_encode_fertility": q_bpe_encode,
@@ -1215,6 +1230,38 @@ WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
     # repr so both engines parse the identical doubles, ranks rounded to
     # 6dp every iteration in both engines.
     "dupgraph_pagerank": None,  # assigned below (_pagerank_sql)
+    "dupgraph_triangle_stats": _with(
+        sim.EMB_SQL,
+        f"""
+pairs AS (
+  SELECT a.vec_id AS pu, b.vec_id AS pv
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE {sim.COS_SQL.format(a="a.v", b="b.v")} >= 0.35
+)
+""".strip(),
+        """
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs ab
+  JOIN pairs bc ON ab.pv = bc.pu
+  JOIN pairs ac ON ac.pu = ab.pu AND ac.pv = bc.pv
+)
+""".strip(),
+        """
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT pu AS id FROM pairs UNION ALL SELECT pv FROM pairs
+  ) GROUP BY 1
+)
+""".strip(),
+        "w AS (SELECT count(*) AS n_nodes, sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges FROM deg)",
+        "ne AS (SELECT count(*) AS n_edges FROM pairs)",
+    )
+    + """
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) END AS transitivity
+FROM w, ne, tri
+""".strip(),
     # The LSH path is tuned for certain recall at the 0.35 threshold
     # (per-pair miss ≈ 4e-7), so its oracle IS the exact all-pairs query.
     "embedding_near_dup_lsh": _with(sim.EMB_SQL)

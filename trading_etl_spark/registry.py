@@ -152,6 +152,7 @@ _DEFER: list[str] = [
     "embedding_ann_recall_eval",  # IVF recall@k report; ANN family of embedding_knn_ivf_kmeans
     "donchian_20_1h",         # min/max channel windows; family of volatility_20_1h
     "ichimoku_9_26_52_1h",    # midpoint windows + row offsets; family of volatility_20_1h
+    "dupgraph_triangle_stats",  # triangle/transitivity report; graph family of dedup_keeper_centrality
 ]
 
 
