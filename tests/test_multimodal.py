@@ -129,3 +129,53 @@ def test_payload_never_in_meta_plan(spark):
     agg = meta.groupBy("media_type").agg(F.sum("byte_len").alias("total_bytes"))
     assert "payload" not in agg.columns
     assert agg.count() == 3
+
+
+def test_wav_roundtrip_and_decode_gates():
+    """encode_wav → decode_wav is lossless for 16-bit mono PCM; non-RIFF
+    and non-PCM payloads raise the honesty gate."""
+    import numpy as np
+    import pytest
+
+    from trading_etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = ((np.arange(300, dtype=np.int64) * 1103 + 7) % 65536 - 32768).astype("<i2")
+    data = encode_wav(s, 12000)
+    back, rate = decode_wav(data)
+    assert rate == 12000 and np.array_equal(back, s)
+
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_wav(b"\x89PNG not audio at all")
+    # flip the fmt tag to 3 (IEEE float) — needs a real codec
+    bad = bytearray(data)
+    bad[20] = 3
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_wav(bytes(bad))
+
+
+def test_audio_features_match_numpy_reference(spark):
+    """The full WAV pipeline (synthesize → RIFF decode → reduce) pinned to
+    an independent NumPy recomputation from the closed-form model."""
+    import numpy as np
+
+    from trading_etl_spark.operators.multimodal import (
+        audio_features,
+        wav_media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(7,), (42,), (101,)], "doc_id long")
+    got = {
+        r["media_id"]: r
+        for r in audio_features(wav_media_from_documents(docs)).collect()
+    }
+    for did in (7, 42, 101):
+        n = did % 400 + 100
+        rate = 8000 + did % 4 * 4000
+        i = np.arange(n, dtype=np.int64)
+        v = (did * 31 + i * 17) % 65536 - 32768
+        r = got[did]
+        assert r["n_samples"] == n and r["sample_rate"] == rate
+        assert r["duration_sec"] == np.floor(n / rate * 1e6 + 0.5) / 1e6
+        assert r["rms"] == np.floor(np.sqrt(np.mean(v * v)) * 1e6 + 0.5) / 1e6
+        assert r["peak"] == int(np.max(np.abs(v)))
+        assert r["zero_crossings"] == int(np.sum(v[:-1] * v[1:] < 0))

@@ -127,6 +127,7 @@ SIBLING = {
     "donchian_20_1h": "volatility_20_1h",
     "ichimoku_9_26_52_1h": "volatility_20_1h",
     "dupgraph_triangle_stats": "dedup_keeper_centrality",
+    "media_audio_features": "media_extract_meta",
 }
 
 

@@ -304,3 +304,150 @@ SELECT media_id, media_type, byte_len,
             THEN (8000 + byte_len % 8 * 1000)::INT ELSE 0 END AS sample_rate
 FROM media
 """.strip()
+
+
+# --- pure-NumPy WAV/PCM codec (r9 — the audio analog of the BMP kernel) ------
+#
+# RIFF/WAVE with 16-bit PCM mono is uncompressed, so decode/feature-extract
+# needs no codec library: the kernel below does REAL sample work on WAV
+# payloads; compressed audio (MP3/OGG/...) stays honestly gated (needs a
+# codec absent in this container).
+
+_WAV_HEADER_LEN = 44  # RIFF(12) + fmt chunk(24) + data header(8)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes (16-bit, 1 channel)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    return (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")        # fmt chunk size
+        + (1).to_bytes(2, "little")         # PCM
+        + (1).to_bytes(2, "little")         # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")         # block align
+        + (16).to_bytes(2, "little")        # bits per sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+
+
+def decode_wav(data: bytes):
+    """RIFF/WAVE PCM bytes → (int16 sample array, sample_rate).
+
+    Non-PCM format tags (MP3/ADPCM/float), multi-channel, or non-16-bit
+    payloads raise NotImplementedError — those need a real audio codec,
+    absent here (the same honesty gate as compressed images)."""
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload — compressed audio needs a codec "
+            "library, which is not installed in this container"
+        )
+    fmt_tag = int.from_bytes(data[20:22], "little")
+    channels = int.from_bytes(data[22:24], "little")
+    rate = int.from_bytes(data[24:28], "little")
+    bits = int.from_bytes(data[34:36], "little")
+    if fmt_tag != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit mono PCM WAV is codec-free (got fmt={fmt_tag}, "
+            f"channels={channels}, bits={bits})"
+        )
+    n = int.from_bytes(data[40:44], "little") // 2
+    return (
+        np.frombuffer(data, dtype="<i2", count=n, offset=_WAV_HEADER_LEN),
+        rate,
+    )
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Audio media table with REAL (synthesized) 16-bit PCM WAV payloads.
+    Sample count, rate, and every sample value are pure functions of
+    doc_id so a DuckDB oracle can recompute the features in closed form:
+
+        n            = doc_id % 400 + 100
+        sample_rate  = 8000 + (doc_id % 4) * 4000
+        sample[i]    = (doc_id*31 + i*17) % 65536 − 32768
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, rates = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 400 + 100
+                rate = 8000 + did % 4 * 4000
+                i = np.arange(n, dtype=np.int64)
+                payloads.append(
+                    encode_wav((did * 31 + i * 17) % 65536 - 32768, rate)
+                )
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "media_id long, media_type string, payload binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over WAV payloads via mapInPandas:
+    decode (RIFF parse + int16 frombuffer) → n_samples, sample_rate,
+    duration_sec, rms, peak, zero crossings — the waveform stats an audio
+    data pipeline gates on (silence/clipping filters). All NumPy; 6dp
+    rounding on the float outputs per the oracle-parity convention."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "duration_sec": [],
+                "rms": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(pl))
+                v = s.astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(v))
+                rows["sample_rate"].append(rate)
+                # half-away-from-zero 6dp (the F.round/DuckDB convention;
+                # Python round() is half-even and can diverge on ties)
+                r6 = lambda x: float(np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+                rows["duration_sec"].append(r6(len(v) / rate))
+                rows["rms"].append(r6(float(np.sqrt(np.mean(v * v)))))
+                rows["peak"].append(int(np.max(np.abs(v))) if len(v) else 0)
+                rows["zero_crossings"].append(int(np.sum(v[:-1] * v[1:] < 0)))
+            out = pd.DataFrame(rows)
+            out["n_samples"] = out["n_samples"].astype("int64")
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["peak"] = out["peak"].astype("int64")
+            out["zero_crossings"] = out["zero_crossings"].astype("int64")
+            yield out
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        kernel,
+        "media_id long, n_samples long, sample_rate int, duration_sec double, "
+        "rms double, peak long, zero_crossings long",
+    )

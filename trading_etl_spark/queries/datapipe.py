@@ -704,6 +704,17 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("media_id", "width", "height", "byte_len")
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (r9-born — the WAV analog of the BMP
+    pixel path): synthesized 16-bit PCM WAV payloads RIFF-decoded and
+    reduced to waveform stats (duration, rms, peak, zero crossings) in
+    the Arrow-batched kernel. Every sample value is a closed-form
+    function of doc_id, so the oracle recomputes the features from
+    generate_series — a wrong encoder, decoder, or reducer all surface
+    as a hash mismatch."""
+    return mm.audio_features(mm.wav_media_from_documents(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -763,6 +774,7 @@ QUERIES = {
     "media_extract_meta": q_media_meta,
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
+    "media_audio_features": q_media_audio_features,
 }
 
 
@@ -1503,6 +1515,30 @@ FROM q""",
     # mirrors bmp_media_from_documents dims + resize_max_dim integer math +
     # the BMP size formula (54-byte header, rows padded to 4 bytes); pixel
     # bytes are pytest-verified (tests/test_multimodal.py)
+    # features recomputed in closed form from the synthesis model:
+    # n = doc_id%400+100, rate = 8000+(doc_id%4)*4000,
+    # sample[i] = (doc_id*31 + i*17) % 65536 - 32768
+    "media_audio_features": """
+WITH d AS (
+  SELECT doc_id, doc_id % 400 + 100 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, d.rate,
+         ((d.doc_id * 31 + g.i * 17) % 65536 - 32768)::BIGINT AS v, g.i
+  FROM d, unnest(generate_series(0, d.n - 1)) AS g(i)
+), x AS (
+  SELECT doc_id, n, rate, v,
+         CASE WHEN v * lead(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+              THEN 1 ELSE 0 END AS c
+  FROM s
+)
+SELECT doc_id AS media_id, n::BIGINT AS n_samples, rate::INT AS sample_rate,
+       round(n / rate::DOUBLE, 6) AS duration_sec,
+       round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms,
+       max(abs(v))::BIGINT AS peak,
+       sum(c)::BIGINT AS zero_crossings
+FROM x GROUP BY doc_id, n, rate
+""".strip(),
     "media_resize": """
 WITH m AS (
   SELECT doc_id AS media_id,
