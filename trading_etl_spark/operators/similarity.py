@@ -129,16 +129,26 @@ def knn_matryoshka(
     math runs on n_queries×n_candidates rows only. Both stages rank on
     6dp-rounded similarity with vec_id tie-break (engine-independent).
     """
+    # per-row norms as plain columns behind the exchanges (the r9
+    # knn_bruteforce diagnosis): stage 1 pays ONE prefix-dim fold per
+    # pair, stage 2 one full-dim fold per surviving candidate
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qv"),
         F.slice("emb", 1, prefix_dim).alias("qp"),
+        _norm(F.col("emb")).alias("qnorm"),
+        _norm(F.slice("emb", 1, prefix_dim)).alias("qpnorm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("cv"),
         F.slice("emb", 1, prefix_dim).alias("cp"),
+        _norm(F.col("emb")).alias("cnorm"),
+        _norm(F.slice("emb", 1, prefix_dim)).alias("cpnorm"),
     )
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < parallelism:
+        c = c.repartition(parallelism)
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("prefix_sim"), F.asc("neighbor_id")
     )
@@ -146,7 +156,10 @@ def knn_matryoshka(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("prefix_sim", F.round(cosine("qp", "cp"), 6))
+        .withColumn(
+            "prefix_sim",
+            F.round(_dot("qp", "cp") / (F.col("qpnorm") * F.col("cpnorm")), 6),
+        )
         .withColumn("crank", F.row_number().over(w1))
         .filter(F.col("crank") <= n_candidates)
     )
@@ -154,7 +167,9 @@ def knn_matryoshka(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        cand.withColumn("cos_sim", F.round(cosine("qv", "cv"), 6))
+        cand.withColumn(
+            "cos_sim", F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+        )
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
