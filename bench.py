@@ -229,7 +229,16 @@ def main() -> None:
     from trading_etl_spark.queries.analytics import _compaction_fixture
 
     fixture = _compaction_fixture(spark, sf_dir)
-    prune_days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # prune to the fixture's first three ACTUAL day-partitions (review r9:
+    # hardcoded dates would silently time an empty scan if the events
+    # fixture's date range ever drifts — it has before)
+    prune_days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(fixture)
+        if d.startswith("dt=")
+    )[:3]
+    if not prune_days:
+        raise RuntimeError(f"compaction fixture at {fixture} has no dt= partitions")
 
     def _scan_full(spark_, _sf):
         return spark_.read.parquet(fixture).groupBy().agg(
@@ -252,6 +261,11 @@ def main() -> None:
             len(glob.glob(f"{fixture}/dt={d}/*.parquet")) for d in prune_days
         ),
     }
+    if not pruning_files["files_in_pruned_partitions"]:
+        raise RuntimeError(
+            f"pruned partitions {prune_days} hold no files — the pruning "
+            "lines would time an empty scan and report a bogus speedup"
+        )
     for _ in range(N_RUNS):
         runs.setdefault("events_scan_full", []).append(run_once(_scan_full))
         runs.setdefault("events_scan_pruned_3d", []).append(run_once(_scan_pruned))

@@ -353,6 +353,7 @@ def decode_wav(data: bytes):
             "not a RIFF/WAVE payload — compressed audio needs a codec "
             "library, which is not installed in this container"
         )
+    fmt_size = int.from_bytes(data[16:20], "little")
     fmt_tag = int.from_bytes(data[20:22], "little")
     channels = int.from_bytes(data[22:24], "little")
     rate = int.from_bytes(data[24:28], "little")
@@ -361,6 +362,17 @@ def decode_wav(data: bytes):
         raise NotImplementedError(
             f"only 16-bit mono PCM WAV is codec-free (got fmt={fmt_tag}, "
             f"channels={channels}, bits={bits})"
+        )
+    # the fixed 44-byte layout holds only for a 16-byte fmt chunk followed
+    # immediately by the data chunk; an 18-byte fmt (cbSize) or extra
+    # LIST/fact chunks would shift every offset below — gate, don't
+    # misparse (review r9: the gate checks above all sit BEFORE the shift,
+    # so without this a shifted file decoded to silently wrong samples)
+    if fmt_size != 16 or data[36:40] != b"data":
+        raise NotImplementedError(
+            "only the canonical 44-byte PCM WAV layout (16-byte fmt chunk, "
+            "data chunk next) is codec-free; chunk-walking other layouts "
+            "needs a real audio library"
         )
     n = int.from_bytes(data[40:44], "little") // 2
     return (
@@ -433,8 +445,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rows["n_samples"].append(len(v))
                 rows["sample_rate"].append(rate)
                 # half-away-from-zero 6dp (the F.round/DuckDB convention;
-                # Python round() is half-even and can diverge on ties)
-                r6 = lambda x: float(np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+                # Python round() is half-even and can diverge on ties);
+                # sign-preserving like the other kernels so a future
+                # signed stat (DC offset, skew) can reuse it safely
+                r6 = lambda x: float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
                 rows["duration_sec"].append(r6(len(v) / rate))
                 rows["rms"].append(r6(float(np.sqrt(np.mean(v * v)))))
                 rows["peak"].append(int(np.max(np.abs(v))) if len(v) else 0)

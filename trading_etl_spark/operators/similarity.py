@@ -55,6 +55,17 @@ def _norm(col: str | Column) -> Column:
     return F.sqrt(_dot(col, col))
 
 
+def _spread_if_underpartitioned(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Repartition ``out`` to defaultParallelism when ``src``'s scan
+    arrives under-split (a single small parquet file = ONE task for the
+    whole cross join, the r9 diagnosis). A real many-partition corpus is
+    left alone. Shared by the brute-force and Matryoshka paths."""
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        return out.repartition(parallelism)
+    return out
+
+
 def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Exact top-k cosine neighbors for the query vectors (vec_id < n_queries).
 
@@ -84,9 +95,7 @@ def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -
         F.col("emb").alias("cv"),
         _norm(F.col("emb")).alias("cnorm"),
     )
-    parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < parallelism:
-        c = c.repartition(parallelism)
+    c = _spread_if_underpartitioned(emb, c)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -146,9 +155,7 @@ def knn_matryoshka(
         _norm(F.col("emb")).alias("cnorm"),
         _norm(F.slice("emb", 1, prefix_dim)).alias("cpnorm"),
     )
-    parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < parallelism:
-        c = c.repartition(parallelism)
+    c = _spread_if_underpartitioned(emb, c)
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("prefix_sim"), F.asc("neighbor_id")
     )

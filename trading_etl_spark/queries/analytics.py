@@ -789,23 +789,12 @@ _COMPACT_FIXTURES_MAX = 4
 
 
 def _compaction_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import atexit
     import os
-    import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _COMPACT_FIXTURES.get(key)
-    if path is None:
-        while len(_COMPACT_FIXTURES) >= _COMPACT_FIXTURES_MAX:
-            old = _COMPACT_FIXTURES.pop(next(iter(_COMPACT_FIXTURES)))
-            shutil.rmtree(old, ignore_errors=True)
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "trading_etl_spark_compact",
-            spark.sparkContext.applicationId,
-            os.path.basename(os.path.normpath(sf_dir)),
-        )
+    from ._dumpcache import get_or_build_dump
+
+    def build(path: str) -> None:
         # single task + maxRecordsPerFile => each day holds EXACTLY
         # ceil(rows/N) files, the accretion model the oracle reproduces
         (
@@ -818,9 +807,19 @@ def _compaction_fixture(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("dt")
             .parquet(path)
         )
-        _COMPACT_FIXTURES[key] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
+
+    return get_or_build_dump(
+        _COMPACT_FIXTURES,
+        _COMPACT_FIXTURES_MAX,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: os.path.join(
+            tempfile.gettempdir(),
+            "trading_etl_spark_compact",
+            spark.sparkContext.applicationId,
+            os.path.basename(os.path.normpath(sf_dir)),
+        ),
+        build,
+    )
 
 
 def q_events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -333,9 +333,8 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one single-file 1h-candle dump per (app, sf_dir), reused across
 # invocations — a fresh mkdtemp per call accreted /tmp copies in a
 # long-lived gate/bench session. Each drain still replays from scratch
-# (fresh implicit temp checkpoint per start()). FIFO-bounded like every
-# other cache (bespoke eviction: an evicted entry also rmtree's its dump,
-# which the generic _cache_put can't do).
+# (fresh implicit temp checkpoint per start()). FIFO-bounded with rmtree
+# eviction via the shared _dumpcache helper.
 _CANDLE_DUMPS: dict = {}
 _CANDLE_DUMPS_MAX = 4
 
@@ -346,29 +345,24 @@ def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain is a single micro-batch whose rows each state
     update sorts by time per symbol — the exact batch order (the
     determinism contract all three stateful gates share)."""
-    import atexit
-    import os
-    import shutil
     import tempfile
 
+    from ._dumpcache import get_or_build_dump
     from .trading import _ohlc_1h
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _CANDLE_DUMPS.get(key)
-    if path is None:
-        while len(_CANDLE_DUMPS) >= _CANDLE_DUMPS_MAX:
-            old = _CANDLE_DUMPS.pop(next(iter(_CANDLE_DUMPS)))
-            shutil.rmtree(os.path.dirname(old), ignore_errors=True)
-        base = tempfile.mkdtemp(prefix="gate_streaming_candles_")
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-        path = f"{base}/candles_1h"
-        (
+    root = get_or_build_dump(
+        _CANDLE_DUMPS,
+        _CANDLE_DUMPS_MAX,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: tempfile.mkdtemp(prefix="gate_streaming_candles_"),
+        lambda base: (
             _ohlc_1h(spark, sf_dir)
             .select("currency_pair_code", "time", "close")
             .coalesce(1)
-            .write.parquet(path)
-        )
-        _CANDLE_DUMPS[key] = path
+            .write.parquet(f"{base}/candles_1h")
+        ),
+    )
+    path = f"{root}/candles_1h"
     stream = spark.readStream.schema(
         "currency_pair_code string, time timestamp, close double"
     ).parquet(path)
