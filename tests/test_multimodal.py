@@ -179,3 +179,31 @@ def test_audio_features_match_numpy_reference(spark):
         assert r["rms"] == np.floor(np.sqrt(np.mean(v * v)) * 1e6 + 0.5) / 1e6
         assert r["peak"] == int(np.max(np.abs(v)))
         assert r["zero_crossings"] == int(np.sum(v[:-1] * v[1:] < 0))
+
+
+def test_image_dhash_matches_numpy_reference(spark):
+    """Full dHash pipeline (synthesize BMP → decode → gray → 9×8 sample →
+    pack) pinned to an independent NumPy recomputation from the pixel
+    model, including a doc whose hash would exercise high bit positions."""
+    import numpy as np
+
+    from trading_etl_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        image_dhash,
+    )
+
+    docs = spark.createDataFrame([(3,), (55,), (128,)], "doc_id long")
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(bmp_media_from_documents(docs)).collect()
+    }
+    for did in (3, 55, 128):
+        w, h = did % 24 + 8, did % 16 + 8
+        y, x, c = np.ogrid[:h, :w, :3]
+        px = (13 * did + 7 * y + 3 * x + c) % 256
+        gray = px.astype(np.int64).sum(axis=2) // 3
+        g = gray[np.ix_(np.arange(8) * h // 8, np.arange(9) * w // 9)]
+        bits = (g[:, :8] > g[:, 1:]).astype(np.int64)
+        idx = np.arange(8)
+        expect = int((bits << (idx[:, None] * 8 + idx[None, :])).sum())
+        assert got[did] == expect

@@ -128,6 +128,7 @@ SIBLING = {
     "ichimoku_9_26_52_1h": "volatility_20_1h",
     "dupgraph_triangle_stats": "dedup_keeper_centrality",
     "media_audio_features": "media_extract_meta",
+    "media_dhash": "media_extract_meta",
 }
 
 

@@ -465,3 +465,44 @@ def audio_features(media: DataFrame) -> DataFrame:
         "media_id long, n_samples long, sample_rate int, duration_sec double, "
         "rms double, peak long, zero_crossings long",
     )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """REAL perceptual difference-hash over image payloads (r9-born — the
+    image near-dup fingerprint, completing the modality set next to text
+    simhash/minhash): decode BMP → integer grayscale (r+g+b)//3 →
+    nearest-neighbor sample to a 9×8 grid (x_src = x·w//9, y_src =
+    y·h//8, the resize_max_dim index convention) → one bit per adjacent
+    horizontal pair (left > right) → 64-bit fingerprint (bit y·8+x).
+
+    Near-identical images differ in O(1) bits, so banding the 64 bits
+    exactly like dedup_simhash's pigeonhole scheme gives the scaled
+    image near-dup join; this operator is the fingerprint stage. All
+    integer math, so the DuckDB oracle recomputes every bit in closed
+    form from the synthesis model — any drift in the decoder, the
+    grayscale, or the sampling surfaces as a hash mismatch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_bmp(bytes(pl)).astype(np.int64)
+                h, w = arr.shape[:2]
+                gray = arr.sum(axis=2) // 3
+                ys = np.arange(8) * h // 8
+                xs = np.arange(9) * w // 9
+                g = gray[np.ix_(ys, xs)]               # (8, 9)
+                bits = (g[:, :8] > g[:, 1:]).astype(np.int64)  # (8, 8)
+                idx = np.arange(8)
+                val = int((bits << (idx[:, None] * 8 + idx[None, :])).sum())
+                ids.append(int(mid))
+                hashes.append(val)
+            out = pd.DataFrame({"media_id": ids, "dhash": hashes})
+            out["dhash"] = out["dhash"].astype("int64")
+            yield out
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        kernel, "media_id long, dhash long"
+    )

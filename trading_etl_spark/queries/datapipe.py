@@ -704,6 +704,16 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select("media_id", "width", "height", "byte_len")
 
 
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual dHash fingerprints (r9-born): synthesized BMP
+    payloads pixel-decoded, grayscaled, 9×8-sampled, and packed into a
+    64-bit difference hash — the image near-dup fingerprint (band it like
+    dedup_simhash for the scaled join). The oracle recomputes every bit
+    in closed form from the pixel model, so decoder/grayscale/sampling
+    drift all surface as a hash mismatch."""
+    return mm.image_dhash(mm.bmp_media_from_documents(_docs(spark, sf_dir)))
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction (r9-born — the WAV analog of the BMP
     pixel path): synthesized 16-bit PCM WAV payloads RIFF-decoded and
@@ -775,6 +785,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_resize": q_media_resize,
     "media_audio_features": q_media_audio_features,
+    "media_dhash": q_media_dhash,
 }
 
 
@@ -1515,6 +1526,40 @@ FROM q""",
     # mirrors bmp_media_from_documents dims + resize_max_dim integer math +
     # the BMP size formula (54-byte header, rows padded to 4 bytes); pixel
     # bytes are pytest-verified (tests/test_multimodal.py)
+    # every bit recomputed in closed form from the BMP pixel model
+    # (w = doc_id%24+8, h = doc_id%16+8, px[y,x,c] = (13*doc_id+7*y+3*x+c)%256);
+    # gray = (r+g+b)//3, 9x8 nearest sample (sx = x*w//9, sy = y*h//8),
+    # bit y*8+x set iff gray[sy][sx] > gray[sy][sx_right]
+    "media_dhash": """
+WITH d AS (
+  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h FROM documents
+), cells AS (
+  SELECT doc_id, gy.y, gx.x,
+         (gy.y * h) // 8 AS sy, (gx.x * w) // 9 AS sx
+  FROM d,
+       unnest(generate_series(0, 7)) AS gy(y),
+       unnest(generate_series(0, 8)) AS gx(x)
+), gray AS (
+  SELECT doc_id, y, x,
+         (((13 * doc_id + 7 * sy + 3 * sx) % 256)
+          + ((13 * doc_id + 7 * sy + 3 * sx + 1) % 256)
+          + ((13 * doc_id + 7 * sy + 3 * sx + 2) % 256)) // 3 AS g
+  FROM cells
+), bits AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+)
+SELECT doc_id AS media_id,
+       -- bit 63 contributes the SIGNED value -2^63 (matching the int64
+       -- wrap on the Spark/NumPy side; DuckDB 1<<63 overflows instead)
+       sum(CASE WHEN y * 8 + x = 63
+                THEN bit * (-9223372036854775807 - 1)
+                ELSE bit * (1::BIGINT << (y * 8 + x)) END)::BIGINT AS dhash
+FROM bits GROUP BY 1
+""".strip(),
     # features recomputed in closed form from the synthesis model:
     # n = doc_id%400+100, rate = 8000+(doc_id%4)*4000,
     # sample[i] = (doc_id*31 + i*17) % 65536 - 32768

@@ -154,6 +154,7 @@ _DEFER: list[str] = [
     "ichimoku_9_26_52_1h",    # midpoint windows + row offsets; family of volatility_20_1h
     "dupgraph_triangle_stats",  # triangle/transitivity report; graph family of dedup_keeper_centrality
     "media_audio_features",   # REAL WAV decode + waveform stats; family of media_extract_meta
+    "media_dhash",            # REAL pixel dHash fingerprints; family of media_extract_meta
 ]
 
 
