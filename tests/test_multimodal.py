@@ -207,3 +207,45 @@ def test_image_dhash_matches_numpy_reference(spark):
         idx = np.arange(8)
         expect = int((bits << (idx[:, None] * 8 + idx[None, :])).sum())
         assert got[did] == expect
+
+
+def test_codec_roundtrips_property():
+    """Property: encode→decode is the identity for ANY image shape /
+    sample count in the supported envelope (hypothesis-driven — catches
+    stride/padding bugs the fixed-size tests can miss)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trading_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def bmp_roundtrip(w, h, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 2000),
+        rate=st.sampled_from([8000, 11025, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype("<i2")
+        back, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and np.array_equal(back, s)
+
+    bmp_roundtrip()
+    wav_roundtrip()

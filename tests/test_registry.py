@@ -129,6 +129,7 @@ SIBLING = {
     "dupgraph_triangle_stats": "dedup_keeper_centrality",
     "media_audio_features": "media_extract_meta",
     "media_dhash": "media_extract_meta",
+    "decontaminate_fuzzy_lsh": "decontaminate_bloom_prefilter",
 }
 
 

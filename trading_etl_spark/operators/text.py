@@ -27,7 +27,7 @@ from operator import add
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # --- tokenization / shingles -------------------------------------------------
@@ -908,6 +908,42 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def decontaminate_fuzzy(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """FUZZY decontamination (r9-born): flag TRAIN documents that are
+    NEAR-duplicates of TEST/benchmark documents — the LSH complement of
+    :func:`decontaminate`'s exact n-gram scan (an eval document
+    paraphrased or lightly edited into the corpus shares few exact
+    8-grams but survives MinHash banding; real corpus builds run BOTH
+    gates). Candidates come from the same banded signature join as
+    ``dedup_minhash_lsh``; only cross-split collisions survive, verified
+    with exact jaccard ≥ ``threshold``. The split is the deterministic
+    md5 bucket of doc_id (shared with q_train_test_split), so which side
+    a pair member belongs to is a pure expression — no extra join.
+
+    Output per contaminated train doc: n_test_dups, max_jaccard.
+    Scale shape: identical to the LSH dedup path (banded candidate
+    equi-join, O(collisions)); the split predicate is map-side."""
+    sh = shingles(docs).cache()
+    verified = _jaccard_verify(_minhash_band_candidates(sh), sh, threshold)
+
+    def split_of(c: Column) -> Column:
+        h = F.substring(F.md5(c.cast("string")), 1, 2)
+        return F.when(h < SPLIT_HEX_THRESHOLD, "train").otherwise("test")
+
+    cross = verified.filter(
+        split_of(F.col("doc_a")) != split_of(F.col("doc_b"))
+    ).select(
+        F.when(split_of(F.col("doc_a")) == "train", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_doc_id"),
+        "jaccard",
+    )
+    return cross.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).alias("n_test_dups"),
+        F.max("jaccard").alias("max_jaccard"),
     )
 
 

@@ -295,6 +295,14 @@ def q_dedup_components_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-banded) decontamination (r9-born): train docs that
+    NEAR-duplicate a test-split doc — the LSH complement of the exact
+    8-gram scan; paraphrased eval leakage shares few exact n-grams but
+    survives banding. Same O(collisions) shape as dedup_minhash_lsh."""
+    return tx.decontaminate_fuzzy(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leak scan: train-split docs sharing any 8-gram with the
     test split (broadcast test shingles; map-side probe over train).
@@ -735,6 +743,7 @@ QUERIES = {
     "dedup_cc_two_phase": q_dedup_components_two_phase,
     "decontaminate_train_ngrams": q_decontaminate,
     "decontaminate_bloom_prefilter": q_decontaminate_bloom,
+    "decontaminate_fuzzy_lsh": q_decontaminate_fuzzy,
     "corpus_dsir_resample": q_dsir_resample,
     "hybrid_search_rrf": q_hybrid_search,
     "embedding_knn_matryoshka": q_knn_matryoshka,
@@ -1058,6 +1067,36 @@ cand AS (
         tx.JACCARD_VERIFY_SQL,
     )
     + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    "decontaminate_fuzzy_lsh": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        tx.minhash_sig_sql(),
+        tx.band_sql(),
+        """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM doc_bands a
+  JOIN doc_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+""".strip(),
+        tx.JACCARD_VERIFY_SQL,
+        f"""
+crossed AS (
+  SELECT CASE WHEN substr(md5(doc_a::VARCHAR), 1, 2) < '{tx.SPLIT_HEX_THRESHOLD}'
+              THEN doc_a ELSE doc_b END AS train_doc_id,
+         jaccard
+  FROM verified
+  WHERE jaccard >= 0.5
+    AND (substr(md5(doc_a::VARCHAR), 1, 2) < '{tx.SPLIT_HEX_THRESHOLD}')
+        <> (substr(md5(doc_b::VARCHAR), 1, 2) < '{tx.SPLIT_HEX_THRESHOLD}')
+)
+""".strip(),
+    )
+    + """
+SELECT train_doc_id, count(*) AS n_test_dups, max(jaccard) AS max_jaccard
+FROM crossed GROUP BY 1
+""".strip(),
     "dedup_lsh_eval": _with(
         tx.DOCS_TOKS_SQL,
         tx.SHINGLES_SQL,

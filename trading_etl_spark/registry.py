@@ -155,6 +155,7 @@ _DEFER: list[str] = [
     "dupgraph_triangle_stats",  # triangle/transitivity report; graph family of dedup_keeper_centrality
     "media_audio_features",   # REAL WAV decode + waveform stats; family of media_extract_meta
     "media_dhash",            # REAL pixel dHash fingerprints; family of media_extract_meta
+    "decontaminate_fuzzy_lsh",  # LSH near-dup decontamination; family of decontaminate_bloom_prefilter
 ]
 
 
