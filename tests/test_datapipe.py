@@ -1258,3 +1258,25 @@ def test_write_training_shards_manifest_consistent(spark, tmp_path):
         assert all(r.text for r in rows)  # the text rode along
         total_docs += len(rows)
     assert total_docs == docs.count()
+
+
+def test_decontaminate_fuzzy_flags_cross_split_near_dup(spark):
+    """doc 3 hash-splits to TEST (md5('3')[:2]='ec'); doc 1 is TRAIN and
+    near-duplicates it (one token changed); doc 2 is TRAIN and unrelated.
+    Only doc 1 must be flagged, with jaccard < 1. A same-split near-dup
+    pair (4 vs 5) must NOT appear — dedup's job, not decontamination's."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, base.replace("juliet", "kilo"), "en"),   # train, near-dup of 3
+            (2, "totally different words entirely here now", "en"),  # train
+            (3, base, "en"),                              # test split
+            (4, "xray yankee zulu quebec romeo sierra tango", "en"),  # train
+            (5, "xray yankee zulu quebec romeo sierra uniform", "en"),  # train
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["train_doc_id"]: r for r in tx.decontaminate_fuzzy(docs).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_test_dups"] == 1
+    assert 0.5 <= got[1]["max_jaccard"] < 1.0
