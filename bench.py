@@ -306,6 +306,69 @@ def main() -> None:
             salted_join(skew_big, skew_small, ["k"], salt_from="v", n_salts=32)
         )
 
+    # --- Bucketed co-located join proof lines (completes the measured-
+    # proof trilogy: skew, partition pruning, bucketing). lineitem and
+    # orders are written once as 16-bucket tables on the join key; the
+    # join + per-orderkey agg then run with ZERO exchanges (asserted
+    # below — the CI claim in test_bucketing, now timed) while the plain
+    # parquet twin shuffles. Setup is one-time, not a timed line.
+    import re as _re
+    import shutil as _shutil
+
+    from trading_etl_spark.io import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bench_li_bkt", "bench_od_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    plain_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    plain_od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(
+        plain_li, "bench_li_bkt", ["l_orderkey"], n_buckets=16,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        plain_od, "bench_od_bkt", ["o_orderkey"], n_buckets=16,
+        sort_cols=["o_orderkey"],
+    )
+
+    def _order_rev(j):
+        return j.groupBy("l_orderkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    bkt_li, bkt_od = spark.table("bench_li_bkt"), spark.table("bench_od_bkt")
+
+    def _join_bucketed(spark_, _sf):
+        return _order_rev(bkt_li.join(bkt_od, bkt_li.l_orderkey == bkt_od.o_orderkey))
+
+    def _join_shuffled(spark_, _sf):
+        return _order_rev(
+            plain_li.join(plain_od, plain_li.l_orderkey == plain_od.o_orderkey)
+        )
+
+    n_exchanges = len(
+        _re.findall(
+            "Exchange hashpartitioning",
+            _join_bucketed(spark, sf_dir)._jdf.queryExecution().executedPlan().toString(),
+        )
+    )
+    if n_exchanges:
+        raise RuntimeError(
+            f"bucketed join plan has {n_exchanges} exchanges — the co-located "
+            "join proof line would be measuring a shuffle"
+        )
+    for _ in range(N_RUNS):
+        runs.setdefault("join_orderkey_bucketed", []).append(run_once(_join_bucketed))
+        runs.setdefault("join_orderkey_shuffled", []).append(run_once(_join_shuffled))
+
     prev_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

@@ -28,6 +28,8 @@ def _fake_runs():
         "events_scan_pruned_3d",
         "skew_join_agg_naive",
         "skew_join_agg_salted",
+        "join_orderkey_bucketed",
+        "join_orderkey_shuffled",
     ]
     return {n: [round(10 + 0.001 * i, 3) for i in range(bench.N_RUNS)] for n in names}
 
