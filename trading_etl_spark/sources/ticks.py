@@ -163,8 +163,23 @@ def tickify(events: DataFrame) -> DataFrame:
 
 
 def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parsed, validated ticks before dedup — batch entry point."""
-    return tickify(load_events(spark, sf_dir))
+    """Parsed, validated ticks before dedup — batch entry point.
+
+    The events scan is SPREAD to defaultParallelism when it arrives
+    under-split (the r9 knn diagnosis applied to the ingest path: the
+    driver fixture is ONE small parquet file = one task, and the JSON
+    parse + broadcast enrich in tickify are the chain's CPU cost — they
+    ran single-threaded before every keyed shuffle). The round-robin
+    spread of the raw rows is cheap and shows up as a
+    roundrobinpartitioning exchange, distinct from the chain's single
+    KEYED shuffle; a real 100 TB events table arrives as many splits and
+    the guard no-ops. Batch-only — streaming sources manage their own
+    partitioning."""
+    ev = load_events(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
+    return tickify(ev)
 
 
 def load_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
