@@ -130,6 +130,7 @@ SIBLING = {
     "media_audio_features": "media_extract_meta",
     "media_dhash": "media_extract_meta",
     "decontaminate_fuzzy_lsh": "decontaminate_bloom_prefilter",
+    "customer_rfm_segments": "events_value_winsorize",
 }
 
 

@@ -778,6 +778,63 @@ def q_events_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_plan(_t(spark, sf_dir, "events"), "ts", RETENTION_CUTOFF)
 
 
+RFM_ANCHOR = "1998-08-03"  # day after TPC-H's last o_orderdate — fixed, never wall-clock
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r9-born — the classic marketing-OLAP
+    pattern): per customer, recency (days from last order to the fixed
+    anchor), frequency (order count), monetary (total spend), each scored
+    into quartiles and combined into an RFM cell (111..444, 4 best).
+
+    Scale shape: NOT ntile — a global ntile is a single-partition window
+    (the bm25 lesson). Quartile THRESHOLDS come from one 1-row exact-
+    percentile aggregate (F.percentile ↔ quantile_cont, the
+    spread_quantiles parity convention) broadcast back, and scoring is a
+    map-side comparison — the same two-pass shape as the histogram.
+    Recency scores inverted (recent = better)."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+        )
+    )
+    th = per.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{c}_q{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def quartile(c: str) -> F.Column:
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_q25"), 1)
+            .when(F.col(c) <= F.col(f"{c}_q50"), 2)
+            .when(F.col(c) <= F.col(f"{c}_q75"), 3)
+            .otherwise(4)
+        )
+
+    scored = per.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (5 - quartile("recency_days")).alias("r_score"),  # recent = low days = best
+        quartile("frequency").alias("f_score"),
+        quartile("monetary").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )
+
+
 COMPACT_FIXTURE_ROWS_PER_FILE = 50   # maxRecordsPerFile at fixture write
 COMPACT_TARGET_ROWS_PER_FILE = 200   # the dry-run's target file size
 
@@ -890,6 +947,7 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "customer_rfm_segments": q_customer_rfm,
     "events_retention_plan": q_events_retention_plan,
     "events_compaction_plan": q_events_compaction_plan,
     "events_zorder_stats": q_events_zorder_stats,
@@ -934,6 +992,42 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS partition_value,
        CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d') < '{RETENTION_CUTOFF}'
             THEN 'drop' ELSE 'keep' END AS action
 FROM events GROUP BY 1
+""".strip(),
+    # thresholds from one exact-percentile agg (quantile_cont matches
+    # F.percentile, the spread_quantiles convention); scoring is a map-side
+    # CASE against the broadcast thresholds; recency inverted (recent=best)
+    "customer_rfm_segments": f"""
+WITH per AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate::DATE), DATE '{RFM_ANCHOR}')::INT AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 6) AS monetary
+  FROM orders GROUP BY 1
+), th AS (
+  SELECT round(quantile_cont(recency_days, 0.25), 6) AS r25,
+         round(quantile_cont(recency_days, 0.50), 6) AS r50,
+         round(quantile_cont(recency_days, 0.75), 6) AS r75,
+         round(quantile_cont(frequency, 0.25), 6) AS f25,
+         round(quantile_cont(frequency, 0.50), 6) AS f50,
+         round(quantile_cont(frequency, 0.75), 6) AS f75,
+         round(quantile_cont(monetary, 0.25), 6) AS m25,
+         round(quantile_cont(monetary, 0.50), 6) AS m50,
+         round(quantile_cont(monetary, 0.75), 6) AS m75
+  FROM per
+), scored AS (
+  SELECT p.o_custkey, p.recency_days, p.frequency, p.monetary,
+         5 - (CASE WHEN recency_days <= r25 THEN 1 WHEN recency_days <= r50 THEN 2
+                   WHEN recency_days <= r75 THEN 3 ELSE 4 END) AS r_score,
+         CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
+              WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+         CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+              WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+  FROM per p, th
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       (r_score * 100 + f_score * 10 + m_score)::INT AS rfm_cell
+FROM scored
 """.strip(),
     # files_before == ceil(rows/50) BY CONSTRUCTION of the fixture
     # (single-task write, maxRecordsPerFile=50); the Spark side reads the

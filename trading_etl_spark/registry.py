@@ -156,6 +156,7 @@ _DEFER: list[str] = [
     "media_audio_features",   # REAL WAV decode + waveform stats; family of media_extract_meta
     "media_dhash",            # REAL pixel dHash fingerprints; family of media_extract_meta
     "decontaminate_fuzzy_lsh",  # LSH near-dup decontamination; family of decontaminate_bloom_prefilter
+    "customer_rfm_segments",  # quartile-threshold RFM cells; two-pass family of events_value_winsorize
 ]
 
 
