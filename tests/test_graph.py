@@ -172,3 +172,49 @@ def test_triangle_stats_known_graph(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     row0 = triangle_stats(empty).collect()[0]
     assert (row0["n_triangles"], row0["transitivity"]) == (0, None)
+
+
+def test_triangle_stats_star_hub_degree_orientation(spark):
+    """VERDICT r9 task #2: a high-degree near-dup hub must not become the
+    wedge-join key. Star fixture — hub 0 with 10k leaves, id-canonical so
+    the hub is doc_a of EVERY edge (the worst case for id-canonical wedge
+    enumeration: all 10k edges would meet at one join key). Under
+    degree-ordered orientation the hub (deg 10000) is the (deg, id)-LARGER
+    endpoint of every edge, so every edge orients leaf→hub and the hub has
+    out-degree 0: zero wedges enumerate at it. Plus a closing edge between
+    two leaves to prove triangles still count across the re-orientation."""
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.operators.graph import triangle_stats
+
+    n = 10_000
+    edges = spark.range(1, n + 1).selectExpr("0 as doc_a", "id as doc_b").union(
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    )
+    row = triangle_stats(edges).collect()[0]
+    # hub wedges C(n,2) + one wedge at each of leaf 1 and 2 (deg 2)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (n + 1, n + 1, 1)
+    assert row["n_wedges"] == n * (n - 1) // 2 + 2
+
+    # The wedge join must consume the ORIENTED (u, v) relation — the plan's
+    # equi-join keys are the conditional re-orientation expressions, not the
+    # raw id-canonical (a, b) columns.
+    from trading_etl_spark.operators import graph as gr
+
+    e = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ends = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = e.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # every star edge orients leaf -> hub; hub out-degree is exactly zero
+    out_deg = {r["u"]: r["c"] for r in oriented.groupBy("u").count().withColumnRenamed("count", "c").collect()}
+    assert 0 not in out_deg, "hub must have zero out-edges under degree orientation"
+    assert max(out_deg.values()) <= 2, "leaf out-degree stays O(sqrt(E))"

@@ -14,23 +14,22 @@ DRIVER_WINDOW = 50
 
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
-    "sma_dead_cross": "pair_rolling_correlation",
+    "sma_dead_cross": "donchian_20_1h",
     "spread_quantiles": "orders_table_profile",
     "avg_close_pivot": "candle_unpivot",
     "text_fingerprint": "dedup_exact",
-    "media_resize": "media_extract_meta",
     "embedding_near_dup": "embedding_near_dup_lsh",
     "dedup_ngram_jaccard": "dedup_lsh_eval",
     "embedding_knn_bruteforce": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf": "embedding_knn_ivf_kmeans",
     "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
     "text_simhash": "dedup_lsh_eval",
-    "event_props_json_agg": "events_value_winsorize",
+    "event_props_json_agg": "customer_rfm_segments",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_unpivot",
     "backtest_equity_curve": "backtest_max_drawdown",
-    "media_frame_sample": "media_extract_meta",
-    "sma_fanout_all_tf": "pair_rolling_correlation",
+    "media_frame_sample": "media_dhash",
+    "sma_fanout_all_tf": "donchian_20_1h",
     "backtest_trades": "backtest_max_drawdown",
     "watermark_max_time": "incremental_cursor_scan",
     "text_token_count": "text_quality_score",
@@ -38,7 +37,7 @@ SIBLING = {
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
     "ohlc_derived_multi_tf": "candle_unpivot",
-    "sma_14_1h": "pair_rolling_correlation",
+    "sma_14_1h": "donchian_20_1h",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
     "candle_returns_quartile": "orders_table_profile",
     "event_reaction_window": "event_asof_tick_plain",
@@ -72,9 +71,9 @@ SIBLING = {
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick_plain",
-    "embedding_pq_codes": "embedding_knn_ivfadc",
-    "embedding_knn_pq_adc": "embedding_knn_ivfadc",
-    "decontaminate_train_ngrams": "decontaminate_bloom_prefilter",
+    "embedding_pq_codes": "embedding_knn_ivf_kmeans",
+    "embedding_knn_pq_adc": "embedding_knn_ivf_kmeans",
+    "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
     "star_join_revenue": "shipping_priority_q3",
@@ -87,7 +86,7 @@ SIBLING = {
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
     "macd_12_26_9_1h": "holt_forecast_1h",
-    "bollinger_20_2_1h": "volatility_20_1h",
+    "bollinger_20_2_1h": "donchian_20_1h",
     "hybrid_search_rrf": "bm25_search",
     "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
     "corpus_dsir_resample": "text_unigram_logprob",
@@ -108,29 +107,36 @@ SIBLING = {
     # dedup_lsh_eval apply the same trained artifacts or spans).
     "event_asof_tick": "event_asof_tick_plain",
     "backtest_pnl": "backtest_max_drawdown",
-    "events_value_histogram": "events_value_winsorize",
-    "ticks_freshness_sla": "events_retention_plan",
+    "events_value_histogram": "customer_rfm_segments",
+    "ticks_freshness_sla": "incremental_cursor_scan",
     "dedup_minhash_lsh": "dedup_lsh_eval",
     "dedup_exact_substring": "corpus_strip_dup_spans",
     "bpe_train_merges": "bpe_encode_fertility",
     "priority_shipmonth_q12": "returned_item_q10",
     "local_supplier_volume": "shipping_priority_q3",
     "rsi_14_1h": "streaming_rsi_14_1h",
-    "sma_golden_cross": "pair_rolling_correlation",
+    "sma_golden_cross": "donchian_20_1h",
     "candle_rollup": "candle_unpivot",
     "atr_14_1h": "holt_forecast_1h",
     "stochastic_14_3_1h": "holt_forecast_1h",
-    "dupgraph_pagerank": "dedup_keeper_centrality",
-    # r9-born, registered deferred until the r10 rotation:
-    "events_compaction_plan": "events_retention_plan",
-    "embedding_ann_recall_eval": "embedding_knn_ivf_kmeans",
-    "donchian_20_1h": "volatility_20_1h",
-    "ichimoku_9_26_52_1h": "volatility_20_1h",
-    "dupgraph_triangle_stats": "dedup_keeper_centrality",
-    "media_audio_features": "media_extract_meta",
-    "media_dhash": "media_extract_meta",
-    "decontaminate_fuzzy_lsh": "decontaminate_bloom_prefilter",
-    "customer_rfm_segments": "events_value_winsorize",
+    "dupgraph_pagerank": "dedup_cc_two_phase",
+    # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
+    # media_resize) moved INTO the window; these 10 r9-driver-green queries
+    # rotated out, each with a same-family twin in the window
+    # (idempotent_append_fresh runs streaming_firstwins_append's EXACT oracle;
+    # events_compaction_plan / decontaminate_fuzzy_lsh / donchian_20_1h /
+    # ichimoku_9_26_52_1h / dupgraph_triangle_stats / customer_rfm_segments /
+    # media_dhash are the incoming family twins).
+    "media_extract_meta": "media_dhash",
+    "events_retention_plan": "events_compaction_plan",
+    "events_zorder_stats": "events_compaction_plan",
+    "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
+    "dedup_keeper_centrality": "dupgraph_triangle_stats",
+    "volatility_20_1h": "donchian_20_1h",
+    "pair_rolling_correlation": "ichimoku_9_26_52_1h",
+    "events_value_winsorize": "customer_rfm_segments",
+    "embedding_knn_ivfadc": "embedding_knn_ivf_kmeans",
+    "streaming_firstwins_append": "idempotent_append_fresh",
 }
 
 
@@ -155,31 +161,51 @@ def test_deferred_queries_register_last_and_have_siblings():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
 
 
-def test_round9_rotation_in_window():
-    # VERDICT r8 task #1 (rotation wave 3): ALL 15 never-driver-certified
-    # queries are inside the 50-row correctness window this round — the
-    # certification backlog is empty for the first time since round 4.
-    # (Earlier rounds' in-window assertions are superseded by rotation;
-    # their driver certifications are on record in CORRECTNESS_r{1..8}.json.)
+def test_round10_rotation_in_window():
+    # VERDICT r9 task #1 (rotation wave 4): ALL 10 never-driver-certified
+    # queries (9 r9-born + media_resize) are inside the 50-row correctness
+    # window this round — once certified, NO registered query will lack a
+    # driver-green row in its history. (Earlier rounds' in-window assertions
+    # are superseded by rotation; their driver certifications are on record
+    # in CORRECTNESS_r{1..9}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "streaming_rsi_14_1h",
-        "events_value_winsorize",
-        "shipping_priority_q3",
-        "pair_rolling_correlation",
-        "candle_unpivot",
-        "event_type_copairs",
-        "bpe_encode_fertility",
-        "events_retention_plan",
-        "events_zorder_stats",
-        "volatility_20_1h",
-        "returned_item_q10",
-        "dedup_lsh_eval",
-        "event_asof_tick_plain",
-        "backtest_max_drawdown",
-        "corpus_strip_dup_spans",
+        "events_compaction_plan",
+        "embedding_ann_recall_eval",
+        "donchian_20_1h",
+        "ichimoku_9_26_52_1h",
+        "dupgraph_triangle_stats",
+        "media_audio_features",
+        "media_dhash",
+        "media_resize",
+        "decontaminate_fuzzy_lsh",
+        "customer_rfm_segments",
     ]:
         assert q in keys, f"{q} still outside the driver window"
+
+
+def test_never_certified_backlog_within_rotation_budget():
+    # VERDICT r9 task #8 (durability): new registrations per round must stay
+    # within the rotation budget, so the certification backlog can always be
+    # cleared by ONE rotation wave. A query is "certified" once any
+    # CORRECTNESS_r*.json carries a row for it; queries never certified must
+    # either be in the current window (being certified this round) or number
+    # at most 15 (the largest single wave executed, r9).
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    certified: set[str] = set()
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        certified |= set(json.loads(path.read_text()))
+    keys = list(build_queries())
+    in_window = set(keys[:DRIVER_WINDOW])
+    backlog = [k for k in keys if k not in certified and k not in in_window]
+    assert len(backlog) <= 15, (
+        f"{len(backlog)} registered queries are outside the window with no "
+        f"driver-green row in any CORRECTNESS file — exceeds the one-wave "
+        f"rotation budget: {backlog}"
+    )
 
 
 def test_every_query_key_unique_and_oracles_subset():

@@ -279,23 +279,48 @@ def triangle_stats(edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     pairs → near 0, a signal the banding threshold is admitting noise).
 
     Edges must arrive CANONICAL (a < b), which the LSH pair producers
-    guarantee; triangles then enumerate exactly once as a<b<c via two
-    equi-joins on the canonical edge list — the standard distributed
-    triangle count. Wedges = Σ deg·(deg−1)/2 from one degree aggregate.
-    All counts are lazy 1-row aggregates cross-joined at the end.
+    guarantee. Triangles enumerate exactly once via the DEGREE-ORDERED
+    orientation (VERDICT r9 task #2): each undirected edge is re-oriented
+    from its lower-(deg, id) endpoint to its higher one, then two
+    equi-joins close the wedge. The wedge join key is always the
+    ≺-minimum vertex of the triangle, whose out-degree under this
+    orientation is O(√|E|) — so a high-degree near-dup hub (one document
+    duplicated thousands of times, common in web corpora) becomes the
+    DESTINATION of almost all its edges and can no longer skew the wedge
+    join, unlike the id-canonical orientation where the hub's id decides.
+    Triangle counts are orientation-invariant; the oracle is unchanged.
+    Wedges = Σ deg·(deg−1)/2 from one degree aggregate. All counts are
+    lazy 1-row aggregates cross-joined at the end.
     """
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ends = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    # Re-orient each edge from the (deg, id)-smaller endpoint to the larger.
+    # Two broadcast-able? No — deg is |V|-sized, so these are plain keyed
+    # joins; both shuffle on node ids the degree aggregate already keyed on.
+    with_deg = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # A triangle x ≺ y ≺ z appears as out-edges x→y, x→z at the wedge apex
+    # x plus the closing oriented edge y→z; the mirrored leg order (x→z,
+    # x→y) finds no z→y edge, so each triangle counts exactly once.
     tri = (
-        e.alias("ab")
-        .join(e.alias("bc"), F.col("ab.b") == F.col("bc.a"))
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
         .join(
-            e.alias("ac"),
-            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+            oriented.alias("e3"),
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    ends = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
-    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     wedge = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),

@@ -25,9 +25,6 @@ _DEFER: list[str] = [
     "spread_quantiles",       # percentiles covered by approx_value_quantiles
     "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint
-    "media_resize",           # WAVE-4 ROTATION CANDIDATE (VERDICT r8 task #6): the r8 BMP
-                              # kernel does real pixel work, materially beyond extract_meta;
-                              # rotate into the r10 window. Sibling: media_extract_meta.
     "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path
     "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window
     "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path
@@ -146,17 +143,25 @@ _DEFER: list[str] = [
     "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
     "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window
-    # r9-born — registered deferred until the r10 rotation (discipline:
-    # never rotate mid-round); each keeps an in-window sibling:
-    "events_compaction_plan",  # compaction dry-run; maintenance family of events_retention_plan
-    "embedding_ann_recall_eval",  # IVF recall@k report; ANN family of embedding_knn_ivf_kmeans
-    "donchian_20_1h",         # min/max channel windows; family of volatility_20_1h
-    "ichimoku_9_26_52_1h",    # midpoint windows + row offsets; family of volatility_20_1h
-    "dupgraph_triangle_stats",  # triangle/transitivity report; graph family of dedup_keeper_centrality
-    "media_audio_features",   # REAL WAV decode + waveform stats; family of media_extract_meta
-    "media_dhash",            # REAL pixel dHash fingerprints; family of media_extract_meta
-    "decontaminate_fuzzy_lsh",  # LSH near-dup decontamination; family of decontaminate_bloom_prefilter
-    "customer_rfm_segments",  # quartile-threshold RFM cells; two-pass family of events_value_winsorize
+    # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
+    # queries (9 r9-born + media_resize) moved INTO the window — for the first
+    # time NO registered query lacks a driver-green row in its history. These
+    # 10 r9-driver-green queries rotated out to make room; every one keeps a
+    # same-family twin in the window (events_compaction_plan /
+    # decontaminate_fuzzy_lsh / dupgraph_triangle_stats / donchian_20_1h /
+    # ichimoku_9_26_52_1h / customer_rfm_segments / media_dhash are the
+    # incoming twins; idempotent_append_fresh runs streaming_firstwins_append's
+    # EXACT oracle). All stay oracle-verified by tools/check.py.
+    "media_extract_meta",     # mapInPandas metadata probe; media_dhash does real pixel work in window
+    "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance
+    "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance
+    "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
+    "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
+    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family
+    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family
+    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds
+    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family
+    "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
 ]
 
 
