@@ -386,6 +386,17 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # The scaling block is produced by tools/scaling_probe.py (one-off
+    # two-point sf0.1 -> sf1 fixture runs, VERDICT r9 task #5), not by this
+    # per-round harness — carry it forward instead of erasing it.
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+            if "scaling" in prev:
+                detail["scaling"] = prev["scaling"]
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     # LAST stdout line, after spark.stop() so no shutdown logging can trail

@@ -137,6 +137,12 @@ SIBLING = {
     "events_value_winsorize": "customer_rfm_segments",
     "embedding_knn_ivfadc": "embedding_knn_ivf_kmeans",
     "streaming_firstwins_append": "idempotent_append_fresh",
+    # r10-born, registered deferred until the r11 rotation:
+    "williams_r_14_1h": "donchian_20_1h",
+    "cci_20_1h": "donchian_20_1h",
+    "late_shipment_q4": "shipping_priority_q3",
+    "promo_revenue_q14": "disjunctive_revenue_q19",
+    "revenue_concentration_q11": "customer_rfm_segments",
 }
 
 

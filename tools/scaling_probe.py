@@ -1,0 +1,182 @@
+"""Two-point scaling probe (VERDICT r9 task #5): sf0.1 -> 10x wall-time
+ratios for the three most expensive operator families, recorded as the
+``scaling`` block in BENCH_DETAIL.json (bench.py carries the block forward
+on subsequent rewrites).
+
+The 10x "sf1-equivalent" fixture is synthesized ONCE into
+/tmp/spark_graft_scaling/sf1 from the sf0.1 parquet — only the three
+tables the probed queries read:
+
+- events   x10 as LONGER HISTORY: copy k shifts ts by k*(span+1h) and
+  offsets event_id; user_id (the currency-pair key) is unchanged, so
+  per-window tick density and key cardinality stay constant while history
+  grows — the way a real trading feed scales.
+- documents x10 with every token suffixed by a copy tag, so shingle sets
+  are DISJOINT across copies: each copy preserves the original's near-dup
+  structure exactly and total LSH candidate pairs scale ~10x (identical
+  copies would instead inflate pairs ~45x and fake super-linearity).
+- embeddings x10 with per-copy vec_id offsets and a tiny deterministic
+  scale perturbation; copy 0 keeps the original ids so the probed query
+  sample (vec_id < 16) stays 16 queries while the corpus grows 10x —
+  matching how an ANN serving corpus scales.
+
+Protocol mirrors bench.py's headline lines: per scale, one untimed
+warm-up run populates the session caches (candle chain, shingle relation,
+trained codebook), then N timed runs; compare MINIMA (load noise only
+adds time). Near-linear ratios (~10x on the 10x tables) validate the
+banded/bucketed/windowed plan-shape claims; super-linear ratios localize
+the next bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURE_DIR = "/tmp/spark_graft_scaling/sf1"
+SRC_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+N_RUNS = 3
+PROBES = ["dedup_minhash_lsh", "embedding_knn_ivf_kmeans", "event_asof_tick"]
+
+
+def build_fixture(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(FIXTURE_DIR):
+        shutil.rmtree(FIXTURE_DIR)
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+
+    ev = spark.read.parquet(f"{SRC_DIR}/events.parquet")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    span_sec = int((bounds["hi"] - bounds["lo"]).total_seconds()) + 3600
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * 10_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k * span_sec} SECONDS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{FIXTURE_DIR}/events.parquet")
+
+    doc = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    parts = [
+        doc.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit(f"~c{k}")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{FIXTURE_DIR}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x * F.lit(float(1.0 + k * 1e-4))).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{FIXTURE_DIR}/embeddings.parquet"
+    )
+
+
+def time_probes(spark, queries, sf_dir: str) -> dict[str, list[float]]:
+    out: dict[str, list[float]] = {}
+    for name in PROBES:
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = runs
+    return out
+
+
+def main() -> None:
+    from trading_etl_spark.registry import build_queries
+    from trading_etl_spark.session import get_spark
+
+    spark = get_spark("scaling_probe")
+    queries = build_queries()
+
+    if not os.path.isdir(FIXTURE_DIR):
+        print("building 10x fixture ...", flush=True)
+        build_fixture(spark)
+
+    base = time_probes(spark, queries, SRC_DIR)
+    big = time_probes(spark, queries, FIXTURE_DIR)
+    spark.stop()
+
+    block = {
+        "fixture": f"{COPIES}x sf0.1 (events longer-history, documents "
+        "token-salted disjoint shingles, embeddings corpus-only growth)",
+        "runs_per_point": N_RUNS,
+        "queries": {},
+    }
+    for name in PROBES:
+        lo, hi = min(base[name]), min(big[name])
+        block["queries"][name] = {
+            "sf0.1_min_sec": lo,
+            "sf1_min_sec": hi,
+            "sf0.1_runs": base[name],
+            "sf1_runs": big[name],
+            "ratio_min": round(hi / lo, 2) if lo else None,
+            "median_ratio": round(
+                statistics.median(big[name]) / statistics.median(base[name]), 2
+            ),
+        }
+
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    detail = {}
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            detail = json.load(f)
+    detail["scaling"] = block
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(block, indent=1))
+
+
+if __name__ == "__main__":
+    main()

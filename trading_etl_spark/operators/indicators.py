@@ -453,6 +453,73 @@ def donchian(ohlc: DataFrame, period: int = 20) -> DataFrame:
     )
 
 
+def williams_r(ohlc: DataFrame, period: int = 14) -> DataFrame:
+    """Williams %R as native frame windows (zero Python, r10-born):
+    %R = −100·(HH − close)/(HH − LL) over the trailing ``period`` rows —
+    the inverted-scale cousin of the fast stochastic (%R = %K − 100).
+    NULL until a full window exists; a zero-range window (HH = LL) maps
+    to 0.0, mirroring :func:`stochastic`'s convention in both engines.
+    One (pair, timeframe) shuffle shared with the rest of the family."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    frame = w.rowsBetween(-(period - 1), 0)
+    hh = F.max("high").over(frame)
+    ll = F.min("low").over(frame)
+    val = F.when(hh - ll == 0, F.lit(0.0)).otherwise(
+        -100.0 * (hh - F.col("close")) / (hh - ll)
+    )
+    return ohlc.select(
+        *GROUP_KEYS,
+        "time",
+        F.when(F.count(F.lit(1)).over(frame) >= period, val).alias("pct_r"),
+    )
+
+
+def cci(ohlc: DataFrame, period: int = 20) -> DataFrame:
+    """Commodity Channel Index (Lambert) as native windows + one JVM
+    higher-order fold (zero Python, r10-born):
+
+        tp  = (high + low + close) / 3
+        cci = (tp − SMA(tp)) / (0.015 · MD)
+
+    where MD is the mean ABSOLUTE deviation of the frame's tp values
+    around the CURRENT row's SMA — not expressible as a plain window
+    aggregate (the deviation anchor changes per row), so the frame is
+    gathered with ``collect_list`` over the ordered window and folded
+    with ``F.aggregate`` (codegen lambda, no Python). Frame lists are
+    ``period``-sized — memory is bounded by the frame, not the
+    partition. NULL until warm; a zero-MD frame (all tp equal) is NULL
+    (the index is undefined, not infinite) in both engines."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    frame = w.rowsBetween(-(period - 1), 0)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3
+    base = ohlc.select(
+        *GROUP_KEYS,
+        "time",
+        tp.alias("_tp"),
+        F.count(F.lit(1)).over(frame).alias("_n"),
+    ).select(
+        *GROUP_KEYS,
+        "time",
+        "_tp",
+        "_n",
+        F.avg("_tp").over(frame).alias("_sma"),
+        F.collect_list("_tp").over(frame).alias("_frame"),
+    )
+    md = F.aggregate(
+        "_frame",
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x - F.col("_sma")),
+    ) / F.lit(float(period))
+    return base.select(
+        *GROUP_KEYS,
+        "time",
+        F.when(
+            (F.col("_n") >= period) & (md != 0),
+            (F.col("_tp") - F.col("_sma")) / (0.015 * md),
+        ).alias("cci"),
+    )
+
+
 ICHIMOKU_TENKAN = 9
 ICHIMOKU_KIJUN = 26
 ICHIMOKU_SENKOU_B = 52

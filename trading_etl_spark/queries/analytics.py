@@ -945,8 +945,127 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_DATE_LO, Q4_DATE_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+Q4_LATE_DAYS = 60
+
+
+def q_late_shipment_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority checking (r10-born): orders placed
+    in one quarter counted per priority when AT LEAST ONE of their line
+    items shipped more than ``Q4_LATE_DAYS`` days after the order date —
+    Q4 proper's EXISTS(l_commitdate < l_receiptdate) re-expressed over
+    the reduced fixture (no commit/receipt dates) as a lateness
+    condition that still references BOTH sides, keeping the correlated-
+    EXISTS operator shape: a LEFT SEMI join whose condition mixes the
+    equi-key with a cross-side range predicate.
+
+    Scale: the quarter predicate is pushed to the orders SCAN, and the
+    lateness bound implies l_shipdate > quarter_start + 60 days — a
+    DERIVED constant pushed to the lineitem scan (the same
+    bound-derivation move as the as-of horizon prune), so neither side
+    carries rows that cannot match. EXISTS-as-semi means lineitem
+    multiplicity can never double-count an order; one partial-agg count
+    per priority after the semi join."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= Q4_DATE_LO) & (F.col("o_orderdate") < Q4_DATE_HI)
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # derived scan bound: any order in the quarter needs
+        # l_shipdate > 1996-01-01 + 60d to qualify
+        .filter(F.col("l_shipdate") > F.lit(Q4_DATE_LO).cast("timestamp") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS"))
+        .select("l_orderkey", "l_shipdate")
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q14_DATE_LO, Q14_DATE_HI = "1996-01-01 00:00:00", "1996-02-01 00:00:00"
+
+
+def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-effect ratio (r10-born): the share of
+    one month's discounted revenue earned by PROMO-type parts —
+    100·sum(rev WHERE promo)/sum(rev) in ONE conditional hash-agg over
+    the part⨝lineitem join (never two scans). The month predicate is
+    pushed to the lineitem scan; part joins on its key with no forced
+    broadcast (part scales with the catalog — the Q5/Q10 posture).
+    Output is a single 6dp row."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= Q14_DATE_LO) & (F.col("l_shipdate") < Q14_DATE_HI)
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q11_FACTOR = 1.5
+
+
+def q_revenue_concentration_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped concentration scan (r10-born): parts whose total
+    discounted revenue exceeds ``Q11_FACTOR``× the AVERAGE per-part share
+    of global revenue — the group-by-HAVING-fraction-of-total shape (Q11
+    proper runs it over partsupp value with a fraction scaled by 1/SF;
+    the fixture has no partsupp, and anchoring the threshold to the
+    average share is the same scale-adaptivity expressed without knowing
+    SF: the global total AND the part count both come from the data).
+
+    Scale: global total + part count are ONE lazy 1-row aggregate
+    cross-joined (broadcast) into the HAVING filter — never a driver
+    collect and never a second scan of the per-part aggregate; both
+    aggregates are partial-aggregable hash-aggs. The threshold DECISION
+    is made on 6dp-rounded values in both engines (oracle-parity
+    convention)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 6).alias("revenue"))
+    totals = li.agg(
+        F.round(F.sum(rev), 6).alias("_total"),
+        F.countDistinct("l_partkey").alias("_nparts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("revenue")
+            > F.round(F.lit(Q11_FACTOR) * F.col("_total") / F.col("_nparts"), 6)
+        )
+        .select("l_partkey", "revenue")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
+    "late_shipment_q4": q_late_shipment_q4,
+    "promo_revenue_q14": q_promo_revenue_q14,
+    "revenue_concentration_q11": q_revenue_concentration_q11,
     "customer_rfm_segments": q_customer_rfm,
     "events_retention_plan": q_events_retention_plan,
     "events_compaction_plan": q_events_compaction_plan,
@@ -1041,6 +1160,39 @@ SELECT strftime(ts::DATE, '%Y-%m-%d') AS dt,
                  < ceil(count(*) / {COMPACT_FIXTURE_ROWS_PER_FILE}.0)
             THEN 'compact' ELSE 'skip' END AS action
 FROM events GROUP BY 1
+""".strip(),
+    "late_shipment_q4": f"""
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAYS
+  )
+GROUP BY 1
+""".strip(),
+    "promo_revenue_q14": f"""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q14_DATE_HI}'
+""".strip(),
+    "revenue_concentration_q11": f"""
+WITH per_part AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+  FROM lineitem GROUP BY 1
+), totals AS (
+  SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS t,
+         count(DISTINCT l_partkey) AS n FROM lineitem
+)
+SELECT p.l_partkey, p.revenue
+FROM per_part p, totals
+WHERE p.revenue > round({Q11_FACTOR} * totals.t / totals.n, 6)
 """.strip(),
     "returned_item_q10": f"""
 SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name

@@ -383,6 +383,25 @@ def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R(14) on 1h candles — native min/max windows, zero Python
+    (r10-born). Warm-up rows excluded."""
+    out = indicators.williams_r(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("pct_r").isNotNull()).withColumn(
+        "pct_r", F.round("pct_r", 6)
+    )
+
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI(20) on 1h candles — native windows + a codegen list fold for the
+    per-row-anchored mean deviation, zero Python (r10-born). Warm-up and
+    zero-deviation rows excluded (NULL in both engines)."""
+    out = indicators.cci(_ohlc_1h(spark, sf_dir), 20)
+    return out.filter(F.col("cci").isNotNull()).withColumn(
+        "cci", F.round("cci", 6)
+    )
+
+
 def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast stochastic %K(14)/%D(3) on 1h candles — native min/max/avg
     windows, zero Python (r6-born). Rows with both outputs defined."""
@@ -875,6 +894,8 @@ QUERIES = {
     "donchian_20_1h": q_donchian,
     "ichimoku_9_26_52_1h": q_ichimoku,
     "stochastic_14_3_1h": q_stochastic,
+    "williams_r_14_1h": q_williams_r,
+    "cci_20_1h": q_cci,
     "volatility_20_1h": q_volatility,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
@@ -1192,6 +1213,47 @@ FROM ohlc_1h
 WINDOW w20 AS (PARTITION BY currency_pair_code ORDER BY time
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 QUALIFY row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) >= 20""",
+    "williams_r_14_1h": _with(*_TO_1H)
+    + """,
+k AS (
+  SELECT currency_pair_code AS pair, time, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn,
+         max(high) OVER wk AS hh, min(low) OVER wk AS ll
+  FROM ohlc_1h
+  WINDOW wk AS (PARTITION BY currency_pair_code ORDER BY time
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round(CASE WHEN hh - ll = 0 THEN 0.0
+                  ELSE -100.0 * (hh - "close") / (hh - ll) END, 6) AS pct_r
+FROM k WHERE rn >= 14""",
+    # the mean deviation anchors on the CURRENT row's SMA, so the frame is
+    # materialized as a list and folded — same gather-fold in both engines,
+    # same element (time) order, so the float sums associate identically
+    "cci_20_1h": _with(*_TO_1H)
+    + """,
+tpv AS (
+  SELECT currency_pair_code AS pair, time,
+         (high + low + "close") / 3 AS tp,
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+),
+fr AS (
+  SELECT pair, time, rn, tp,
+         avg(tp) OVER w20 AS sma,
+         list(tp) OVER w20 AS frame
+  FROM tpv
+  WINDOW w20 AS (PARTITION BY pair ORDER BY time
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+mdv AS (
+  SELECT pair, time, rn, tp, sma,
+         list_sum(list_transform(frame, x -> abs(x - sma))) / 20.0 AS md
+  FROM fr
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round((tp - sma) / (0.015 * md), 6) AS cci
+FROM mdv WHERE rn >= 20 AND md <> 0""",
     # each component NULL until its window exists; senkou lines lag the
     # NULL-gated midpoints by 26 rows — same NULL propagation both engines
     "ichimoku_9_26_52_1h": _with(*_TO_1H)

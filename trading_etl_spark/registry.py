@@ -162,6 +162,13 @@ _DEFER: list[str] = [
     "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds
     "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family
     "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
+    # r10-born — registered deferred until the r11 rotation (discipline:
+    # never rotate mid-round); each keeps an in-window sibling:
+    "williams_r_14_1h",       # %R min/max windows; family of donchian_20_1h
+    "cci_20_1h",              # anchored mean-deviation fold; family of donchian_20_1h
+    "late_shipment_q4",       # EXISTS-as-semi + derived scan bound; TPC-H family of shipping_priority_q3
+    "promo_revenue_q14",      # conditional-agg ratio over a join; family of disjunctive_revenue_q19
+    "revenue_concentration_q11",  # HAVING fraction-of-total scalar broadcast; family of customer_rfm_segments
 ]
 
 
