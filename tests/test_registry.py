@@ -143,6 +143,9 @@ SIBLING = {
     "late_shipment_q4": "shipping_priority_q3",
     "promo_revenue_q14": "disjunctive_revenue_q19",
     "revenue_concentration_q11": "customer_rfm_segments",
+    "events_orphan_files": "events_compaction_plan",
+    "embedding_knn_filtered": "embedding_knn_ivf_kmeans",
+    "text_ngram_diversity": "text_quality_score",
 }
 
 

@@ -81,7 +81,9 @@ def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -
     file is ONE task; the explicit repartition restores parallelism when
     the scan arrives under-split (a real 100 TB corpus already arrives as
     many partitions, in which case this leaves the count alone). Measured
-    at sf0.1: 0.91 s -> 0.25 s min-of-5 (the r9 regression diagnosis).
+    at sf0.1 in the interleaved bench harness: r8 min-of-5 0.906 s ->
+    r9 0.559 s (BENCH_DETAIL.json; an earlier 0.25 s reading was an
+    isolated non-interleaved run — see the PLANS.md r10 adjudication).
     The division dot/(qnorm*cnorm) evaluates in the same order as
     cosine(), so results are bit-identical.
     """
@@ -104,6 +106,58 @@ def knn_bruteforce(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -
             "cos_sim", F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
         )
         # project the two dim-wide arrays away before the window sort
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+FILTER_LABEL = 2
+
+
+def knn_filtered(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    label: int = FILTER_LABEL,
+) -> DataFrame:
+    """FILTERED vector search (r10-born): exact top-k cosine among corpus
+    vectors satisfying a metadata predicate (``label == FILTER_LABEL``) —
+    the retrieval-with-constraints shape every production vector store
+    serves (tenant/language/source filters on top of similarity).
+
+    Strategy is PRE-FILTER + exact rank: the predicate is a plain column
+    comparison that pushes to the parquet SCAN (PushedFilters), so the
+    candidate set shrinks before any vector math — the right regime for
+    selective filters, where an IVF post-filter would over-probe cells to
+    refill k after discarding non-matching candidates (the standard
+    filtered-ANN trade-off; with ~1/|labels| selectivity here, pre-filter
+    reads strictly less). Per-pair work is the same single fold as
+    :func:`knn_bruteforce` with norms materialized per row behind the
+    exchanges; under-split scans are respread. Queries that carry the
+    filter label still exclude themselves."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        _norm(F.col("emb")).alias("qnorm"),
+    )
+    c = emb.filter(F.col("label") == label).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cv"),
+        _norm(F.col("emb")).alias("cnorm"),
+    )
+    c = _spread_if_underpartitioned(emb, c)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+        )
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

@@ -96,6 +96,44 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """Distinct-n diversity per document (r10-born): for n = 1..``max_n``,
+    the share of distinct token n-grams among all n-grams — the
+    "distinct-1/2/3" repetition diagnostic of text-generation eval
+    (low distinct-2/3 = loops and boilerplate; the corpus-level analog of
+    the Gopher repetition gate, but scored per doc so it composes with
+    the sampling/quality pipeline).
+
+    Entirely map-side codegen: n-grams build via ``transform`` over an
+    index ``sequence`` with ``element_at`` gathers (construction order is
+    the token order, matching the DuckDB twin exactly), distinct counts
+    via ``array_distinct`` — zero shuffles, zero Python, memory bounded
+    by the document. Docs shorter than n rows yield NULL for that n (the
+    ratio is undefined, not 0) in both engines."""
+    t = F.split("text", " ")
+
+    def ratio(n: int) -> Column:
+        if n == 1:
+            grams = t
+        else:
+            grams = F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            )
+        return F.when(
+            F.size(t) >= n,
+            F.round(F.size(F.array_distinct(grams)) / F.size(grams), 6),
+        ).alias(f"distinct_{n}")
+
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        *[ratio(n) for n in range(1, max_n + 1)],
+    )
+
+
 SAMPLE_K = 30
 
 

@@ -247,6 +247,42 @@ def compaction_plan(
     )
 
 
+def orphan_report(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    committed_suffix: str = ".parquet",
+    orphan_suffix: str = ".tmp",
+) -> DataFrame:
+    """VACUUM dry-run (r10-born, the third maintenance dry-run beside
+    :func:`retention_plan` and :func:`compaction_plan`): per partition,
+    the files a parquet reader will actually use (``committed_suffix``)
+    vs leftover temporaries from failed or abandoned writers
+    (``orphan_suffix`` — the ``.tmp``/staging debris every object-store
+    table accumulates), and the vacuum/clean decision. Classification is
+    by EXPLICIT suffix on both sides, so filesystem-private entries
+    (checksum files, success markers) can never leak into either count.
+
+    Driver-side loop is O(partitions), the same bound as the other two
+    dry-runs (at 100 TB this listing comes from the catalog/manifest —
+    e.g. a Delta VACUUM reads the transaction log; this stands in for
+    it). Deleting nothing is the point: the report is what an operator
+    audits before the destructive pass."""
+    rows = []
+    for value in list_partitions(spark, path, column):
+        part = f"{path}/{column}={value}"
+        committed = fs.file_sizes(spark, part, suffix=committed_suffix)
+        orphans = fs.file_sizes(spark, part, suffix=orphan_suffix)
+        rows.append((value, len(committed), len(orphans)))
+    df = spark.createDataFrame(
+        rows, "partition_value string, files_committed int, files_orphan int"
+    )
+    return df.withColumn(
+        "action",
+        F.when(F.col("files_orphan") > 0, "vacuum").otherwise("clean"),
+    )
+
+
 def read_evolved(spark: SparkSession, path: str, contract_ddl: str | None = None):
     """Schema-evolution read — the parquet analog of the reference's alembic
     add-column migrations (``alembic/versions/e2444ebd2a06_baseline_current_

@@ -906,6 +906,53 @@ def q_events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORPHAN_DAY_MOD = 5   # partitions with day-of-month % 5 == 0 get orphans
+ORPHAN_PER_PART = 2  # exactly this many planted .tmp leftovers each
+
+
+def _orphan_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The compaction fixture with deterministic writer debris planted on
+    top: partitions whose day-of-month is divisible by ``ORPHAN_DAY_MOD``
+    carry exactly ``ORPHAN_PER_PART`` ``.tmp`` files — the leftovers an
+    abandoned task attempt strands next to committed data. Planting is
+    idempotent and invisible to every parquet reader and to
+    ``file_sizes(suffix=".parquet")``, so sharing the underlying fixture
+    with the compaction dry-run changes neither query."""
+    import glob
+    import os
+
+    path = _compaction_fixture(spark, sf_dir)
+    for d in glob.glob(os.path.join(path, "dt=*")):
+        day = int(os.path.basename(d).rsplit("-", 1)[1])
+        if day % ORPHAN_DAY_MOD == 0:
+            for i in range(ORPHAN_PER_PART):
+                marker = os.path.join(d, f"part-orphan-{i}.tmp")
+                if not os.path.exists(marker):
+                    with open(marker, "w") as f:
+                        f.write("abandoned writer leftover")
+    return path
+
+
+def q_events_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run (plans/maintenance.orphan_report, r10-born): per
+    day-partition of the deterministic events twin, committed data files
+    from the REAL fs listing vs planted ``.tmp`` writer debris, and the
+    vacuum/clean decision. The oracle reproduces the whole report from
+    the events table alone (committed == ceil(rows/50) by fixture
+    construction; orphans follow the deterministic planting rule), so a
+    wrong fixture writer, listing, classifier, or planting all surface
+    as a hash mismatch — the same evidence pattern as the compaction
+    dry-run."""
+    from ..plans.maintenance import orphan_report
+
+    return orphan_report(spark, _orphan_fixture(spark, sf_dir), "dt").select(
+        F.col("partition_value").alias("dt"),
+        "files_committed",
+        "files_orphan",
+        "action",
+    )
+
+
 def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout-quality report (layout.zorder_bucket_stats): Morton
     key over (user_id, epoch-minute), range-bucketed into 8 slices of the
@@ -1069,6 +1116,7 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm,
     "events_retention_plan": q_events_retention_plan,
     "events_compaction_plan": q_events_compaction_plan,
+    "events_orphan_files": q_events_orphan_files,
     "events_zorder_stats": q_events_zorder_stats,
     "returned_item_q10": q_returned_item_q10,
     "events_snapshot_diff": q_events_snapshot_diff,
@@ -1193,6 +1241,17 @@ WITH per_part AS (
 SELECT p.l_partkey, p.revenue
 FROM per_part p, totals
 WHERE p.revenue > round({Q11_FACTOR} * totals.t / totals.n, 6)
+""".strip(),
+    # committed == ceil(rows/50) by fixture construction; orphans follow
+    # the deterministic day%5 planting rule — both reproducible from events
+    "events_orphan_files": f"""
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS dt,
+       ceil(count(*) / {COMPACT_FIXTURE_ROWS_PER_FILE}.0)::INT AS files_committed,
+       (CASE WHEN day(ts::DATE) % {ORPHAN_DAY_MOD} = 0
+             THEN {ORPHAN_PER_PART} ELSE 0 END)::INT AS files_orphan,
+       CASE WHEN day(ts::DATE) % {ORPHAN_DAY_MOD} = 0
+            THEN 'vacuum' ELSE 'clean' END AS action
+FROM events GROUP BY ts::DATE
 """.strip(),
     "returned_item_q10": f"""
 SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name

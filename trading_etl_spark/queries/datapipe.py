@@ -431,6 +431,20 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (r10-born): exact top-k cosine among corpus
+    vectors matching a metadata predicate (label = 2), predicate pushed
+    to the parquet scan — retrieval-with-constraints, the shape every
+    production vector store serves."""
+    return _as_long(sim.knn_filtered(_emb(spark, sf_dir)), "rank")
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 n-gram diversity per document (r10-born) — map-side
+    codegen n-gram construction + array_distinct, zero shuffles."""
+    return tx.ngram_diversity(_docs(spark, sf_dir))
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -763,7 +777,9 @@ QUERIES = {
     "embedding_knn_ivf": q_knn_ivf,
     "embedding_knn_ivf_multiprobe": q_knn_ivf_multiprobe,
     "embedding_knn_ivf_kmeans": q_knn_ivf_kmeans,
+    "embedding_knn_filtered": q_knn_filtered,
     "embedding_ann_recall_eval": q_ann_recall_eval,
+    "text_ngram_diversity": q_ngram_diversity,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
     "text_token_count": q_token_count,
@@ -1346,6 +1362,20 @@ scored AS (
     )
     + "\n"
     + _KNN_RANK_SQL,
+    "embedding_knn_filtered": _with(
+        sim.EMB_SQL,
+        f"""
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sim.COS_SQL.format(a="q.v", b="c.v")} AS cos_sim
+  FROM emb q, emb c
+  WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+    AND c.label = {sim.FILTER_LABEL}
+)
+""".strip(),
+    )
+    + "\n"
+    + _KNN_RANK_SQL,
     "embedding_knn_ivf": _with(
         sim.EMB_SQL,
         f"""
@@ -1440,6 +1470,31 @@ SELECT doc_id,
             THEN 'train' ELSE 'test' END AS split
 FROM documents""",
     "text_quality_score": _with(tx.DOCS_TOKS_SQL) + "\n" + _QUALITY_SQL,
+    # n-grams assemble in token order on both sides (transform/element_at
+    # vs list_transform/range) so distinct counts are construction-identical
+    "text_ngram_diversity": _with(
+        tx.DOCS_TOKS_SQL,
+        """
+grams AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+  FROM toks
+)
+""".strip(),
+    )
+    + """
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       CASE WHEN len(t) >= 1
+            THEN round(len(list_distinct(t)) / len(t), 6) END AS distinct_1,
+       CASE WHEN len(t) >= 2
+            THEN round(len(list_distinct(g2)) / len(g2), 6) END AS distinct_2,
+       CASE WHEN len(t) >= 3
+            THEN round(len(list_distinct(g3)) / len(g3), 6) END AS distinct_3
+FROM grams
+""".strip(),
     "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
     "text_top_terms_per_lang": _with(tx.DOCS_TOKS_SQL)
     + """,

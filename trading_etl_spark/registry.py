@@ -169,6 +169,9 @@ _DEFER: list[str] = [
     "late_shipment_q4",       # EXISTS-as-semi + derived scan bound; TPC-H family of shipping_priority_q3
     "promo_revenue_q14",      # conditional-agg ratio over a join; family of disjunctive_revenue_q19
     "revenue_concentration_q11",  # HAVING fraction-of-total scalar broadcast; family of customer_rfm_segments
+    "events_orphan_files",    # vacuum dry-run over real fs listing; family of events_compaction_plan
+    "embedding_knn_filtered",  # predicate-pushed filtered vector search; family of embedding_knn_ivf_kmeans
+    "text_ngram_diversity",   # distinct-n repetition diagnostic; family of text_quality_score
 ]
 
 
