@@ -146,6 +146,8 @@ SIBLING = {
     "events_orphan_files": "events_compaction_plan",
     "embedding_knn_filtered": "embedding_knn_ivf_kmeans",
     "text_ngram_diversity": "text_quality_score",
+    "dedup_minhash_containment": "dedup_lsh_eval",
+    "adx_14_1h": "holt_forecast_1h",
 }
 
 

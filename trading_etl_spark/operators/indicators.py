@@ -174,6 +174,99 @@ def _atr_series(
     return out
 
 
+def _adx_series(
+    high: np.ndarray, low: np.ndarray, close: np.ndarray, period: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Wilder DMI/ADX (TA-Lib semantics): directional movements and true
+    range from index 1; sum-seeded Wilder smoothing ``s = s − s/period +
+    x`` from index ``period``; ±DI = 100·sDM/sTR (0 on a zero sTR);
+    DX = 100·|+DI − −DI|/(+DI + −DI) (0 on a zero sum); ADX seeds at
+    index ``2·period − 1`` as the mean of the first ``period`` DX values
+    and recurses ``(prev·(period−1) + dx)/period``. Returns (+DI, −DI,
+    ADX) arrays; NaN before each stream's first defined index."""
+    n = len(close)
+    pdi = np.full(n, np.nan)
+    mdi = np.full(n, np.nan)
+    adx = np.full(n, np.nan)
+    if n <= period:
+        return pdi, mdi, adx
+    up = high[1:] - high[:-1]
+    dn = low[:-1] - low[1:]
+    plus_dm = np.where((up > dn) & (up > 0), up, 0.0)
+    minus_dm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    pc = close[:-1]
+    tr = np.maximum(
+        high[1:] - low[1:], np.maximum(np.abs(high[1:] - pc), np.abs(low[1:] - pc))
+    )
+    sp = float(np.sum(plus_dm[:period]))
+    sm = float(np.sum(minus_dm[:period]))
+    st = float(np.sum(tr[:period]))
+    dx = np.full(n, np.nan)
+
+    def di_dx(i: int) -> None:
+        p = 100.0 * sp / st if st != 0 else 0.0
+        m = 100.0 * sm / st if st != 0 else 0.0
+        pdi[i] = p
+        mdi[i] = m
+        dx[i] = 100.0 * abs(p - m) / (p + m) if (p + m) != 0 else 0.0
+
+    di_dx(period)
+    for i in range(period + 1, n):
+        sp = sp - sp / period + plus_dm[i - 1]
+        sm = sm - sm / period + minus_dm[i - 1]
+        st = st - st / period + tr[i - 1]
+        di_dx(i)
+    if n <= 2 * period - 1:
+        return pdi, mdi, adx
+    a = float(np.mean(dx[period : 2 * period]))
+    adx[2 * period - 1] = a
+    for i in range(2 * period, n):
+        a = (a * (period - 1) + dx[i]) / period
+        adx[i] = a
+    return pdi, mdi, adx
+
+
+ADX_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, time timestamp, "
+    "plus_di double, minus_di double, adx double"
+)
+
+
+def adx(ohlc: DataFrame, period: int = 14) -> DataFrame:
+    """ADX(period) with ±DI per (pair, timeframe) (r10-born) — THREE
+    coupled Wilder smoothings (+DM, −DM, TR) feeding a fourth (DX→ADX),
+    the deepest member of the grouped Arrow-kernel recursion family
+    (same shuffle shape as :func:`rsi`/:func:`atr`). The DuckDB twin
+    replays the identical trajectory as chained recursive CTEs with the
+    DX relation MATERIALIZED (the MACD lesson — the ADX recursion
+    re-reads it every iteration)."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        p, m, a = _adx_series(
+            pdf["high"].to_numpy(dtype=np.float64),
+            pdf["low"].to_numpy(dtype=np.float64),
+            pdf["close"].to_numpy(dtype=np.float64),
+            period,
+        )
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "plus_di": p,
+                "minus_di": m,
+                "adx": a,
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "high", "low", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, ADX_OUT_SCHEMA)
+    )
+
+
 MACD_OUT_SCHEMA = (
     "currency_pair_code string, timeframe_code string, time timestamp, "
     "macd double, macd_signal double, macd_hist double"

@@ -1089,6 +1089,64 @@ def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def dedup_minhash_containment(
+    docs: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Asymmetric CONTAINMENT screening over the banded candidates
+    (r10-born): for each LSH candidate pair, C(A⊆B) = |A∩B|/|A| and
+    C(B⊆A) = |A∩B|/|B| alongside jaccard, kept when the larger direction
+    reaches ``threshold`` — the doc-in-doc detector (a short document
+    verbatim-embedded in a long one has containment ≈ 1 but jaccard ≈
+    |A|/|B|, so a jaccard gate alone never sees it; cf. Broder's
+    resemblance-vs-containment distinction).
+
+    Candidates come from the SAME banded signature join as
+    :func:`dedup_minhash_lsh` — banding recall follows JACCARD, so
+    extreme size-ratio pairs can be missed at candidate time; a
+    containment-complete production rollout additionally bands the
+    shorter side's shingle subsets (divide-and-LSH), which multiplies
+    candidate volume and is deliberately out of scope here. The oracle
+    replays the identical banded pipeline, so the gate certifies the
+    screening exactly as implemented. Threshold decisions are on
+    6dp-rounded values in both engines."""
+    sh = shingles(docs).cache()
+    cand = _minhash_band_candidates(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment_a_in_b"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment_b_in_a"),
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+    )
+
+
 def lsh_eval_report(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Empirical quality report for the MinHash banding scheme — the eval
     harness a dedup rollout runs on a SAMPLE before trusting LSH on the

@@ -139,6 +139,12 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.strip_duplicate_spans(_docs(spark, sf_dir))
 
 
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over the banded LSH candidates (r10-born):
+    the doc-in-doc detector a jaccard gate misses."""
+    return tx.dedup_minhash_containment(_docs(spark, sf_dir))
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding quality report (r8-born): candidate precision +
     empirical recall vs the exact co-shingle baseline — the sampled eval
@@ -750,6 +756,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_minhash_containment": q_minhash_containment,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_lsh_eval": q_lsh_eval,
     "dedup_simhash": q_dedup_simhash,
@@ -1083,6 +1090,46 @@ cand AS (
         tx.JACCARD_VERIFY_SQL,
     )
     + "\nSELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    # replays the identical banded pipeline, then scores BOTH containment
+    # directions from the same inter/sizes relations
+    "dedup_minhash_containment": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        tx.minhash_sig_sql(),
+        tx.band_sql(),
+        """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM doc_bands a
+  JOIN doc_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+""".strip(),
+        """
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.i * 1.0 / sa.sz, 6) AS containment_a_in_b,
+         round(i.i * 1.0 / sb.sz, 6) AS containment_b_in_a,
+         round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+""".strip(),
+    )
+    + f"""
+SELECT doc_a, doc_b, containment_a_in_b, containment_b_in_a, jaccard
+FROM scored
+WHERE greatest(containment_a_in_b, containment_b_in_a) >= {tx.CONTAINMENT_THRESHOLD}
+""".strip(),
     "decontaminate_fuzzy_lsh": _with(
         tx.DOCS_TOKS_SQL,
         tx.SHINGLES_SQL,

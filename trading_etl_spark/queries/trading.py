@@ -335,6 +335,21 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX(14) + ±DI on 1h candles — the four-recursion Wilder kernel
+    (r10-born). Rows kept from the first defined ADX (±DI are defined
+    there too)."""
+    out = indicators.adx(_ohlc_1h(spark, sf_dir), 14)
+    return out.filter(F.col("adx").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("plus_di", 6).alias("plus_di"),
+        F.round("minus_di", 6).alias("minus_di"),
+        F.round("adx", 6).alias("adx"),
+    )
+
+
 def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger(20, 2σ_pop) bands on 1h candles — pure native windows,
     zero Python (r6-born). Warm-up rows excluded."""
@@ -896,6 +911,7 @@ QUERIES = {
     "stochastic_14_3_1h": q_stochastic,
     "williams_r_14_1h": q_williams_r,
     "cci_20_1h": q_cci,
+    "adx_14_1h": q_adx,
     "volatility_20_1h": q_volatility,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
@@ -1193,6 +1209,66 @@ atr_rec(pair, rn, time, atr) AS (
 SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
        round(atr, 6) AS value
 FROM atr_rec""",
+    # four chained recursions; dm/dx MATERIALIZED so the later recursions
+    # read a table, not a re-evaluation (the MACD lesson)
+    "adx_14_1h": _with(*_TO_1H, recursive=True)
+    + """,
+hlc AS MATERIALIZED (
+  SELECT currency_pair_code AS pair, time, high, low, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+),
+dm AS MATERIALIZED (
+  SELECT pair, time, rn,
+         CASE WHEN up > dn AND up > 0 THEN up ELSE 0.0 END AS pdm,
+         CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0.0 END AS mdm,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM (SELECT pair, time, rn, high, low,
+               high - lag(high) OVER w AS up,
+               lag(low) OVER w - low AS dn,
+               lag("close") OVER w AS pc
+        FROM hlc WINDOW w AS (PARTITION BY pair ORDER BY rn))
+  WHERE pc IS NOT NULL
+),
+sm_seed AS (
+  SELECT pair, sum(pdm) AS sp, sum(mdm) AS sm, sum(tr) AS st
+  FROM dm WHERE rn BETWEEN 2 AND 15 GROUP BY pair HAVING count(*) = 14
+),
+sm_rec(pair, rn, sp, sm, st) AS (
+  SELECT pair, 15, CAST(sp AS DOUBLE), CAST(sm AS DOUBLE), CAST(st AS DOUBLE)
+  FROM sm_seed
+  UNION ALL
+  SELECT d.pair, d.rn,
+         r.sp - r.sp / 14.0 + d.pdm,
+         r.sm - r.sm / 14.0 + d.mdm,
+         r.st - r.st / 14.0 + d.tr
+  FROM sm_rec r JOIN dm d ON d.pair = r.pair AND d.rn = r.rn + 1
+),
+dx AS MATERIALIZED (
+  SELECT pair, rn, pdi, mdi,
+         CASE WHEN pdi + mdi <> 0 THEN 100.0 * abs(pdi - mdi) / (pdi + mdi)
+              ELSE 0.0 END AS dx
+  FROM (SELECT pair, rn,
+               CASE WHEN st <> 0 THEN 100.0 * sp / st ELSE 0.0 END AS pdi,
+               CASE WHEN st <> 0 THEN 100.0 * sm / st ELSE 0.0 END AS mdi
+        FROM sm_rec)
+),
+adx_seed AS (
+  SELECT pair, avg(dx) AS adx FROM dx WHERE rn BETWEEN 15 AND 28
+  GROUP BY pair HAVING count(*) = 14
+),
+adx_rec(pair, rn, adx) AS (
+  SELECT pair, 28, CAST(adx AS DOUBLE) FROM adx_seed
+  UNION ALL
+  SELECT d.pair, d.rn, (r.adx * 13.0 + d.dx) / 14.0
+  FROM adx_rec r JOIN dx d ON d.pair = r.pair AND d.rn = r.rn + 1
+)
+SELECT a.pair AS currency_pair_code, '1h' AS timeframe_code, h.time,
+       round(d.pdi, 6) AS plus_di, round(d.mdi, 6) AS minus_di,
+       round(a.adx, 6) AS adx
+FROM adx_rec a
+JOIN dx d ON d.pair = a.pair AND d.rn = a.rn
+JOIN hlc h ON h.pair = a.pair AND h.rn = a.rn""",
     "bollinger_20_2_1h": _with(*_TO_1H)
     + """
 SELECT currency_pair_code, '1h' AS timeframe_code, time,

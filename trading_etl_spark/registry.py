@@ -172,6 +172,8 @@ _DEFER: list[str] = [
     "events_orphan_files",    # vacuum dry-run over real fs listing; family of events_compaction_plan
     "embedding_knn_filtered",  # predicate-pushed filtered vector search; family of embedding_knn_ivf_kmeans
     "text_ngram_diversity",   # distinct-n repetition diagnostic; family of text_quality_score
+    "dedup_minhash_containment",  # doc-in-doc asymmetric screening over banded candidates; family of dedup_lsh_eval
+    "adx_14_1h",              # four-recursion Wilder kernel; family of holt_forecast_1h
 ]
 
 
