@@ -281,3 +281,99 @@ def test_ichimoku_reference(spark):
             assert got[i]["senkou_a"] is None
         assert got[i]["senkou_b_ln"] == (mid(4, j) if j >= 0 else None)
         assert got[i]["chikou"] == (closes[i + 3] if i + 3 < n else None)
+
+
+def test_adx_monotone_trend_is_100():
+    """A strictly rising series has only +DM, so +DI = 100·sDM/sTR stays
+    exactly 50 (sDM and sTR are both fixed points of the Wilder update
+    here: 14−14/14+1 = 14, 28−28/14+2 = 28), −DI = 0, hence DX = 100 and
+    ADX = 100 at and after its seed index 2·period−1."""
+    import numpy as np
+
+    from trading_etl_spark.operators.indicators import _adx_series
+
+    n = 40
+    close = np.arange(n, dtype=np.float64)
+    high = close + 1.0
+    low = close - 1.0
+    pdi, mdi, adx = _adx_series(high, low, close, 14)
+    assert np.isnan(adx[: 2 * 14 - 1]).all()
+    assert np.allclose(pdi[14:], 50.0) and np.allclose(mdi[14:], 0.0)
+    assert np.allclose(adx[2 * 14 - 1 :], 100.0)
+    # warm-up: nothing defined before index `period`
+    assert np.isnan(pdi[:14]).all()
+
+
+def test_adx_flat_series_is_zero_not_nan():
+    """A perfectly flat series has zero TR and zero DMs — the kernel's
+    0-on-zero-denominator convention (shared with the oracle) must yield
+    0, never inf/NaN."""
+    import numpy as np
+
+    from trading_etl_spark.operators.indicators import _adx_series
+
+    n = 40
+    close = np.full(n, 5.0)
+    pdi, mdi, adx = _adx_series(close, close, close, 14)
+    assert np.allclose(pdi[14:], 0.0) and np.allclose(mdi[14:], 0.0)
+    assert np.allclose(adx[2 * 14 - 1 :], 0.0)
+
+
+def test_williams_r_trend_and_flat(spark):
+    """Rising unit-step series: HH−close = 1, HH−LL = period+1 ⇒ %R =
+    −100/(period+1) on every warm row; a flat series hits the zero-range
+    convention (0.0, matching stochastic's)."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.indicators import williams_r
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), i + 1.0, i - 1.0, float(i))
+        for i in range(30)
+    ] + [
+        ("EUR/USD", "1h", t0 + timedelta(hours=i), 5.0, 5.0, 5.0, 5.0)
+        for i in range(30)
+    ]
+    out = williams_r(spark.createDataFrame(rows, OHLC_SCHEMA), period=14)
+    got = {
+        (r["currency_pair_code"], r["time"]): r["pct_r"] for r in out.collect()
+    }
+    for i in range(30):
+        t = t0 + timedelta(hours=i)
+        if i < 13:
+            assert got[("USD/JPY", t)] is None
+        else:
+            # HH = i+1, LL = (i-13)-1, close = i -> -100 * 1 / 15
+            assert abs(got[("USD/JPY", t)] - (-100.0 / 15.0)) < 1e-9
+            assert got[("EUR/USD", t)] == 0.0
+
+
+def test_cci_linear_trend_constant_value(spark):
+    """Linear tp ramp: tp − SMA = (period−1)/2 and the mean deviation is
+    period/4, so CCI = ((p−1)/2)/(0.015·p/4) everywhere once warm; a
+    constant series has zero deviation ⇒ NULL (undefined, not inf)."""
+    from datetime import datetime, timedelta
+
+    from trading_etl_spark.operators.indicators import cci
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), float(i), float(i), float(i))
+        for i in range(30)
+    ] + [
+        ("EUR/USD", "1h", t0 + timedelta(hours=i), 5.0, 5.0, 5.0, 5.0)
+        for i in range(30)
+    ]
+    out = cci(spark.createDataFrame(rows, OHLC_SCHEMA), period=20)
+    got = {
+        (r["currency_pair_code"], r["time"]): r["cci"] for r in out.collect()
+    }
+    expected = (19.0 / 2.0) / (0.015 * 20.0 / 4.0)  # 9.5 / 0.075
+    for i in range(30):
+        t = t0 + timedelta(hours=i)
+        if i < 19:
+            assert got[("USD/JPY", t)] is None
+        else:
+            assert abs(got[("USD/JPY", t)] - expected) < 1e-9
+        assert got[("EUR/USD", t)] is None

@@ -443,3 +443,106 @@ def test_dynamic_partition_pruning_fires_on_partitioned_star_join(spark, tmp_pat
         l for l in plan.splitlines() if "dpp" not in l and "/fact" in l
     ]
     assert any("dynamicpruning" in l.lower() and "PartitionFilters" in l for l in fact_scan), plan
+
+
+def test_r10_native_indicators_single_window_shuffle_no_python(spark):
+    """Williams %R and CCI must stay pure JVM: one (pair, timeframe) hash
+    exchange, zero Python stages — CCI's anchored mean deviation is a
+    codegen collect_list + aggregate fold, NOT a pandas kernel."""
+    from trading_etl_spark.operators import indicators
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), float(i) + 1,
+         float(i) - 1, float(i))
+        for i in range(30)
+    ]
+    ohlc_df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double",
+    )
+    for df in (
+        indicators.williams_r(ohlc_df, 14),
+        indicators.cci(ohlc_df, 20),
+    ):
+        plan = _physical(df)
+        assert "EvalPython" not in plan and "InPandas" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_adx_one_group_shuffle(spark):
+    """ADX rides ONE groupBy(pair, timeframe) exchange into the grouped
+    Arrow kernel — the same shape as EMA/RSI/MACD/ATR."""
+    from trading_etl_spark.operators import indicators
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), float(i), float(i) + 1,
+         float(i) - 1, float(i))
+        for i in range(40)
+    ]
+    ohlc_df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double",
+    )
+    plan = _physical(indicators.adx(ohlc_df, 14))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ngram_diversity_no_shuffle_no_python(spark):
+    """The distinct-n diagnostic is entirely map-side codegen."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a")], "doc_id long, text string"
+    )
+    plan = _physical(text.ngram_diversity(docs))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_knn_filtered_label_predicate_reaches_scan(spark):
+    """The filtered-ANN metadata predicate must push to the parquet scan —
+    the whole point of the pre-filter strategy: candidates shrink before
+    any vector math."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    import re
+
+    from trading_etl_spark.queries.datapipe import q_knn_filtered
+
+    df = q_knn_filtered(spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    assert "EqualTo(label" in pushed, formatted
+
+
+def test_q4_derived_shipdate_bound_reaches_lineitem_scan(spark):
+    """late_shipment_q4's quarter-start + 60d lateness bound is a DERIVED
+    constant that must appear in the lineitem scan's pushed filters, so
+    the probe side never carries rows no quarter order can match."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata corpus not present")
+    import re
+
+    from trading_etl_spark.queries.analytics import q_late_shipment_q4
+
+    df = q_late_shipment_q4(spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
+    assert "GreaterThan(l_shipdate" in pushed, formatted
