@@ -148,6 +148,8 @@ SIBLING = {
     "text_ngram_diversity": "text_quality_score",
     "dedup_minhash_containment": "dedup_lsh_eval",
     "adx_14_1h": "holt_forecast_1h",
+    "top_supplier_q15": "returned_item_q10",
+    "idle_rich_customers_q22": "customers_no_open_orders_anti",
 }
 
 

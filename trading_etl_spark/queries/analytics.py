@@ -1108,9 +1108,88 @@ def q_revenue_concentration_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q15_DATE_LO, Q15_DATE_HI = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+
+
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top-supplier view (r10-born): per-supplier revenue
+    for one quarter, returning the supplier(s) achieving the GLOBAL
+    maximum — the agg-then-max-of-agg join shape (Q15's revenue view +
+    its correlated max subquery). The max is a LAZY 1-row aggregate of
+    the revenue relation broadcast-joined back onto it — never a second
+    scan of lineitem and never a driver collect; ties all surface (Q15
+    semantics), made deterministic by the 6dp revenue rounding both
+    engines share. Quarter predicate pushed to the lineitem scan;
+    supplier dim joins on its key for the name."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= Q15_DATE_LO) & (F.col("l_shipdate") < Q15_DATE_HI)
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q22_DORMANT_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped lost-opportunity scan (r10-born): customers with
+    account balance above the average POSITIVE balance and NO order since
+    ``Q22_DORMANT_CUTOFF`` — the two-pass scalar threshold COMPOSED with
+    an anti join, Q22's exact shape (its cntrycode grouping runs on phone
+    prefixes the reduced fixture lacks; the nation key provides the same
+    group-and-count output, and its 7-year dormancy window becomes the
+    cutoff — this fixture's customers ALL have some order, like TPC-H's).
+
+    The average is a lazy 1-row aggregate broadcast into the balance
+    filter; the dormancy test is a LEFT ANTI join against the
+    date-filtered orders scan (predicate pushed — the anti build side
+    shrinks first; never NOT IN, which can't null-safely anti-join and
+    blocks the hash-anti strategy). Threshold decisions are on
+    6dp-rounded values in both engines."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_avg_bal")
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= Q22_DORMANT_CUTOFF)
+        .select("o_custkey")
+    )
+    rich_idle = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.round(F.col("c_acctbal"), 6) > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich_idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "late_shipment_q4": q_late_shipment_q4,
+    "top_supplier_q15": q_top_supplier_q15,
+    "idle_rich_customers_q22": q_idle_rich_customers_q22,
     "promo_revenue_q14": q_promo_revenue_q14,
     "revenue_concentration_q11": q_revenue_concentration_q11,
     "customer_rfm_segments": q_customer_rfm,
@@ -1229,6 +1308,32 @@ SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
   AND l.l_shipdate < TIMESTAMP '{Q14_DATE_HI}'
+""".strip(),
+    "top_supplier_q15": f"""
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""".strip(),
+    "idle_rich_customers_q22": f"""
+WITH avg_pos AS (
+  SELECT round(avg(c_acctbal), 6) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*)::BIGINT AS numcust,
+       round(sum(c.c_acctbal), 6) AS totacctbal
+FROM customer c, avg_pos
+WHERE round(c.c_acctbal, 6) > avg_pos.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_CUTOFF}')
+GROUP BY 1
 """.strip(),
     "revenue_concentration_q11": f"""
 WITH per_part AS (

@@ -174,6 +174,8 @@ _DEFER: list[str] = [
     "text_ngram_diversity",   # distinct-n repetition diagnostic; family of text_quality_score
     "dedup_minhash_containment",  # doc-in-doc asymmetric screening over banded candidates; family of dedup_lsh_eval
     "adx_14_1h",              # four-recursion Wilder kernel; family of holt_forecast_1h
+    "top_supplier_q15",       # max-of-agg broadcast join; TPC-H family of returned_item_q10
+    "idle_rich_customers_q22",  # scalar threshold + anti join; family of customers_no_open_orders_anti
 ]
 
 
