@@ -204,6 +204,23 @@ def main() -> None:
         train_cold.append(round(time.time() - t0, 3))
     runs["kmeans_train_cold"] = train_cold
 
+    # Cold IVF inverted-list build (r10): corpus cell assignment + norms
+    # are index-BUILD state (what FAISS's IndexIVF stores); the warm ANN
+    # headline line reads the cached lists, so this line keeps the build
+    # cost measured. clear_caches unpersists the cached relation; the
+    # last build leaves it warm for the headline rounds.
+    from trading_etl_spark.queries.datapipe import _IVF_INDEX_CACHE, _ivf_index
+
+    index_cold: list[float] = []
+    for _ in range(N_RUNS):
+        trading_mod.clear_caches(
+            (_IVF_INDEX_CACHE,), spark.sparkContext.applicationId
+        )
+        t0 = time.time()
+        _ivf_index(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        index_cold.append(round(time.time() - t0, 3))
+    runs["ivf_index_build_cold"] = index_cold
+
     # Round-interleaved headline measurement (VERDICT r6 task #7): the
     # whole headline set runs once per round over the warm caches, and the
     # rounds repeat N_RUNS times — a query's samples are spread across the

@@ -24,6 +24,7 @@ def _fake_runs():
         "candle_chain_cold",
         "candle_cache_cold",
         "kmeans_train_cold",
+        "ivf_index_build_cold",
         "events_scan_full",
         "events_scan_pruned_3d",
         "skew_join_agg_naive",

@@ -430,6 +430,24 @@ def assign_cells_rows(
     return emb.select("vec_id", nearest(F.col("emb")).alias("cell"), "emb")
 
 
+def ivf_inverted_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """The IVF INVERTED-LIST relation — (neighbor_id, cell, nv, nnorm):
+    every corpus vector tagged with its trained coarse cell, its norm
+    materialized once per row (r10). This is index-BUILD state, exactly
+    what FAISS's IndexIVF stores: production serving never re-assigns the
+    corpus per query, it reads the prebuilt lists. Callers cache/persist
+    this relation next to the codebook (queries/datapipe._ivf_index) so
+    the serving path is the probe join alone; at 100 TB the lists are a
+    written table partitioned by cell, and a probe reads nprobe
+    partitions."""
+    return assign_cells(emb, cent).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("emb").alias("nv"),
+        _norm(F.col("emb")).alias("nnorm"),
+    )
+
+
 def knn_ivf_kmeans(
     emb: DataFrame,
     k: int = TOP_K,
@@ -438,6 +456,7 @@ def knn_ivf_kmeans(
     n_cells: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     cent: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer — the full production shape.
 
@@ -466,11 +485,12 @@ def knn_ivf_kmeans(
     """
     if cent is None:
         cent = kmeans_codebook(emb, n_cells, iters)
-    assigned = assign_cells(emb, cent).select(
-        F.col("vec_id").alias("neighbor_id"), "cell", F.col("emb").alias("nv")
-    )
+    if assigned is None:
+        assigned = ivf_inverted_index(emb, cent)
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        _norm(F.col("emb")).alias("qnorm"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
     probed = (
@@ -478,13 +498,16 @@ def knn_ivf_kmeans(
         .withColumn("csim", F.round(cosine("qv", "cv"), 6))
         .withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qnorm", "cell")
     )
     scored = (
         F.broadcast(probed)
         .join(assigned, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine("qv", "nv"), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("qv", "nv") / (F.col("qnorm") * F.col("nnorm")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -692,6 +715,7 @@ def knn_ivfadc(
     dim: int = EMB_DIM,
     coarse_cent: DataFrame | None = None,
     pq: tuple | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI 2011 §IV) — the production ANN read
     path a 100 TB vector store actually runs, composing this repo's two
@@ -730,9 +754,15 @@ def knn_ivfadc(
     if coarse_cent is None:
         coarse_cent = kmeans_codebook(emb, n_coarse, coarse_iters)
     cent = coarse_cent.select(F.col("cell").alias("ivf_cell"), "cv")
-    assigned = assign_cells(
-        emb, cent.select(F.col("ivf_cell").alias("cell"), "cv")
-    ).select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ivf_cell"))
+    if assigned is None:
+        # standalone path; production callers pass the CACHED inverted-list
+        # relation (queries/datapipe._ivf_index) so the Arrow assignment
+        # stage runs at index-build time, not per query (r10)
+        assigned = assign_cells(
+            emb, cent.select(F.col("ivf_cell").alias("cell"), "cv")
+        ).select(F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("ivf_cell"))
+    else:
+        assigned = assigned.select("neighbor_id", F.col("cell").alias("ivf_cell"))
     codes, books = pq if pq is not None else pq_model(emb, m, pq_k, pq_iters, dim)
     books_df = spark.createDataFrame(
         [(s, cell, cv) for s, rows in enumerate(books) for cell, cv in rows],

@@ -46,6 +46,7 @@ def _as_long(df: DataFrame, *cols: str) -> DataFrame:
 from .trading import _cache_put  # noqa: E402
 
 _CODEBOOK_CACHE: dict = {}
+_IVF_INDEX_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
 _BPE_CACHE: dict = {}
@@ -59,7 +60,8 @@ def clear_model_caches(spark: SparkSession | None = None) -> int:
 
     app_id = spark.sparkContext.applicationId if spark is not None else None
     return clear_caches(
-        (_CODEBOOK_CACHE, _PQ_CACHE, _SHINGLE_CACHE, _BPE_CACHE), app_id
+        (_CODEBOOK_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE, _SHINGLE_CACHE, _BPE_CACHE),
+        app_id,
     )
 
 
@@ -102,6 +104,22 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = sim.kmeans_codebook(_emb(spark, sf_dir))
         _cache_put(_CODEBOOK_CACHE, key, df)
+    return df
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached IVF inverted-list relation (r10): corpus cell
+    assignments + norms are index-BUILD state (what FAISS's IndexIVF
+    stores), so serving reads the prebuilt lists instead of re-running
+    the Arrow assignment stage per query — the same train-once
+    discipline as :func:`_codebook`, one tier down. Measured at sf0.1:
+    the serving path drops from ~1.45 s to the probe join alone
+    (bench line ivf_index_build_cold keeps the build cost measured)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _IVF_INDEX_CACHE.get(key)
+    if df is None:
+        df = sim.ivf_inverted_index(_emb(spark, sf_dir), _codebook(spark, sf_dir)).cache()
+        _cache_put(_IVF_INDEX_CACHE, key, df)
     return df
 
 
@@ -401,7 +419,11 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a TRAINED k-means codebook (deterministic Lloyd) —
     the no-label production path; nprobe=2 of 8 learned cells."""
     return _as_long(
-        sim.knn_ivf_kmeans(_emb(spark, sf_dir), cent=_codebook(spark, sf_dir)),
+        sim.knn_ivf_kmeans(
+            _emb(spark, sf_dir),
+            cent=_codebook(spark, sf_dir),
+            assigned=_ivf_index(spark, sf_dir),
+        ),
         "rank",
     )
 
@@ -418,9 +440,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager action at build time."""
     e = _emb(spark, sf_dir)
     exact = sim.knn_bruteforce(e).select("query_id", "neighbor_id")
-    approx = sim.knn_ivf_kmeans(e, cent=_codebook(spark, sf_dir)).select(
-        "query_id", "neighbor_id"
-    )
+    approx = sim.knn_ivf_kmeans(
+        e, cent=_codebook(spark, sf_dir), assigned=_ivf_index(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
     totals = exact.agg(
         F.count_distinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact"),
@@ -640,6 +662,7 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             _emb(spark, sf_dir),
             coarse_cent=_codebook(spark, sf_dir),
             pq=_pq(spark, sf_dir),
+            assigned=_ivf_index(spark, sf_dir),
         ),
         "rank",
     )
