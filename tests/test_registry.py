@@ -150,6 +150,7 @@ SIBLING = {
     "adx_14_1h": "holt_forecast_1h",
     "top_supplier_q15": "returned_item_q10",
     "idle_rich_customers_q22": "customers_no_open_orders_anti",
+    "streaming_enrich_dim_join": "streaming_ohlc_1m",
 }
 
 

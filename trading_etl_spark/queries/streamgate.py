@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources import ticks
+from ..sources.dims import currency_values_sql as _currency_sql
 
 _SINK = "gate_streaming_ohlc_1m"
 
@@ -65,6 +66,46 @@ def q_streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SINK)
+
+
+_ENRICH_SINK = "gate_streaming_enrich"
+
+
+def q_streaming_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join as its own gate row (r10-born): the
+    dim join every tick pipeline runs internally, graded directly — the
+    event stream parses/validates and joins the 6-row currency dim with
+    an explicit broadcast, and the output carries dim ATTRIBUTES
+    (base/quote), so the oracle certifies the join itself, not just the
+    derived key. The plan is entirely STATELESS streaming (map-side
+    parse + broadcast hash join — no state store, no watermark, nothing
+    to reclaim), which is exactly why the stream side never shuffles at
+    any scale; drained availableNow in append mode."""
+    from ..sources import dims as dims_mod
+
+    ev = ticks.stream_events(spark, sf_dir)
+    dim = dims_mod.dim_currency(spark)
+    k = F.get_json_object("props", "$.k").cast("int")
+    enriched = (
+        ev.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
+        .join(F.broadcast(dim), F.col("pair_id") == dim.id)
+        .withColumn("bid", F.col("value"))
+        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("time", F.date_trunc("second", F.col("ts")))
+        .filter(
+            (F.col("bid") > 0) & (F.col("ask") > 0) & (F.col("bid") <= F.col("ask"))
+        )
+        .select(
+            "event_id",
+            "currency_pair_code",
+            "base_currency",
+            "quote_currency",
+            "time",
+            "bid",
+            "ask",
+        )
+    )
+    return _drain_append(enriched, _ENRICH_SINK)
 
 
 _SLIDING_SINK = "gate_streaming_sliding"
@@ -665,6 +706,7 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
+    "streaming_enrich_dim_join": q_streaming_enrich_dim_join,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sliding_stats": q_streaming_sliding_stats,
     "streaming_view_click_join": q_streaming_view_click_join,
@@ -693,6 +735,22 @@ GROUP BY 1, 2""",
     "streaming_dedup_exact": """
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS content_hash
 FROM documents GROUP BY md5(text)
+""".strip(),
+    # identical parse/validate arithmetic to RAW_TICKS_SQL, with the dim
+    # attributes kept so the join itself is certified
+    "streaming_enrich_dim_join": "WITH "
+    + _currency_sql()
+    + """
+SELECT e.event_id,
+       d.currency_pair_code, d.base_currency, d.quote_currency,
+       CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS time,
+       e.value AS bid,
+       e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 AS ask
+FROM events e
+JOIN dim_currency d ON d.id = CAST(e.user_id % 6 AS INTEGER) + 1
+WHERE e.value > 0
+  AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 > 0
+  AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001
 """.strip(),
     # sliding 2min/1min: every tick belongs to exactly two windows — the one
     # starting at its minute and the one starting a minute earlier

@@ -176,6 +176,7 @@ _DEFER: list[str] = [
     "adx_14_1h",              # four-recursion Wilder kernel; family of holt_forecast_1h
     "top_supplier_q15",       # max-of-agg broadcast join; TPC-H family of returned_item_q10
     "idle_rich_customers_q22",  # scalar threshold + anti join; family of customers_no_open_orders_anti
+    "streaming_enrich_dim_join",  # stateless stream-static broadcast join; family of streaming_ohlc_1m
 ]
 
 
