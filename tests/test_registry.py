@@ -173,6 +173,14 @@ def test_deferred_queries_register_last_and_have_siblings():
     in_window = set(keys[:DRIVER_WINDOW])
     for deferred, sibling in SIBLING.items():
         assert sibling in in_window, f"{deferred} deferred but sibling {sibling} not in window"
+    # EXACT correspondence both ways (r10): a query deferred without a
+    # declared in-window sibling — or a stale SIBLING entry for a key
+    # rotated back into the window — breaks the rotation bookkeeping the
+    # judge audits; both directions must stay in lockstep.
+    assert set(registry._DEFER) == set(SIBLING), (
+        f"missing siblings: {set(registry._DEFER) - set(SIBLING)}; "
+        f"stale entries: {set(SIBLING) - set(registry._DEFER)}"
+    )
 
 
 def test_round10_rotation_in_window():

@@ -44,7 +44,16 @@ FIXTURE_DIR = "/tmp/spark_graft_scaling/sf1"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
 N_RUNS = 3
-PROBES = ["dedup_minhash_lsh", "embedding_knn_ivf_kmeans", "event_asof_tick"]
+PROBES = [
+    "dedup_minhash_lsh",
+    "embedding_knn_ivf_kmeans",
+    "event_asof_tick",
+    # r10 extension: the two heaviest documents-table bench lines — the
+    # positions-kept shingle pipeline (two key shuffles) and the
+    # Zipf-skew-guarded TF-IDF pre-agg
+    "dedup_exact_substring",
+    "text_tfidf_top_terms",
+]
 
 
 def build_fixture(spark) -> None:
