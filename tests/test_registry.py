@@ -151,6 +151,7 @@ SIBLING = {
     "top_supplier_q15": "returned_item_q10",
     "idle_rich_customers_q22": "customers_no_open_orders_anti",
     "streaming_enrich_dim_join": "streaming_ohlc_1m",
+    "embedding_ivf_drift_report": "embedding_knn_ivf_kmeans",
 }
 
 

@@ -448,6 +448,61 @@ def ivf_inverted_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+DRIFT_MIN_MEAN_COS = 0.26
+
+
+def ivf_drift_report(
+    emb: DataFrame,
+    cent: DataFrame,
+    assigned: DataFrame | None = None,
+    min_mean_cos: float = DRIFT_MIN_MEAN_COS,
+) -> DataFrame:
+    """Per-cell quantizer-drift report (r10-born) — the RETRAIN gate that
+    closes the ANN lifecycle (train → index → serve → recall-eval →
+    drift-detect): for each trained cell, its population, corpus share,
+    and the mean/min cosine of member vectors to THEIR OWN centroid.
+    Falling within-cell similarity is quantization error growing — the
+    corpus drifting away from the centroids it was indexed under — and is
+    the signal a vector-store operator watches to schedule coarse-
+    quantizer retraining (serving recall decays silently otherwise;
+    the recall eval needs ground-truth queries, this needs none).
+
+    Consumes the CACHED inverted lists (norms already materialized) plus
+    the broadcast codebook: one partial-aggregable hash-agg keyed on cell
+    — |cells| output rows regardless of corpus size; the total is a lazy
+    1-row aggregate broadcast back. Decisions on 6dp-rounded values in
+    both engines."""
+    if assigned is None:
+        assigned = ivf_inverted_index(emb, cent)
+    cos = F.round(
+        _dot("nv", "cv") / (F.col("nnorm") * _norm(F.col("cv"))), 6
+    )
+    per_cell = (
+        assigned.join(F.broadcast(cent), "cell")
+        .withColumn("_cos", cos)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_cos"), 6).alias("mean_cos"),
+            F.min("_cos").alias("min_cos"),
+        )
+    )
+    total = assigned.agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_t"), 6).alias("cell_share"),
+            "mean_cos",
+            "min_cos",
+            F.when(F.col("mean_cos") < min_mean_cos, "retrain")
+            .otherwise("ok")
+            .alias("action"),
+        )
+    )
+
+
 def knn_ivf_kmeans(
     emb: DataFrame,
     k: int = TOP_K,

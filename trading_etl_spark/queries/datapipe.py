@@ -473,6 +473,16 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_diversity(_docs(spark, sf_dir))
 
 
+def q_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quantizer drift report (r10-born): the retrain gate of the
+    ANN lifecycle, over the cached codebook + inverted lists."""
+    return sim.ivf_drift_report(
+        _emb(spark, sf_dir),
+        _codebook(spark, sf_dir),
+        assigned=_ivf_index(spark, sf_dir),
+    )
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -809,6 +819,7 @@ QUERIES = {
     "embedding_knn_ivf_kmeans": q_knn_ivf_kmeans,
     "embedding_knn_filtered": q_knn_filtered,
     "embedding_ann_recall_eval": q_ann_recall_eval,
+    "embedding_ivf_drift_report": q_ivf_drift_report,
     "text_ngram_diversity": q_ngram_diversity,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -1040,6 +1051,37 @@ scored AS (
 )""".strip()
     )
     return _with(*parts) + "\n" + _KNN_RANK_SQL
+
+
+def _ivf_drift_oracle_sql(
+    k: int = sim.KMEANS_K, iters: int = sim.KMEANS_ITERS
+) -> str:
+    """Per-cell drift report from the replayed Lloyd trajectory: cosine of
+    every vector to its OWN assigned centroid (the probed CTE in the
+    shared parts goes unreferenced and is never evaluated)."""
+    parts = _kmeans_probe_parts(k, iters)
+    parts.append(
+        f"""
+drift AS (
+  SELECT a.cell,
+         count(*) AS n_vectors,
+         round(avg(round(list_cosine_similarity(a.v, c.cv), 6)), 6) AS mean_cos,
+         min(round(list_cosine_similarity(a.v, c.cv), 6)) AS min_cos
+  FROM assignf a JOIN cent{iters} c ON c.cell = a.cell
+  GROUP BY 1
+)""".strip()
+    )
+    return (
+        _with(*parts)
+        + f"""
+SELECT cell::INT AS cell, n_vectors::BIGINT AS n_vectors,
+       round(n_vectors * 1.0 / (SELECT count(*) FROM emb), 6) AS cell_share,
+       mean_cos, min_cos,
+       CASE WHEN mean_cos < {sim.DRIFT_MIN_MEAN_COS} THEN 'retrain'
+            ELSE 'ok' END AS action
+FROM drift
+""".strip()
+    )
 
 
 def _ann_recall_oracle_sql() -> str:
@@ -1496,6 +1538,7 @@ scored AS (
     + "\n"
     + _KNN_RANK_SQL,
     "embedding_knn_ivf_kmeans": _kmeans_oracle_sql(),
+    "embedding_ivf_drift_report": _ivf_drift_oracle_sql(),
     "embedding_ann_recall_eval": _ann_recall_oracle_sql(),
     "embedding_label_centroids": _with(sim.EMB_SQL)
     + """

@@ -177,6 +177,7 @@ _DEFER: list[str] = [
     "top_supplier_q15",       # max-of-agg broadcast join; TPC-H family of returned_item_q10
     "idle_rich_customers_q22",  # scalar threshold + anti join; family of customers_no_open_orders_anti
     "streaming_enrich_dim_join",  # stateless stream-static broadcast join; family of streaming_ohlc_1m
+    "embedding_ivf_drift_report",  # quantizer retrain gate over cached lists; family of embedding_knn_ivf_kmeans
 ]
 
 
