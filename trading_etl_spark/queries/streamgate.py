@@ -30,6 +30,31 @@ from pyspark.sql import types as T
 from ..sources import ticks
 from ..sources.dims import currency_values_sql as _currency_sql
 
+import contextlib
+
+# State-store partition sizing (r10): a streaming query's state partition
+# count is FIXED at the first checkpoint, and every partition carries a
+# state-store instance plus a per-micro-batch commit — so it should be
+# sized to the stream's KEY cardinality (6 currency pairs × minutes here),
+# not inherited from the batch shuffle default. Measured on the sf0.1 OHLC
+# availableNow drain: 32 partitions 2.46-2.61 s vs 8 partitions
+# 1.90-2.25 s (~20%, pure state/commit overhead — results are hash-
+# partition-invariant). At production scale this is the knob you set per
+# stream from expected distinct keys; re-sizing later means a new
+# checkpoint (gate runs use fresh run dirs every call, so it is safe here).
+STREAM_STATE_PARTITIONS = "8"
+
+
+@contextlib.contextmanager
+def _state_sized(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _SINK = "gate_streaming_ohlc_1m"
 
 
@@ -57,14 +82,15 @@ def q_streaming_ohlc_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
-    q = (
-        candles.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            candles.writeStream.format("memory")
+            .queryName(_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_SINK)
 
 
@@ -145,14 +171,15 @@ def q_streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bid",
         )
     )
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(_SLIDING_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(_SLIDING_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_SLIDING_SINK)
 
 
@@ -187,14 +214,15 @@ def q_streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND click_ts <= view_ts + interval 30 minutes"
         ),
     ).select(F.col("v_user").alias("user_id"), "view_ts", "click_ts")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(_SSJOIN_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(_SSJOIN_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_SSJOIN_SINK)
 
 
@@ -248,13 +276,14 @@ def q_streaming_firstwins_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for run in ("initial", "replay"):
-        q = (
-            t.writeStream.foreachBatch(append_first_wins)
-            .option("checkpointLocation", f"{base}/ckpt_{run}")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_sized(spark):
+            q = (
+                t.writeStream.foreachBatch(append_first_wins)
+                .option("checkpointLocation", f"{base}/ckpt_{run}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     return spark.read.parquet(table).select(
         "currency_pair_code", "time", "bid", "ask"
     )
@@ -299,14 +328,15 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_DEDUP_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_DEDUP_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_DEDUP_SINK).select(
         "keeper_doc_id", "n_copies", "content_hash"
     )
@@ -343,14 +373,15 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        sketch.writeStream.format("memory")
-        .queryName(_CMS_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            sketch.writeStream.format("memory")
+            .queryName(_CMS_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     grid = spark.table(_CMS_SINK)
     # batch-side probe of the drained grid: distinct tokens → min over cells
     cand = (
@@ -417,14 +448,15 @@ def _candle_symbol_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_append(out: DataFrame, sink: str) -> DataFrame:
     """availableNow append-mode drain into a memory sink; returns the table."""
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(out.sparkSession):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return out.sparkSession.table(sink)
 
 
@@ -547,14 +579,15 @@ def q_streaming_tick_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_bid",
         )
     )
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(_SESSIONS_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(_SESSIONS_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_SESSIONS_SINK)
 
 
@@ -692,13 +725,14 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(hist_dir).select(
         "user_id", "dim_value", "valid_from", "valid_to", "is_current"
     )
