@@ -19,6 +19,14 @@ Scale notes: dropDuplicates keys on (pair, second) so streaming state is
 bounded by watermark horizon × tick rate, not history; the stateful exchange
 hash-partitions on the dedup key, which is the same key every downstream
 OHLC window agg groups on.
+
+State-partition sizing: set ``spark.sql.shuffle.partitions`` BEFORE the
+first start of each stream to its expected key cardinality (6 pairs ×
+watermark horizon here — single digits, not the batch default). The count
+is frozen into the checkpoint, and every partition costs a state-store
+instance + a per-micro-batch commit; measured ~20% of the sf0.1 drain
+(queries/streamgate.py:_state_sized does this for the gate runs — these
+library starters deliberately leave session conf to the caller).
 """
 
 from __future__ import annotations
