@@ -247,3 +247,28 @@ def test_latest_value_cache_with_relay_hook(spark, tmp_path):
     assert spark.table("global_temp.t_latest_hb").count() > 0
     assert any(f["type"] == "heartbeat" for f in frames)
     assert all("timestamp" in f for f in frames)
+
+
+def test_state_sized_context_scopes_and_restores_conf(spark):
+    """The gate drains run under STREAM_STATE_PARTITIONS and must restore
+    the caller's shuffle-partition conf afterwards — including on error
+    (a leaked value would silently resize every later batch shuffle)."""
+    import pytest as _pytest
+
+    from trading_etl_spark.queries import streamgate as sg
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert prev != sg.STREAM_STATE_PARTITIONS or int(prev) == int(
+        sg.STREAM_STATE_PARTITIONS
+    )
+    with sg._state_sized(spark):
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == sg.STREAM_STATE_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    with _pytest.raises(RuntimeError):
+        with sg._state_sized(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
