@@ -17,8 +17,8 @@ repeat, so a query's 5 samples are spread across the full bench duration
 instead of being consecutive — a multi-minute load burst poisons one round
 of every query rather than all 5 runs of a few (the r6 creep that forced a
 judge-side re-run even at min-of-5 was exactly consecutive runs under a
-sustained burst). The two COLD lines (candle_chain_cold,
-kmeans_train_cold) stay consecutive: they must clear the relation caches
+sustained burst). The COLD lines (candle_chain_cold, candle_cache_cold,
+kmeans_train_cold, ivf_index_build_cold) stay consecutive: they must clear the relation caches
 to be cold, and doing that inside the headline rounds would force every
 warm query onto fresh cached-relation identities (new plans + codegen)
 each round — a measured +1.5-2 s artifact. ``queries`` holds per-query
