@@ -14,42 +14,42 @@ DRIVER_WINDOW = 50
 
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
-    "sma_dead_cross": "donchian_20_1h",
+    "sma_dead_cross": "williams_r_14_1h",
     "spread_quantiles": "orders_table_profile",
     "avg_close_pivot": "candle_unpivot",
     "text_fingerprint": "dedup_exact",
     "embedding_near_dup": "embedding_near_dup_lsh",
-    "dedup_ngram_jaccard": "dedup_lsh_eval",
-    "embedding_knn_bruteforce": "embedding_knn_ivf_kmeans",
-    "embedding_knn_ivf": "embedding_knn_ivf_kmeans",
-    "embedding_knn_ivf_multiprobe": "embedding_knn_ivf_kmeans",
-    "text_simhash": "dedup_lsh_eval",
-    "event_props_json_agg": "customer_rfm_segments",
+    "dedup_ngram_jaccard": "dedup_minhash_containment",
+    "embedding_knn_bruteforce": "embedding_knn_filtered",
+    "embedding_knn_ivf": "embedding_knn_filtered",
+    "embedding_knn_ivf_multiprobe": "embedding_knn_filtered",
+    "text_simhash": "dedup_minhash_containment",
+    "event_props_json_agg": "revenue_concentration_q11",
     "top_customers_by_open_value": "top_customers_page2_offset",
     "candle_cube": "candle_unpivot",
     "backtest_equity_curve": "backtest_max_drawdown",
     "media_frame_sample": "media_dhash",
-    "sma_fanout_all_tf": "donchian_20_1h",
+    "sma_fanout_all_tf": "williams_r_14_1h",
     "backtest_trades": "backtest_max_drawdown",
     "watermark_max_time": "incremental_cursor_scan",
-    "text_token_count": "text_quality_score",
+    "text_token_count": "text_ngram_diversity",
     "text_top_terms_per_lang": "text_tfidf_top_terms",
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
     "ohlc_derived_multi_tf": "candle_unpivot",
-    "sma_14_1h": "donchian_20_1h",
+    "sma_14_1h": "williams_r_14_1h",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
     "candle_returns_quartile": "orders_table_profile",
     "event_reaction_window": "event_asof_tick_plain",
-    "dedup_simhash": "dedup_lsh_eval",
+    "dedup_simhash": "dedup_minhash_containment",
     "dedup_connected_components": "dedup_cc_two_phase",
     "dedup_passages": "corpus_pack_sequences",
-    "text_repetition_filter": "text_quality_score",
+    "text_repetition_filter": "text_ngram_diversity",
     "train_test_split": "stratified_sample_by_lang",
-    "embedding_label_centroids": "embedding_knn_ivf_kmeans",
-    "embedding_quantize_int8": "embedding_knn_ivf_kmeans",
+    "embedding_label_centroids": "embedding_knn_filtered",
+    "embedding_quantize_int8": "embedding_knn_filtered",
     "daily_active_users": "approx_distinct_users",
-    "returned_order_priority_semi": "customers_no_open_orders_anti",
+    "returned_order_priority_semi": "idle_rich_customers_q22",
     # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
@@ -62,42 +62,42 @@ SIBLING = {
     "sample_weighted_quality": "stratified_sample_by_lang",
     "text_chunk_rag": "corpus_pack_sequences",
     "streaming_sliding_stats": "streaming_ohlc_1m",
-    "text_pii_redact": "text_quality_score",
-    "urgent_not_finished_setops": "customers_no_open_orders_anti",
-    "ema_14_1h": "holt_forecast_1h",
+    "text_pii_redact": "text_ngram_diversity",
+    "urgent_not_finished_setops": "idle_rich_customers_q22",
+    "ema_14_1h": "adx_14_1h",
     # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick_plain",
-    "embedding_pq_codes": "embedding_knn_ivf_kmeans",
-    "embedding_knn_pq_adc": "embedding_knn_ivf_kmeans",
+    "embedding_pq_codes": "embedding_knn_filtered",
+    "embedding_knn_pq_adc": "embedding_knn_filtered",
     "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
-    "star_join_revenue": "shipping_priority_q3",
+    "star_join_revenue": "late_shipment_q4",
     "text_rolling_fingerprint": "corpus_pack_sequences",
-    "corpus_clean_pipeline": "dedup_lsh_eval",
+    "corpus_clean_pipeline": "dedup_minhash_containment",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "holt_forecast_1h",
-    "bollinger_20_2_1h": "donchian_20_1h",
+    "macd_12_26_9_1h": "adx_14_1h",
+    "bollinger_20_2_1h": "williams_r_14_1h",
     "hybrid_search_rrf": "bm25_search",
-    "embedding_knn_matryoshka": "embedding_knn_ivf_kmeans",
+    "embedding_knn_matryoshka": "embedding_knn_filtered",
     "corpus_dsir_resample": "text_unigram_logprob",
-    "dedup_semantic_kmeans": "embedding_knn_ivf_kmeans",
+    "dedup_semantic_kmeans": "embedding_ivf_drift_report",
     "dim_scd2_merge_apply": "streaming_scd2_apply",
     "events_snapshot_diff": "streaming_scd2_apply",
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "streaming_sma_cross": "streaming_heavy_hitters",
-    "tpch_pricing_summary": "returned_item_q10",
+    "tpch_pricing_summary": "top_supplier_q15",
     "streaming_view_click_join": "streaming_ohlc_1m",
-    "text_lang_id": "text_quality_score",
+    "text_lang_id": "text_ngram_diversity",
     "streaming_ema_14_1h": "streaming_heavy_hitters",
     # r9 rotation wave 3: ALL 15 never-driver-certified queries moved INTO
     # the window (certification backlog emptied); these 15 r8-driver-green
@@ -107,18 +107,18 @@ SIBLING = {
     # dedup_lsh_eval apply the same trained artifacts or spans).
     "event_asof_tick": "event_asof_tick_plain",
     "backtest_pnl": "backtest_max_drawdown",
-    "events_value_histogram": "customer_rfm_segments",
+    "events_value_histogram": "revenue_concentration_q11",
     "ticks_freshness_sla": "incremental_cursor_scan",
-    "dedup_minhash_lsh": "dedup_lsh_eval",
+    "dedup_minhash_lsh": "dedup_minhash_containment",
     "dedup_exact_substring": "corpus_strip_dup_spans",
     "bpe_train_merges": "bpe_encode_fertility",
-    "priority_shipmonth_q12": "returned_item_q10",
-    "local_supplier_volume": "shipping_priority_q3",
+    "priority_shipmonth_q12": "top_supplier_q15",
+    "local_supplier_volume": "late_shipment_q4",
     "rsi_14_1h": "streaming_rsi_14_1h",
-    "sma_golden_cross": "donchian_20_1h",
+    "sma_golden_cross": "williams_r_14_1h",
     "candle_rollup": "candle_unpivot",
-    "atr_14_1h": "holt_forecast_1h",
-    "stochastic_14_3_1h": "holt_forecast_1h",
+    "atr_14_1h": "adx_14_1h",
+    "stochastic_14_3_1h": "adx_14_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
@@ -128,30 +128,38 @@ SIBLING = {
     # ichimoku_9_26_52_1h / dupgraph_triangle_stats / customer_rfm_segments /
     # media_dhash are the incoming family twins).
     "media_extract_meta": "media_dhash",
-    "events_retention_plan": "events_compaction_plan",
-    "events_zorder_stats": "events_compaction_plan",
+    "events_retention_plan": "events_orphan_files",
+    "events_zorder_stats": "events_orphan_files",
     "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
     "dedup_keeper_centrality": "dupgraph_triangle_stats",
-    "volatility_20_1h": "donchian_20_1h",
-    "pair_rolling_correlation": "ichimoku_9_26_52_1h",
-    "events_value_winsorize": "customer_rfm_segments",
-    "embedding_knn_ivfadc": "embedding_knn_ivf_kmeans",
+    "volatility_20_1h": "williams_r_14_1h",
+    "pair_rolling_correlation": "cci_20_1h",
+    "events_value_winsorize": "revenue_concentration_q11",
+    "embedding_knn_ivfadc": "embedding_knn_filtered",
     "streaming_firstwins_append": "idempotent_append_fresh",
-    # r10-born, registered deferred until the r11 rotation:
-    "williams_r_14_1h": "donchian_20_1h",
-    "cci_20_1h": "donchian_20_1h",
-    "late_shipment_q4": "shipping_priority_q3",
-    "promo_revenue_q14": "disjunctive_revenue_q19",
-    "revenue_concentration_q11": "customer_rfm_segments",
-    "events_orphan_files": "events_compaction_plan",
-    "embedding_knn_filtered": "embedding_knn_ivf_kmeans",
-    "text_ngram_diversity": "text_quality_score",
-    "dedup_minhash_containment": "dedup_lsh_eval",
-    "adx_14_1h": "holt_forecast_1h",
-    "top_supplier_q15": "returned_item_q10",
-    "idle_rich_customers_q22": "customers_no_open_orders_anti",
-    "streaming_enrich_dim_join": "streaming_ohlc_1m",
-    "embedding_ivf_drift_report": "embedding_knn_ivf_kmeans",
+    # r11 rotation wave 5: ALL 14 never-driver-certified r10-born queries
+    # moved INTO the window (backlog emptied again); these 14 r10-driver-green
+    # queries rotated out, each with a same-family twin in the window — the
+    # incoming r10-born queries ARE the twins (williams %R / CCI keep the
+    # keyed native-window family, ADX the grouped Arrow-kernel family, the
+    # four TPC-H newcomers the star/anti/scalar-broadcast families,
+    # orphan-files the maintenance dry-runs, filtered-ANN + drift-report the
+    # IVF family, ngram-diversity the text gates, containment the banded-LSH
+    # family; media_dhash stays in window for the media kernels).
+    "donchian_20_1h": "williams_r_14_1h",
+    "ichimoku_9_26_52_1h": "cci_20_1h",
+    "shipping_priority_q3": "late_shipment_q4",
+    "disjunctive_revenue_q19": "promo_revenue_q14",
+    "customer_rfm_segments": "revenue_concentration_q11",
+    "events_compaction_plan": "events_orphan_files",
+    "embedding_knn_ivf_kmeans": "embedding_knn_filtered",
+    "text_quality_score": "text_ngram_diversity",
+    "dedup_lsh_eval": "dedup_minhash_containment",
+    "holt_forecast_1h": "adx_14_1h",
+    "returned_item_q10": "top_supplier_q15",
+    "customers_no_open_orders_anti": "idle_rich_customers_q22",
+    "media_resize": "media_dhash",
+    "media_audio_features": "media_dhash",
 }
 
 
@@ -184,25 +192,28 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round10_rotation_in_window():
-    # VERDICT r9 task #1 (rotation wave 4): ALL 10 never-driver-certified
-    # queries (9 r9-born + media_resize) are inside the 50-row correctness
-    # window this round — once certified, NO registered query will lack a
-    # driver-green row in its history. (Earlier rounds' in-window assertions
-    # are superseded by rotation; their driver certifications are on record
-    # in CORRECTNESS_r{1..9}.json.)
+def test_round11_rotation_in_window():
+    # VERDICT r10 task #1 (rotation wave 5): ALL 14 never-driver-certified
+    # r10-born queries are inside the 50-row correctness window this round —
+    # once certified, the backlog is empty again. (Earlier rounds' in-window
+    # assertions are superseded by rotation; their driver certifications are
+    # on record in CORRECTNESS_r{1..10}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "events_compaction_plan",
-        "embedding_ann_recall_eval",
-        "donchian_20_1h",
-        "ichimoku_9_26_52_1h",
-        "dupgraph_triangle_stats",
-        "media_audio_features",
-        "media_dhash",
-        "media_resize",
-        "decontaminate_fuzzy_lsh",
-        "customer_rfm_segments",
+        "williams_r_14_1h",
+        "cci_20_1h",
+        "late_shipment_q4",
+        "promo_revenue_q14",
+        "revenue_concentration_q11",
+        "events_orphan_files",
+        "embedding_knn_filtered",
+        "text_ngram_diversity",
+        "dedup_minhash_containment",
+        "adx_14_1h",
+        "top_supplier_q15",
+        "idle_rich_customers_q22",
+        "streaming_enrich_dim_join",
+        "embedding_ivf_drift_report",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 
@@ -236,3 +247,43 @@ def test_every_query_key_unique_and_oracles_subset():
     oracles = build_oracles()
     unknown = set(oracles) - set(queries)
     assert not unknown, f"oracles without queries: {unknown}"
+
+
+def test_defer_comments_name_in_window_sibling():
+    # VERDICT r10 task #8 (registry hygiene): rotation reasoning must stay
+    # machine-checkable as the registry grows — every _DEFER entry's inline
+    # comment must name its CURRENT in-window sibling by exact key (the same
+    # key the SIBLING map declares), so a rotation that repoints the map
+    # without updating the human-readable ledger fails CI.
+    import re
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parent.parent
+           / "trading_etl_spark" / "registry.py").read_text().split("\n")
+    start = next(i for i, l in enumerate(src) if l.startswith("_DEFER"))
+    end = next(i for i, l in enumerate(src) if i > start and l.startswith("]"))
+    entry_re = re.compile(r'^\s+"([a-z0-9_]+)",\s*(#.*)?$')
+    comments: dict[str, str] = {}
+    i = start + 1
+    while i < end:
+        m = entry_re.match(src[i])
+        if m:
+            key, parts, j = m.group(1), [src[i]], i + 1
+            # continuation comment lines are the deeply-indented ones that
+            # hang under the entry's trailing comment (block headers for the
+            # next rotation wave start at 4-space indent and end the entry)
+            while j < end and re.match(r"^\s+#", src[j]) and \
+                    len(src[j]) - len(src[j].lstrip()) > 20:
+                parts.append(src[j])
+                j += 1
+            comments[key] = " ".join(parts)
+            i = j
+        else:
+            i += 1
+    assert set(comments) == set(registry._DEFER)
+    stale = [
+        (k, SIBLING[k])
+        for k, text in comments.items()
+        if not re.search(r"\b" + re.escape(SIBLING[k]) + r"\b", text)
+    ]
+    assert not stale, f"_DEFER comments missing their sibling key: {stale}"

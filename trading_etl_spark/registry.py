@@ -21,25 +21,25 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 # cheaper/scale-path twin stays in the window — so they register LAST.
 # tests/test_registry.py asserts the window invariants.
 _DEFER: list[str] = [
-    "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross
-    "spread_quantiles",       # percentiles covered by approx_value_quantiles
-    "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube
-    "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint
-    "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path
-    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window
-    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path
-    "candle_cube",            # grouping-set sibling of candle_rollup
-    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades
-    "media_frame_sample",     # mapInPandas multimodal covered by extract_meta
-    "sma_fanout_all_tf",      # same native-window SMA as sma_golden_cross's inputs, fanned across tfs
-    "backtest_trades",        # window-over-candles sibling of backtest_pnl
+    "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross [twin: williams_r_14_1h]
+    "spread_quantiles",       # percentiles covered by approx_value_quantiles [twin: orders_table_profile]
+    "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube [twin: candle_unpivot]
+    "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint [twin: dedup_exact]
+    "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path [twin: embedding_near_dup_lsh]
+    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window [twin: dedup_minhash_containment]
+    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path [twin: embedding_knn_filtered]
+    "candle_cube",            # grouping-set sibling of candle_rollup [twin: candle_unpivot]
+    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades [twin: backtest_max_drawdown]
+    "media_frame_sample",     # mapInPandas multimodal covered by extract_meta [twin: media_dhash]
+    "sma_fanout_all_tf",      # same native-window SMA as sma_golden_cross's inputs, fanned across tfs [twin: williams_r_14_1h]
+    "backtest_trades",        # window-over-candles sibling of backtest_pnl [twin: backtest_max_drawdown]
     "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
-    "text_token_count",       # token stats subsumed by text_quality_score
-    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path
-    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it
+    "text_token_count",       # token stats subsumed by text_quality_score [twin: text_ngram_diversity]
+    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path [twin: embedding_knn_filtered]
+    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_knn_filtered]
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
-    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows)
-    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram
+    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: dedup_minhash_containment]
+    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram [twin: revenue_concentration_q11]
     "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
     # r5 rotation (VERDICT r4 task #1): the 13 never-driver-checked queries
     # (funnel, cohort, histogram, SCD2, forward as-of, weighted sampling,
@@ -48,37 +48,37 @@ _DEFER: list[str] = [
     # INTO the window; these 14 redundant siblings — every one with r1-r4
     # driver-green rows AND a same-family twin still in the window — moved
     # out to make room. All stay oracle-verified by tools/check.py.
-    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family
-    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross
+    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_unpivot]
+    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: williams_r_14_1h]
     "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
-    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window
-    "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick
-    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window
-    "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle
-    "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint
-    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window
-    "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window
-    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans
-    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions)
+    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window [twin: orders_table_profile]
+    "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick [twin: event_asof_tick_plain]
+    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: dedup_minhash_containment]
+    "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle [twin: dedup_cc_two_phase]
+    "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint [twin: corpus_pack_sequences]
+    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window [twin: text_ngram_diversity]
+    "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window [twin: stratified_sample_by_lang]
+    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_knn_filtered]
+    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_knn_filtered]
     "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
-    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window
+    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window [twin: idle_rich_customers_q22]
     # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
     # r6-born ones (IVFADC, stateful streaming EMA) moved INTO the window
     # for driver certification; these 11 rotated out to make room — every
     # one carries an r5 (most also r1-r4) driver-green row and a
     # same-family twin still in the window. All stay oracle-verified by
     # tools/check.py.
-    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup
-    "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window
+    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_unpivot]
+    "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window [twin: event_asof_tick_plain]
     "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
     "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
     "user_funnel_conversion",  # funnel window chain; window family of user_cohort_retention
     "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
-    "text_chunk_rag",         # token-window slicing; family of text_rolling_fingerprint
+    "text_chunk_rag",         # token-window slicing; family of text_rolling_fingerprint [twin: corpus_pack_sequences]
     "streaming_sliding_stats",  # sliding-window streaming agg; family of streaming_ohlc_1m
-    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score
-    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti
-    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle
+    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score [twin: text_ngram_diversity]
+    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti [twin: idle_rich_customers_q22]
+    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: adx_14_1h]
                               # through the stricter stateful-streaming path
     # r7 rotation wave 1 (VERDICT r6 task #1): 12 of the 22 r6-born queries
     # (macd, bollinger, semantic dedup, bloom decontaminate, streaming
@@ -88,17 +88,17 @@ _DEFER: list[str] = [
     # row and a same-family twin still in the window. All stay
     # oracle-verified by tools/check.py.
     "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
-    "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family
-    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window
-    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it
-    "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle
-    "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel
+    "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family [twin: event_asof_tick_plain]
+    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_knn_filtered]
+    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_knn_filtered]
+    "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle [twin: decontaminate_fuzzy_lsh]
+    "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel [twin: streaming_heavy_hitters]
                               # family, batch rsi_14_1h the grouped recursion family
     "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
     "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
-    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family
+    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: late_shipment_q4]
     "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
-    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window
+    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: dedup_minhash_containment]
     # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
     # r6/r7-born queries (operator-family firsts prioritized) plus
     # approx_value_quantiles (task #4: the GK-sketch quantile family regains
@@ -107,19 +107,19 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family
-    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family
+    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: adx_14_1h]
+    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: williams_r_14_1h]
     "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
-    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN
+    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_knn_filtered]
     "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
-    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells
+    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells [twin: embedding_ivf_drift_report]
     "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window
     "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family
     "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
     "streaming_sma_cross",    # stateful kernel; streaming_heavy_hitters keeps applyInPandasWithState
-    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family
+    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family [twin: top_supplier_q15]
     "streaming_view_click_join",  # stream-stream join; streaming_ohlc_1m keeps the streaming family
-    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family
+    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family [twin: text_ngram_diversity]
     # r9 rotation wave 3 (VERDICT r8 task #1): ALL 15 never-driver-certified
     # queries (7 r6/r7-born wave-3 carryovers + 8 r8-born) moved INTO the
     # window — this empties the certification backlog. These 15 r8-green
@@ -128,21 +128,21 @@ _DEFER: list[str] = [
     # apply the SAME oracle/operator as their rotated-out twins).
     "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
     "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family
-    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family
-    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family
-    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window
+    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: revenue_concentration_q11]
+    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: incremental_cursor_scan]
+    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: dedup_minhash_containment]
     "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
     "bpe_train_merges",       # BPE trainer; bpe_encode_fertility encodes with the SAME merges
-    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family
-    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family
+    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: top_supplier_q15]
+    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: late_shipment_q4]
     "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
                               # oracle through the stricter stateful-streaming path
-    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation +
+    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: williams_r_14_1h]
                               # volatility_20_1h keep the keyed native-window family
     "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family
-    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
-    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family
-    "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window
+    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: adx_14_1h]
+    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: adx_14_1h]
+    "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
     # time NO registered query lacks a driver-green row in its history. These
@@ -153,31 +153,39 @@ _DEFER: list[str] = [
     # incoming twins; idempotent_append_fresh runs streaming_firstwins_append's
     # EXACT oracle). All stay oracle-verified by tools/check.py.
     "media_extract_meta",     # mapInPandas metadata probe; media_dhash does real pixel work in window
-    "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance
-    "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance
+    "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance [twin: events_orphan_files]
+    "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
     "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
-    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family
-    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family
-    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds
-    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family
+    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: williams_r_14_1h]
+    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: cci_20_1h]
+    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: revenue_concentration_q11]
+    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_knn_filtered]
     "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
-    # r10-born — registered deferred until the r11 rotation (discipline:
-    # never rotate mid-round); each keeps an in-window sibling:
-    "williams_r_14_1h",       # %R min/max windows; family of donchian_20_1h
-    "cci_20_1h",              # anchored mean-deviation fold; family of donchian_20_1h
-    "late_shipment_q4",       # EXISTS-as-semi + derived scan bound; TPC-H family of shipping_priority_q3
-    "promo_revenue_q14",      # conditional-agg ratio over a join; family of disjunctive_revenue_q19
-    "revenue_concentration_q11",  # HAVING fraction-of-total scalar broadcast; family of customer_rfm_segments
-    "events_orphan_files",    # vacuum dry-run over real fs listing; family of events_compaction_plan
-    "embedding_knn_filtered",  # predicate-pushed filtered vector search; family of embedding_knn_ivf_kmeans
-    "text_ngram_diversity",   # distinct-n repetition diagnostic; family of text_quality_score
-    "dedup_minhash_containment",  # doc-in-doc asymmetric screening over banded candidates; family of dedup_lsh_eval
-    "adx_14_1h",              # four-recursion Wilder kernel; family of holt_forecast_1h
-    "top_supplier_q15",       # max-of-agg broadcast join; TPC-H family of returned_item_q10
-    "idle_rich_customers_q22",  # scalar threshold + anti join; family of customers_no_open_orders_anti
-    "streaming_enrich_dim_join",  # stateless stream-static broadcast join; family of streaming_ohlc_1m
-    "embedding_ivf_drift_report",  # quantizer retrain gate over cached lists; family of embedding_knn_ivf_kmeans
+    # r11 rotation wave 5 (VERDICT r10 task #1): ALL 14 never-driver-certified
+    # r10-born queries moved INTO the window — the certification backlog is
+    # empty again. These 14 r10-driver-green queries rotated out to make room;
+    # every one keeps a same-family twin in the window (the incoming r10-born
+    # queries ARE the twins — williams_r_14_1h / cci_20_1h / late_shipment_q4 /
+    # promo_revenue_q14 / revenue_concentration_q11 / events_orphan_files /
+    # embedding_knn_filtered / text_ngram_diversity / dedup_minhash_containment /
+    # adx_14_1h / top_supplier_q15 / idle_rich_customers_q22; media_dhash stays
+    # in window for the media kernels). All stay oracle-verified by
+    # tools/check.py.
+    "donchian_20_1h",         # min/max channel windows; twin: williams_r_14_1h
+    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h
+    "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4
+    "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14
+    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11
+    "events_compaction_plan",  # small-file maintenance dry-run; twin: events_orphan_files
+    "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered
+    "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity
+    "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment
+    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h
+    "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15
+    "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22
+    "media_resize",           # BMP pixel kernel; twin: media_dhash
+    "media_audio_features",   # WAV sample kernel; twin: media_dhash
 ]
 
 
