@@ -546,3 +546,33 @@ def test_q4_derived_shipdate_bound_reaches_lineitem_scan(spark):
     )
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", formatted))
     assert "GreaterThan(l_shipdate" in pushed, formatted
+
+
+def test_triangle_stats_truncates_edge_lineage(spark):
+    """VERDICT r10 task #2: triangle_stats reads its edge relation from five
+    places (degree agg, two orientation joins, edge count, 3-way wedge join),
+    so an expensive upstream lineage (LSH pair finding at the call site) must
+    be truncated ONCE, not recomputed per consumer. Feed edges through a
+    marker pandas-UDF stage: with the localCheckpoint in place the executed
+    plan contains ZERO Python stages (the marker ran once, eagerly, at
+    checkpoint time); losing the checkpoint replays the marker into every
+    consumer subtree and this count jumps to >=5."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+    from pyspark.sql.functions import pandas_udf
+
+    from trading_etl_spark.operators.graph import triangle_stats
+
+    @pandas_udf("long")
+    def _ident(s: pd.Series) -> pd.Series:
+        return s
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    ).select(_ident(SF.col("doc_a")).alias("doc_a"), "doc_b")
+    df = triangle_stats(edges)
+    plan = _physical(df)
+    n_python = sum(plan.count(m) for m in ("ArrowEvalPython", "BatchEvalPython"))
+    assert n_python == 0, f"edge lineage recomputed ({n_python} Python stages):\n{plan}"
+    row = df.collect()[0]
+    assert (row["n_triangles"], row["n_wedges"]) == (1, 5)
