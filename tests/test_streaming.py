@@ -2,6 +2,7 @@
 watermark dedup → append sink, plus the latest-value cache (R3)."""
 
 import json
+from pathlib import Path
 
 from trading_etl_spark.streaming.ticks import (
     start_latest_value_cache,
@@ -272,3 +273,27 @@ def test_state_sized_context_scopes_and_restores_conf(spark):
         with sg._state_sized(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_starter_n_state_partitions_sizes_checkpoint_state(spark, tmp_path):
+    """VERDICT r10 task #4: the library starters expose per-stream state
+    sizing. Start the OHLC stream with a NON-default n_state_partitions and
+    verify (a) the checkpointed state store was created with exactly that
+    many partitions — the count a checkpoint freezes for the stream's
+    lifetime — and (b) the caller's session conf is untouched afterwards."""
+    frames = [
+        _frame("USD_JPY", "2024-01-01T10:00:01Z", 100.0, 100.2),
+        _frame("USD_JPY", "2024-01-01T10:01:10Z", 102.0, 102.2),
+        _frame("USD_JPY", "2024-01-01T10:02:10Z", 104.0, 104.2),
+    ]
+    src = _write_frames(tmp_path, frames)
+    sink, ckpt = str(tmp_path / "ohlc_sized"), str(tmp_path / "ckpt_sized")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    assert prev != "3"
+    start_ohlc_stream(
+        spark, src, sink, ckpt, n_state_partitions=3
+    ).awaitTermination()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    state_op = Path(ckpt) / "state" / "0"
+    parts = sorted(p.name for p in state_op.iterdir() if p.name.isdigit())
+    assert parts == ["0", "1", "2"], parts

@@ -40,15 +40,19 @@ import contextlib
 # availableNow drain: 32 partitions 2.46-2.61 s vs 8 partitions
 # 1.90-2.25 s (~20%, pure state/commit overhead — results are hash-
 # partition-invariant). At production scale this is the knob you set per
-# stream from expected distinct keys; re-sizing later means a new
-# checkpoint (gate runs use fresh run dirs every call, so it is safe here).
+# stream from expected distinct keys (r11, VERDICT r10 task #4: the drain
+# context takes ``n_state_partitions`` so callers actually CAN — the gate
+# queries use the default sized to this fixture's 6-pair cardinality);
+# re-sizing later means a new checkpoint (gate runs use fresh run dirs
+# every call, so it is safe here).
 STREAM_STATE_PARTITIONS = "8"
 
 
 @contextlib.contextmanager
-def _state_sized(spark: SparkSession):
+def _state_sized(spark: SparkSession, n_state_partitions: int | str | None = None):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    n = STREAM_STATE_PARTITIONS if n_state_partitions is None else n_state_partitions
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:

@@ -25,11 +25,16 @@ first start of each stream to its expected key cardinality (6 pairs ×
 watermark horizon here — single digits, not the batch default). The count
 is frozen into the checkpoint, and every partition costs a state-store
 instance + a per-micro-batch commit; measured ~20% of the sf0.1 drain
-(queries/streamgate.py:_state_sized does this for the gate runs — these
-library starters deliberately leave session conf to the caller).
+(queries/streamgate.py:_state_sized does this for the gate runs). The
+stateful starters below take ``n_state_partitions`` (r11, VERDICT r10
+task #4) and scope the conf around ``.start()`` — the count binds at the
+FIRST start of a checkpoint, so pass it on the run that creates the
+checkpoint; ``None`` leaves session conf to the caller as before.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,22 +124,42 @@ def stream_ohlc_1m(ticks: DataFrame) -> DataFrame:
     )
 
 
+@contextlib.contextmanager
+def _state_conf(spark: SparkSession, n_state_partitions: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a stream start so the
+    state-store partition count (frozen into the new checkpoint) is sized
+    to the stream's expected key cardinality instead of the batch default.
+    ``None`` = no-op (caller manages session conf)."""
+    if n_state_partitions is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def start_ohlc_stream(
     spark: SparkSession,
     source_path: str,
     sink_path: str,
     checkpoint_path: str,
+    *,
+    n_state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Frames → parse → dedup → 1-minute OHLC → parquet append."""
     candles = stream_ohlc_1m(dedup_ticks(parse_ticks(read_tick_frames(spark, source_path))))
-    return (
-        candles.writeStream.format("parquet")
-        .option("path", sink_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_conf(spark, n_state_partitions):
+        return (
+            candles.writeStream.format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_tick_ingest(
@@ -146,6 +171,7 @@ def start_tick_ingest(
     available_now: bool = True,
     processing_time: str = "1 second",
     watermark: str = "10 seconds",
+    n_state_partitions: int | None = None,
 ) -> StreamingQuery:
     """End-to-end ingest: frames → parse → validate → dedup → parquet append.
 
@@ -176,7 +202,8 @@ def start_tick_ingest(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    with _state_conf(spark, n_state_partitions):
+        return writer.start()
 
 
 def start_tick_ingest_maintained(
@@ -189,6 +216,7 @@ def start_tick_ingest_maintained(
     processing_time: str = "1 second",
     watermark: str = "10 seconds",
     retention_cutoff: str | None = None,
+    n_state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Maintenance-friendly ingest into a ``dt=``-partitioned PLAIN parquet
     table: frames → parse → dedup → foreachBatch first-wins append.
@@ -242,7 +270,8 @@ def start_tick_ingest_maintained(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    with _state_conf(spark, n_state_partitions):
+        return writer.start()
 
 
 def start_latest_value_cache(
