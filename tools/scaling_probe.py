@@ -1,7 +1,11 @@
-"""Two-point scaling probe (VERDICT r9 task #5): sf0.1 -> 10x wall-time
-ratios for the three most expensive operator families, recorded as the
-``scaling`` block in BENCH_DETAIL.json (bench.py carries the block forward
-on subsequent rewrites).
+"""Multi-point scaling probe (VERDICT r9 task #5, r10 task #5): sf0.1 ->
+10x wall-time ratios for the five most expensive operator families — plus a
+THIRD, 100x-documents point for the two probes whose cost is visibly
+data-proportional (dedup_minhash_lsh, dedup_exact_substring), so a
+two-segment slope separates fixed overhead from marginal per-row cost —
+recorded as the ``scaling`` block in BENCH_DETAIL.json (bench.py carries
+the block forward on subsequent rewrites, keyed by the provenance stamp
+written here).
 
 The 10x "sf1-equivalent" fixture is synthesized ONCE into
 /tmp/spark_graft_scaling/sf1 from the sf0.1 parquet — only the three
@@ -41,9 +45,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 FIXTURE_DIR = "/tmp/spark_graft_scaling/sf1"
+DOCS100_DIR = "/tmp/spark_graft_scaling/docs100"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
+DOC_COPIES_100 = 100
 N_RUNS = 3
+# Bump when fixture CONSTRUCTION changes; stamped into each fixture's
+# completion marker. A missing/mismatched marker forces a rebuild — without
+# it a stale or interrupted build (the dir exists before the writes finish)
+# would be silently reused and skew the recorded ratios (ADVICE r10).
+FIXTURE_VERSION = "v2"
+DOC_PROBES_100X = ["dedup_minhash_lsh", "dedup_exact_substring"]
 PROBES = [
     "dedup_minhash_lsh",
     "embedding_knn_ivf_kmeans",
@@ -54,6 +66,64 @@ PROBES = [
     "dedup_exact_substring",
     "text_tfidf_top_terms",
 ]
+
+
+def _marker_path(d: str) -> str:
+    return os.path.join(d, "_FIXTURE_COMPLETE")
+
+
+def _marker_value(copies: int) -> str:
+    return f"{FIXTURE_VERSION}:{copies}x:{SRC_DIR}"
+
+
+def _fixture_ok(d: str, copies: int) -> bool:
+    try:
+        with open(_marker_path(d)) as f:
+            return f.read() == _marker_value(copies)
+    except OSError:
+        return False
+
+
+def _salted_documents(spark, copies: int, out_dir: str) -> None:
+    """documents x ``copies`` with every token suffixed by a copy tag, so
+    shingle sets are DISJOINT across copies: each copy preserves the
+    original's near-dup structure exactly and total LSH candidate pairs
+    scale ~linearly (identical copies would inflate pairs quadratically
+    and fake super-linearity)."""
+    from pyspark.sql import functions as F
+
+    doc = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    parts = [
+        doc.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.concat(x, F.lit(f"~c{k}")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def build_docs100_fixture(spark) -> None:
+    if os.path.isdir(DOCS100_DIR):
+        shutil.rmtree(DOCS100_DIR)
+    os.makedirs(DOCS100_DIR, exist_ok=True)
+    _salted_documents(spark, DOC_COPIES_100, DOCS100_DIR)
+    with open(_marker_path(DOCS100_DIR), "w") as f:
+        f.write(_marker_value(DOC_COPIES_100))
 
 
 def build_fixture(spark) -> None:
@@ -84,29 +154,7 @@ def build_fixture(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{FIXTURE_DIR}/events.parquet")
 
-    doc = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
-    parts = [
-        doc.select(
-            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda x: F.concat(x, F.lit(f"~c{k}")),
-                ),
-                " ",
-            ).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        )
-        for k in range(COPIES)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{FIXTURE_DIR}/documents.parquet"
-    )
+    _salted_documents(spark, COPIES, FIXTURE_DIR)
 
     emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
     parts = [
@@ -126,11 +174,14 @@ def build_fixture(spark) -> None:
     out.repartition(8).write.mode("overwrite").parquet(
         f"{FIXTURE_DIR}/embeddings.parquet"
     )
+    with open(_marker_path(FIXTURE_DIR), "w") as f:
+        f.write(_marker_value(COPIES))
 
 
-def time_probes(spark, queries, sf_dir: str) -> dict[str, list[float]]:
+def time_probes(spark, queries, sf_dir: str,
+                probes: list[str] | None = None) -> dict[str, list[float]]:
     out: dict[str, list[float]] = {}
-    for name in PROBES:
+    for name in probes if probes is not None else PROBES:
         fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         runs = []
@@ -149,23 +200,42 @@ def main() -> None:
     spark = get_spark("scaling_probe")
     queries = build_queries()
 
-    if not os.path.isdir(FIXTURE_DIR):
+    if not _fixture_ok(FIXTURE_DIR, COPIES):
         print("building 10x fixture ...", flush=True)
         build_fixture(spark)
+    if not _fixture_ok(DOCS100_DIR, DOC_COPIES_100):
+        print("building 100x documents fixture ...", flush=True)
+        build_docs100_fixture(spark)
 
     base = time_probes(spark, queries, SRC_DIR)
     big = time_probes(spark, queries, FIXTURE_DIR)
+    huge = time_probes(spark, queries, DOCS100_DIR, probes=DOC_PROBES_100X)
     spark.stop()
 
+    import subprocess
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except (OSError, subprocess.CalledProcessError):
+        commit = "unknown"
     block = {
         "fixture": f"{COPIES}x sf0.1 (events longer-history, documents "
-        "token-salted disjoint shingles, embeddings corpus-only growth)",
+        "token-salted disjoint shingles, embeddings corpus-only growth); "
+        f"{DOC_COPIES_100}x documents third point for {DOC_PROBES_100X}",
+        "fixture_version": FIXTURE_VERSION,
+        # provenance (ADVICE r10): the commit whose query implementations
+        # these ratios measured, so bench.py's carry-forward is visibly
+        # stale once the probed operators change.
+        "measured_commit": commit,
+        "measured_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "runs_per_point": N_RUNS,
         "queries": {},
     }
     for name in PROBES:
         lo, hi = min(base[name]), min(big[name])
-        block["queries"][name] = {
+        entry = {
             "sf0.1_min_sec": lo,
             "sf1_min_sec": hi,
             "sf0.1_runs": base[name],
@@ -175,6 +245,19 @@ def main() -> None:
                 statistics.median(big[name]) / statistics.median(base[name]), 2
             ),
         }
+        if name in huge:
+            xl = min(huge[name])
+            entry["docs100_min_sec"] = xl
+            entry["docs100_runs"] = huge[name]
+            entry["ratio_100x_min"] = round(xl / lo, 2) if lo else None
+            # two-segment marginal slope (sec per 1x of documents): the
+            # 1x->10x segment is overhead-dominated at this scale; the
+            # 10x->100x segment isolates the per-row marginal cost.
+            entry["marginal_sec_per_copy_1_10"] = round((hi - lo) / 9, 3)
+            entry["marginal_sec_per_copy_10_100"] = round(
+                (xl - hi) / (DOC_COPIES_100 - COPIES), 3
+            )
+        block["queries"][name] = entry
 
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     detail = {}

@@ -660,3 +660,187 @@ def ichimoku(
         F.lag(mid(senkou_b), kijun).over(w).alias("senkou_b_ln"),
         F.lead("close", kijun).over(w).alias("chikou"),
     )
+
+
+KELTNER_OUT_SCHEMA = (
+    "currency_pair_code string, timeframe_code string, time timestamp, "
+    "mid double, upper double, lower double"
+)
+
+
+def keltner(
+    ohlc: DataFrame,
+    ema_period: int = 20,
+    atr_period: int = 10,
+    mult: float = 2.0,
+) -> DataFrame:
+    """Keltner Channels (r11-born): mid = EMA(close, ema_period), bands =
+    mid ± mult·ATR(atr_period) — the volatility-channel sibling of
+    Bollinger that swaps the stddev band for Wilder's ATR. Both inputs are
+    order-sensitive recursions, so the ONE grouped Arrow kernel computes
+    them in a single pass per (pair, timeframe) series — the same single
+    group-key shuffle as :func:`ema`/:func:`atr`, not two. Rows are NaN
+    (→ NULL) until BOTH recursions are seeded. Reference computes single
+    EMAs driver-side (src/etl/flows/transform_services.py:268-270); the
+    channel composition follows the published Keltner/Chester formulation."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        e = _ema_series(pdf["close"].to_numpy(dtype=np.float64), ema_period)
+        a = _atr_series(
+            pdf["high"].to_numpy(dtype=np.float64),
+            pdf["low"].to_numpy(dtype=np.float64),
+            pdf["close"].to_numpy(dtype=np.float64),
+            atr_period,
+        )
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "mid": e,
+                "upper": e + mult * a,
+                "lower": e - mult * a,
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "high", "low", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, KELTNER_OUT_SCHEMA)
+    )
+
+
+def _trix_series(closes: np.ndarray, period: int) -> np.ndarray:
+    """TRIX: 1-period rate of change of a triple-smoothed EMA. Each EMA
+    stage seeds from the first ``period`` valid values of its input (the
+    TA-Lib cascade — stage k's output starts at index k·(period−1)), so
+    the first defined TRIX value is at index 3·(period−1)+1."""
+    n = len(closes)
+    e1 = _ema_series(closes, period)
+    e2 = np.full(n, np.nan)
+    e2[period - 1 :] = _ema_series(e1[period - 1 :], period)
+    e3 = np.full(n, np.nan)
+    e3[2 * (period - 1) :] = _ema_series(e2[2 * (period - 1) :], period)
+    out = np.full(n, np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out[1:] = 100.0 * (e3[1:] - e3[:-1]) / e3[:-1]
+    return out
+
+
+def trix(ohlc: DataFrame, period: int = 15) -> DataFrame:
+    """TRIX(period) (r11-born): 100·ROC₁ of a TRIPLE EMA of close — the
+    momentum oscillator whose triple smoothing filters sub-period noise.
+    Three chained order-sensitive recursions → one grouped Arrow kernel,
+    single (pair, timeframe) shuffle like :func:`macd` (which chains two).
+    NaN (→ NULL) until the third cascade stage and its 1-row lag exist."""
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time")
+        return pd.DataFrame(
+            {
+                "currency_pair_code": pdf["currency_pair_code"].to_numpy(),
+                "timeframe_code": pdf["timeframe_code"].to_numpy(),
+                "time": pdf["time"].to_numpy(),
+                "value": _trix_series(
+                    pdf["close"].to_numpy(dtype=np.float64), period
+                ),
+            }
+        )
+
+    return (
+        ohlc.select(*GROUP_KEYS, "time", "close")
+        .groupBy(*GROUP_KEYS)
+        .applyInPandas(compute, ATR_OUT_SCHEMA)
+    )
+
+
+def obv(candles: DataFrame, volume_col: str = "volume") -> DataFrame:
+    """On-Balance Volume (r11-born) as a native cumulative window (zero
+    Python): OBV = running Σ of volume signed by the close-to-close
+    direction (+vol on up-close, −vol on down, 0 on flat; the first row
+    contributes 0 — Granville's convention). One (pair, timeframe)
+    shuffle; sign + running sum are whole-stage codegen. ``volume_col``
+    is the caller's volume proxy (tick count for FX candles — the
+    reference feed carries no traded volume, src/gmo/ws-connection.py)."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = F.col("close") - F.lag("close").over(w)
+    signed = (
+        F.when(d > 0, F.col(volume_col))
+        .when(d < 0, -F.col(volume_col))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        candles.withColumn("_sv", F.coalesce(signed, F.lit(0).cast("long")))
+        .withColumn("obv", F.sum("_sv").over(run))
+        .drop("_sv")
+    )
+
+
+def vwap_anchored(candles: DataFrame, volume_col: str = "volume") -> DataFrame:
+    """Session-anchored VWAP (r11-born) as native cumulative windows (zero
+    Python): within each (pair, timeframe, UTC day) the running
+    Σ(typical·vol)/Σ(vol), typical = (high+low+close)/3 — the intraday
+    fair-value anchor that resets at the session boundary, the standard
+    execution-quality benchmark. Two running sums share ONE (pair,
+    timeframe, day) window; partitioning by day also bounds any series'
+    window state at 100 TB (no unbounded-preceding over years of
+    history — the anchor IS the partition key)."""
+    w = (
+        Window.partitionBy(*GROUP_KEYS, "anchor_date")
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    return (
+        candles.withColumn("anchor_date", F.to_date("time"))
+        .withColumn("_tpv", tp * F.col(volume_col))
+        .withColumn(
+            "vwap", F.sum("_tpv").over(w) / F.sum(volume_col).over(w)
+        )
+        .drop("_tpv")
+    )
+
+
+def candle_patterns(ohlc: DataFrame) -> DataFrame:
+    """Single/two-candle pattern flags (r11-born) as pure codegen
+    comparisons + one LAG (zero Python):
+
+    - ``doji``: body ≤ 10% of the high-low range (open ≈ close);
+    - ``hammer``: lower shadow ≥ 2·body, upper shadow ≤ body, in the
+      candlestick convention body = |close−open|;
+    - ``bull_engulf`` / ``bear_engulf``: this candle's body strictly
+      contains the previous candle's body, with opposite direction.
+
+    Zero-range candles (high = low) are not doji/hammer (no range to
+    classify against). One (pair, timeframe) shuffle for the LAG; every
+    predicate is whole-stage codegen — pattern mining at scan speed."""
+    w = Window.partitionBy(*GROUP_KEYS).orderBy("time")
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    upper_shadow = F.col("high") - F.greatest("open", "close")
+    lower_shadow = F.least("open", "close") - F.col("low")
+    po, pc = F.lag("open").over(w), F.lag("close").over(w)
+    return ohlc.select(
+        *GROUP_KEYS,
+        "time",
+        ((rng > 0) & (body <= 0.1 * rng)).alias("doji"),
+        (
+            (rng > 0) & (lower_shadow >= 2 * body) & (upper_shadow <= body)
+        ).alias("hammer"),
+        (
+            po.isNotNull()
+            & (pc < po)  # previous bearish
+            & (F.col("close") > F.col("open"))  # current bullish
+            & (F.col("open") < pc)
+            & (F.col("close") > po)
+        ).alias("bull_engulf"),
+        (
+            po.isNotNull()
+            & (pc > po)
+            & (F.col("close") < F.col("open"))
+            & (F.col("open") > pc)
+            & (F.col("close") < po)
+        ).alias("bear_engulf"),
+    )

@@ -81,7 +81,8 @@ def clear_candle_caches(spark: SparkSession | None = None) -> int:
     number of entries evicted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     return clear_caches(
-        (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE, _EVENTS_1H_CACHE),
+        (_CHAIN_CACHE, _CANDLE_CACHE, _TICKS_CACHE, _SMA_CACHE, _EVENTS_1H_CACHE,
+         _VOL_CANDLE_CACHE),
         app_id,
     )
 
@@ -142,6 +143,39 @@ def _ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_1h = dims.dim_timeframe(spark).filter(F.col("timeframe_code") == "1h")
         df = ohlc.ohlc_derived(_ohlc_1m(spark, sf_dir), tf_1h).cache()
         _cache_put(_CANDLE_CACHE, key, df)
+    return df
+
+
+_VOL_CANDLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ohlc_1h_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly candles WITH a volume column (tick count — the FX feed
+    carries no traded volume), aggregated straight off the cached deduped
+    ticks: the volume-weighted indicator family (OBV, VWAP) needs volume,
+    which the shared volume-less candle chain deliberately drops. One
+    (pair, hour) hash-agg with map-side partials; cached like the other
+    session-materialized relations (r11-born)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _VOL_CANDLE_CACHE.get(key)
+    if df is None:
+        t = _ticks(spark, sf_dir)
+        df = (
+            t.groupBy(
+                "currency_pair_code",
+                F.date_trunc("hour", "time").alias("time"),
+            )
+            .agg(
+                F.min_by("bid", "time").alias("open"),
+                F.max("bid").alias("high"),
+                F.min("bid").alias("low"),
+                F.max_by("bid", "time").alias("close"),
+                F.count(F.lit(1)).alias("volume"),
+            )
+            .withColumn("timeframe_code", F.lit("1h"))
+            .cache()
+        )
+        _cache_put(_VOL_CANDLE_CACHE, key, df)
     return df
 
 
@@ -442,6 +476,65 @@ def q_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time",
         F.round("realized_vol", 6).alias("realized_vol"),
         F.round("parkinson_vol", 6).alias("parkinson_vol"),
+    )
+
+
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner Channels EMA(20) ± 2·ATR(10) on 1h candles — the two Wilder
+    recursions composed in ONE grouped Arrow kernel pass (r11-born). Rows
+    where the slower recursion (EMA 20) is seeded; both engines define the
+    channel on the same rows."""
+    out = indicators.keltner(_ohlc_1h(spark, sf_dir), 20, 10, 2.0)
+    return out.filter(F.col("mid").isNotNull()).select(
+        "currency_pair_code",
+        "timeframe_code",
+        "time",
+        F.round("mid", 6).alias("mid_line"),
+        F.round("upper", 6).alias("upper_channel"),
+        F.round("lower", 6).alias("lower_channel"),
+    )
+
+
+def q_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15) on 1h candles — triple-EMA cascade + 1-row ROC in one
+    grouped Arrow kernel (r11-born). Warm-up rows excluded."""
+    out = indicators.trix(_ohlc_1h(spark, sf_dir), 15)
+    return out.filter(F.col("value").isNotNull()).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume on hourly tick-count candles — native signed
+    cumulative window, zero Python (r11-born). OBV is integer-exact (a
+    sum of signed tick counts), so no rounding is needed anywhere."""
+    out = indicators.obv(_ohlc_1h_vol(spark, sf_dir), volume_col="volume")
+    return out.select(
+        "currency_pair_code", "timeframe_code", "time", "volume", "obv"
+    )
+
+
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-anchored VWAP over hourly tick-count candles — two running sums
+    on one (pair, day) window, zero Python (r11-born)."""
+    out = indicators.vwap_anchored(_ohlc_1h_vol(spark, sf_dir), volume_col="volume")
+    return out.select(
+        "currency_pair_code",
+        "timeframe_code",
+        F.col("anchor_date").cast("string").alias("anchor_date"),
+        "time",
+        F.round("vwap", 6).alias("vwap"),
+    )
+
+
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern mining on 1h candles (r11-born): doji / hammer /
+    engulfing flags from pure codegen comparisons + one LAG; only candles
+    matching at least one pattern surface (the mining result, not the
+    full per-candle flag matrix)."""
+    out = indicators.candle_patterns(_ohlc_1h(spark, sf_dir))
+    return out.filter(
+        F.col("doji") | F.col("hammer") | F.col("bull_engulf") | F.col("bear_engulf")
     )
 
 
@@ -913,6 +1006,11 @@ QUERIES = {
     "cci_20_1h": q_cci,
     "adx_14_1h": q_adx,
     "volatility_20_1h": q_volatility,
+    "keltner_20_10_1h": q_keltner,
+    "trix_15_1h": q_trix,
+    "obv_1h": q_obv,
+    "vwap_daily_1h": q_vwap_daily,
+    "candle_patterns_1h": q_candle_patterns,
     "sma_golden_cross": q_golden_cross,
     "sma_dead_cross": q_dead_cross,
     "idempotent_append_fresh": q_idempotent_fresh,
