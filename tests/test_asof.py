@@ -223,14 +223,20 @@ def test_horizon_prune_build_is_lazy_and_broadcast(spark):
     probes = spark.createDataFrame(
         [("A", _ts("2024-01-01 10:45:00"), "p")], "k string, time timestamp, tag string"
     )
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None))
-    df = asof_join_backward_bucketed(
-        probes, quotes, on="time", by=["k"], value_cols=["bid"]
-    )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    after = set(tracker.getJobIdsForGroup(None))
-    assert after == before, f"as-of build submitted jobs: {sorted(after - before)}"
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # scoped job group, not global id diffs — immune to retainedJobs
+    # eviction and to concurrent streaming jobs (r11 flake fix)
+    try:
+        sc.setJobGroup("asof-build-probe", "probe")
+        df = asof_join_backward_bucketed(
+            probes, quotes, on="time", by=["k"], value_cols=["bid"]
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        built = tracker.getJobIdsForGroup("asof-build-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert not built, f"as-of build submitted jobs: {sorted(built)}"
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 

@@ -889,19 +889,28 @@ def test_decontaminate_lazy_construction(spark):
     docs = spark.createDataFrame(
         [(i, f"some tokens {i} " * 10) for i in range(4)], "doc_id long, text string"
     )
-    tracker = spark.sparkContext.statusTracker
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
-    before = len(tracker().getJobIdsForGroup(None))
-    tx.decontaminate(docs, broadcast_test=True)
-    tx.decontaminate(docs, broadcast_test=False)
-    tx.decontaminate(docs, test_docs_count=5)
-    tx.decontaminate(docs, test_docs_count=10**9)
-    assert len(tracker().getJobIdsForGroup(None)) == before, (
-        "plan construction ran a Spark job despite an explicit strategy/hint"
-    )
-    # zero-config default: the sizing count is an eager job (documented)
-    tx.decontaminate(docs)
-    assert len(tracker().getJobIdsForGroup(None)) > before
+    # count jobs via scoped JOB GROUPS, not global job-id totals: past
+    # spark.ui.retainedJobs the tracker evicts old ids, so absolute counts
+    # go flat/backwards exactly when the full suite runs (r11 flake — the
+    # same fix as test_pagerank_build_submits_no_job).
+    try:
+        sc.setJobGroup("decon-lazy-probe", "probe")
+        tx.decontaminate(docs, broadcast_test=True)
+        tx.decontaminate(docs, broadcast_test=False)
+        tx.decontaminate(docs, test_docs_count=5)
+        tx.decontaminate(docs, test_docs_count=10**9)
+        assert len(tracker.getJobIdsForGroup("decon-lazy-probe")) == 0, (
+            "plan construction ran a Spark job despite an explicit strategy/hint"
+        )
+        # zero-config default: the sizing count is an eager job (documented)
+        sc.setJobGroup("decon-eager-probe", "probe")
+        tx.decontaminate(docs)
+        assert len(tracker.getJobIdsForGroup("decon-eager-probe")) > 0
+    finally:
+        sc.setJobGroup("", "")
 
 
 def test_domain_mix_rates_and_determinism(spark):
@@ -1280,3 +1289,60 @@ def test_decontaminate_fuzzy_flags_cross_split_near_dup(spark):
     assert set(got) == {1}
     assert got[1]["n_test_dups"] == 1
     assert 0.5 <= got[1]["max_jaccard"] < 1.0
+
+
+def test_hard_negatives_picks_similar_wrong_label(spark):
+    """r11: the miner must rank by similarity WITHIN the wrong-label set,
+    report the best same-label similarity as the positive, and exclude
+    queries with no same-label partner (inner-join semantics)."""
+    from trading_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        # query 0, label 0; near-duplicate positive (id 10, label 0);
+        # near-identical negative (id 11, label 1); far negative (id 12)
+        (0, [1.0, 0.0, 0.0], 0),
+        (10, [0.9, 0.1, 0.0], 0),
+        (11, [1.0, 0.05, 0.0], 1),
+        (12, [0.0, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>, label int")
+    out = {
+        (r["query_id"], r["rank"]): r
+        for r in hard_negatives(emb, k=2, n_queries=1).collect()
+    }
+    top = out[(0, 1)]
+    assert top["neighbor_id"] == 11  # the near-identical wrong-label vector
+    assert out[(0, 2)]["neighbor_id"] == 12
+    pos = (1.0 * 0.9) / (1.0 * math.sqrt(0.9**2 + 0.1**2))
+    assert abs(top["positive_sim"] - round(pos, 6)) < 1e-6
+    assert abs(top["margin"] - round(top["positive_sim"] - top["cos_sim"], 6)) < 1e-9
+    # margin of the top negative is positive_sim - (near 1.0) < 0: harder
+    # than the positive — exactly the pair a margin loss needs
+    assert top["margin"] < 0
+
+
+def test_mixture_plan_rates_and_epochs(spark):
+    """r11: sampling_rate = weight·total/avail on 6dp-rounded values;
+    epochs = ceil(rate); a lang absent from the spec drops out."""
+    from trading_etl_spark.operators.text import mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s", 7),      # 4 tokens
+            (2, "x y", "en", "s", 3),          # 2 tokens
+            (3, "u v w x", "de", "s", 7),      # 4 tokens
+            (4, "q r s t u v", "xx", "s", 11), # 6 tokens, not in spec
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {
+        r["lang"]: r
+        for r in mixture_plan(docs, {"en": 0.75, "de": 0.25}).collect()
+    }
+    assert set(out) == {"en", "de"}
+    total = 16  # 4 + 2 + 4 + 6: the budget counts the WHOLE corpus
+    assert out["en"]["avail_tokens"] == 6
+    assert abs(out["en"]["sampling_rate"] - round(0.75 * total / 6, 6)) < 1e-9
+    assert out["en"]["epochs"] == 2
+    assert abs(out["de"]["sampling_rate"] - 1.0) < 1e-9
+    assert out["de"]["epochs"] == 1

@@ -377,3 +377,125 @@ def test_cci_linear_trend_constant_value(spark):
         else:
             assert abs(got[("USD/JPY", t)] - expected) < 1e-9
         assert got[("EUR/USD", t)] is None
+
+
+def test_keltner_composes_ema_and_atr(spark):
+    """Keltner mid/upper/lower must equal EMA(close) ± mult·ATR computed by
+    the standalone kernels — the one-pass composition cannot drift from its
+    parts (r11)."""
+    from trading_etl_spark.operators.indicators import (
+        _atr_series,
+        _ema_series,
+        keltner,
+    )
+
+    closes = [float(c) for c in (10, 11, 13, 12, 14, 15, 13, 16, 17, 18)]
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), c, c + 0.5, c - 0.5, c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, OHLC_SCHEMA)
+    out = sorted(keltner(df, 5, 3, 2.0).collect(), key=lambda r: r["time"])
+    e = _ema_series(np.array(closes), 5)
+    a = _atr_series(
+        np.array([c + 0.5 for c in closes]),
+        np.array([c - 0.5 for c in closes]),
+        np.array(closes),
+        3,
+    )
+    for i, r in enumerate(out):
+        if np.isnan(e[i]) or np.isnan(a[i]):
+            continue  # NULL until both recursions seeded; Arrow NaN→NULL
+        assert r["mid"] == pytest.approx(e[i])
+        assert r["upper"] == pytest.approx(e[i] + 2.0 * a[i])
+        assert r["lower"] == pytest.approx(e[i] - 2.0 * a[i])
+    # warm-up: EMA (period 5) is the slower recursion here
+    assert all(out[i]["mid"] is None for i in range(4))
+
+
+def test_trix_cascade_offsets_and_constant_series():
+    """Stage k of the triple-EMA cascade is defined from index k·(p−1);
+    TRIX of a constant series is exactly 0 once defined (r11)."""
+    from trading_etl_spark.operators.indicators import _trix_series
+
+    p = 3
+    const = _trix_series(np.full(12, 5.0), p)
+    first = 3 * (p - 1) + 1  # lag consumes one more row
+    assert np.isnan(const[:first]).all()
+    assert const[first:] == pytest.approx(np.zeros(12 - first))
+    # rising series: triple EMA rises, so TRIX > 0 everywhere defined
+    rising = _trix_series(np.arange(1.0, 16.0), p)
+    assert np.isnan(rising[:first]).all()
+    assert (rising[first:] > 0).all()
+
+
+def test_obv_golden_vector(spark):
+    """OBV: +vol on up-close, −vol on down, 0 on flat, first row 0 (r11)."""
+    from trading_etl_spark.operators.indicators import obv
+
+    t0 = datetime(2024, 1, 1)
+    closes = [10.0, 11.0, 11.0, 10.0, 12.0]
+    vols = [100, 200, 300, 400, 500]
+    rows = [
+        ("USD/JPY", "1h", t0 + timedelta(hours=i), c, c, c, c, v)
+        for i, (c, v) in enumerate(zip(closes, vols))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double, volume long",
+    )
+    out = sorted(obv(df).collect(), key=lambda r: r["time"])
+    assert [r["obv"] for r in out] == [0, 200, 200, -200, 300]
+
+
+def test_vwap_resets_at_day_anchor(spark):
+    """VWAP is the running typical-price mean weighted by volume and resets
+    at the UTC day boundary (r11)."""
+    from trading_etl_spark.operators.indicators import vwap_anchored
+
+    t0 = datetime(2024, 1, 1, 22)
+    rows = [
+        # day 1: two candles
+        ("USD/JPY", "1h", t0, 10.0, 12.0, 8.0, 10.0, 100),   # tp=10
+        ("USD/JPY", "1h", t0 + timedelta(hours=1), 20.0, 21.0, 15.0, 18.0, 300),  # tp=18
+        # day 2: fresh anchor
+        ("USD/JPY", "1h", t0 + timedelta(hours=2), 30.0, 30.0, 30.0, 30.0, 100),  # tp=30
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double, volume long",
+    )
+    out = sorted(vwap_anchored(df).collect(), key=lambda r: r["time"])
+    assert out[0]["vwap"] == pytest.approx(10.0)
+    assert out[1]["vwap"] == pytest.approx((10.0 * 100 + 18.0 * 300) / 400)
+    assert out[2]["vwap"] == pytest.approx(30.0)  # new day restarts the sums
+    assert str(out[2]["anchor_date"]) == "2024-01-02"
+
+
+def test_candle_patterns_known_shapes(spark):
+    """Doji, hammer, and engulfing classify hand-built candles (r11)."""
+    from trading_etl_spark.operators.indicators import candle_patterns
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # open, high, low, close
+        ("P", "1h", t0, 10.0, 11.0, 9.0, 10.05),                      # doji (body .05 <= .2)
+        ("P", "1h", t0 + timedelta(hours=1), 10.0, 10.1, 8.0, 9.5),   # hammer (ls 1.5 >= 2*.5)
+        ("P", "1h", t0 + timedelta(hours=2), 9.4, 10.6, 9.3, 10.5),   # bull engulfs prev body
+        ("P", "1h", t0 + timedelta(hours=3), 10.6, 10.7, 9.2, 9.3),   # bear engulfs prev body
+        ("P", "1h", t0 + timedelta(hours=4), 10.0, 10.0, 10.0, 10.0), # zero range: nothing
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "currency_pair_code string, timeframe_code string, time timestamp,"
+        " open double, high double, low double, close double",
+    )
+    out = sorted(candle_patterns(df).collect(), key=lambda r: r["time"])
+    assert [r["doji"] for r in out] == [True, False, False, False, False]
+    # row 1: body .5, lower shadow 1.5 >= 1.0, upper shadow .1 <= .5
+    assert [r["hammer"] for r in out] == [False, True, False, False, False]
+    assert [r["bull_engulf"] for r in out] == [False, False, True, False, False]
+    assert [r["bear_engulf"] for r in out] == [False, False, False, True, False]

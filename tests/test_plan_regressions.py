@@ -295,11 +295,17 @@ def test_copairs_build_submits_no_job(spark):
         _pytest.skip("driver testdata corpus not present")
     from trading_etl_spark.queries.analytics import q_event_type_copairs
 
-    tracker = spark.sparkContext.statusTracker()
-    before = set(tracker.getJobIdsForGroup(None))
-    df = q_event_type_copairs(spark, sf_dir)
-    after = set(tracker.getJobIdsForGroup(None))
-    assert after == before, f"query build submitted jobs: {sorted(after - before)}"
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # scoped job group, not global id diffs — immune to retainedJobs
+    # eviction and to concurrent streaming jobs (r11 flake fix)
+    try:
+        sc.setJobGroup("copairs-build-probe", "probe")
+        df = q_event_type_copairs(spark, sf_dir)
+        built = tracker.getJobIdsForGroup("copairs-build-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert not built, f"query build submitted jobs: {sorted(built)}"
     # the denominator reaches the support division via a broadcast join
     plan = _physical(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

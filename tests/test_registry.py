@@ -160,6 +160,19 @@ SIBLING = {
     "customers_no_open_orders_anti": "idle_rich_customers_q22",
     "media_resize": "media_dhash",
     "media_audio_features": "media_dhash",
+    # r11-born, registered deferred until the r12 rotation:
+    "keltner_20_10_1h": "adx_14_1h",
+    "trix_15_1h": "adx_14_1h",
+    "obv_1h": "backtest_max_drawdown",
+    "vwap_daily_1h": "backtest_max_drawdown",
+    "candle_patterns_1h": "williams_r_14_1h",
+    "nation_volume_q7": "late_shipment_q4",
+    "custdist_q13": "idle_rich_customers_q22",
+    "small_qty_revenue_q17": "promo_revenue_q14",
+    "large_volume_q18": "top_supplier_q15",
+    "waiting_supplier_q21": "late_shipment_q4",
+    "embedding_hard_negatives": "embedding_knn_filtered",
+    "corpus_mixture_plan": "corpus_domain_mix",
 }
 
 

@@ -120,6 +120,19 @@ AUDITED = [
     "dedup_minhash_containment",
     "top_supplier_q15",
     "idle_rich_customers_q22",
+    # r11-born
+    "keltner_20_10_1h",
+    "trix_15_1h",
+    "obv_1h",
+    "vwap_daily_1h",
+    "candle_patterns_1h",
+    "nation_volume_q7",
+    "custdist_q13",
+    "small_qty_revenue_q17",
+    "large_volume_q18",
+    "waiting_supplier_q21",
+    "embedding_hard_negatives",
+    "corpus_mixture_plan",
     # bpe_train_merges is deliberately absent: its result frame is the
     # driver-side merge table (createDataFrame), so a static audit would
     # show nothing — its per-round plan shapes are covered by the operator

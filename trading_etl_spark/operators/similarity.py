@@ -168,6 +168,67 @@ def knn_filtered(
     )
 
 
+def hard_negatives(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Contrastive hard-negative mining (r11-born): for each query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label, plus the
+    query's best same-label similarity (``positive_sim``) and the margin
+    ``positive_sim − cos_sim`` — the standard training-pair miner for
+    embedding models (high-similarity wrong-label items are the negatives
+    that actually move the loss; the margin column is what a margin-loss
+    curriculum thresholds on).
+
+    Shape: ONE broadcast-queries × corpus scoring pass feeds BOTH the
+    positive aggregate (per-query max over same-label rows — a partial-agg
+    shuffle bounded at |queries| rows) and the different-label top-k
+    window; the corpus relation streams through each consumer map-side
+    (broadcast join, no corpus shuffle), and the final margin join
+    broadcasts the |queries|-row positives. Queries exclude themselves."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        F.col("emb").alias("qv"),
+        _norm(F.col("emb")).alias("qnorm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("_clabel"),
+        F.col("emb").alias("cv"),
+        _norm(F.col("emb")).alias("cnorm"),
+    )
+    c = _spread_if_underpartitioned(emb, c)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(_dot("qv", "cv") / (F.col("qnorm") * F.col("cnorm")), 6)
+        )
+        .select("query_id", "_qlabel", "neighbor_id", "_clabel", "cos_sim")
+    )
+    pos = (
+        scored.filter(F.col("_qlabel") == F.col("_clabel"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("positive_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col("_qlabel") != F.col("_clabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cos_sim",
+            "positive_sim",
+            F.round(F.col("positive_sim") - F.col("cos_sim"), 6).alias("margin"),
+        )
+    )
+
+
 MRL_PREFIX_DIM = 16
 MRL_CANDIDATES = 32
 

@@ -96,6 +96,68 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# target language mix for mixture_plan — the tuning knob a data-mixing run
+# (Pile/DoReMi-style) sweeps; keys must cover the corpus langs it is applied
+# to (inner-join semantics: a lang absent from the spec is excluded from
+# the plan, mirroring a mixture that drops a language).
+MIX_WEIGHTS: dict[str, float] = {
+    "en": 0.4,
+    "zh": 0.2,
+    "es": 0.15,
+    "fr": 0.15,
+    "de": 0.1,
+}
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    budget_factor: float = 1.0,
+) -> DataFrame:
+    """Training-mixture sampling plan (r11-born): given target language
+    weights and a token budget (``budget_factor`` × the corpus's total
+    tokens), the per-language sampling rate and epoch count a data-mixing
+    pipeline needs — rate > 1 means the language must repeat (epochs is
+    its ceiling), rate < 1 means downsampling. The Pile / DoReMi-style
+    static mix calculation as a first-class relational op.
+
+    Shape: one map-side token count folded into a |langs|-row partial
+    hash-agg; the total is a lazy 1-row aggregate cross-joined back; the
+    weight spec is a broadcast literal relation. Output is |spec langs|
+    rows at ANY corpus size — nothing here grows with the data. All rate
+    arithmetic rounds to 6dp before the ceiling decision, so both engines
+    pick identical epoch counts."""
+    spec_rows = sorted((weights or MIX_WEIGHTS).items())
+    spec = docs.sparkSession.createDataFrame(
+        [(lang, float(w)) for lang, w in spec_rows],
+        "lang string, target_weight double",
+    )
+    per = (
+        with_tokens(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("avail_tokens"),
+        )
+    )
+    total = per.agg(F.sum("avail_tokens").alias("_total_tokens"))
+    target = F.col("target_weight") * F.col("_total_tokens") * F.lit(budget_factor)
+    rate = F.round(target / F.col("avail_tokens"), 6)
+    return (
+        per.join(F.broadcast(spec), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            "target_weight",
+            F.round(target, 6).alias("target_tokens"),
+            rate.alias("sampling_rate"),
+            F.ceil(rate).cast("long").alias("epochs"),
+        )
+    )
+
+
 def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
     """Distinct-n diversity per document (r10-born): for n = 1..``max_n``,
     the share of distinct token n-grams among all n-grams — the

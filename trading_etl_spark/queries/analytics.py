@@ -1185,6 +1185,254 @@ def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+Q7_DATE_LO, Q7_DATE_HI = "1996-01-01 00:00:00", "2000-01-01 00:00:00"
+
+
+def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped volume shipping (r11-born): revenue between two
+    nations per (supplier nation, customer nation, ship year), both
+    directions — the double-dimension-closure star: lineitem reaches its
+    supplier's nation AND (via orders → customer) its customer's nation,
+    with the disjunctive nation-pair predicate applied where both sides
+    are first available.
+
+    Scale: the ship-date range is pushed to the lineitem SCAN; both
+    nation joins broadcast (25 rows); the supplier join broadcasts and —
+    because supp_nation is filtered to the pair BEFORE the join — cuts
+    lineitem to ~2/|nations| of its rows ahead of the only big shuffle
+    (orderkey, lineitem ⋈ orders). The customer side shrinks the same
+    way before its custkey join; AQE picks broadcast vs shuffle for it
+    by size. Year extraction and the revenue product are codegen."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pair_nations = nation.filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    ).select("n_nationkey", "n_name")
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(pair_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(pair_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    ord_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= Q7_DATE_LO) & (F.col("l_shipdate") < Q7_DATE_HI)
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q_custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution (r11-born): how
+    many customers placed exactly N qualifying orders, INCLUDING the
+    zero-order bucket — Q13's left-outer-join-then-double-aggregate shape
+    (its NOT LIKE comment exclusion becomes a priority exclusion on the
+    reduced fixture; the filter must sit in the JOIN input, not a WHERE,
+    or the zero bucket vanishes).
+
+    Scale: the excluded-priority predicate is pushed to the orders scan;
+    one custkey shuffle for the outer join + count, then a tiny second
+    hash-agg keyed by the count value itself (at most ~hundreds of
+    distinct counts at any corpus size — the second shuffle is bounded
+    by the distribution's support, not by |customer|)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .select("o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue (r11-born): for one
+    brand's parts, the average yearly revenue lost if orders below 20%
+    of the part's average quantity were not filled — Q17's correlated
+    scalar subquery (avg per part) re-expressed as a per-part aggregate
+    joined back onto the same filtered relation, with the threshold
+    DECISION on the 6dp-rounded value in both engines.
+
+    Scale: the brand predicate broadcasts through the part join and cuts
+    lineitem to ~1/|brands| BEFORE any aggregation; the per-part average
+    is one partial-agg pass over that reduced relation, and the join
+    back is keyed on the same partkey the pre-agg already hashed on —
+    AQE broadcasts the |brand parts|-row average relation when small.
+    One final 1-row aggregate; no driver collect."""
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    pl = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    th = pl.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("_qty_threshold")
+    )
+    return (
+        pl.join(th.withColumnRenamed("l_partkey", "_pk"),
+                F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q_large_volume_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers (r11-born): orders whose
+    total line quantity exceeds ``Q18_QTY_THRESHOLD``, with their
+    customer — Q18's HAVING-subquery-membership shape, re-expressed as
+    the aggregate-then-join pipeline (the HAVING filter runs on the
+    per-order aggregate BEFORE any dimension join, so only qualifying
+    orders — a tiny fraction — ever reach the orders/customer joins).
+
+    Scale: one orderkey partial-agg shuffle over lineitem; the HAVING
+    predicate cuts the relation to the qualifying tail; the orders join
+    reuses the orderkey hash; the customer join is AQE-sized. No second
+    lineitem scan (TPC-H's IN-subquery form reads lineitem twice)."""
+    oq = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        oq.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped suppliers-who-kept-orders-waiting (r11-born): on
+    finished multi-supplier orders, count per supplier the orders where
+    it was the ONLY supplier to ship late (> ``Q21_LATE_DAYS`` days
+    after the order date — the commit/receipt lateness of Q21 proper
+    derived from the dates this fixture carries, as in Q4). Q21's
+    EXISTS(other supplier) + NOT EXISTS(other LATE supplier) pair is
+    re-expressed as ONE per-order aggregate — distinct suppliers and
+    distinct late suppliers — so the exactly-one-late-supplier-and-it-
+    is-me test is a filter on grouped counts instead of two extra
+    lineitem self-joins (two fewer orderkey shuffles than the literal
+    EXISTS plan; the oracle runs the classic double-EXISTS form to
+    certify the rewrite).
+
+    Scale: one orderkey shuffle joins lineitem to the status-filtered
+    orders scan; the per-order stats and the late-line projection reuse
+    that partitioning; the supplier name join broadcasts."""
+    lo = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).alias("_late"),
+        )
+    )
+    st = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            st.filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "late_shipment_q4": q_late_shipment_q4,
@@ -1192,6 +1440,11 @@ QUERIES = {
     "idle_rich_customers_q22": q_idle_rich_customers_q22,
     "promo_revenue_q14": q_promo_revenue_q14,
     "revenue_concentration_q11": q_revenue_concentration_q11,
+    "nation_volume_q7": q_nation_volume_q7,
+    "custdist_q13": q_custdist_q13,
+    "small_qty_revenue_q17": q_small_qty_revenue_q17,
+    "large_volume_q18": q_large_volume_q18,
+    "waiting_supplier_q21": q_waiting_supplier_q21,
     "customer_rfm_segments": q_customer_rfm,
     "events_retention_plan": q_events_retention_plan,
     "events_compaction_plan": q_events_compaction_plan,
@@ -1744,4 +1997,87 @@ SELECT e.event_id, e.event_type, e.value,
        (e.value < b.lo OR e.value > b.hi) AS clipped
 FROM events e JOIN b USING (event_type)
 WHERE e.value IS NOT NULL
+""".strip()
+
+ORACLES["nation_volume_q7"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q7_DATE_LO}'
+  AND l.l_shipdate < TIMESTAMP '{Q7_DATE_HI}'
+  AND ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+       OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+""".strip()
+
+ORACLES["custdist_q13"] = f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY 1
+""".strip()
+
+ORACLES["small_qty_revenue_q17"] = f"""
+WITH pl AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{Q17_BRAND}'
+), th AS (
+  SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
+  FROM pl GROUP BY 1
+)
+SELECT round(sum(pl.l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM pl JOIN th USING (l_partkey)
+WHERE pl.l_quantity < th.qty_threshold
+""".strip()
+
+ORACLES["large_volume_q18"] = f"""
+WITH oq AS (
+  SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(l_quantity), 6) > {Q18_QTY_THRESHOLD}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 6) AS o_totalprice, oq.sum_qty
+FROM oq
+JOIN orders o ON oq.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""".strip()
+
+# the classic double-EXISTS Q21 form — certifies the Spark side's
+# one-aggregate rewrite (distinct-supplier / distinct-late-supplier counts)
+ORACLES["waiting_supplier_q21"] = f"""
+WITH lo AS MATERIALIZED (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAYS AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), waiting AS (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lo l1
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM lo l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lo l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.late)
+)
+SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
 """.strip()

@@ -483,6 +483,20 @@ def q_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (r11-born): per query, the top-k
+    most-similar DIFFERENT-label vectors with the positive-similarity
+    margin — the training-pair miner for embedding models."""
+    return _as_long(sim.hard_negatives(_emb(spark, sf_dir)), "rank")
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture sampling plan (r11-born): per-lang sampling rates
+    and epoch counts for the target weights — |langs| output rows at any
+    corpus size."""
+    return tx.mixture_plan(_docs(spark, sf_dir))
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the k-means 'update' step / IVF coarse
     codebook refresh): posexplode → one hash-agg keyed (label, pos). Partial
@@ -820,6 +834,8 @@ QUERIES = {
     "embedding_knn_filtered": q_knn_filtered,
     "embedding_ann_recall_eval": q_ann_recall_eval,
     "embedding_ivf_drift_report": q_ivf_drift_report,
+    "embedding_hard_negatives": q_hard_negatives,
+    "corpus_mixture_plan": q_mixture_plan,
     "text_ngram_diversity": q_ngram_diversity,
     "embedding_label_centroids": q_emb_centroids,
     "corpus_clean_pipeline": q_corpus_clean,
@@ -1488,6 +1504,31 @@ scored AS (
     )
     + "\n"
     + _KNN_RANK_SQL,
+    "embedding_hard_negatives": _with(
+        sim.EMB_SQL,
+        f"""
+scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS clabel,
+         {sim.COS_SQL.format(a="q.v", b="c.v")} AS cos_sim
+  FROM emb q, emb c
+  WHERE q.vec_id < {sim.N_QUERIES} AND c.vec_id != q.vec_id
+),
+pos AS (
+  SELECT query_id, max(cos_sim) AS positive_sim
+  FROM scored WHERE qlabel = clabel GROUP BY 1
+)
+""".strip(),
+    )
+    + f"""
+SELECT s.query_id, s.neighbor_id, s.rank, s.cos_sim, p.positive_sim,
+       round(p.positive_sim - s.cos_sim, 6) AS margin
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored WHERE qlabel != clabel) s
+JOIN pos p USING (query_id)
+WHERE s.rank <= {sim.TOP_K}
+""".strip(),
     "embedding_knn_ivf": _with(
         sim.EMB_SQL,
         f"""
@@ -1559,6 +1600,24 @@ SELECT md5(d.text) AS content_hash,
 FROM q JOIN documents d ON d.doc_id = q.doc_id
 WHERE q.quality >= 0.5 AND q.n_tokens >= 5
 GROUP BY 1
+""".strip(),
+    "corpus_mixture_plan": _with(tx.DOCS_TOKS_SQL)
+    + f""",
+per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS avail_tokens
+  FROM toks GROUP BY 1
+),
+total AS (SELECT sum(avail_tokens)::BIGINT AS tt FROM per),
+spec AS (
+  -- cast off the VALUES-literal DECIMAL: Spark's spec column is DOUBLE
+  SELECT lang, w::DOUBLE AS target_weight
+  FROM (VALUES {", ".join(f"('{l}', {w})" for l, w in sorted(tx.MIX_WEIGHTS.items()))}) v(lang, w)
+)
+SELECT p.lang, p.n_docs, p.avail_tokens, s.target_weight,
+       round(s.target_weight * t.tt, 6) AS target_tokens,
+       round(s.target_weight * t.tt / p.avail_tokens, 6) AS sampling_rate,
+       ceil(round(s.target_weight * t.tt / p.avail_tokens, 6))::BIGINT AS epochs
+FROM per p JOIN spec s USING (lang), total t
 """.strip(),
     "text_token_count": _with(tx.DOCS_TOKS_SQL)
     + """

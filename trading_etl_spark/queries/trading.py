@@ -1845,3 +1845,152 @@ GROUP BY 1, 2, 3""",
 # one oracle serves both (the same-oracle convention ohlc_1m /
 # streaming_ohlc_1m use)
 ORACLES["event_asof_tick_plain"] = ORACLES["event_asof_tick"]
+
+
+_VOL_1H_SQL = """
+ohlc_1h_vol AS (
+  SELECT currency_pair_code,
+         '1h' AS timeframe_code,
+         CAST(date_trunc('hour', time) AS TIMESTAMP) AS time,
+         arg_min(bid, time) AS "open",
+         max(bid) AS high,
+         min(bid) AS low,
+         arg_max(bid, time) AS "close",
+         count(*)::BIGINT AS volume
+  FROM ticks
+  GROUP BY 1, 3
+)
+""".strip()
+
+ORACLES["keltner_20_10_1h"] = _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True) + """,
+seed_e AS (
+  SELECT pair, avg("close") AS ema FROM closes WHERE rn <= 20
+  GROUP BY pair HAVING count(*) = 20
+),
+ema_rec(pair, rn, time, ema) AS (
+  SELECT c.pair, c.rn, c.time, s.ema
+  FROM seed_e s JOIN closes c ON c.pair = s.pair AND c.rn = 20
+  UNION ALL
+  SELECT c.pair, c.rn, c.time, e.ema + (2.0 / 21.0) * (c."close" - e.ema)
+  FROM ema_rec e JOIN closes c ON c.pair = e.pair AND c.rn = e.rn + 1
+),
+hlc AS (
+  SELECT currency_pair_code AS pair, time, high, low, "close",
+         row_number() OVER (PARTITION BY currency_pair_code ORDER BY time) AS rn
+  FROM ohlc_1h
+),
+tr AS MATERIALIZED (
+  SELECT pair, time, rn,
+         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+  FROM (SELECT pair, time, rn, high, low,
+               lag("close") OVER (PARTITION BY pair ORDER BY rn) AS pc
+        FROM hlc)
+  WHERE pc IS NOT NULL
+),
+atr_seed AS (
+  SELECT pair, avg(tr) AS atr FROM tr WHERE rn BETWEEN 2 AND 11
+  GROUP BY pair HAVING count(*) = 10
+),
+atr_rec(pair, rn, atr) AS (
+  SELECT t.pair, t.rn, s.atr
+  FROM atr_seed s JOIN tr t ON t.pair = s.pair AND t.rn = 11
+  UNION ALL
+  SELECT t.pair, t.rn, (r.atr * 9 + t.tr) / 10.0
+  FROM atr_rec r JOIN tr t ON t.pair = r.pair AND t.rn = r.rn + 1
+)
+SELECT e.pair AS currency_pair_code, '1h' AS timeframe_code, e.time,
+       round(e.ema, 6) AS mid_line,
+       round(e.ema + 2.0 * a.atr, 6) AS upper_channel,
+       round(e.ema - 2.0 * a.atr, 6) AS lower_channel
+FROM ema_rec e JOIN atr_rec a ON a.pair = e.pair AND a.rn = e.rn"""
+
+# triple-EMA cascade: each stage re-indexes its input (rn2 = rn − 14,
+# rn3 = rn2 − 14) so its seed/anchor runs over the FIRST period rows its
+# input actually defines — the TA-Lib cascade offsets. Stage outputs are
+# MATERIALIZED before feeding the next recursion (the MACD lesson).
+ORACLES["trix_15_1h"] = _with(*_TO_1H, _CLOSES_1H_SQL, recursive=True) + """,
+seed1 AS (
+  SELECT pair, avg("close") AS ema FROM closes WHERE rn <= 15
+  GROUP BY pair HAVING count(*) = 15
+),
+e1(pair, rn, time, ema) AS (
+  SELECT c.pair, c.rn, c.time, s.ema
+  FROM seed1 s JOIN closes c ON c.pair = s.pair AND c.rn = 15
+  UNION ALL
+  SELECT c.pair, c.rn, c.time, e.ema + (2.0 / 16.0) * (c."close" - e.ema)
+  FROM e1 e JOIN closes c ON c.pair = e.pair AND c.rn = e.rn + 1
+),
+e1m AS MATERIALIZED (
+  SELECT pair, rn - 14 AS rn2, time, ema FROM e1
+),
+seed2 AS (
+  SELECT pair, avg(ema) AS ema2 FROM e1m WHERE rn2 <= 15
+  GROUP BY pair HAVING count(*) = 15
+),
+e2(pair, rn2, time, ema2) AS (
+  SELECT m.pair, m.rn2, m.time, s.ema2
+  FROM seed2 s JOIN e1m m ON m.pair = s.pair AND m.rn2 = 15
+  UNION ALL
+  SELECT m.pair, m.rn2, m.time, e.ema2 + (2.0 / 16.0) * (m.ema - e.ema2)
+  FROM e2 e JOIN e1m m ON m.pair = e.pair AND m.rn2 = e.rn2 + 1
+),
+e2m AS MATERIALIZED (
+  SELECT pair, rn2 - 14 AS rn3, time, ema2 FROM e2
+),
+seed3 AS (
+  SELECT pair, avg(ema2) AS ema3 FROM e2m WHERE rn3 <= 15
+  GROUP BY pair HAVING count(*) = 15
+),
+e3(pair, rn3, time, ema3) AS (
+  SELECT m.pair, m.rn3, m.time, s.ema3
+  FROM seed3 s JOIN e2m m ON m.pair = s.pair AND m.rn3 = 15
+  UNION ALL
+  SELECT m.pair, m.rn3, m.time, e.ema3 + (2.0 / 16.0) * (m.ema2 - e.ema3)
+  FROM e3 e JOIN e2m m ON m.pair = e.pair AND m.rn3 = e.rn3 + 1
+)
+SELECT pair AS currency_pair_code, '1h' AS timeframe_code, time,
+       round(100.0 * (ema3 - prev) / prev, 6) AS value
+FROM (SELECT pair, time, ema3,
+             lag(ema3) OVER (PARTITION BY pair ORDER BY rn3) AS prev
+      FROM e3)
+WHERE prev IS NOT NULL"""
+
+ORACLES["obv_1h"] = _with(_BASE, _VOL_1H_SQL) + """
+SELECT currency_pair_code, timeframe_code, time, volume,
+       sum(CASE WHEN d > 0 THEN volume WHEN d < 0 THEN -volume ELSE 0 END)
+         OVER (PARTITION BY currency_pair_code ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
+FROM (SELECT *,
+             "close" - lag("close") OVER (PARTITION BY currency_pair_code
+                                          ORDER BY time) AS d
+      FROM ohlc_1h_vol)"""
+
+ORACLES["vwap_daily_1h"] = _with(_BASE, _VOL_1H_SQL) + """
+SELECT currency_pair_code, timeframe_code,
+       (time::DATE)::VARCHAR AS anchor_date, time,
+       round(sum(tpv) OVER w / sum(volume) OVER w, 6) AS vwap
+FROM (SELECT *, ((high + low + "close") / 3.0) * volume AS tpv
+      FROM ohlc_1h_vol)
+WINDOW w AS (PARTITION BY currency_pair_code, time::DATE ORDER BY time
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+ORACLES["candle_patterns_1h"] = _with(*_TO_1H) + """
+SELECT * FROM (
+  SELECT currency_pair_code, timeframe_code, time,
+         (rng > 0 AND body <= 0.1 * rng) AS doji,
+         (rng > 0 AND ls >= 2 * body AND us <= body) AS hammer,
+         (po IS NOT NULL AND pc < po AND "close" > "open"
+          AND "open" < pc AND "close" > po) AS bull_engulf,
+         (po IS NOT NULL AND pc > po AND "close" < "open"
+          AND "open" > pc AND "close" < po) AS bear_engulf
+  FROM (SELECT *,
+               abs("close" - "open") AS body,
+               high - low AS rng,
+               high - greatest("open", "close") AS us,
+               least("open", "close") - low AS ls,
+               lag("open") OVER w AS po,
+               lag("close") OVER w AS pc
+        FROM ohlc_1h
+        WINDOW w AS (PARTITION BY currency_pair_code ORDER BY time))
+)
+WHERE doji OR hammer OR bull_engulf OR bear_engulf"""

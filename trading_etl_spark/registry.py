@@ -186,6 +186,20 @@ _DEFER: list[str] = [
     "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22
     "media_resize",           # BMP pixel kernel; twin: media_dhash
     "media_audio_features",   # WAV sample kernel; twin: media_dhash
+    # r11-born — registered deferred until the r12 rotation (discipline:
+    # never rotate mid-round); each keeps an in-window sibling:
+    "keltner_20_10_1h",       # EMA+ATR channel kernel; twin: adx_14_1h
+    "trix_15_1h",             # triple-EMA cascade kernel; twin: adx_14_1h
+    "obv_1h",                 # signed cumulative volume window; twin: backtest_max_drawdown
+    "vwap_daily_1h",          # day-anchored cumulative ratio window; twin: backtest_max_drawdown
+    "candle_patterns_1h",     # LAG pattern predicates; twin: williams_r_14_1h
+    "nation_volume_q7",       # double-nation star + year agg; twin: late_shipment_q4
+    "custdist_q13",           # left-outer count distribution; twin: idle_rich_customers_q22
+    "small_qty_revenue_q17",  # per-part avg threshold join-back; twin: promo_revenue_q14
+    "large_volume_q18",       # HAVING agg then dimension joins; twin: top_supplier_q15
+    "waiting_supplier_q21",   # exists/not-exists as grouped counts; twin: late_shipment_q4
+    "embedding_hard_negatives",  # different-label top-k + margin; twin: embedding_knn_filtered
+    "corpus_mixture_plan",    # |langs|-row sampling-rate plan; twin: corpus_domain_mix
 ]
 
 
