@@ -1291,6 +1291,33 @@ def test_decontaminate_fuzzy_flags_cross_split_near_dup(spark):
     assert 0.5 <= got[1]["max_jaccard"] < 1.0
 
 
+def test_dedup_incremental_probes_corpus_only(spark):
+    """r11: the incremental gate must pair batch docs (id % 10 == 7) ONLY
+    with corpus docs — never batch×batch or corpus×corpus — and elect one
+    dup-of per batch doc (highest jaccard, smallest corpus id on ties)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (3, base),                      # corpus original
+        (13, base),                     # corpus exact dup of 3 (must NOT appear)
+        (7, base + " extra"),           # batch near-dup of 3 and 13
+        (17, base),                     # batch exact dup — ties 3 vs 13 → 3 wins
+        (27, "totally different words here nothing shared with others at all"),
+        (5, "another unrelated corpus document with its own tokens entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.dedup_incremental_minhash(docs).collect()}
+    # only batch docs may appear, and 27 has no match
+    assert set(out) <= {7, 17}
+    assert 17 in out and out[17]["dup_of"] == 3  # tie → smallest corpus id
+    assert out[17]["jaccard"] == 1.0
+    assert 7 in out and out[7]["dup_of"] in (3, 13)
+    assert 0.5 <= out[7]["jaccard"] < 1.0
+    # exactly one row per matched batch doc (the top-1 election)
+    assert tx.dedup_incremental_minhash(docs).groupBy("doc_id").count().filter(
+        "count > 1"
+    ).count() == 0
+
+
 def test_hard_negatives_picks_similar_wrong_label(spark):
     """r11: the miner must rank by similarity WITHIN the wrong-label set,
     report the best same-label similarity as the positive, and exclude

@@ -173,6 +173,9 @@ SIBLING = {
     "waiting_supplier_q21": "late_shipment_q4",
     "embedding_hard_negatives": "embedding_knn_filtered",
     "corpus_mixture_plan": "corpus_domain_mix",
+    "market_share_q8": "promo_revenue_q14",
+    "product_profit_q9": "late_shipment_q4",
+    "dedup_incremental_minhash": "dedup_minhash_containment",
 }
 
 

@@ -133,6 +133,9 @@ AUDITED = [
     "waiting_supplier_q21",
     "embedding_hard_negatives",
     "corpus_mixture_plan",
+    "market_share_q8",
+    "product_profit_q9",
+    "dedup_incremental_minhash",
     # bpe_train_merges is deliberately absent: its result frame is the
     # driver-side merge table (createDataFrame), so a static audit would
     # show nothing — its per-round plan shapes are covered by the operator
@@ -259,6 +262,9 @@ def main() -> None:
         "  attempt failed — no package index is reachable from this sandbox",
         "  (DNS resolution fails) — so tests/test_idempotency.py keeps its",
         "  importorskip gate; the emulated race + API-shape-sync tests run.",
+        "  r11 attempt: same result (`Name or service not known` resolving the",
+        "  index host, `No matching distribution found for delta-spark`); gate",
+        "  unchanged.",
         "- scaling slopes (VERDICT r9 #5): two-point sf0.1 -> 10x wall-time",
         "  ratios, five probes (tools/scaling_probe.py; BENCH_DETAIL.json",
         "  \"scaling\", carried forward by bench.py). Final run, min-of-3,",
@@ -274,6 +280,26 @@ def main() -> None:
         "  No super-linear ratio anywhere: at these sizes wall-time is",
         "  overhead-dominated, so ratios far below 10x confirm the banded/",
         "  bucketed plan shapes rather than hiding a bottleneck.",
+        "",
+        "Adjudications (r11):",
+        "- candle_chain_cold min drift (VERDICT r10 #3): an r11 ISOLATED",
+        "  profile pass at sf0.1 (7 cold runs, no harness interleave, same",
+        "  warm-ups as bench.py) recorded [3.747, 2.611, 2.413, 2.330,",
+        "  2.338, 2.316, 2.492] — min 2.316, median 2.413. That reproduces",
+        "  the r10 interleaved min (2.436, within 5%), not the r9 min",
+        "  (2.028, 14% below). Git evidence shows NO chain-path change",
+        "  between the r9 and r10 bench recordings (92d8243..d3d789e touches",
+        "  ohlc.py/ticks.py not at all; trading.py only gains additive query",
+        "  registrations; bench.py only gains the ivf_index_build_cold line",
+        "  and the scaling carry-forward). The run lists tell the story:",
+        "  r9 [5.806, 2.593, 2.271, 2.49, 2.028] vs r10 [5.801, 2.529,",
+        "  2.754, 2.436, 2.77] — the steady-state population is ~2.3-2.8 s",
+        "  and r9's 2.028 was a single tail draw of the min-of-5 statistic",
+        "  (its own other runs sit at 2.27-2.59). Cause: sampling variance",
+        "  on a ±0.3 s-spread line, not a regression; the r10 min is the",
+        "  honest center. Stage decomposition (cold, incl. rescan overlap):",
+        "  tick scan+parse 1.15 s, 1m base agg 2.37 s cumulative, derived",
+        "  agg +1.7 s with rescan — consistent with the single-shuffle plan.",
     ]
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -1123,10 +1123,9 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return _jaccard_verify(_minhash_band_candidates(sh), sh, threshold)
 
 
-def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
-    """LSH candidate pairs from a shingle relation: signatures → band keys
-    → band-bucket equi-join, distinct (doc_a < doc_b)."""
-    sig = _minhash_from_shingles(sh)
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a signature relation — the
+    LSH index relation itself (what a production rollout persists)."""
     r = MINHASH_SEEDS // MINHASH_BANDS
     bands = F.array(
         *[
@@ -1139,9 +1138,15 @@ def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    doc_bands = sig.select("doc_id", F.explode(bands).alias("bd")).select(
+    return sig.select("doc_id", F.explode(bands).alias("bd")).select(
         "doc_id", "bd.band_idx", "bd.band_key"
     )
+
+
+def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a shingle relation: signatures → band keys
+    → band-bucket equi-join, distinct (doc_a < doc_b)."""
+    doc_bands = _band_keys(_minhash_from_shingles(sh))
     return (
         doc_bands.alias("a")
         .join(doc_bands.alias("b"), ["band_idx", "band_key"])
@@ -1206,6 +1211,59 @@ def dedup_minhash_containment(
     )
     return scored.filter(
         F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+    )
+
+
+# Deterministic ingest-batch membership for the incremental gate: docs with
+# doc_id ≡ 7 (mod 10) play the "newly arrived batch"; the rest are the
+# already-deduped corpus. A pure integer expression in both engines.
+INCREMENTAL_BATCH_MOD = 10
+INCREMENTAL_BATCH_REM = 7
+
+
+def dedup_incremental_minhash(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash dedup (r11-born): near-dedupe a
+    NEW ingest batch against the EXISTING corpus without re-deduping the
+    corpus against itself — the steady-state shape of a production corpus
+    build, where the all-pairs pass (:func:`dedup_minhash_lsh`) runs once
+    and every later ingest only PROBES. Ref parity: trading-etl's
+    insert-skip idempotent append (src/etl/flows/transform_services.py
+    save paths) is the exact-key version of this gate; banded probing is
+    its corpus-scale near-dup extension.
+
+    Candidates come from the same banded signature join as
+    ``dedup_minhash_lsh``, restricted to batch-side × corpus-side
+    collisions (the batch membership predicate is a pure map-side
+    expression); exact-jaccard verification and a top-1-per-batch-doc
+    election (highest jaccard, smallest corpus doc_id on ties, decisions
+    on the 6dp-rounded value) give each new doc its single dup-of target.
+
+    Scale: the corpus's (band_idx, band_key) relation IS the persisted
+    index at 100 TB — written bucketed by band_key, built once, only
+    appended to. A daily batch recomputes shingles/signatures for ITS docs
+    alone (≪ corpus), and the probe join is batch-bands ⋈ index — Spark
+    broadcasts the batch side when small (AQE decides from runtime size).
+    Verification touches only the colliding corpus docs' shingles."""
+    is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
+    sh = shingles(docs).cache()
+    doc_bands = _band_keys(_minhash_from_shingles(sh))
+    cand = (
+        doc_bands.filter(is_batch)
+        .alias("a")
+        .join(doc_bands.filter(~is_batch).alias("b"), ["band_idx", "band_key"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_verify(cand, sh, threshold)
+    w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), F.col("doc_b"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
     )
 
 

@@ -1433,6 +1433,143 @@ def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_REGION = "AMERICA"
+Q8_PART_TYPE = "PROMO"
+Q8_SUPP_NATION = "NATION_3"
+
+
+def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share (r11-born): of all revenue
+    from one part type sold to customers in one region, the fraction
+    supplied by one nation, per order year — Q8's conditional-share
+    aggregate (CASE-inside-sum over sum) across the full 7-table star
+    closure (part, supplier, lineitem, orders, customer, nation ×2,
+    region).
+
+    Scale: the part-type predicate broadcasts through the part join and
+    the region predicate through nation→customer, so BOTH fact inputs
+    shrink before the two key shuffles (custkey to qualify orders by
+    region — a sort-merge at scale, since the regional customer set is
+    |customer|/|regions| — then orderkey for the fact-fact join); the
+    supplier-nation join broadcasts (|nation| rows through |supplier|);
+    the share CASE folds into the year-keyed partial agg — |years|
+    output rows at any corpus size."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    cust_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+    )
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == Q8_PART_TYPE)
+        .select("p_partkey")
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_SUPP_NATION, vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q9_PART_TOKEN = "red"
+Q9_COST_FACTOR = 0.1
+
+
+def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit (r11-born): per supplier nation
+    per order year, Σ l_extendedprice·(1−l_discount) −
+    ``Q9_COST_FACTOR``·p_retailprice·l_quantity over parts whose name
+    contains a token. This fixture carries no partsupp table, so Q9's
+    ps_supplycost is proxied by the retail price; the SHAPE — the
+    substring part filter, two broadcast dimension joins, the fact-fact
+    orderkey join, and the two-key profit rollup — is Q9's.
+
+    Scale: the name-token predicate cuts part before its broadcast into
+    lineitem (the profit expression needs p_retailprice, so the filtered
+    part relation carries exactly two columns); the supplier-nation
+    broadcast annotates rows map-side; one orderkey shuffle reaches the
+    order year; |nations|·|years| output rows at any corpus size."""
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains(Q9_PART_TOKEN))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    amount = F.col("l_extendedprice") * (1.0 - F.col("l_discount")) - F.lit(
+        Q9_COST_FACTOR
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 6).alias("sum_profit"))
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "late_shipment_q4": q_late_shipment_q4,
@@ -1445,6 +1582,8 @@ QUERIES = {
     "small_qty_revenue_q17": q_small_qty_revenue_q17,
     "large_volume_q18": q_large_volume_q18,
     "waiting_supplier_q21": q_waiting_supplier_q21,
+    "market_share_q8": q_market_share_q8,
+    "product_profit_q9": q_product_profit_q9,
     "customer_rfm_segments": q_customer_rfm,
     "events_retention_plan": q_events_retention_plan,
     "events_compaction_plan": q_events_compaction_plan,
@@ -2079,5 +2218,38 @@ WITH lo AS MATERIALIZED (
 )
 SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
 FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+""".strip()
+
+ORACLES["market_share_q8"] = f"""
+WITH flat AS (
+  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q8_PART_TYPE}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{Q8_REGION}'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN volume
+                      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+FROM flat GROUP BY 1
+""".strip()
+
+ORACLES["product_profit_q9"] = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+                 - {Q9_COST_FACTOR!r} * p.p_retailprice * l.l_quantity),
+             6) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%{Q9_PART_TOKEN}%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 """.strip()

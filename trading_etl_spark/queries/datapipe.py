@@ -163,6 +163,13 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_minhash_containment(_docs(spark, sf_dir))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dedup (r11-born): each newly
+    ingested doc's single best corpus match over the banded LSH probe —
+    the steady-state ingest gate of a production corpus build."""
+    return tx.dedup_incremental_minhash(_docs(spark, sf_dir))
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding quality report (r8-born): candidate precision +
     empirical recall vs the exact co-shingle baseline — the sampled eval
@@ -804,6 +811,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_minhash_containment": q_minhash_containment,
+    "dedup_incremental_minhash": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_lsh_eval": q_lsh_eval,
     "dedup_simhash": q_dedup_simhash,
@@ -1210,6 +1218,31 @@ scored AS (
 SELECT doc_a, doc_b, containment_a_in_b, containment_b_in_a, jaccard
 FROM scored
 WHERE greatest(containment_a_in_b, containment_b_in_a) >= {tx.CONTAINMENT_THRESHOLD}
+""".strip(),
+    # replays the banded pipeline with the batch×corpus split predicate in
+    # the candidate join, then the same verify + top-1 election
+    "dedup_incremental_minhash": _with(
+        tx.DOCS_TOKS_SQL,
+        tx.SHINGLES_SQL,
+        tx.minhash_sig_sql(),
+        tx.band_sql(),
+        f"""
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM doc_bands a
+  JOIN doc_bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id % {tx.INCREMENTAL_BATCH_MOD} = {tx.INCREMENTAL_BATCH_REM}
+    AND b.doc_id % {tx.INCREMENTAL_BATCH_MOD} <> {tx.INCREMENTAL_BATCH_REM}
+)
+""".strip(),
+        tx.JACCARD_VERIFY_SQL,
+    )
+    + """
+SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard FROM (
+  SELECT v.*, row_number() OVER (PARTITION BY doc_a
+                                 ORDER BY jaccard DESC, doc_b) AS rn
+  FROM verified v WHERE jaccard >= 0.5
+) WHERE rn = 1
 """.strip(),
     "decontaminate_fuzzy_lsh": _with(
         tx.DOCS_TOKS_SQL,

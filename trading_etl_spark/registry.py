@@ -200,6 +200,9 @@ _DEFER: list[str] = [
     "waiting_supplier_q21",   # exists/not-exists as grouped counts; twin: late_shipment_q4
     "embedding_hard_negatives",  # different-label top-k + margin; twin: embedding_knn_filtered
     "corpus_mixture_plan",    # |langs|-row sampling-rate plan; twin: corpus_domain_mix
+    "market_share_q8",        # conditional-share star agg; twin: promo_revenue_q14
+    "product_profit_q9",      # LIKE-filtered profit rollup; twin: late_shipment_q4
+    "dedup_incremental_minhash",  # batch-vs-corpus LSH probe; twin: dedup_minhash_containment
 ]
 
 
