@@ -393,6 +393,20 @@ def test_compaction_plan_rows_mode_models_real_listing(spark, tmp_path):
         "2024-01-03": (10, 1, 1, "skip"),
     }
 
+    # writer debris must change NOTHING: a real table accumulates .tmp
+    # leftovers from abandoned writers, and the dry-run's row-count scan
+    # must neither crash on them (they aren't parquet) nor count them in
+    # files_before. r11 regression: the shared oracle fixture broke when
+    # events_orphan_files planted debris before events_compaction_plan ran.
+    (tmp_path / "t" / "dt=2024-01-01" / "part-orphan-0.tmp").write_text(
+        "abandoned writer leftover"
+    )
+    got_with_debris = {
+        r["partition_value"]: (r["n_rows"], r["files_before"], r["target_files"], r["action"])
+        for r in compaction_plan(spark, path, "dt", rows_per_file=200).collect()
+    }
+    assert got_with_debris == got
+
 
 def test_compaction_plan_bytes_mode_agrees_with_compact_partition(spark, tmp_path):
     """Bytes mode (production parity): same max(1, ceil(bytes/target))

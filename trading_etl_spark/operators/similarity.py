@@ -179,12 +179,15 @@ def hard_negatives(
     that actually move the loss; the margin column is what a margin-loss
     curriculum thresholds on).
 
-    Shape: ONE broadcast-queries × corpus scoring pass feeds BOTH the
-    positive aggregate (per-query max over same-label rows — a partial-agg
-    shuffle bounded at |queries| rows) and the different-label top-k
-    window; the corpus relation streams through each consumer map-side
-    (broadcast join, no corpus shuffle), and the final margin join
-    broadcasts the |queries|-row positives. Queries exclude themselves."""
+    Shape: ONE broadcast-queries × corpus scoring pass, executed ONCE —
+    the corpus streams through the broadcast join map-side, and both the
+    positive similarity (an unordered window max over same-label rows)
+    and the different-label top-k rank ride the SAME query_id window
+    exchange, so the expensive cosine stage is never replayed for a
+    second consumer (the multi-consumer-recompute trap triangle_stats
+    fixed in r11). Queries with no same-label partner drop out
+    (positive_sim IS NULL — inner-join semantics). Queries exclude
+    themselves."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("_qlabel"),
@@ -207,17 +210,18 @@ def hard_negatives(
         )
         .select("query_id", "_qlabel", "neighbor_id", "_clabel", "cos_sim")
     )
-    pos = (
-        scored.filter(F.col("_qlabel") == F.col("_clabel"))
-        .groupBy("query_id")
-        .agg(F.max("cos_sim").alias("positive_sim"))
-    )
+    w_pos = Window.partitionBy("query_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.filter(F.col("_qlabel") != F.col("_clabel"))
+        scored.withColumn(
+            "positive_sim",
+            F.max(
+                F.when(F.col("_qlabel") == F.col("_clabel"), F.col("cos_sim"))
+            ).over(w_pos),
+        )
+        .filter(F.col("_qlabel") != F.col("_clabel"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .join(F.broadcast(pos), "query_id")
+        .filter((F.col("rank") <= k) & F.col("positive_sim").isNotNull())
         .select(
             "query_id",
             "neighbor_id",

@@ -226,8 +226,13 @@ def compaction_plan(
     ldf = spark.createDataFrame(
         listing, "partition_value string, files_before int, bytes long"
     )
+    # pathGlobFilter: the row-count scan must see exactly the committed
+    # files the listing counted — a real table accumulates .tmp/staging
+    # debris from abandoned writers (what orphan_report audits), and a
+    # bare read would try to parse it as parquet and crash the dry-run.
     counts = (
-        spark.read.parquet(path)
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .parquet(path)
         .groupBy(F.col(column).cast("string").alias("partition_value"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -50,13 +50,14 @@ STREAM_STATE_PARTITIONS = "8"
 
 @contextlib.contextmanager
 def _state_sized(spark: SparkSession, n_state_partitions: int | str | None = None):
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # one save/set/restore implementation lives in streaming.ticks
+    # (_state_conf); this wrapper only supplies the gate default, so a
+    # future conf-handling fix cannot silently diverge between the two.
+    from ..streaming.ticks import _state_conf
+
     n = STREAM_STATE_PARTITIONS if n_state_partitions is None else n_state_partitions
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    with _state_conf(spark, int(n)):
         yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _SINK = "gate_streaming_ohlc_1m"
