@@ -289,8 +289,12 @@ def triangle_stats(edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
     DESTINATION of almost all its edges and can no longer skew the wedge
     join, unlike the id-canonical orientation where the hub's id decides.
     Triangle counts are orientation-invariant; the oracle is unchanged.
-    Wedges = Σ deg·(deg−1)/2 from one degree aggregate. All counts are
-    lazy 1-row aggregates cross-joined at the end.
+    Wedges = Σ deg·(deg−1)/2 from one degree aggregate. The counts are
+    1-row aggregates cross-joined at the end; note that CONSTRUCTION is
+    eager since r11 — the two localCheckpoints below run the upstream
+    edge lineage at build time (the same property pagerank has), which
+    is the deliberate price of not replaying LSH pair-finding ~8× at
+    execution.
     """
     # Materialize the edge relation ONCE (VERDICT r10 task #2): the call
     # sites hand in LSH pair-finding lineage (banded candidate generation +
