@@ -300,6 +300,14 @@ def main() -> None:
         "  honest center. Stage decomposition (cold, incl. rescan overlap):",
         "  tick scan+parse 1.15 s, 1m base agg 2.37 s cumulative, derived",
         "  agg +1.7 s with rescan — consistent with the single-shuffle plan.",
+        "- incremental-dedup scaling (r11-born probe): the batch-vs-corpus",
+        "  gate was added to tools/scaling_probe.py at all three points.",
+        "  Measured mins — dedup_incremental_minhash 1.45/2.81/6.75 s at",
+        "  1x/10x/100x documents vs the full all-pairs dedup_minhash_lsh",
+        "  2.09/4.69/22.95 s on the SAME fixture: 3.4x cheaper at 100x,",
+        "  with a 10x->100x marginal slope of 0.044 s/copy vs 0.203 —",
+        "  the claimed property (probe cost ~ batch + collisions, never",
+        "  corpus x corpus) is now a measured line, not an assertion.",
     ]
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -55,7 +55,15 @@ N_RUNS = 3
 # it a stale or interrupted build (the dir exists before the writes finish)
 # would be silently reused and skew the recorded ratios (ADVICE r10).
 FIXTURE_VERSION = "v2"
-DOC_PROBES_100X = ["dedup_minhash_lsh", "dedup_exact_substring"]
+DOC_PROBES_100X = [
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    # r11: the incremental gate rides the same fixture — comparing its
+    # line against dedup_minhash_lsh at the same point quantifies the
+    # batch-vs-corpus claim (cross-split candidates + top-1 election
+    # should stay strictly under the all-pairs pass at every scale)
+    "dedup_incremental_minhash",
+]
 PROBES = [
     "dedup_minhash_lsh",
     "embedding_knn_ivf_kmeans",
@@ -65,6 +73,8 @@ PROBES = [
     # Zipf-skew-guarded TF-IDF pre-agg
     "dedup_exact_substring",
     "text_tfidf_top_terms",
+    # r11: incremental batch-vs-corpus dedup (see DOC_PROBES_100X note)
+    "dedup_incremental_minhash",
 ]
 
 
