@@ -57,6 +57,28 @@ def test_compaction_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == 600
 
 
+def test_compaction_survives_writer_debris(spark, tmp_path):
+    """r11 regression (same class as the compaction_plan dry-run fix): a
+    live partition accumulates .tmp leftovers from abandoned writers; the
+    rewrite must not crash parsing them as parquet, must preserve every
+    committed row, and — because the swap replaces the directory — drops
+    the debris with the old files (rewrite subsumes the vacuum)."""
+    import os
+
+    path = str(tmp_path / "t")
+    _write_partitioned(spark, path, n_files=8)
+    part = f"{path}/dt=2024-01-01"
+    before_rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    with open(os.path.join(part, "part-orphan-0.tmp"), "w") as f:
+        f.write("abandoned writer leftover")
+
+    nb, na = compact_partition(spark, path, "dt", "2024-01-01", target_file_bytes=10**9)
+    assert na == 1
+    after_rows = sorted(r["v"] for r in spark.read.parquet(part).collect())
+    assert after_rows == before_rows
+    assert not any(f.endswith(".tmp") for f in os.listdir(part))
+
+
 def test_maintenance_through_file_scheme_uri(spark, tmp_path):
     """Same contract through an explicit Hadoop URI, not a bare local path."""
     path = "file://" + str(tmp_path / "t")

@@ -98,7 +98,13 @@ def compact_partition(
     if n_target >= n_before:
         return (n_before, n_before)  # already compact
 
-    df = spark.read.parquet(part_dir)
+    # pathGlobFilter: read exactly the committed files the sizing listed —
+    # .tmp/staging debris from abandoned writers (normal on a live table;
+    # orphan_report audits it) is not parquet and would crash a bare read.
+    # The dir swap below then REPLACES the partition, so debris is dropped
+    # with the old files: compaction subsumes the vacuum for partitions it
+    # rewrites, which is also what a Delta/Iceberg rewrite+vacuum ends at.
+    df = spark.read.option("pathGlobFilter", "*.parquet").parquet(part_dir)
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp_dir)
     fs.rename(spark, part_dir, aside_dir)
     if not fs.rename(spark, tmp_dir, part_dir):
