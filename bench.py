@@ -76,6 +76,11 @@ HEADLINE = [
     # reference publishes no streaming throughput to compare against, so
     # this line IS the series baseline.
     "streaming_ohlc_1m",
+    # r11 addition: the incremental ingest gate — the steady-state dedup
+    # shape a production corpus build actually serves (batch probes the
+    # banded index; the all-pairs dedup_minhash_lsh line above is the
+    # one-time full pass). Scaling probe carries its 1x/10x/100x slopes.
+    "dedup_incremental_minhash",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup
