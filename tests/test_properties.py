@@ -337,3 +337,43 @@ def test_exact_substring_matches_bruteforce(spark, docs_tokens):
     }
     want = _brute_exsub(doc_texts, k=3, min_tokens=4)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12),
+        min_size=8,
+        max_size=24,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_incremental_dedup_equals_restricted_full_pass(spark, docs_tokens):
+    """Property (r11): the incremental batch-vs-corpus gate must equal the
+    FULL all-pairs LSH result restricted to cross-split pairs plus the
+    top-1 election — i.e. probing the index loses nothing and invents
+    nothing vs running the complete pass and filtering. Low-alphabet docs
+    maximize band collisions (the stress case for the split predicate)."""
+    from trading_etl_spark.operators import text as tx
+
+    rows = [(i, " ".join(tks)) for i, tks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = tx.dedup_minhash_lsh(df).collect()
+    best: dict[int, tuple[float, int]] = {}
+    for r in full:
+        for b, c in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if b % tx.INCREMENTAL_BATCH_MOD != tx.INCREMENTAL_BATCH_REM:
+                continue
+            if c % tx.INCREMENTAL_BATCH_MOD == tx.INCREMENTAL_BATCH_REM:
+                continue  # batch-batch pair: invisible to the probe
+            # highest jaccard, smallest corpus id on ties
+            cand = (-r["jaccard"], c)
+            if b not in best or cand < best[b]:
+                best[b] = cand
+    want = {(b, c, -nj) for b, (nj, c) in best.items()}
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in tx.dedup_incremental_minhash(df).collect()
+    }
+    assert got == want

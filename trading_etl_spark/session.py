@@ -56,6 +56,9 @@ def get_spark(
         # co-located, which is all hash joins need)
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable: stage progress bars interleave
+        # carriage returns into check.py/bench output lines otherwise
+        .config("spark.ui.showConsoleProgress", "false")
         # catalog tables (bucketed writes, saveAsTable) land here, not in cwd
         .config(
             "spark.sql.warehouse.dir",
