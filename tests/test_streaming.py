@@ -297,3 +297,94 @@ def test_starter_n_state_partitions_sizes_checkpoint_state(spark, tmp_path):
     state_op = Path(ckpt) / "state" / "0"
     parts = sorted(p.name for p in state_op.iterdir() if p.name.isdigit())
     assert parts == ["0", "1", "2"], parts
+
+
+# --- incremental near-dedup ingest gate (r11, streaming/docs.py) ----------
+
+_CORPUS_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten"),
+    (3, "totally different corpus document with its own tokens entirely"),
+    (4, "yet another unrelated document nothing shared with anything else"),
+]
+
+
+def _write_doc_batch(spark, dir_path, rows, name):
+    src = dir_path / "docs_in"
+    src.mkdir(exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(dir_path / "_stage" / name))
+    import glob
+    import shutil
+
+    part = glob.glob(str(dir_path / "_stage" / name / "*.parquet"))[0]
+    shutil.copy(part, str(src / f"{name}.parquet"))
+    return str(src)
+
+
+def test_incremental_dedup_stream_matches_batch_probe(spark, tmp_path):
+    """Per-micro-batch LSH probe of the static corpus: the union of batch
+    results must equal the all-at-once batch probe over every arrived doc
+    (statelessness), and an arrival near-duplicating another ARRIVAL (not
+    the corpus) must pass through unmatched."""
+    from trading_etl_spark.operators.text import (
+        _band_keys,
+        _minhash_from_shingles,
+        incremental_probe,
+        shingles,
+    )
+    from trading_etl_spark.streaming.docs import start_incremental_dedup_stream
+
+    corpus = spark.createDataFrame(_CORPUS_ROWS, "doc_id long, text string")
+    batch1 = [
+        (100, _CORPUS_ROWS[0][1] + " extra"),  # near-dup of corpus doc 1
+        (101, "a fresh unique arrival sharing no shingles with the corpus at all"),
+    ]
+    batch2 = [
+        (102, _CORPUS_ROWS[1][1]),             # exact dup of corpus doc 2
+        (103, batch1[1][1] + " suffix"),       # near-dup of ARRIVAL 101 only
+    ]
+    src = _write_doc_batch(spark, tmp_path, batch1, "b0")
+    _write_doc_batch(spark, tmp_path, batch2, "b1")
+    sink, ckpt = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ckpt")
+
+    start_incremental_dedup_stream(spark, src, corpus, sink, ckpt).awaitTermination()
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # ground truth: one batch probe over ALL arrivals vs the corpus
+    arrivals = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    sh_a, sh_c = shingles(arrivals), shingles(corpus)
+    want = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in incremental_probe(
+            _band_keys(_minhash_from_shingles(sh_a)),
+            _band_keys(_minhash_from_shingles(sh_c)),
+            sh_a.unionByName(sh_c),
+        ).collect()
+    }
+    assert got == want
+    assert {d for d, _, _ in got} == {100, 102}  # 101 unique, 103 arrival-arrival
+    assert dict((d, c) for d, c, _ in got) == {100: 1, 102: 2}
+
+
+def test_incremental_dedup_stream_restart_processes_only_new_files(spark, tmp_path):
+    """Restart over the same checkpoint probes only unseen files — the
+    stateless gate's bookkeeping is entirely the file-source log."""
+    from trading_etl_spark.streaming.docs import start_incremental_dedup_stream
+
+    corpus = spark.createDataFrame(_CORPUS_ROWS, "doc_id long, text string")
+    src = _write_doc_batch(
+        spark, tmp_path, [(200, _CORPUS_ROWS[2][1] + " tail")], "c0"
+    )
+    sink, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    start_incremental_dedup_stream(spark, src, corpus, sink, ckpt).awaitTermination()
+    assert spark.read.parquet(sink).count() == 1
+
+    _write_doc_batch(spark, tmp_path, [(201, _CORPUS_ROWS[3][1])], "c1")
+    start_incremental_dedup_stream(spark, src, corpus, sink, ckpt).awaitTermination()
+    rows = {r["doc_id"]: r["dup_of"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {200: 3, 201: 4}  # 200 not re-emitted, 201 appended once

@@ -1247,10 +1247,27 @@ def dedup_incremental_minhash(docs: DataFrame, threshold: float = 0.5) -> DataFr
     is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
     sh = shingles(docs).cache()
     doc_bands = _band_keys(_minhash_from_shingles(sh))
+    return incremental_probe(
+        doc_bands.filter(is_batch), doc_bands.filter(~is_batch), sh, threshold
+    )
+
+
+def incremental_probe(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The probe core shared by :func:`dedup_incremental_minhash` (split
+    predicate on one relation) and the streaming ingest gate
+    (streaming/docs.py — per-micro-batch bands vs a persisted corpus
+    index): batch-side × corpus-side band collisions, exact-jaccard
+    verification over ``sh`` (which must hold BOTH sides' shingles), and
+    the top-1 dup-of election per batch doc (highest 6dp-rounded jaccard,
+    smallest corpus doc_id on ties)."""
     cand = (
-        doc_bands.filter(is_batch)
-        .alias("a")
-        .join(doc_bands.filter(~is_batch).alias("b"), ["band_idx", "band_key"])
+        batch_bands.alias("a")
+        .join(corpus_bands.alias("b"), ["band_idx", "band_key"])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
