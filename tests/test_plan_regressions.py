@@ -582,3 +582,54 @@ def test_triangle_stats_truncates_edge_lineage(spark):
     assert n_python == 0, f"edge lineage recomputed ({n_python} Python stages):\n{plan}"
     row = df.collect()[0]
     assert (row["n_triangles"], row["n_wedges"]) == (1, 5)
+
+
+def test_market_share_q8_pushes_filters_and_broadcasts_dims(spark):
+    """r11: the part-type predicate must reach the part SCAN and the
+    region predicate the region scan (shrinking both fact inputs before
+    the key shuffles), and no cartesian product may appear."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.analytics import q_market_share_q8
+
+    plan = _physical(q_market_share_q8(spark, sf_dir))
+    assert "EqualTo(p_type,PROMO)" in plan, plan
+    assert "EqualTo(r_name,AMERICA)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_product_profit_q9_pushes_name_predicate(spark):
+    """r11: the part-name substring filter must reach the part SCAN
+    (StringContains pushdown) so the broadcast side shrinks first."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
+    from trading_etl_spark.queries.analytics import q_product_profit_q9
+
+    plan = _physical(q_product_profit_q9(spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dedup_probe_is_one_sided(spark):
+    """r11: the incremental gate's candidate join must key on
+    (band_idx, band_key) — an equi-join, never a cartesian — and the
+    batch-membership split must be a plain filter (no extra exchange
+    between the signature aggregate and the band join)."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared common tail") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _physical(text.dedup_incremental_minhash(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "band_key" in plan, plan

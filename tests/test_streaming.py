@@ -373,18 +373,27 @@ def test_incremental_dedup_stream_matches_batch_probe(spark, tmp_path):
 
 def test_incremental_dedup_stream_restart_processes_only_new_files(spark, tmp_path):
     """Restart over the same checkpoint probes only unseen files — the
-    stateless gate's bookkeeping is entirely the file-source log."""
-    from trading_etl_spark.streaming.docs import start_incremental_dedup_stream
+    stateless gate's bookkeeping is entirely the file-source log. Both
+    runs share one caller-owned corpus index (the production posture)."""
+    from trading_etl_spark.streaming.docs import (
+        build_corpus_index,
+        start_incremental_dedup_stream,
+    )
 
     corpus = spark.createDataFrame(_CORPUS_ROWS, "doc_id long, text string")
+    index = build_corpus_index(corpus)
     src = _write_doc_batch(
         spark, tmp_path, [(200, _CORPUS_ROWS[2][1] + " tail")], "c0"
     )
     sink, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
-    start_incremental_dedup_stream(spark, src, corpus, sink, ckpt).awaitTermination()
+    start_incremental_dedup_stream(
+        spark, src, corpus, sink, ckpt, corpus_index=index
+    ).awaitTermination()
     assert spark.read.parquet(sink).count() == 1
 
     _write_doc_batch(spark, tmp_path, [(201, _CORPUS_ROWS[3][1])], "c1")
-    start_incremental_dedup_stream(spark, src, corpus, sink, ckpt).awaitTermination()
+    start_incremental_dedup_stream(
+        spark, src, corpus, sink, ckpt, corpus_index=index
+    ).awaitTermination()
     rows = {r["doc_id"]: r["dup_of"] for r in spark.read.parquet(sink).collect()}
     assert rows == {200: 3, 201: 4}  # 200 not re-emitted, 201 appended once

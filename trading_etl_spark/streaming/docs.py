@@ -61,16 +61,23 @@ def start_incremental_dedup_stream(
     sink_path: str,
     checkpoint_path: str,
     threshold: float = 0.5,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """File-stream of (doc_id, text) parquet → per-micro-batch LSH probe
     of the static ``corpus`` → parquet append of (doc_id, dup_of,
     jaccard) matches. New doc_ids must be disjoint from corpus doc_ids
     (the caller's ingest contract — a landing zone assigns fresh ids).
 
+    ``corpus_index``: pass :func:`build_corpus_index`'s pair to share ONE
+    cached index across several streams (and to own its unpersist
+    lifetime — the production posture, where the index is a persisted
+    table, not session cache); omitted, the stream builds and holds its
+    own for the query's lifetime.
+
     No watermark and no streaming aggregation: the probe is stateless, so
     restart-from-checkpoint replays only unprocessed FILES (source
     bookkeeping), never rebuilds operator state."""
-    sh_corpus, corpus_bands = build_corpus_index(corpus)
+    sh_corpus, corpus_bands = corpus_index or build_corpus_index(corpus)
 
     new_docs = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
