@@ -397,3 +397,26 @@ def test_incremental_dedup_stream_restart_processes_only_new_files(spark, tmp_pa
     ).awaitTermination()
     rows = {r["doc_id"]: r["dup_of"] for r in spark.read.parquet(sink).collect()}
     assert rows == {200: 3, 201: 4}  # 200 not re-emitted, 201 appended once
+
+
+def test_incremental_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same files into the
+    same sink (fresh checkpoint = maximal replay) must write nothing new —
+    the keyed first-wins sink makes crash recovery duplicate-free."""
+    from trading_etl_spark.streaming.docs import start_incremental_dedup_stream
+
+    corpus = spark.createDataFrame(_CORPUS_ROWS, "doc_id long, text string")
+    src = _write_doc_batch(
+        spark, tmp_path, [(300, _CORPUS_ROWS[0][1] + " tail")], "d0"
+    )
+    sink = str(tmp_path / "out3")
+    start_incremental_dedup_stream(
+        spark, src, corpus, sink, str(tmp_path / "ckpt3a")
+    ).awaitTermination()
+    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert len(first) == 1
+
+    start_incremental_dedup_stream(
+        spark, src, corpus, sink, str(tmp_path / "ckpt3b")
+    ).awaitTermination()
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first

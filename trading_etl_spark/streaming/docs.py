@@ -11,10 +11,12 @@ Statelessness is the design point: each arriving doc is matched against
 the CORPUS only, so no streaming state accumulates (contrast the exact
 streaming dedup in queries/streamgate.py, whose hash→keeper state grows
 with distinct content). Per micro-batch the probe is plain batch DataFrame
-code over two cached static relations (the persisted index), run through
-``foreachBatch`` — the same drain pattern as streaming/ticks.py's
-first-wins append. Batch-to-batch near-duplicates pass through untouched
-by construction; a deployment that must also catch those runs the periodic
+code over two cached static relations (the persisted index), drained
+through ``foreachBatch`` into :func:`io.first_wins_append` keyed on
+doc_id — foreachBatch is at-least-once, so a crash-replayed micro-batch
+must be a no-op, exactly the pattern of streaming/ticks.py's first-wins
+sink. Batch-to-batch near-duplicates pass through untouched by
+construction; a deployment that must also catch those runs the periodic
 full pass over the accreted corpus (the documented split of duties).
 
 Reference parity: trading-etl's insert-skip idempotent append
@@ -43,15 +45,31 @@ DOC_STREAM_SCHEMA = T.StructType(
 )
 
 
+# Per-corpus index cache, FIFO-bounded through trading._cache_put like
+# every other materialized-relation cache (r6 convention): repeated poll
+# cycles over the same corpus reuse ONE cached index instead of stacking
+# a fresh copy per stream start, and evicted entries are unpersisted.
+_INDEX_CACHE: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def build_corpus_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(shingles, band_keys) for the static corpus, each cached — the
     in-session analog of the persisted LSH index tables a production
     rollout writes once (band_keys bucketed by band_key, shingles by
     doc_id) and only appends to. Built lazily; the first micro-batch
-    materializes both, every later batch reads the cache."""
-    sh = shingles(corpus).cache()
-    bands = _band_keys(_minhash_from_shingles(sh)).cache()
-    return sh, bands
+    materializes both, every later batch reads the cache. Keyed by the
+    corpus plan's semanticHash per session, so repeated stream starts
+    over the same corpus share one index (clear via
+    ``queries.trading.clear_caches((_INDEX_CACHE,))``)."""
+    from ..queries.trading import _cache_put
+
+    key = (corpus.sparkSession.sparkContext.applicationId, corpus.semanticHash())
+    pair = _INDEX_CACHE.get(key)
+    if pair is None:
+        sh = shingles(corpus).cache()
+        pair = (sh, _band_keys(_minhash_from_shingles(sh)).cache())
+        _cache_put(_INDEX_CACHE, key, pair)
+    return pair
 
 
 def start_incremental_dedup_stream(
@@ -68,11 +86,11 @@ def start_incremental_dedup_stream(
     jaccard) matches. New doc_ids must be disjoint from corpus doc_ids
     (the caller's ingest contract — a landing zone assigns fresh ids).
 
-    ``corpus_index``: pass :func:`build_corpus_index`'s pair to share ONE
-    cached index across several streams (and to own its unpersist
-    lifetime — the production posture, where the index is a persisted
-    table, not session cache); omitted, the stream builds and holds its
-    own for the query's lifetime.
+    ``corpus_index``: pass :func:`build_corpus_index`'s pair to own the
+    index lifetime explicitly (the production posture, where the index is
+    a persisted table, not session cache); omitted, the FIFO-bounded
+    per-corpus session cache is used, so repeated poll cycles share one
+    index instead of stacking copies.
 
     No watermark and no streaming aggregation: the probe is stateless, so
     restart-from-checkpoint replays only unprocessed FILES (source
@@ -86,15 +104,27 @@ def start_incremental_dedup_stream(
     )
 
     def probe(batch: DataFrame, _batch_id: int) -> None:
-        sh_batch = shingles(batch)
-        batch_bands = _band_keys(_minhash_from_shingles(sh_batch))
-        matches = incremental_probe(
-            batch_bands,
-            corpus_bands,
-            sh_batch.unionByName(sh_corpus),
-            threshold,
-        )
-        matches.write.mode("append").parquet(sink_path)
+        from .. import io as tio
+
+        # cache: bands derivation + _jaccard_verify's three scans would
+        # otherwise re-read the arriving files and re-explode shingles ~4x
+        sh_batch = shingles(batch).cache()
+        try:
+            batch_bands = _band_keys(_minhash_from_shingles(sh_batch))
+            matches = incremental_probe(
+                batch_bands,
+                corpus_bands,
+                sh_batch.unionByName(sh_corpus),
+                threshold,
+            )
+            # keyed idempotent append: foreachBatch is at-least-once, so a
+            # crash-replayed micro-batch must find its doc_ids and write 0
+            tio.first_wins_append(
+                batch.sparkSession, sink_path, matches,
+                keys=["doc_id"], prune_on="doc_id",
+            )
+        finally:
+            sh_batch.unpersist()
 
     return (
         new_docs.writeStream.foreachBatch(probe)
