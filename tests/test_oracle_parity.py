@@ -1,0 +1,180 @@
+"""Oracle-parity regression corpus (VERDICT r11 task #6).
+
+Three check-green/driver-red canonicalization classes have each cost a
+driver round to discover, because tools/check.py's canonicalizer was more
+forgiving than the driver's bit-sensitive, type-sensitive value hash:
+
+- r7  HUGEINT:  DuckDB types ``sum(int)`` as HUGEINT (arrow decimal128),
+  Spark as BIGINT — byte-identical values, different arrow buffers.
+- r7  DECIMAL literal: an un-cast ``0.0`` anchor types a recursive-CTE
+  column DECIMAL(2,1) and DuckDB silently truncates every recursive value.
+- r11 signed zero: DuckDB ``round()`` on DOUBLE preserves IEEE ``-0.0``
+  where Spark's ``F.round`` (BigDecimal HALF_UP) emits ``+0.0``.
+
+This module drives adversarial micro-fixtures through BOTH engines and the
+repo's own canonicalization/normalization layers and asserts each class is
+caught (or neutralized) LOCALLY — before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check import canon, canon_duck_type, type_mismatches  # noqa: E402
+from trading_etl_spark.queries._oracle_norm import (  # noqa: E402
+    normalize_round_neg_zero,
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+# --- class 3 (r11): IEEE signed zero ----------------------------------------
+
+
+def test_duckdb_round_preserves_negative_zero(con):
+    """The raw hazard exists: un-normalized DuckDB round() emits -0.0."""
+    (v,) = con.execute("SELECT round((-4e-7)::DOUBLE, 6)").fetchone()
+    assert v == 0.0 and math.copysign(1.0, v) < 0  # bit-level -0.0
+
+
+def test_spark_round_normalizes_negative_zero(spark):
+    """F.round's BigDecimal HALF_UP has no signed zero — Spark emits +0.0."""
+    [(v,)] = spark.range(1).select(
+        F.round(F.lit(-4e-7).cast("double"), 6).alias("v")
+    ).collect()
+    assert v == 0.0 and math.copysign(1.0, v) > 0
+
+
+def test_canon_renders_signed_zero_distinctly():
+    """Would have caught r11's williams_r_14_1h: the old canon collapsed
+    -0.0 to "0" via int(), masking exactly what the driver hashes."""
+    assert canon(-0.0) == "-0"
+    assert canon(0.0) == "0"
+    assert canon(-0.0) != canon(0.0)
+
+
+def test_normalizer_fixes_signed_zero_end_to_end(con, spark):
+    """Normalized oracle == Spark, bit-for-bit, on the williams-shaped
+    expression (tiny negative from hh==close at the window high)."""
+    sql = "SELECT round((-100.0 * 1e-9 / 2.0)::DOUBLE, 6) AS pct_r"
+    (raw,) = con.execute(sql).fetchone()
+    assert math.copysign(1.0, raw) < 0  # un-normalized: the bug
+    (fixed,) = con.execute(normalize_round_neg_zero(sql)).fetchone()
+    assert fixed == 0.0 and math.copysign(1.0, fixed) > 0
+    [(sv,)] = spark.range(1).select(
+        F.round(F.lit(-100.0 * 1e-9 / 2.0).cast("double"), 6).alias("v")
+    ).collect()
+    assert math.copysign(1.0, sv) == math.copysign(1.0, fixed)
+    assert canon(sv) == canon(fixed)
+
+
+def test_all_registered_oracles_are_normalized():
+    """Every round() call in every SHIPPED oracle carries the + 0.0
+    normalization — the class is impossible for present and future
+    oracles, because build_oracles() rewrites centrally."""
+    import __spark_entry__ as entrymod
+
+    for name, sql in entrymod.oracle_sql().items():
+        assert normalize_round_neg_zero(sql) == sql, (
+            f"{name}: oracle contains un-normalized round() — "
+            "build_oracles() must route through normalize_round_neg_zero"
+        )
+
+
+# --- the rewriter itself ----------------------------------------------------
+
+
+def test_rewriter_wraps_simple_call():
+    assert (
+        normalize_round_neg_zero("SELECT round(x, 6) AS v FROM t")
+        == "SELECT (round(x, 6) + 0.0) AS v FROM t"
+    )
+
+
+def test_rewriter_handles_nesting_and_inner_parens():
+    out = normalize_round_neg_zero("round(avg(a) / nullif(b, 0), 6)")
+    assert out == "(round(avg(a) / nullif(b, 0), 6) + 0.0)"
+    out = normalize_round_neg_zero("round(round(x, 8), 6)")
+    assert out == "(round((round(x, 8) + 0.0), 6) + 0.0)"
+
+
+def test_rewriter_skips_strings_comments_and_words():
+    s = "SELECT 'call round(x)' AS lit, around(x) AS a -- round(y)\nFROM t"
+    assert normalize_round_neg_zero(s) == s
+    s2 = 'SELECT "round(col)" FROM t'  # quoted identifier
+    assert normalize_round_neg_zero(s2) == s2
+
+
+def test_rewriter_is_idempotent_and_value_preserving(con):
+    sql = (
+        "SELECT round(v, 6) AS a, round(avg(v) OVER (), 2) AS b,"
+        " round(NULL::DOUBLE, 6) AS c, round(round(v, 8), 6) AS d"
+        " FROM (SELECT 1.2345678::DOUBLE AS v)"
+    )
+    fixed = normalize_round_neg_zero(sql)
+    # idempotent: a second pass is a no-op (build_oracles may run on text
+    # that embeds already-normalized fragments)
+    assert normalize_round_neg_zero(fixed) == fixed
+    # value-preserving on positives/NULL; only -0.0 changes bit pattern
+    assert con.execute(sql).fetchone() == con.execute(fixed).fetchone()
+    # and "+ 0.01" is NOT mistaken for the normalization marker
+    s = "(round(x, 6) + 0.01)"
+    assert normalize_round_neg_zero(s) == "((round(x, 6) + 0.0) + 0.01)"
+
+
+# --- class 1 (r7): HUGEINT sums ---------------------------------------------
+
+
+def test_hugeint_sum_flagged(con, spark):
+    """Would have caught r7's orders_table_profile: DuckDB sum(int) is
+    HUGEINT — no Spark twin, flagged regardless of value equality."""
+    assert canon_duck_type("HUGEINT").startswith("BANNED:")
+    sdf = spark.range(3).select(F.sum("id").cast("long").alias("s"))
+    problems = type_mismatches(
+        sdf.columns, sdf.dtypes, con, "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
+    )
+    assert problems and "HUGEINT" in problems[0]
+    # and the repo convention (::BIGINT cast) silences it
+    assert not type_mismatches(
+        sdf.columns, sdf.dtypes, con,
+        "SELECT sum(x)::BIGINT AS s FROM (VALUES (1), (2)) t(x)",
+    )
+
+
+# --- class 2 (r7): DECIMAL literal typing -----------------------------------
+
+
+def test_decimal_literal_flagged(con, spark):
+    """Would have caught r7's Holt truncation: an un-cast 0.0 literal types
+    DECIMAL(2,1); every downstream value silently truncates to 1dp."""
+    assert canon_duck_type("DECIMAL(2,1)").startswith("BANNED:")
+    sdf = spark.range(1).select(F.lit(0.0).alias("v"))
+    problems = type_mismatches(
+        sdf.columns, sdf.dtypes, con, "SELECT 0.0 AS v"
+    )
+    assert problems and "DECIMAL" in problems[0]
+    assert not type_mismatches(
+        sdf.columns, sdf.dtypes, con, "SELECT 0.0::DOUBLE AS v"
+    )
+
+
+# --- misc canonicalization hazards ------------------------------------------
+
+
+def test_nan_and_integer_valued_doubles_canon_stable():
+    assert canon(float("nan")) == "NaN"
+    assert canon(5.0) == "5"  # int-collapse is driver-compatible for +ints
+    assert canon(-5.0) == "-5"
+    assert canon(1.25) == canon(1.25)

@@ -29,6 +29,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # IEEE -0.0 renders distinctly: the driver's hash is bit-sensitive,
+        # and the int() collapse below would mask the sign of zero — which
+        # is how r11's williams_r_14_1h shipped check-green and died
+        # driver-red (DuckDB round() preserves signed zero, F.round doesn't)
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"

@@ -448,7 +448,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 # Python round() is half-even and can diverge on ties);
                 # sign-preserving like the other kernels so a future
                 # signed stat (DC offset, skew) can reuse it safely
-                r6 = lambda x: float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+                r6 = lambda x: float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6) + 0.0
                 rows["duration_sec"].append(r6(len(v) / rate))
                 rows["rms"].append(r6(float(np.sqrt(np.mean(v * v)))))
                 rows["peak"].append(int(np.max(np.abs(v))) if len(v) else 0)

@@ -239,7 +239,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def build_oracles() -> dict[str, str]:
+    # Every oracle passes through the -0.0 normalizer (queries/_oracle_norm):
+    # DuckDB round() preserves IEEE signed zero where Spark's F.round
+    # (BigDecimal HALF_UP) does not, and the driver's hash is bit-sensitive
+    # (the r11 williams_r_14_1h red row). Rewriting round(...) →
+    # (round(...) + 0.0) HERE covers all ~350 call sites, present and
+    # future, because the driver consumes these returned strings.
+    from .queries._oracle_norm import normalize_round_neg_zero
+
     out: dict[str, str] = {}
     for mod in _DOMAINS:
         out.update(getattr(mod, "ORACLES", {}))
-    return out
+    return {k: normalize_round_neg_zero(v) for k, v in out.items()}

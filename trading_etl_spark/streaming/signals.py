@@ -76,9 +76,11 @@ def stream_sma_cross(
         import math
 
         scale = 10.0 ** round_dp
+        # + 0.0 normalizes IEEE -0.0 (copysign preserves it for tiny
+        # negatives; F.round and the normalized oracles emit +0.0)
         _r = lambda x: math.copysign(
             math.floor(abs(x) * scale + 0.5) / scale, x
-        )
+        ) + 0.0
 
     def update(
         key: tuple[Any, ...],
