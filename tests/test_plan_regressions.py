@@ -637,3 +637,56 @@ def test_incremental_dedup_probe_is_one_sided(spark):
     assert "band_key" in plan, plan
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 15, f"exchange count regressed: {n_exchange}\n{plan}"
+
+
+def test_streaming_probe_inner_plan_cached_index_broadcast_batch(spark):
+    """VERDICT r11 task #4: the streaming ingest gate's per-micro-batch
+    probe (the exact composition streaming/docs.py::probe builds —
+    batch bands ⋈ persisted corpus band index, verify over batch∪corpus
+    shingles) at plan-pin parity with its batch twin above. Two
+    invariants the streaming path must never regress on:
+
+    - the corpus index is read from CACHE (InMemoryTableScan), never
+      re-derived per micro-batch — rebuilding shingles+signatures for the
+      whole corpus on every batch is the one scale-killer this design
+      must not grow;
+    - the band join is an equi-join with the arriving batch side
+      BROADCAST (batch ≪ corpus index), never a cartesian.
+    """
+    from trading_etl_spark.operators.text import (
+        _band_keys,
+        _minhash_from_shingles,
+        incremental_probe,
+        shingles,
+    )
+    from trading_etl_spark.streaming.docs import build_corpus_index
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared common tail")
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    sh_corpus, corpus_bands = build_corpus_index(corpus)
+    sh_corpus.count()  # materialize as the stream's first micro-batch would
+    corpus_bands.count()
+    batch = spark.createDataFrame(
+        [(100, "tok1 tok2 tok3 tok4 shared common tail")],
+        "doc_id long, text string",
+    )
+    sh_batch = shingles(batch)
+    matches = incremental_probe(
+        _band_keys(_minhash_from_shingles(sh_batch)),
+        corpus_bands,
+        sh_batch.unionByName(sh_corpus),
+        0.5,
+    )
+    plan = _physical(matches)
+    assert "InMemoryTableScan" in plan, plan  # cached index, not a rebuild
+    assert "CartesianProduct" not in plan, plan
+    assert "band_key" in plan, plan
+    matches.collect()
+    final = _physical(matches)  # AQE-final: the band join must broadcast
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final, final

@@ -15,46 +15,46 @@ DRIVER_WINDOW = 50
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
     "sma_dead_cross": "williams_r_14_1h",
-    "spread_quantiles": "orders_table_profile",
-    "avg_close_pivot": "candle_unpivot",
+    "spread_quantiles": "approx_value_quantiles",
+    "avg_close_pivot": "candle_patterns_1h",
     "text_fingerprint": "dedup_exact",
     "embedding_near_dup": "embedding_near_dup_lsh",
-    "dedup_ngram_jaccard": "dedup_minhash_containment",
-    "embedding_knn_bruteforce": "embedding_knn_filtered",
-    "embedding_knn_ivf": "embedding_knn_filtered",
-    "embedding_knn_ivf_multiprobe": "embedding_knn_filtered",
-    "text_simhash": "dedup_minhash_containment",
-    "event_props_json_agg": "revenue_concentration_q11",
+    "dedup_ngram_jaccard": "dedup_incremental_minhash",
+    "embedding_knn_bruteforce": "embedding_hard_negatives",
+    "embedding_knn_ivf": "embedding_hard_negatives",
+    "embedding_knn_ivf_multiprobe": "embedding_hard_negatives",
+    "text_simhash": "dedup_incremental_minhash",
+    "event_props_json_agg": "event_type_copairs",
     "top_customers_by_open_value": "top_customers_page2_offset",
-    "candle_cube": "candle_unpivot",
-    "backtest_equity_curve": "backtest_max_drawdown",
+    "candle_cube": "candle_patterns_1h",
+    "backtest_equity_curve": "obv_1h",
     "media_frame_sample": "media_dhash",
     "sma_fanout_all_tf": "williams_r_14_1h",
-    "backtest_trades": "backtest_max_drawdown",
+    "backtest_trades": "obv_1h",
     "watermark_max_time": "incremental_cursor_scan",
-    "text_token_count": "text_ngram_diversity",
+    "text_token_count": "text_ccnet_ppl_buckets",
     "text_top_terms_per_lang": "text_tfidf_top_terms",
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
-    "ohlc_derived_multi_tf": "candle_unpivot",
+    "ohlc_derived_multi_tf": "candle_patterns_1h",
     "sma_14_1h": "williams_r_14_1h",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
-    "candle_returns_quartile": "orders_table_profile",
+    "candle_returns_quartile": "approx_value_quantiles",
     "event_reaction_window": "event_asof_tick_plain",
-    "dedup_simhash": "dedup_minhash_containment",
+    "dedup_simhash": "dedup_incremental_minhash",
     "dedup_connected_components": "dedup_cc_two_phase",
     "dedup_passages": "corpus_pack_sequences",
-    "text_repetition_filter": "text_ngram_diversity",
+    "text_repetition_filter": "text_ccnet_ppl_buckets",
     "train_test_split": "stratified_sample_by_lang",
-    "embedding_label_centroids": "embedding_knn_filtered",
-    "embedding_quantize_int8": "embedding_knn_filtered",
+    "embedding_label_centroids": "embedding_hard_negatives",
+    "embedding_quantize_int8": "embedding_hard_negatives",
     "daily_active_users": "approx_distinct_users",
-    "returned_order_priority_semi": "idle_rich_customers_q22",
+    "returned_order_priority_semi": "custdist_q13",
     # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
     # the stateful-streaming path).
-    "candle_gap_fill": "candle_unpivot",
+    "candle_gap_fill": "candle_patterns_1h",
     "event_asof_next_tick": "event_asof_tick_plain",
     "text_bigram_pmi": "text_tfidf_top_terms",
     "dim_scd2_history": "user_cohort_retention",
@@ -62,42 +62,42 @@ SIBLING = {
     "sample_weighted_quality": "stratified_sample_by_lang",
     "text_chunk_rag": "corpus_pack_sequences",
     "streaming_sliding_stats": "streaming_ohlc_1m",
-    "text_pii_redact": "text_ngram_diversity",
-    "urgent_not_finished_setops": "idle_rich_customers_q22",
-    "ema_14_1h": "adx_14_1h",
+    "text_pii_redact": "text_ccnet_ppl_buckets",
+    "urgent_not_finished_setops": "custdist_q13",
+    "ema_14_1h": "keltner_20_10_1h",
     # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick_plain",
-    "embedding_pq_codes": "embedding_knn_filtered",
-    "embedding_knn_pq_adc": "embedding_knn_filtered",
+    "embedding_pq_codes": "embedding_hard_negatives",
+    "embedding_knn_pq_adc": "embedding_hard_negatives",
     "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
-    "star_join_revenue": "late_shipment_q4",
+    "star_join_revenue": "nation_volume_q7",
     "text_rolling_fingerprint": "corpus_pack_sequences",
-    "corpus_clean_pipeline": "dedup_minhash_containment",
+    "corpus_clean_pipeline": "dedup_incremental_minhash",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "adx_14_1h",
+    "macd_12_26_9_1h": "keltner_20_10_1h",
     "bollinger_20_2_1h": "williams_r_14_1h",
     "hybrid_search_rrf": "bm25_search",
-    "embedding_knn_matryoshka": "embedding_knn_filtered",
+    "embedding_knn_matryoshka": "embedding_hard_negatives",
     "corpus_dsir_resample": "text_unigram_logprob",
     "dedup_semantic_kmeans": "embedding_ivf_drift_report",
-    "dim_scd2_merge_apply": "streaming_scd2_apply",
-    "events_snapshot_diff": "streaming_scd2_apply",
+    "dim_scd2_merge_apply": "user_cohort_retention",
+    "events_snapshot_diff": "user_cohort_retention",
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "streaming_sma_cross": "streaming_heavy_hitters",
-    "tpch_pricing_summary": "top_supplier_q15",
+    "tpch_pricing_summary": "large_volume_q18",
     "streaming_view_click_join": "streaming_ohlc_1m",
-    "text_lang_id": "text_ngram_diversity",
+    "text_lang_id": "text_ccnet_ppl_buckets",
     "streaming_ema_14_1h": "streaming_heavy_hitters",
     # r9 rotation wave 3: ALL 15 never-driver-certified queries moved INTO
     # the window (certification backlog emptied); these 15 r8-driver-green
@@ -106,19 +106,19 @@ SIBLING = {
     # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
     # dedup_lsh_eval apply the same trained artifacts or spans).
     "event_asof_tick": "event_asof_tick_plain",
-    "backtest_pnl": "backtest_max_drawdown",
-    "events_value_histogram": "revenue_concentration_q11",
+    "backtest_pnl": "obv_1h",
+    "events_value_histogram": "approx_value_quantiles",
     "ticks_freshness_sla": "incremental_cursor_scan",
-    "dedup_minhash_lsh": "dedup_minhash_containment",
+    "dedup_minhash_lsh": "dedup_incremental_minhash",
     "dedup_exact_substring": "corpus_strip_dup_spans",
     "bpe_train_merges": "bpe_encode_fertility",
-    "priority_shipmonth_q12": "top_supplier_q15",
-    "local_supplier_volume": "late_shipment_q4",
+    "priority_shipmonth_q12": "large_volume_q18",
+    "local_supplier_volume": "nation_volume_q7",
     "rsi_14_1h": "streaming_rsi_14_1h",
     "sma_golden_cross": "williams_r_14_1h",
-    "candle_rollup": "candle_unpivot",
-    "atr_14_1h": "adx_14_1h",
-    "stochastic_14_3_1h": "adx_14_1h",
+    "candle_rollup": "candle_patterns_1h",
+    "atr_14_1h": "keltner_20_10_1h",
+    "stochastic_14_3_1h": "keltner_20_10_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
@@ -133,9 +133,9 @@ SIBLING = {
     "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
     "dedup_keeper_centrality": "dupgraph_triangle_stats",
     "volatility_20_1h": "williams_r_14_1h",
-    "pair_rolling_correlation": "cci_20_1h",
-    "events_value_winsorize": "revenue_concentration_q11",
-    "embedding_knn_ivfadc": "embedding_knn_filtered",
+    "pair_rolling_correlation": "williams_r_14_1h",
+    "events_value_winsorize": "approx_value_quantiles",
+    "embedding_knn_ivfadc": "embedding_hard_negatives",
     "streaming_firstwins_append": "idempotent_append_fresh",
     # r11 rotation wave 5: ALL 14 never-driver-certified r10-born queries
     # moved INTO the window (backlog emptied again); these 14 r10-driver-green
@@ -147,35 +147,41 @@ SIBLING = {
     # IVF family, ngram-diversity the text gates, containment the banded-LSH
     # family; media_dhash stays in window for the media kernels).
     "donchian_20_1h": "williams_r_14_1h",
-    "ichimoku_9_26_52_1h": "cci_20_1h",
-    "shipping_priority_q3": "late_shipment_q4",
-    "disjunctive_revenue_q19": "promo_revenue_q14",
-    "customer_rfm_segments": "revenue_concentration_q11",
+    "ichimoku_9_26_52_1h": "williams_r_14_1h",
+    "shipping_priority_q3": "nation_volume_q7",
+    "disjunctive_revenue_q19": "market_share_q8",
+    "customer_rfm_segments": "approx_value_quantiles",
     "events_compaction_plan": "events_orphan_files",
-    "embedding_knn_ivf_kmeans": "embedding_knn_filtered",
-    "text_quality_score": "text_ngram_diversity",
-    "dedup_lsh_eval": "dedup_minhash_containment",
-    "holt_forecast_1h": "adx_14_1h",
-    "returned_item_q10": "top_supplier_q15",
-    "customers_no_open_orders_anti": "idle_rich_customers_q22",
+    "embedding_knn_ivf_kmeans": "embedding_hard_negatives",
+    "text_quality_score": "text_ccnet_ppl_buckets",
+    "dedup_lsh_eval": "dedup_incremental_minhash",
+    "holt_forecast_1h": "keltner_20_10_1h",
+    "returned_item_q10": "large_volume_q18",
+    "customers_no_open_orders_anti": "custdist_q13",
     "media_resize": "media_dhash",
     "media_audio_features": "media_dhash",
-    # r11-born, registered deferred until the r12 rotation:
-    "keltner_20_10_1h": "adx_14_1h",
-    "trix_15_1h": "adx_14_1h",
-    "obv_1h": "backtest_max_drawdown",
-    "vwap_daily_1h": "backtest_max_drawdown",
-    "candle_patterns_1h": "williams_r_14_1h",
-    "nation_volume_q7": "late_shipment_q4",
-    "custdist_q13": "idle_rich_customers_q22",
-    "small_qty_revenue_q17": "promo_revenue_q14",
-    "large_volume_q18": "top_supplier_q15",
-    "waiting_supplier_q21": "late_shipment_q4",
-    "embedding_hard_negatives": "embedding_knn_filtered",
-    "corpus_mixture_plan": "corpus_domain_mix",
-    "market_share_q8": "promo_revenue_q14",
-    "product_profit_q9": "late_shipment_q4",
-    "dedup_incremental_minhash": "dedup_minhash_containment",
+    # r12 rotation wave 6: ALL 15 r11-born + the newly registered
+    # streaming_ingest_dedup_gate moved INTO the window (backlog emptied);
+    # these 16 r11-driver-green queries rotated out, each with a
+    # same-family twin in the window — for most, the incoming r11-born
+    # queries ARE the twins. williams_r_14_1h stays in-window for its
+    # post--0.0-fix re-certification.
+    "adx_14_1h": "keltner_20_10_1h",
+    "backtest_max_drawdown": "obv_1h",
+    "cci_20_1h": "williams_r_14_1h",
+    "late_shipment_q4": "nation_volume_q7",
+    "top_supplier_q15": "large_volume_q18",
+    "idle_rich_customers_q22": "custdist_q13",
+    "promo_revenue_q14": "market_share_q8",
+    "revenue_concentration_q11": "market_share_q8",
+    "embedding_knn_filtered": "embedding_hard_negatives",
+    "corpus_domain_mix": "corpus_mixture_plan",
+    "dedup_minhash_containment": "dedup_incremental_minhash",
+    "streaming_enrich_dim_join": "streaming_ohlc_1m",
+    "streaming_scd2_apply": "streaming_ingest_dedup_gate",
+    "text_ngram_diversity": "text_ccnet_ppl_buckets",
+    "orders_table_profile": "approx_value_quantiles",
+    "candle_unpivot": "candle_patterns_1h",
 }
 
 
@@ -208,28 +214,33 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round11_rotation_in_window():
-    # VERDICT r10 task #1 (rotation wave 5): ALL 14 never-driver-certified
-    # r10-born queries are inside the 50-row correctness window this round —
-    # once certified, the backlog is empty again. (Earlier rounds' in-window
-    # assertions are superseded by rotation; their driver certifications are
-    # on record in CORRECTNESS_r{1..10}.json.)
+def test_round12_rotation_in_window():
+    # VERDICT r11 task #2 (rotation wave 6): ALL 15 never-driver-certified
+    # r11-born queries plus the newly registered streaming ingest gate are
+    # inside the 50-row correctness window this round — once certified, the
+    # backlog is empty again. williams_r_14_1h must also be in-window for
+    # its post--0.0-fix re-certification (task #1 done-criterion). (Earlier
+    # rounds' in-window assertions are superseded by rotation; their driver
+    # certifications are on record in CORRECTNESS_r{1..11}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
         "williams_r_14_1h",
-        "cci_20_1h",
-        "late_shipment_q4",
-        "promo_revenue_q14",
-        "revenue_concentration_q11",
-        "events_orphan_files",
-        "embedding_knn_filtered",
-        "text_ngram_diversity",
-        "dedup_minhash_containment",
-        "adx_14_1h",
-        "top_supplier_q15",
-        "idle_rich_customers_q22",
-        "streaming_enrich_dim_join",
-        "embedding_ivf_drift_report",
+        "keltner_20_10_1h",
+        "trix_15_1h",
+        "obv_1h",
+        "vwap_daily_1h",
+        "candle_patterns_1h",
+        "nation_volume_q7",
+        "custdist_q13",
+        "small_qty_revenue_q17",
+        "large_volume_q18",
+        "waiting_supplier_q21",
+        "embedding_hard_negatives",
+        "corpus_mixture_plan",
+        "market_share_q8",
+        "product_profit_q9",
+        "dedup_incremental_minhash",
+        "streaming_ingest_dedup_gate",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

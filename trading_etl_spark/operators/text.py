@@ -84,6 +84,42 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def plan_cache_key(df: DataFrame) -> tuple:
+    """Collision-proof cache identity for a DataFrame's plan (ADVICE r11):
+    ``semanticHash`` alone is 32-bit — two different plans colliding in one
+    application would silently serve the wrong cached relation. Keying on
+    the analyzed plan string as well makes a silent collision impossible
+    (equal strings ⇒ equal plans); a formatting-level miss just rebuilds,
+    which is safe. appId first so ``clear_caches(..., app_id)`` still
+    filters per session."""
+    return (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        df._jdf.queryExecution().analyzed().toString(),
+    )
+
+
+# FIFO-bounded session cache for the exploded shingle relation (ADVICE r11):
+# the dedup/LSH operators each cached their shingles inline, but nothing
+# ever unpersisted them — every distinct input fixture (bench sf0.1, the
+# 10×/100× scaling corpora) left a session-lifetime cached relation. One
+# registry bounds the lifetime (evictions unpersist via trading._cache_put)
+# and lets same-input operators share ONE materialized shingle relation;
+# cleared through queries.datapipe.clear_model_caches.
+_SHINGLE_REL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingles_cached(docs: DataFrame) -> DataFrame:
+    from ..queries.trading import _cache_put
+
+    key = plan_cache_key(docs)
+    sh = _SHINGLE_REL_CACHE.get(key)
+    if sh is None:
+        sh = shingles(docs).cache()
+        _cache_put(_SHINGLE_REL_CACHE, key, sh)
+    return sh
+
+
 # --- per-document analysis ---------------------------------------------------
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -1026,7 +1062,7 @@ def decontaminate_fuzzy(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     Output per contaminated train doc: n_test_dups, max_jaccard.
     Scale shape: identical to the LSH dedup path (banded candidate
     equi-join, O(collisions)); the split predicate is map-side."""
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     verified = _jaccard_verify(_minhash_band_candidates(sh), sh, threshold)
 
     def split_of(c: Column) -> Column:
@@ -1056,7 +1092,7 @@ def dedup_ngram_jaccard(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     (intersections + both size sides) — cache it once instead of re-exploding
     the corpus 4×; at 100 TB this is a materialized shingle table.
     """
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     cand = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -1119,7 +1155,7 @@ def dedup_minhash_lsh(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     cached: signatures, intersection, and size lookups all reuse one
     explode+distinct instead of recomputing it 4× (materialized at scale).
     """
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     return _jaccard_verify(_minhash_band_candidates(sh), sh, threshold)
 
 
@@ -1179,7 +1215,7 @@ def dedup_minhash_containment(
     replays the identical banded pipeline, so the gate certifies the
     screening exactly as implemented. Threshold decisions are on
     6dp-rounded values in both engines."""
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     cand = _minhash_band_candidates(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -1245,7 +1281,7 @@ def dedup_incremental_minhash(docs: DataFrame, threshold: float = 0.5) -> DataFr
     broadcasts the batch side when small (AQE decides from runtime size).
     Verification touches only the colliding corpus docs' shingles."""
     is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     doc_bands = _band_keys(_minhash_from_shingles(sh))
     return incremental_probe(
         doc_bands.filter(is_batch), doc_bands.filter(~is_batch), sh, threshold
@@ -1299,7 +1335,7 @@ def lsh_eval_report(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     IS the LSH being evaluated). All three counts are 1-row aggregates
     cross-joined lazily; the cached shingle relation feeds every stage.
     """
-    sh = shingles(docs).cache()
+    sh = _shingles_cached(docs)
     cand = _minhash_band_candidates(sh)
     verified = _jaccard_verify(cand, sh, threshold)
     exact_cand = (

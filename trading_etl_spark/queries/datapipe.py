@@ -60,7 +60,8 @@ def clear_model_caches(spark: SparkSession | None = None) -> int:
 
     app_id = spark.sparkContext.applicationId if spark is not None else None
     return clear_caches(
-        (_CODEBOOK_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE, _SHINGLE_CACHE, _BPE_CACHE),
+        (_CODEBOOK_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE, _SHINGLE_CACHE,
+         _BPE_CACHE, tx._SHINGLE_REL_CACHE),
         app_id,
     )
 

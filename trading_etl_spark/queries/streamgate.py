@@ -743,8 +743,69 @@ def q_streaming_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INGEST_DEDUP_PREFIX = "gate_streaming_ingest_dedup_"
+
+
+def q_streaming_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental near-dedup ingest gate as an oracle-graded
+    query (r12-born; VERDICT r11 task #2): newly crawled docs land as
+    files, and ``streaming/docs.py`` probes each micro-batch against the
+    STATIC corpus LSH band index — the gate a 100 TB corpus build runs on
+    ingest, where the all-pairs pass ran once at bootstrap.
+
+    The fixture split is the batch twin's (``dedup_incremental_minhash``):
+    docs with ``doc_id % 10 == 7`` are the arriving batch, the rest the
+    corpus — so the oracle is that query's EXACT SQL, and the hash-match
+    certifies three things at once: (a) the per-micro-batch probe equals
+    the batch probe, (b) the result is micro-batch-boundary-INVARIANT
+    (``maxFilesPerTrigger=1`` over two landing files forces ≥2 batches;
+    each batch probes only the static index, so boundaries cannot change
+    the union), and (c) the keyed first-wins sink is replay-idempotent —
+    after the drain, the WHOLE stream drains again from a fresh checkpoint
+    (worst-case at-least-once duplicate delivery) and every replayed
+    doc_id anti-joins away, appending nothing.
+
+    Scale notes: stateless streaming (no watermark, no state store — the
+    corpus index is a cached static relation standing in for the persisted
+    bucketed band-index table); per batch the probe joins batch-bands ⋈
+    index with the batch side broadcast-small. Reference parity:
+    trading-etl's poll-cycle insert-skip append
+    (src/etl/flows/transform_services.py save paths) is the exact-key
+    version of this gate."""
+    from ..operators import text as tx
+    from ..streaming.docs import build_corpus_index, start_incremental_dedup_stream
+
+    base = _fresh_run_dir("ingest_dedup", _INGEST_DEDUP_PREFIX)
+    feed, sink = f"{base}/feed", f"{base}/matches"
+    docs = tx.load_documents(spark, sf_dir).select("doc_id", "text")
+    is_batch = (
+        F.col("doc_id") % tx.INCREMENTAL_BATCH_MOD
+    ) == tx.INCREMENTAL_BATCH_REM
+    # two landing files → two micro-batches under maxFilesPerTrigger=1
+    docs.filter(is_batch).repartition(2).write.parquet(feed)
+    corpus = docs.filter(~is_batch)
+    index = build_corpus_index(corpus)  # shared across drain + replay
+    for run in ("initial", "replay"):
+        q = start_incremental_dedup_stream(
+            spark,
+            feed,
+            corpus,
+            sink,
+            f"{base}/ckpt_{run}",
+            corpus_index=index,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    return (
+        spark.read.schema("doc_id long, dup_of long, jaccard double")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(sink)
+    )
+
+
 QUERIES = {
     "streaming_ohlc_1m": q_streaming_ohlc_1m,
+    "streaming_ingest_dedup_gate": q_streaming_ingest_dedup_gate,
     "streaming_enrich_dim_join": q_streaming_enrich_dim_join,
     "streaming_dedup_exact": q_streaming_dedup_exact,
     "streaming_sliding_stats": q_streaming_sliding_stats,
@@ -828,6 +889,10 @@ SELECT currency_pair_code, time, bid, ask FROM ticks""",
 from . import datapipe as _dp  # noqa: E402
 
 ORACLES["streaming_heavy_hitters"] = _dp.ORACLES["text_heavy_hitters_cms"]
+# the streaming ingest gate drains into the keyed first-wins sink and must
+# equal the batch incremental probe exactly (same fixture split, same banded
+# candidates, same verify + top-1 election) — the oracle is shared verbatim
+ORACLES["streaming_ingest_dedup_gate"] = _dp.ORACLES["dedup_incremental_minhash"]
 
 # the stateful streaming EMA shares the batch indicator's recursive-CTE
 # oracle verbatim: the applyInPandasWithState recursion must replay the

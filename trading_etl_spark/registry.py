@@ -23,23 +23,23 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 _DEFER: list[str] = [
     "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross [twin: williams_r_14_1h]
     "spread_quantiles",       # percentiles covered by approx_value_quantiles [twin: orders_table_profile]
-    "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube [twin: candle_unpivot]
+    "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube [twin: candle_patterns_1h]
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint [twin: dedup_exact]
     "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path [twin: embedding_near_dup_lsh]
-    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window [twin: dedup_minhash_containment]
-    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path [twin: embedding_knn_filtered]
-    "candle_cube",            # grouping-set sibling of candle_rollup [twin: candle_unpivot]
-    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades [twin: backtest_max_drawdown]
+    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window [twin: dedup_incremental_minhash]
+    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path [twin: embedding_hard_negatives]
+    "candle_cube",            # grouping-set sibling of candle_rollup [twin: candle_patterns_1h]
+    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades [twin: obv_1h]
     "media_frame_sample",     # mapInPandas multimodal covered by extract_meta [twin: media_dhash]
     "sma_fanout_all_tf",      # same native-window SMA as sma_golden_cross's inputs, fanned across tfs [twin: williams_r_14_1h]
-    "backtest_trades",        # window-over-candles sibling of backtest_pnl [twin: backtest_max_drawdown]
+    "backtest_trades",        # window-over-candles sibling of backtest_pnl [twin: obv_1h]
     "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
-    "text_token_count",       # token stats subsumed by text_quality_score [twin: text_ngram_diversity]
-    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path [twin: embedding_knn_filtered]
-    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_knn_filtered]
+    "text_token_count",       # token stats subsumed by text_quality_score [twin: text_ccnet_ppl_buckets]
+    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path [twin: embedding_hard_negatives]
+    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_hard_negatives]
     "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
-    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: dedup_minhash_containment]
-    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram [twin: revenue_concentration_q11]
+    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: dedup_incremental_minhash]
+    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram [twin: event_type_copairs]
     "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
     # r5 rotation (VERDICT r4 task #1): the 13 never-driver-checked queries
     # (funnel, cohort, histogram, SCD2, forward as-of, weighted sampling,
@@ -48,27 +48,27 @@ _DEFER: list[str] = [
     # INTO the window; these 14 redundant siblings — every one with r1-r4
     # driver-green rows AND a same-family twin still in the window — moved
     # out to make room. All stay oracle-verified by tools/check.py.
-    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_unpivot]
+    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_patterns_1h]
     "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: williams_r_14_1h]
     "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
     "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window [twin: orders_table_profile]
     "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick [twin: event_asof_tick_plain]
-    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: dedup_minhash_containment]
+    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: dedup_incremental_minhash]
     "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle [twin: dedup_cc_two_phase]
     "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint [twin: corpus_pack_sequences]
-    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window [twin: text_ngram_diversity]
+    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window [twin: text_ccnet_ppl_buckets]
     "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window [twin: stratified_sample_by_lang]
-    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_knn_filtered]
-    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_knn_filtered]
+    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_hard_negatives]
+    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_hard_negatives]
     "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
-    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window [twin: idle_rich_customers_q22]
+    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window [twin: custdist_q13]
     # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
     # r6-born ones (IVFADC, stateful streaming EMA) moved INTO the window
     # for driver certification; these 11 rotated out to make room — every
     # one carries an r5 (most also r1-r4) driver-green row and a
     # same-family twin still in the window. All stay oracle-verified by
     # tools/check.py.
-    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_unpivot]
+    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_patterns_1h]
     "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window [twin: event_asof_tick_plain]
     "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
     "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
@@ -76,9 +76,9 @@ _DEFER: list[str] = [
     "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
     "text_chunk_rag",         # token-window slicing; family of text_rolling_fingerprint [twin: corpus_pack_sequences]
     "streaming_sliding_stats",  # sliding-window streaming agg; family of streaming_ohlc_1m
-    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score [twin: text_ngram_diversity]
-    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti [twin: idle_rich_customers_q22]
-    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: adx_14_1h]
+    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score [twin: text_ccnet_ppl_buckets]
+    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti [twin: custdist_q13]
+    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: keltner_20_10_1h]
                               # through the stricter stateful-streaming path
     # r7 rotation wave 1 (VERDICT r6 task #1): 12 of the 22 r6-born queries
     # (macd, bollinger, semantic dedup, bloom decontaminate, streaming
@@ -89,16 +89,16 @@ _DEFER: list[str] = [
     # oracle-verified by tools/check.py.
     "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
     "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family [twin: event_asof_tick_plain]
-    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_knn_filtered]
-    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_knn_filtered]
+    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_hard_negatives]
+    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_hard_negatives]
     "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle [twin: decontaminate_fuzzy_lsh]
     "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel [twin: streaming_heavy_hitters]
                               # family, batch rsi_14_1h the grouped recursion family
     "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
     "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
-    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: late_shipment_q4]
+    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: nation_volume_q7]
     "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
-    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: dedup_minhash_containment]
+    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: dedup_incremental_minhash]
     # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
     # r6/r7-born queries (operator-family firsts prioritized) plus
     # approx_value_quantiles (task #4: the GK-sketch quantile family regains
@@ -107,19 +107,19 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: adx_14_1h]
+    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: keltner_20_10_1h]
     "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: williams_r_14_1h]
     "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
-    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_knn_filtered]
+    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_hard_negatives]
     "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
     "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells [twin: embedding_ivf_drift_report]
-    "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window
-    "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family
+    "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window [twin: user_cohort_retention]
+    "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family [twin: user_cohort_retention]
     "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
     "streaming_sma_cross",    # stateful kernel; streaming_heavy_hitters keeps applyInPandasWithState
-    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family [twin: top_supplier_q15]
+    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family [twin: large_volume_q18]
     "streaming_view_click_join",  # stream-stream join; streaming_ohlc_1m keeps the streaming family
-    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family [twin: text_ngram_diversity]
+    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family [twin: text_ccnet_ppl_buckets]
     # r9 rotation wave 3 (VERDICT r8 task #1): ALL 15 never-driver-certified
     # queries (7 r6/r7-born wave-3 carryovers + 8 r8-born) moved INTO the
     # window — this empties the certification backlog. These 15 r8-green
@@ -127,21 +127,21 @@ _DEFER: list[str] = [
     # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
     # apply the SAME oracle/operator as their rotated-out twins).
     "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
-    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family
-    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: revenue_concentration_q11]
+    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: obv_1h]
+    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: approx_value_quantiles]
     "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: incremental_cursor_scan]
-    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: dedup_minhash_containment]
+    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: dedup_incremental_minhash]
     "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
     "bpe_train_merges",       # BPE trainer; bpe_encode_fertility encodes with the SAME merges
-    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: top_supplier_q15]
-    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: late_shipment_q4]
+    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: large_volume_q18]
+    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: nation_volume_q7]
     "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
                               # oracle through the stricter stateful-streaming path
     "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: williams_r_14_1h]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family
-    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: adx_14_1h]
-    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: adx_14_1h]
+    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: candle_patterns_1h]
+    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: keltner_20_10_1h]
+    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: keltner_20_10_1h]
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
@@ -158,9 +158,9 @@ _DEFER: list[str] = [
     "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
     "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
     "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: williams_r_14_1h]
-    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: cci_20_1h]
-    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: revenue_concentration_q11]
-    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_knn_filtered]
+    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: williams_r_14_1h]
+    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: approx_value_quantiles]
+    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_hard_negatives]
     "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
     # r11 rotation wave 5 (VERDICT r10 task #1): ALL 14 never-driver-certified
     # r10-born queries moved INTO the window — the certification backlog is
@@ -173,42 +173,61 @@ _DEFER: list[str] = [
     # in window for the media kernels). All stay oracle-verified by
     # tools/check.py.
     "donchian_20_1h",         # min/max channel windows; twin: williams_r_14_1h
-    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h
-    "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4
-    "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14
-    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11
+    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: williams_r_14_1h]
+    "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4 [twin: nation_volume_q7]
+    "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14 [twin: market_share_q8]
+    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: approx_value_quantiles]
     "events_compaction_plan",  # small-file maintenance dry-run; twin: events_orphan_files
-    "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered
-    "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity
-    "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment
-    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h
-    "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15
-    "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22
+    "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_hard_negatives]
+    "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
+    "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: dedup_incremental_minhash]
+    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h [twin: keltner_20_10_1h]
+    "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15 [twin: large_volume_q18]
+    "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22 [twin: custdist_q13]
     "media_resize",           # BMP pixel kernel; twin: media_dhash
     "media_audio_features",   # WAV sample kernel; twin: media_dhash
-    # r11-born — registered deferred until the r12 rotation (discipline:
-    # never rotate mid-round); each keeps an in-window sibling:
-    "keltner_20_10_1h",       # EMA+ATR channel kernel; twin: adx_14_1h
-    "trix_15_1h",             # triple-EMA cascade kernel; twin: adx_14_1h
-    "obv_1h",                 # signed cumulative volume window; twin: backtest_max_drawdown
-    "vwap_daily_1h",          # day-anchored cumulative ratio window; twin: backtest_max_drawdown
-    "candle_patterns_1h",     # LAG pattern predicates; twin: williams_r_14_1h
-    "nation_volume_q7",       # double-nation star + year agg; twin: late_shipment_q4
-    "custdist_q13",           # left-outer count distribution; twin: idle_rich_customers_q22
-    "small_qty_revenue_q17",  # per-part avg threshold join-back; twin: promo_revenue_q14
-    "large_volume_q18",       # HAVING agg then dimension joins; twin: top_supplier_q15
-    "waiting_supplier_q21",   # exists/not-exists as grouped counts; twin: late_shipment_q4
-    "embedding_hard_negatives",  # different-label top-k + margin; twin: embedding_knn_filtered
-    "corpus_mixture_plan",    # |langs|-row sampling-rate plan; twin: corpus_domain_mix
-    "market_share_q8",        # conditional-share star agg; twin: promo_revenue_q14
-    "product_profit_q9",      # LIKE-filtered profit rollup; twin: late_shipment_q4
-    "dedup_incremental_minhash",  # batch-vs-corpus LSH probe; twin: dedup_minhash_containment
-    # r12 note: streaming/docs.py's ingest gate (the streaming twin of
-    # dedup_incremental_minhash) is implemented + pytest-driven but NOT
-    # registered — the never-certified backlog sits at its 15-query cap.
-    # Register it as a gate query (with its oracle) when wave 6 opens
-    # certification slots.
+    # r12 rotation wave 6 (VERDICT r11 task #2): ALL 15 never-driver-certified
+    # r11-born queries moved INTO the window (backlog emptied again), plus the
+    # newly registered streaming_ingest_dedup_gate (streaming/docs.py's ingest
+    # gate — the one registration this round, per the steady-state posture
+    # below: it certifies a NEW operator family, the streaming incremental-
+    # dedup ingest path). These 16 r11-driver-green queries rotated out to
+    # make room; every one keeps a same-family twin in the window — for most,
+    # the incoming r11-born queries ARE the twins (keltner/trix keep the
+    # grouped Arrow-kernel family, obv/vwap the cumulative-window family,
+    # Q7/Q8/Q9/Q13/Q17/Q18/Q21 the TPC-H star/anti/threshold families,
+    # hard-negatives the embedding-search family, mixture-plan the sampling
+    # family, the incremental probe + ingest gate the banded-MinHash family).
+    # williams_r_14_1h deliberately STAYS in-window for its post--0.0-fix
+    # re-certification (VERDICT r11 task #1 done-criterion).
+    "adx_14_1h",              # grouped Wilder kernel; twins: keltner_20_10_1h, trix_15_1h
+    "backtest_max_drawdown",  # cumulative window; twins: obv_1h, vwap_daily_1h
+    "cci_20_1h",              # keyed native-window; twins: williams_r_14_1h, candle_patterns_1h
+    "late_shipment_q4",       # TPC-H star; twins: nation_volume_q7, waiting_supplier_q21, product_profit_q9
+    "top_supplier_q15",       # TPC-H agg+join-back; twin: large_volume_q18
+    "idle_rich_customers_q22",  # anti/left-outer; twin: custdist_q13
+    "promo_revenue_q14",      # conditional-share agg; twins: small_qty_revenue_q17, market_share_q8
+    "revenue_concentration_q11",  # scalar-threshold star agg; twins: market_share_q8, product_profit_q9
+    "embedding_knn_filtered",  # filtered ANN; twin: embedding_hard_negatives (+ recall_eval, drift_report)
+    "corpus_domain_mix",      # sampling/mixing; twin: corpus_mixture_plan
+    "dedup_minhash_containment",  # banded MinHash verify; twins: dedup_incremental_minhash, streaming_ingest_dedup_gate
+    "streaming_enrich_dim_join",  # stream-static join; twins: streaming_ohlc_1m, streaming_ingest_dedup_gate
+    "streaming_scd2_apply",   # foreachBatch IVM; twin: streaming_ingest_dedup_gate (foreachBatch keyed sink family)
+    "text_ngram_diversity",   # zero-shuffle text gate; twins: text_ccnet_ppl_buckets, text_unigram_logprob
+    "orders_table_profile",   # conditional-agg profile; twin: approx_value_quantiles (quantile/profile family)
+    "candle_unpivot",         # candle reshaping; twin: candle_patterns_1h (candle-derivation family)
 ]
+
+# Steady-state window posture (VERDICT r11 task #7): with 174 registered
+# queries and a 50-row driver window, full re-certification latency is
+# ~3.5 rounds and rising with every birth. From r12 on, new query births are
+# FROZEN unless the query certifies a NEW operator family (a capability with
+# no driver-green representative, e.g. this round's streaming ingest gate);
+# otherwise rounds spend freed rotation slots re-certifying the OLDEST
+# driver-green rows (lowest max round in CORRECTNESS_r*.json history) so
+# certification evidence stays fresh across the whole registry instead of
+# accreting a long tail of r1-r4-only rows. tests/test_registry.py's
+# backlog invariant (≤ 15 never-certified) enforces the budget side.
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):

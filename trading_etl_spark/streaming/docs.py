@@ -34,6 +34,7 @@ from ..operators.text import (
     _band_keys,
     _minhash_from_shingles,
     incremental_probe,
+    plan_cache_key,
     shingles,
 )
 
@@ -49,7 +50,7 @@ DOC_STREAM_SCHEMA = T.StructType(
 # every other materialized-relation cache (r6 convention): repeated poll
 # cycles over the same corpus reuse ONE cached index instead of stacking
 # a fresh copy per stream start, and evicted entries are unpersisted.
-_INDEX_CACHE: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def build_corpus_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -58,12 +59,13 @@ def build_corpus_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     rollout writes once (band_keys bucketed by band_key, shingles by
     doc_id) and only appends to. Built lazily; the first micro-batch
     materializes both, every later batch reads the cache. Keyed by the
-    corpus plan's semanticHash per session, so repeated stream starts
-    over the same corpus share one index (clear via
+    corpus plan's (semanticHash, analyzed-plan string) per session, so
+    repeated stream starts over the same corpus share one index and a
+    hash collision cannot serve a different corpus's index (clear via
     ``queries.trading.clear_caches((_INDEX_CACHE,))``)."""
     from ..queries.trading import _cache_put
 
-    key = (corpus.sparkSession.sparkContext.applicationId, corpus.semanticHash())
+    key = plan_cache_key(corpus)
     pair = _INDEX_CACHE.get(key)
     if pair is None:
         sh = shingles(corpus).cache()
@@ -80,6 +82,7 @@ def start_incremental_dedup_stream(
     checkpoint_path: str,
     threshold: float = 0.5,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """File-stream of (doc_id, text) parquet → per-micro-batch LSH probe
     of the static ``corpus`` → parquet append of (doc_id, dup_of,
@@ -94,14 +97,20 @@ def start_incremental_dedup_stream(
 
     No watermark and no streaming aggregation: the probe is stateless, so
     restart-from-checkpoint replays only unprocessed FILES (source
-    bookkeeping), never rebuilds operator state."""
+    bookkeeping), never rebuilds operator state.
+
+    ``max_files_per_trigger`` bounds each micro-batch's file count (the
+    production backpressure knob); because each batch probes only the
+    static corpus, the drained result is batch-boundary-invariant — the
+    gate query certifies exactly that by forcing one file per batch."""
     sh_corpus, corpus_bands = corpus_index or build_corpus_index(corpus)
 
-    new_docs = (
-        spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(source_path)
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    new_docs = reader.parquet(source_path)
 
     def probe(batch: DataFrame, _batch_id: int) -> None:
         from .. import io as tio
