@@ -402,9 +402,38 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bjt)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+    # --- Host-noise canary (VERDICT r11 task #3) -------------------------
+    # Two fixed-work probes with NO dependence on any operator under test,
+    # recorded so round-over-round line drift can be attributed: if the
+    # canaries move with the query mins, the HOST slowed down (ambient
+    # load / shared infra), not the engine. cpu = pure whole-stage-codegen
+    # JVM loop (no IO, no Python); fs = os-level listing of the ~2000-file
+    # pruning fixture (the metadata path the small-file scan lines pay).
+    # Detail-only — the driver-parsed stdout line must not grow.
+    import glob as _glob
+
+    cpu_canary = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(200_000_000).groupBy().sum("id").collect()
+        cpu_canary.append(round(time.time() - t0, 3))
+    fs_canary = []
+    for _ in range(5):
+        t0 = time.time()
+        n_listed = len(_glob.glob(f"{fixture}/dt=*/*.parquet"))
+        fs_canary.append(round(time.time() - t0, 4))
+    host_canary = {
+        "cpu_codegen_min_sec": min(cpu_canary),
+        "cpu_codegen_runs": cpu_canary,
+        "fs_list_min_sec": min(fs_canary),
+        "fs_list_runs": fs_canary,
+        "fs_files_listed": n_listed,
+    }
+
     spark.stop()
     headline_json, detail = summarize(runs, sf)
     detail["partition_pruning"] = pruning_files
+    detail["host_canary"] = host_canary
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

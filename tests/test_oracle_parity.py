@@ -178,3 +178,12 @@ def test_nan_and_integer_valued_doubles_canon_stable():
     assert canon(5.0) == "5"  # int-collapse is driver-compatible for +ints
     assert canon(-5.0) == "-5"
     assert canon(1.25) == canon(1.25)
+
+
+def test_infinity_canon_does_not_crash(con):
+    """int(inf) raises OverflowError — a future oracle emitting ±inf
+    (log(0), 1/0 guards) must render, not crash the checker."""
+    assert canon(float("inf")) == "Infinity"
+    assert canon(float("-inf")) == "-Infinity"
+    (v,) = con.execute("SELECT 'inf'::DOUBLE").fetchone()
+    assert canon(v) == "Infinity"

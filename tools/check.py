@@ -29,6 +29,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # int(inf) raises — render explicitly
+            return "Infinity" if v > 0 else "-Infinity"
         # IEEE -0.0 renders distinctly: the driver's hash is bit-sensitive,
         # and the int() collapse below would mask the sign of zero — which
         # is how r11's williams_r_14_1h shipped check-green and died

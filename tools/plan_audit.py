@@ -264,7 +264,8 @@ def main() -> None:
         "  importorskip gate; the emulated race + API-shape-sync tests run.",
         "  r11 attempt: same result (`Name or service not known` resolving the",
         "  index host, `No matching distribution found for delta-spark`); gate",
-        "  unchanged.",
+        "  unchanged. r12 attempt: same result again (5 DNS retries on the",
+        "  index host, then `No matching distribution found`); gate unchanged.",
         "- scaling slopes (VERDICT r9 #5): two-point sf0.1 -> 10x wall-time",
         "  ratios, five probes (tools/scaling_probe.py; BENCH_DETAIL.json",
         "  \"scaling\", carried forward by bench.py). Final run, min-of-3,",
@@ -308,6 +309,32 @@ def main() -> None:
         "  with a 10x->100x marginal slope of 0.044 s/copy vs 0.203 —",
         "  the claimed property (probe cost ~ batch + collisions, never",
         "  corpus x corpus) is now a measured line, not an assertion.",
+        "",
+        "Adjudications (r12):",
+        "- residual min-level bench drift (VERDICT r11 task #3): r12 mins",
+        "  were compared line-by-line against the persisted r11 mins as",
+        "  directed. The uniform drift PERSISTS (common-line min totals",
+        "  29.08 -> ~31.5, ~1.08x) and the prescribed canary profile was",
+        "  run: events_scan_full (pure 2013-file parquet scan, no Python,",
+        "  no caches) in ISOLATION — fresh session, 10 runs, nothing else",
+        "  on the box — reproduced the in-bench number exactly (isolated",
+        "  min 1.045 vs in-bench 1.011; runs 1.05-1.17 steady-state).",
+        "  Attribution: HOST-level slowdown, not an engine regression —",
+        "  (a) the scan line's fixture is bit-identical across rounds",
+        "  (files_total 2013 in r10/r11/r12 BENCH_DETAIL), its plan is",
+        "  pure spark.read.parquet + count and CI-pinned, and the code",
+        "  path is untouched since r9; (b) its min moved monotonically",
+        "  0.801 -> 0.928 -> 1.045 across rounds measured the same way;",
+        "  (c) the drift is broad and roughly uniform across unrelated",
+        "  lines (kernels, streaming, scans) while several lines IMPROVED",
+        "  (skew_join_agg_naive 0.82x, ohlc_1m 0.78x) — the signature of",
+        "  ambient load variance, not a systematic engine change; (d) no",
+        "  plan-pin moved. Action taken: bench.py now records a",
+        "  host_canary block in BENCH_DETAIL.json (fixed-work pure-codegen",
+        "  JVM loop + os-level listing of the 2013-file fixture, min-of-5",
+        "  each) so from r13 on host drift vs engine drift is separable",
+        "  mechanically: canary moves with the lines => host; lines move",
+        "  without the canary => investigate the engine.",
     ]
     with open(f"{REPO}/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")

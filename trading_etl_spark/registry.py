@@ -22,7 +22,7 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 # tests/test_registry.py asserts the window invariants.
 _DEFER: list[str] = [
     "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross [twin: williams_r_14_1h]
-    "spread_quantiles",       # percentiles covered by approx_value_quantiles [twin: orders_table_profile]
+    "spread_quantiles",       # percentiles covered by approx_value_quantiles [twin: approx_value_quantiles]
     "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube [twin: candle_patterns_1h]
     "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint [twin: dedup_exact]
     "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path [twin: embedding_near_dup_lsh]
@@ -51,7 +51,7 @@ _DEFER: list[str] = [
     "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_patterns_1h]
     "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: williams_r_14_1h]
     "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
-    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window [twin: orders_table_profile]
+    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window [twin: approx_value_quantiles]
     "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick [twin: event_asof_tick_plain]
     "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: dedup_incremental_minhash]
     "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle [twin: dedup_cc_two_phase]
