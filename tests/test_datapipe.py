@@ -1373,3 +1373,40 @@ def test_mixture_plan_rates_and_epochs(spark):
     assert out["en"]["epochs"] == 2
     assert abs(out["de"]["sampling_rate"] - 1.0) < 1e-9
     assert out["de"]["epochs"] == 1
+
+
+def test_plan_cache_key_reuse_and_isolation(spark, tmp_path):
+    """r12: the shared relation caches key on (appId, semanticHash,
+    exprId-canonicalized plan string). Two invariants:
+
+    - REUSE: two independently-built identical plans share ONE cached
+      relation — exprIds increment globally per instantiation, so a key
+      on the raw analyzed string would never match and the cache would
+      silently get zero reuse (the bug this test pins);
+    - ISOLATION: a genuinely different plan (other path, extra filter)
+      gets a different key, so a cache hit can never serve the wrong
+      relation (the ADVICE r11 semanticHash-collision concern).
+    """
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.operators import text as tx
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(i, f"tok{i} alpha beta gamma delta") for i in range(6)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p1)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p2)
+
+    d1, d2 = spark.read.parquet(p1), spark.read.parquet(p1)
+    assert tx.plan_cache_key(d1) == tx.plan_cache_key(d2)
+    assert tx._shingles_cached(d1) is tx._shingles_cached(d2)
+
+    other_path = spark.read.parquet(p2)
+    filtered = spark.read.parquet(p1).filter(F.col("doc_id") > 2)
+    assert tx.plan_cache_key(other_path) != tx.plan_cache_key(d1)
+    assert tx.plan_cache_key(filtered) != tx.plan_cache_key(d1)
+    assert tx._shingles_cached(filtered) is not tx._shingles_cached(d1)
+
+    from trading_etl_spark.queries.datapipe import clear_model_caches
+
+    clear_model_caches(spark)
+    assert not tx._SHINGLE_REL_CACHE

@@ -88,14 +88,22 @@ def plan_cache_key(df: DataFrame) -> tuple:
     """Collision-proof cache identity for a DataFrame's plan (ADVICE r11):
     ``semanticHash`` alone is 32-bit — two different plans colliding in one
     application would silently serve the wrong cached relation. Keying on
-    the analyzed plan string as well makes a silent collision impossible
-    (equal strings ⇒ equal plans); a formatting-level miss just rebuilds,
-    which is safe. appId first so ``clear_caches(..., app_id)`` still
-    filters per session."""
+    the analyzed plan string as well makes a silent collision require BOTH
+    a 32-bit hash collision AND byte-identical plan text; a formatting-
+    level miss just rebuilds, which is safe. The string is canonicalized
+    by stripping expression ids (``#123``) — they increment globally per
+    instantiation, so the raw string would never match across two builds
+    of the SAME logical plan and the cache would get zero reuse (exprId
+    differences are exactly what ``semanticHash`` already canonicalizes).
+    appId first so ``clear_caches(..., app_id)`` still filters per
+    session."""
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
     return (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
-        df._jdf.queryExecution().analyzed().toString(),
+        _re.sub(r"#\d+", "", plan),
     )
 
 
