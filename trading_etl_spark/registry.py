@@ -228,6 +228,16 @@ _DEFER: list[str] = [
 # certification evidence stays fresh across the whole registry instead of
 # accreting a long tail of r1-r4-only rows. tests/test_registry.py's
 # backlog invariant (≤ 15 never-certified) enforces the budget side.
+#
+# r13 re-certification queue (computed from CORRECTNESS_r*.json at r12:
+# the 16 deferred rows whose ONLY driver-green evidence is round 1 —
+# exactly one wave): avg_close_pivot, backtest_equity_curve,
+# backtest_trades, candle_cube, dedup_ngram_jaccard,
+# embedding_knn_bruteforce, embedding_knn_ivf, embedding_near_dup,
+# media_frame_sample, sma_dead_cross, sma_fanout_all_tf,
+# spread_quantiles, text_fingerprint, text_token_count,
+# text_top_terms_per_lang, watermark_max_time. Once the 16 r12-born/
+# re-certified window rows go green, rotate them out and these in.
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
