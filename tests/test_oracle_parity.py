@@ -187,3 +187,82 @@ def test_infinity_canon_does_not_crash(con):
     assert canon(float("-inf")) == "-Infinity"
     (v,) = con.execute("SELECT 'inf'::DOUBLE").fetchone()
     assert canon(v) == "Infinity"
+
+
+# --- hypothesis fuzz: the rewriter on arbitrary expression shapes ------------
+# The unit tests above pin known shapes; this sweeps randomly composed SQL
+# double expressions (including the -0.0 hazard leaves and decoy text) and
+# asserts the three load-bearing invariants for ANY future oracle:
+#   1. rewriting is idempotent,
+#   2. the rewrite never changes a value (beyond the sign of zero),
+#   3. a top-level round() can never reach the driver as -0.0.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_LEAVES = st.sampled_from([
+    "(-4e-7)::DOUBLE",      # the williams hazard region (rounds to -0.0)
+    "(-1e-9)::DOUBLE",
+    "0.0::DOUBLE",
+    "(-0.0)::DOUBLE",
+    "1.2345678::DOUBLE",
+    "(-3.5)::DOUBLE",
+    "NULL::DOUBLE",
+])
+
+
+def _exprs(depth: int):
+    if depth == 0:
+        return _LEAVES
+    sub = _exprs(depth - 1)
+    return st.one_of(
+        _LEAVES,
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} + {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} * {t[1]})"),
+        sub.map(lambda e: f"round({e}, 6)"),
+        sub.map(lambda e: f"round({e}, 2)"),
+        sub.map(lambda e: f"abs({e})"),
+        st.tuples(sub, sub).map(
+            lambda t: f"coalesce(nullif({t[0]}, 2.0), {t[1]})"
+        ),
+    )
+
+
+@given(_exprs(3))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_rewriter_idempotent_and_value_preserving(expr):
+    con = duckdb.connect()  # per-example: hypothesis forbids fixture reuse
+    try:
+        # decoys a naive regex would trip on: a string literal containing
+        # "round(", a quoted identifier, and a line comment
+        sql = (
+            f"SELECT {expr} AS v, 'round(x)' AS lit, "
+            f'1 AS "round(id)" -- round(y)\n'
+        )
+        fixed = normalize_round_neg_zero(sql)
+        assert normalize_round_neg_zero(fixed) == fixed  # idempotent
+        (raw_v, lit, ident) = con.execute(sql).fetchone()
+        (new_v, lit2, ident2) = con.execute(fixed).fetchone()
+        assert (lit, ident) == (lit2, ident2)  # decoys untouched
+        if raw_v is None:
+            assert new_v is None
+        elif math.isnan(raw_v):
+            assert math.isnan(new_v)
+        else:
+            assert raw_v == new_v  # only the sign of zero may change
+    finally:
+        con.close()
+
+
+@given(_exprs(3))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_normalized_round_never_emits_minus_zero(expr):
+    """Oracles round every float output, so the driver-visible invariant is:
+    a normalized round() column can never canon to "-0"."""
+    con = duckdb.connect()
+    try:
+        sql = normalize_round_neg_zero(f"SELECT round({expr}, 6) AS v")
+        (v,) = con.execute(sql).fetchone()
+        assert v is None or canon(v) != "-0"
+    finally:
+        con.close()
