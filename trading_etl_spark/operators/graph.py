@@ -197,6 +197,18 @@ PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
 
 
+def damping_fraction(damping: float = PAGERANK_DAMPING) -> tuple[int, int]:
+    """The damping factor as an exact small rational (0.85 → 17/20), shared
+    by the Spark operator and the DuckDB oracle so both engines run the
+    SAME integer arithmetic — the float 0.85 is not exactly 17/20, so the
+    fixed-point scheme defines the operator's semantics in terms of the
+    rational, not the float."""
+    from fractions import Fraction
+
+    f = Fraction(damping).limit_denominator(1000)
+    return f.numerator, f.denominator
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -219,9 +231,24 @@ def pagerank(
     iteration count (no convergence probe) keeps the whole query a single
     lazy plan: no driver-side action at build time (the repo's laziness
     convention) and an oracle expressible as ``iters`` chained
-    non-recursive CTEs. Every iteration rounds ranks to 6dp
-    half-away-from-zero in BOTH engines, so cross-engine float drift
-    cannot accumulate across iterations.
+    non-recursive CTEs.
+
+    DETERMINISM (r12): the trajectory is integer fixed-point, not float.
+    The original float formulation rounded each iteration to 6dp, but the
+    neighbor-contribution SUM is an order-nondeterministic float reduction
+    — at sf0.1 the r12 cross-SF sweep caught 6/2000 ranks flipping by
+    1e-6 between Spark and DuckDB (ulp-level sum drift landing exactly on
+    a round-half tie). Fix: ranks live in 1e-6 units (BIGINT), per-edge
+    contributions are quantized to 1e-12 units with round-half-up INTEGER
+    division, and the per-node reduction is an exact integer sum —
+    order-independent, so the whole trajectory is bit-reproducible across
+    engines, partition counts, cluster sizes, and retries. Damping enters
+    as the exact rational 17/20 (:func:`damping_fraction`); the only
+    float op left is the final exact-int → double division, correctly
+    rounded identically everywhere. Overflow-safe at ANY graph size in
+    int64: total rank mass ≈ 1, so a node's contribution sum is ≤ ~1.2e12
+    regardless of |V| (the 1e-12-unit mass of the whole graph), and every
+    intermediate stays < 1e14 ≪ 2^63.
 
     Scale shape (the classic distributed PageRank): the symmetrized
     degree-annotated edge list materializes ONCE (``localCheckpoint``, so
@@ -245,30 +272,46 @@ def pagerank(
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
     e = sym.join(deg, "u").localCheckpoint()
 
+    dnum, dden = damping_fraction(damping)
+    tnum = dden - dnum
     base = (
         nodes.select(F.col(id_col).alias("id"))
         .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n"))))
     )
-    ranks = base.withColumn("r", F.round(F.lit(1.0) / F.col("_n"), 6))
+    # r0 = round(1e6 / n) in 1e-6 units (round-half-up integer division:
+    # round(a/b) = (2a + b) div (2b) for positives)
+    ranks = base.withColumn("r", F.expr("(2000000 + _n) div (2 * _n)"))
     for _ in range(iters):
         contrib = (
             e.join(ranks.select(F.col("id").alias("u"), "r"), "u")
             .groupBy("v")
-            .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
+            .agg(
+                # per-edge contribution round(r·1e6 / deg) in 1e-12 units;
+                # the sum is EXACT integer arithmetic — order-independent
+                F.sum(
+                    F.expr("(2 * r * 1000000 + _deg) div (2 * _deg)")
+                ).alias("_s")
+            )
         )
         ranks = (
             base.join(contrib, base["id"] == contrib["v"], "left")
             .select(
                 "id",
                 "_n",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("_n")
-                    + F.lit(damping) * F.coalesce("_s", F.lit(0.0)),
-                    6,
+                # r' = round((tele12 + damp12) / 1e6) where
+                # tele12 = round(tnum·1e12 / (dden·n)),
+                # damp12 = round(dnum·s / dden) — all in 1e-12 units
+                F.expr(
+                    f"(2 * ((2 * {tnum} * 1000000000000 + {dden} * _n)"
+                    f"        div (2 * {dden} * _n)"
+                    f"      + (2 * {dnum} * coalesce(_s, 0L) + {dden})"
+                    f"        div (2 * {dden}))"
+                    f" + 1000000) div 2000000"
                 ).alias("r"),
             )
         )
-    return ranks.select("id", F.col("r").alias("rank"))
+    # exact int → double division: correctly rounded, identical everywhere
+    return ranks.select("id", (F.col("r") / F.lit(1000000.0)).alias("rank"))
 
 
 def triangle_stats(edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:

@@ -2407,15 +2407,22 @@ LIMIT {tx.DSIR_SAMPLE_K}"""
 
 def _pagerank_parts() -> tuple[list[str], str]:
     """iters chained non-recursive CTEs replaying the fixed-iteration power
-    method: same init (round(1/n, 6)), same per-iteration 6dp rounding,
-    same teleport/damping doubles (embedded via repr so DuckDB parses the
-    exact values Python computed), dangling nodes teleport-only. Returns
-    (CTE parts, name of the final ranks CTE) so the keeper-election
-    composition can reuse the identical trajectory."""
-    from ..operators.graph import PAGERANK_DAMPING, PAGERANK_ITERS
+    method in the operator's INTEGER fixed-point arithmetic (r12): ranks
+    in BIGINT 1e-6 units, per-edge contributions quantized to 1e-12 units
+    via round-half-up integer division (round(a/b) = (2a+b)//(2b)), the
+    per-node reduction an exact integer sum — order-independent, so both
+    engines produce bit-identical trajectories (the float formulation's
+    sum-order ulp drift flipped 6/2000 ranks at round-half ties at sf0.1,
+    caught by the r12 cross-SF sweep). Damping enters as the exact
+    rational from graph.damping_fraction (0.85 → 17/20); dangling nodes
+    teleport-only. Returns (CTE parts, name of the final ranks CTE) so
+    the keeper-election composition can reuse the identical trajectory —
+    final ranks CTE column ``r`` is the BIGINT micro-rank (monotone in
+    the double rank; consumers divide by 1e6 for output)."""
+    from ..operators.graph import PAGERANK_ITERS, damping_fraction
 
-    d = repr(PAGERANK_DAMPING)
-    t = repr(1.0 - PAGERANK_DAMPING)
+    dnum, dden = damping_fraction()
+    tnum = dden - dnum
     parts = [
         sim.EMB_SQL,
         f"""pairs AS (
@@ -2427,16 +2434,20 @@ def _pagerank_parts() -> tuple[list[str], str]:
         " UNION ALL SELECT pv, pu FROM pairs)",
         "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1)",
         "nn AS (SELECT count(*) AS n FROM emb)",
-        "pr0 AS (SELECT vec_id AS id, round(1.0 / nn.n, 6) AS r"
+        "pr0 AS (SELECT vec_id AS id,"
+        " CAST((2000000 + nn.n) // (2 * nn.n) AS BIGINT) AS r"
         " FROM emb CROSS JOIN nn)",
     ]
     for k in range(1, PAGERANK_ITERS + 1):
         parts.append(
             f"""pr{k} AS (
-  SELECT p.id, round({t} / nn.n + {d} * coalesce(c.s, 0.0), 6) AS r
+  SELECT p.id, CAST(
+    (2 * ((2 * {tnum} * 1000000000000 + {dden} * nn.n) // (2 * {dden} * nn.n)
+        + (2 * {dnum} * coalesce(c.s, 0) + {dden}) // (2 * {dden}))
+     + 1000000) // 2000000 AS BIGINT) AS r
   FROM pr{k - 1} p CROSS JOIN nn
   LEFT JOIN (
-    SELECT e.v AS id, sum(q.r / deg.d) AS s
+    SELECT e.v AS id, sum((2 * q.r * 1000000 + deg.d) // (2 * deg.d)) AS s
     FROM edges e JOIN pr{k - 1} q ON q.id = e.u JOIN deg ON deg.u = e.u
     GROUP BY e.v
   ) c ON c.id = p.id
@@ -2448,7 +2459,9 @@ def _pagerank_parts() -> tuple[list[str], str]:
 def _pagerank_sql() -> str:
     parts, final = _pagerank_parts()
     return (
-        "WITH " + ",\n".join(parts) + f'\nSELECT id AS vec_id, r AS "rank" FROM {final}'
+        "WITH "
+        + ",\n".join(parts)
+        + f'\nSELECT id AS vec_id, r / 1000000.0 AS "rank" FROM {final}'
     )
 
 
