@@ -63,6 +63,14 @@ DOC_PROBES_100X = [
     # batch-vs-corpus claim (cross-split candidates + top-1 election
     # should stay strictly under the all-pairs pass at every scale)
     "dedup_incremental_minhash",
+    # r12: the STREAMING twin of the incremental probe — same fixture
+    # split, same banded probe per micro-batch (2 batches + a full
+    # replay drain per call). Its line minus dedup_incremental_minhash's
+    # at the same point measures the fixed streaming machinery overhead;
+    # tracking both claims the gate's corpus-scaling IS the batch
+    # probe's (the warm-up builds the shared corpus index once; timed
+    # runs measure feed write + two drains + sink read).
+    "streaming_ingest_dedup_gate",
 ]
 PROBES = [
     "dedup_minhash_lsh",
@@ -75,6 +83,8 @@ PROBES = [
     "text_tfidf_top_terms",
     # r11: incremental batch-vs-corpus dedup (see DOC_PROBES_100X note)
     "dedup_incremental_minhash",
+    # r12: its streaming twin (see DOC_PROBES_100X note)
+    "streaming_ingest_dedup_gate",
 ]
 
 
