@@ -1,8 +1,10 @@
 """Oracle-parity regression corpus (VERDICT r11 task #6).
 
-Three check-green/driver-red canonicalization classes have each cost a
-driver round to discover, because tools/check.py's canonicalizer was more
-forgiving than the driver's bit-sensitive, type-sensitive value hash:
+Four cross-engine divergence classes have each cost a round to discover
+(the first three shipped check-green and died driver-red because
+tools/check.py's canonicalizer was more forgiving than the driver's
+bit-sensitive, type-sensitive value hash; the fourth was caught by the
+r12 cross-SF sweep before any driver contact):
 
 - r7  HUGEINT:  DuckDB types ``sum(int)`` as HUGEINT (arrow decimal128),
   Spark as BIGINT — byte-identical values, different arrow buffers.
@@ -10,6 +12,10 @@ forgiving than the driver's bit-sensitive, type-sensitive value hash:
   column DECIMAL(2,1) and DuckDB silently truncates every recursive value.
 - r11 signed zero: DuckDB ``round()`` on DOUBLE preserves IEEE ``-0.0``
   where Spark's ``F.round`` (BigDecimal HALF_UP) emits ``+0.0``.
+- r12 reduction order: a float SUM feeding a 6dp round flips at
+  round-half ties when the (engine/partitioning-dependent) summation
+  order shifts the sum by an ulp — amplified by chained rounded
+  iterations (PageRank). Fixed by integer fixed-point arithmetic.
 
 This module drives adversarial micro-fixtures through BOTH engines and the
 repo's own canonicalization/normalization layers and asserts each class is
@@ -187,6 +193,91 @@ def test_infinity_canon_does_not_crash(con):
     assert canon(float("-inf")) == "-Infinity"
     (v,) = con.execute("SELECT 'inf'::DOUBLE").fetchone()
     assert canon(v) == "Infinity"
+
+
+# --- class 4 (r12): order-nondeterministic float reductions ------------------
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    """Would have caught r12's dupgraph_pagerank sf0.1 divergence: a float
+    contribution SUM feeding a 6dp round flips at round-half ties when the
+    reduction order changes (across engines, partition counts, retries).
+    The integer fixed-point formulation makes the reduction an exact
+    integer sum — results must be BIT-identical under any partitioning."""
+    import random
+
+    from trading_etl_spark.operators import graph as gr
+
+    rng = random.Random(12)
+    n = 60
+    edge_list = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)}
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    results = []
+    for parts in (1, 7, 32):
+        got = {
+            r["id"]: r["rank"].hex()  # bit-level comparison, not ==
+            for r in gr.pagerank(
+                nodes.repartition(parts), edges.repartition(parts)
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_pagerank_oracle_micrograph_bit_identical(spark, con):
+    """The same micro-graph through BOTH engines' full arithmetic: Spark's
+    integer fixed-point operator vs the oracle CTE scheme (replicated here
+    on a VALUES relation) must agree bit-for-bit, including ranks landing
+    within an ulp of a 6dp round-half tie."""
+    from trading_etl_spark.operators import graph as gr
+
+    # K3 triangle + pendant (4) + dangling (5): mixed degrees force
+    # non-trivial contribution sums
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 4)]
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    sdf = {
+        r["id"]: r["rank"].hex()
+        for r in gr.pagerank(nodes, edges).collect()
+    }
+    dnum, dden = gr.damping_fraction()
+    tnum = dden - dnum
+    pairs = ", ".join(f"({u}, {v})" for u, v in edge_list)
+    node_rows = ", ".join(f"({i})" for i in range(6))
+    parts = [
+        f"vnodes AS (SELECT * FROM (VALUES {node_rows}) t(id))",
+        f"pairs AS (SELECT * FROM (VALUES {pairs}) t(pu, pv))",
+        "edges AS (SELECT pu AS u, pv AS v FROM pairs"
+        " UNION ALL SELECT pv, pu FROM pairs)",
+        "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM vnodes)",
+        "pr0 AS (SELECT id, CAST((2000000 + nn.n) // (2 * nn.n) AS BIGINT)"
+        " AS r FROM vnodes CROSS JOIN nn)",
+    ]
+    for k in range(1, gr.PAGERANK_ITERS + 1):
+        parts.append(
+            f"""pr{k} AS (
+  SELECT p.id, CAST(
+    (2 * ((2 * {tnum} * 1000000000000 + {dden} * nn.n) // (2 * {dden} * nn.n)
+        + (2 * {dnum} * coalesce(c.s, 0) + {dden}) // (2 * {dden}))
+     + 1000000) // 2000000 AS BIGINT) AS r
+  FROM pr{k - 1} p CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.v AS id, sum((2 * q.r * 1000000 + deg.d) // (2 * deg.d)) AS s
+    FROM edges e JOIN pr{k - 1} q ON q.id = e.u JOIN deg ON deg.u = e.u
+    GROUP BY e.v
+  ) c ON c.id = p.id
+)"""
+        )
+    sql = (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, r / 1000000.0 AS rank FROM pr{gr.PAGERANK_ITERS}"
+    )
+    odf = {i: r.hex() for i, r in con.execute(sql).fetchall()}
+    assert sdf == odf
 
 
 # --- hypothesis fuzz: the rewriter on arbitrary expression shapes ------------
