@@ -354,9 +354,10 @@ def main() -> None:
         "  (deterministic order), single-round aggregates have wide",
         "  margins, and the 3-SF sweep is the regression net. Confirmed",
         "  empirically on a third axis: the full 174-query sweep was",
-        "  re-run at sf0.01 with spark.sql.shuffle.partitions=3 (vs the",
-        "  checker's 8) to perturb every reduction order directly —",
-        "  ALL OK, so no other registered query is order-dependent.",
+        "  re-run at sf0.01 AND sf0.1 with spark.sql.shuffle.partitions=3",
+        "  (vs the checker's 8) to perturb every reduction order directly",
+        "  — ALL OK both times, so no other registered query is",
+        "  order-dependent.",
         "- streaming ingest gate scaling (r12): the gate joined the probe",
         "  matrix at 1x/10x/100x documents (BENCH_DETAIL scaling block,",
         "  measured_commit c61a7b2). Min 9.8/18.7/114.6 s; the 1.065",
