@@ -64,10 +64,10 @@ def test_spark_round_normalizes_negative_zero(spark):
 
 
 def test_canon_renders_signed_zero_distinctly():
-    """Would have caught r11's williams_r_14_1h: the old canon collapsed
+    """Would have caught r11's williams_r_14_1h: the r10 canon collapsed
     -0.0 to "0" via int(), masking exactly what the driver hashes."""
-    assert canon(-0.0) == "-0"
-    assert canon(0.0) == "0"
+    assert canon(-0.0) == "-0.0"
+    assert canon(0.0) == "0.0"
     assert canon(-0.0) != canon(0.0)
 
 
@@ -181,9 +181,26 @@ def test_decimal_literal_flagged(con, spark):
 
 def test_nan_and_integer_valued_doubles_canon_stable():
     assert canon(float("nan")) == "NaN"
-    assert canon(5.0) == "5"  # int-collapse is driver-compatible for +ints
-    assert canon(-5.0) == "-5"
+    assert canon(5.0) == "5.0"
+    assert canon(-5.0) == "-5.0"
     assert canon(1.25) == canon(1.25)
+
+
+def test_canon_full_precision_catches_6dp_ties_above_ten():
+    """Canonicalization class 4b (r12, the FOURTH check-green/driver-red
+    class): the old f"{v:.6g}" rendered six SIGNIFICANT digits, so for
+    |v| >= 10 a 6th-DECIMAL-place difference was locally invisible while
+    the driver's hash is bit-sensitive. These are the exact vwap_daily_1h
+    values from the r12 driver red row ('USD/JPY', 2024-01-23 10:00):
+    Spark 66.622813 vs DuckDB 66.622812 — the old canon rendered both
+    "66.6228" and shipped the round's one red row check-green."""
+    spark_v, duck_v = 66.622813, 66.622812
+    assert f"{spark_v:.6g}" == f"{duck_v:.6g}"  # the masking defect
+    assert canon(spark_v) != canon(duck_v)      # the hardened canon catches it
+    # and canon is exactly the driver bar: equal iff bit-equal
+    assert canon(spark_v) == canon(66.622813)
+    # larger magnitudes stay distinguishable too (class scales with |v|)
+    assert canon(12345.678901) != canon(12345.678902)
 
 
 def test_infinity_canon_does_not_crash(con):
@@ -193,6 +210,52 @@ def test_infinity_canon_does_not_crash(con):
     assert canon(float("-inf")) == "-Infinity"
     (v,) = con.execute("SELECT 'inf'::DOUBLE").fetchone()
     assert canon(v) == "Infinity"
+
+
+# --- class 5 (r13): round() tie semantics on the SAME double -----------------
+
+
+def test_engines_round_disagrees_on_shortest_repr_ties(con, spark):
+    """Found while fixing class 4: even with BIT-IDENTICAL raw doubles the
+    engines' native round(x, 6) can differ. Spark's F.round half-ups the
+    double's SHORTEST decimal repr (BigDecimal.valueOf → "32.5666665" →
+    …667) while DuckDB rounds the binary expansion (32.56666649999…966 →
+    …666). This pins the live divergence so the class stays documented;
+    queries must avoid native round() at half ties (vwap_daily_1h does the
+    rounding in exact integer arithmetic instead)."""
+    x = 32.5666665  # repr tie; exact binary expansion is BELOW the tie
+    (dv,) = con.execute(f"SELECT round({x!r}::DOUBLE, 6)").fetchone()
+    [(sv,)] = spark.range(1).select(
+        F.round(F.lit(x).cast("double"), 6).alias("v")
+    ).collect()
+    assert dv == 32.566666  # DuckDB: exact-expansion rounding
+    assert sv == 32.566667  # Spark: shortest-repr HALF_UP
+    assert dv != sv
+
+
+def test_vwap_integer_rounding_is_engine_independent(con, spark):
+    """The class-5 fix: round_half_up(sfp/sv) computed as
+    (2·sfp + sv) div (2·sv) in int64 — identical by construction. Checks
+    the exact r13 tie row values (EUR/JPY 2024-01-20 00:00: sfp=65133333,
+    sv=2 → true rational 32.56666650 exactly → half-up 32.566667) on both
+    engines, plus a non-tie row."""
+    cases = [(65133333, 2), (896646667, 14), (123456789, 7)]
+    for sfp, sv in cases:
+        (dv,) = con.execute(
+            f"SELECT CAST(({2 * sfp} + {sv}) // {2 * sv} AS BIGINT) / 1000000.0"
+        ).fetchone()
+        # 1000000.0 is a DECIMAL literal in Spark SQL (class-2 hazard) —
+        # the operator divides by a Python float (DoubleType); mirror that.
+        [(spv,)] = spark.sql(
+            f"SELECT (({2 * sfp} + {sv}) div {2 * sv})"
+            " / CAST(1000000.0 AS DOUBLE) AS v"
+        ).collect()
+        assert dv == spv, (sfp, sv)
+    # the r12/r13 tie rows land on the TRUE half-up of the exact rational
+    (tie,) = con.execute(
+        "SELECT CAST((2*65133333 + 2) // (2*2) AS BIGINT) / 1000000.0"
+    ).fetchone()
+    assert tie == 32.566667
 
 
 # --- class 4 (r12): order-nondeterministic float reductions ------------------

@@ -31,15 +31,16 @@ def canon(v):
             return "NaN"
         if math.isinf(v):  # int(inf) raises — render explicitly
             return "Infinity" if v > 0 else "-Infinity"
-        # IEEE -0.0 renders distinctly: the driver's hash is bit-sensitive,
-        # and the int() collapse below would mask the sign of zero — which
-        # is how r11's williams_r_14_1h shipped check-green and died
-        # driver-red (DuckDB round() preserves signed zero, F.round doesn't)
-        if v == 0.0 and math.copysign(1.0, v) < 0:
-            return "-0"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # repr() is Python's shortest-round-trip rendering: two finite
+        # doubles are canon-equal IFF they are bit-equal (it preserves the
+        # sign of zero too, covering the r11 williams_r -0.0 class) —
+        # exactly the driver's bit-sensitive hash bar. The previous
+        # f"{v:.6g}" rendered six SIGNIFICANT digits, so for |v| >= 10 a
+        # difference in the 6th DECIMAL place was invisible locally while
+        # the driver hashed it — canonicalization class 4, how r12's
+        # vwap_daily_1h shipped check-green and died driver-red
+        # (66.622813 vs 66.622812 both rendered "66.6228").
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):
@@ -136,7 +137,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from trading_etl_spark.session import get_spark
 
-    spark = get_spark("check", shuffle_partitions=8)
+    # CHECK_SHUFFLE_PARTITIONS lets the determinism sweeps perturb the
+    # partitioning (reduction order / row order) without editing this file.
+    import os
+    spark = get_spark(
+        "check",
+        shuffle_partitions=int(os.environ.get("CHECK_SHUFFLE_PARTITIONS", "8")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -778,7 +778,9 @@ def obv(candles: DataFrame, volume_col: str = "volume") -> DataFrame:
     )
 
 
-def vwap_anchored(candles: DataFrame, volume_col: str = "volume") -> DataFrame:
+def vwap_anchored(
+    candles: DataFrame, volume_col: str = "volume", round_dp: int | None = None
+) -> DataFrame:
     """Session-anchored VWAP (r11-born) as native cumulative windows (zero
     Python): within each (pair, timeframe, UTC day) the running
     Σ(typical·vol)/Σ(vol), typical = (high+low+close)/3 — the intraday
@@ -786,21 +788,55 @@ def vwap_anchored(candles: DataFrame, volume_col: str = "volume") -> DataFrame:
     execution-quality benchmark. Two running sums share ONE (pair,
     timeframe, day) window; partitioning by day also bounds any series'
     window state at 100 TB (no unbounded-preceding over years of
-    history — the anchor IS the partition key)."""
+    history — the anchor IS the partition key).
+
+    Reduction-order independence (r13 redesign, the PageRank precedent,
+    VERDICT r12 task #1): the running numerator accumulates in INTEGER
+    fixed-point — per-row typical·vol is quantized to 1e-6 units
+    (floor(x·1e6 + 0.5), one deterministic per-row double expression,
+    bit-identical on any IEEE engine given the same parenthesization) and
+    summed as BIGINT, so the cumulative sum is exact and identical under
+    ANY reduction order — sequential running frames (Spark) and
+    pairwise/segment-tree window reductions (DuckDB) agree bit-for-bit,
+    killing the 6dp round-half ties that ulp-level drift flipped in r12
+    (1 of 3,887 rows). The denominator (volume) is already integral.
+    Overflow headroom: per-row tpv·1e6 at price 1e5 × hourly volume 1e6 is
+    ~1e17 and a day partition holds ≤24 rows → worst-case day sum ~2.4e18
+    < int64 max 9.2e18 (the ``round_dp`` path doubles it: 4.8e18, still
+    inside). The division back to double happens once per row on exact
+    integers — deterministic.
+
+    ``round_dp=6`` (divergence class 5, found fixing class 4): engines
+    disagree on ROUNDING the identical raw double too — Spark's F.round
+    half-ups the double's SHORTEST decimal repr (BigDecimal.valueOf:
+    "32.5666665" → .566667) while DuckDB rounds the scaled double's exact
+    binary expansion (32.56666649999…966 → .566666). So the 6dp rounding
+    itself is done in exact integer arithmetic: with the numerator in
+    1e-6 units, round_half_up(sfp/(1e-6·sv)·1e6)/1e6 = ((2·sfp + sv) div
+    (2·sv))/1e6 — the exact half-up rounding of the TRUE RATIONAL value,
+    engine-independent by construction (all positive, so trunc-div ==
+    floor-div). Only dp=6 is supported — it is the repo-wide oracle
+    precision and matches the 1e6 fixed-point scale exactly."""
     w = (
         Window.partitionBy(*GROUP_KEYS, "anchor_date")
         .orderBy("time")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
-    return (
+    tpv_fp = F.floor(tp * F.col(volume_col) * 1000000.0 + 0.5)
+    out = (
         candles.withColumn("anchor_date", F.to_date("time"))
-        .withColumn("_tpv", tp * F.col(volume_col))
-        .withColumn(
-            "vwap", F.sum("_tpv").over(w) / F.sum(volume_col).over(w)
-        )
-        .drop("_tpv")
+        .withColumn("_tpv_fp", tpv_fp)
+        .withColumn("_sfp", F.sum("_tpv_fp").over(w))
+        .withColumn("_sv", F.sum(volume_col).over(w))
     )
+    if round_dp is None:
+        vwap = (F.col("_sfp") / 1000000.0) / F.col("_sv")
+    elif round_dp == 6:
+        vwap = F.expr("(2 * _sfp + _sv) div (2 * _sv)") / 1000000.0
+    else:
+        raise ValueError("vwap_anchored: only round_dp=6 is supported")
+    return out.withColumn("vwap", vwap).drop("_tpv_fp", "_sfp", "_sv")
 
 
 def candle_patterns(ohlc: DataFrame) -> DataFrame:

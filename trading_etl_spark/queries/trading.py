@@ -516,14 +516,19 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-anchored VWAP over hourly tick-count candles — two running sums
-    on one (pair, day) window, zero Python (r11-born)."""
-    out = indicators.vwap_anchored(_ohlc_1h_vol(spark, sf_dir), volume_col="volume")
+    on one (pair, day) window, zero Python (r11-born). r13: integer
+    fixed-point accumulation AND exact integer 6dp rounding inside the
+    operator (round_dp=6) — reduction-order- and engine-independent; no
+    F.round here (divergence classes 4+5, see vwap_anchored)."""
+    out = indicators.vwap_anchored(
+        _ohlc_1h_vol(spark, sf_dir), volume_col="volume", round_dp=6
+    )
     return out.select(
         "currency_pair_code",
         "timeframe_code",
         F.col("anchor_date").cast("string").alias("anchor_date"),
         "time",
-        F.round("vwap", 6).alias("vwap"),
+        "vwap",
     )
 
 
@@ -1965,14 +1970,31 @@ FROM (SELECT *,
                                           ORDER BY time) AS d
       FROM ohlc_1h_vol)"""
 
+# Integer fixed-point accumulation + exact integer 6dp rounding (r13,
+# matches vwap_anchored's redesign — divergence classes 4 AND 5): per-row
+# tpv is quantized to 1e-6-unit BIGINTs and summed exactly, so DuckDB's
+# pairwise window SUM and Spark's sequential running frame agree under any
+# reduction order; then the 6dp half-up rounding is ALSO integer-exact —
+# (2·sfp + sv) // (2·sv) is round_half_up(sfp/sv) for positive ints (DuckDB
+# // is floor-div, Spark div is trunc-div: equal on positives) — because the
+# engines' native round() disagree on the SAME double (Spark half-ups the
+# shortest repr, DuckDB rounds the binary expansion). CAST window sums back
+# to BIGINT: DuckDB types sum(BIGINT) as HUGEINT (class 1).
 ORACLES["vwap_daily_1h"] = _with(_BASE, _VOL_1H_SQL) + """
-SELECT currency_pair_code, timeframe_code,
-       (time::DATE)::VARCHAR AS anchor_date, time,
-       round(sum(tpv) OVER w / sum(volume) OVER w, 6) AS vwap
-FROM (SELECT *, ((high + low + "close") / 3.0) * volume AS tpv
-      FROM ohlc_1h_vol)
-WINDOW w AS (PARTITION BY currency_pair_code, time::DATE ORDER BY time
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+SELECT currency_pair_code, timeframe_code, anchor_date, time,
+       CAST((2 * sfp + sv) // (2 * sv) AS BIGINT) / 1000000.0 AS vwap
+FROM (
+  SELECT currency_pair_code, timeframe_code,
+         (time::DATE)::VARCHAR AS anchor_date, time,
+         CAST(sum(tpv_fp) OVER w AS BIGINT) AS sfp,
+         CAST(sum(volume) OVER w AS BIGINT) AS sv
+  FROM (SELECT *,
+               CAST(floor(((high + low + "close") / 3.0) * volume * 1000000.0
+                          + 0.5) AS BIGINT) AS tpv_fp
+        FROM ohlc_1h_vol)
+  WINDOW w AS (PARTITION BY currency_pair_code, time::DATE ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
 
 ORACLES["candle_patterns_1h"] = _with(*_TO_1H) + """
 SELECT * FROM (
