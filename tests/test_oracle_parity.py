@@ -121,6 +121,16 @@ def test_rewriter_skips_strings_comments_and_words():
     assert normalize_round_neg_zero(s) == s
     s2 = 'SELECT "round(col)" FROM t'  # quoted identifier
     assert normalize_round_neg_zero(s2) == s2
+    # block comments (ADVICE r12): a round( or unbalanced paren inside
+    # /* ... */ must neither be rewritten nor break paren matching
+    s3 = "SELECT /* round(x) and a stray ( */ v FROM t"
+    assert normalize_round_neg_zero(s3) == s3
+    s4 = "SELECT round(v /* ) tricky ( */, 6) AS a FROM t"
+    assert normalize_round_neg_zero(s4) == (
+        "SELECT (round(v /* ) tricky ( */, 6) + 0.0) AS a FROM t"
+    )
+    s5 = "SELECT /* unterminated block v FROM t"
+    assert normalize_round_neg_zero(s5) == s5
 
 
 def test_rewriter_is_idempotent_and_value_preserving(con):

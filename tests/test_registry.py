@@ -14,49 +14,33 @@ DRIVER_WINDOW = 50
 
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
-    "sma_dead_cross": "williams_r_14_1h",
-    "spread_quantiles": "approx_value_quantiles",
-    "avg_close_pivot": "candle_patterns_1h",
-    "text_fingerprint": "dedup_exact",
-    "embedding_near_dup": "embedding_near_dup_lsh",
-    "dedup_ngram_jaccard": "dedup_incremental_minhash",
-    "embedding_knn_bruteforce": "embedding_hard_negatives",
-    "embedding_knn_ivf": "embedding_hard_negatives",
-    "embedding_knn_ivf_multiprobe": "embedding_hard_negatives",
-    "text_simhash": "dedup_incremental_minhash",
+    "embedding_knn_ivf_multiprobe": "embedding_ann_recall_eval",
+    "text_simhash": "streaming_ingest_dedup_gate",
     "event_props_json_agg": "event_type_copairs",
     "top_customers_by_open_value": "top_customers_page2_offset",
-    "candle_cube": "candle_patterns_1h",
-    "backtest_equity_curve": "obv_1h",
-    "media_frame_sample": "media_dhash",
-    "sma_fanout_all_tf": "williams_r_14_1h",
-    "backtest_trades": "obv_1h",
-    "watermark_max_time": "incremental_cursor_scan",
-    "text_token_count": "text_ccnet_ppl_buckets",
-    "text_top_terms_per_lang": "text_tfidf_top_terms",
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
-    "ohlc_derived_multi_tf": "candle_patterns_1h",
-    "sma_14_1h": "williams_r_14_1h",
+    "ohlc_derived_multi_tf": "candle_cube",
+    "sma_14_1h": "sma_fanout_all_tf",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
-    "candle_returns_quartile": "approx_value_quantiles",
+    "candle_returns_quartile": "spread_quantiles",
     "event_reaction_window": "event_asof_tick_plain",
-    "dedup_simhash": "dedup_incremental_minhash",
+    "dedup_simhash": "streaming_ingest_dedup_gate",
     "dedup_connected_components": "dedup_cc_two_phase",
     "dedup_passages": "corpus_pack_sequences",
     "text_repetition_filter": "text_ccnet_ppl_buckets",
     "train_test_split": "stratified_sample_by_lang",
-    "embedding_label_centroids": "embedding_hard_negatives",
-    "embedding_quantize_int8": "embedding_hard_negatives",
+    "embedding_label_centroids": "embedding_ann_recall_eval",
+    "embedding_quantize_int8": "embedding_ann_recall_eval",
     "daily_active_users": "approx_distinct_users",
     "returned_order_priority_semi": "custdist_q13",
     # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
     # the stateful-streaming path).
-    "candle_gap_fill": "candle_patterns_1h",
+    "candle_gap_fill": "candle_cube",
     "event_asof_next_tick": "event_asof_tick_plain",
-    "text_bigram_pmi": "text_tfidf_top_terms",
+    "text_bigram_pmi": "text_top_terms_per_lang",
     "dim_scd2_history": "user_cohort_retention",
     "user_funnel_conversion": "user_cohort_retention",
     "sample_weighted_quality": "stratified_sample_by_lang",
@@ -64,31 +48,31 @@ SIBLING = {
     "streaming_sliding_stats": "streaming_ohlc_1m",
     "text_pii_redact": "text_ccnet_ppl_buckets",
     "urgent_not_finished_setops": "custdist_q13",
-    "ema_14_1h": "keltner_20_10_1h",
+    "ema_14_1h": "trix_15_1h",
     # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
     "event_asof_nearest_tick": "event_asof_tick_plain",
-    "embedding_pq_codes": "embedding_hard_negatives",
-    "embedding_knn_pq_adc": "embedding_hard_negatives",
+    "embedding_pq_codes": "embedding_ann_recall_eval",
+    "embedding_knn_pq_adc": "embedding_ann_recall_eval",
     "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
-    "star_join_revenue": "nation_volume_q7",
+    "star_join_revenue": "market_share_q8",
     "text_rolling_fingerprint": "corpus_pack_sequences",
-    "corpus_clean_pipeline": "dedup_incremental_minhash",
+    "corpus_clean_pipeline": "streaming_ingest_dedup_gate",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "keltner_20_10_1h",
-    "bollinger_20_2_1h": "williams_r_14_1h",
+    "macd_12_26_9_1h": "trix_15_1h",
+    "bollinger_20_2_1h": "sma_fanout_all_tf",
     "hybrid_search_rrf": "bm25_search",
-    "embedding_knn_matryoshka": "embedding_hard_negatives",
+    "embedding_knn_matryoshka": "embedding_ann_recall_eval",
     "corpus_dsir_resample": "text_unigram_logprob",
     "dedup_semantic_kmeans": "embedding_ivf_drift_report",
     "dim_scd2_merge_apply": "user_cohort_retention",
@@ -106,19 +90,19 @@ SIBLING = {
     # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
     # dedup_lsh_eval apply the same trained artifacts or spans).
     "event_asof_tick": "event_asof_tick_plain",
-    "backtest_pnl": "obv_1h",
-    "events_value_histogram": "approx_value_quantiles",
-    "ticks_freshness_sla": "incremental_cursor_scan",
-    "dedup_minhash_lsh": "dedup_incremental_minhash",
+    "backtest_pnl": "vwap_daily_1h",
+    "events_value_histogram": "spread_quantiles",
+    "ticks_freshness_sla": "watermark_max_time",
+    "dedup_minhash_lsh": "streaming_ingest_dedup_gate",
     "dedup_exact_substring": "corpus_strip_dup_spans",
-    "bpe_train_merges": "bpe_encode_fertility",
+    "bpe_train_merges": "text_token_count",
     "priority_shipmonth_q12": "large_volume_q18",
-    "local_supplier_volume": "nation_volume_q7",
+    "local_supplier_volume": "market_share_q8",
     "rsi_14_1h": "streaming_rsi_14_1h",
-    "sma_golden_cross": "williams_r_14_1h",
-    "candle_rollup": "candle_patterns_1h",
-    "atr_14_1h": "keltner_20_10_1h",
-    "stochastic_14_3_1h": "keltner_20_10_1h",
+    "sma_golden_cross": "sma_fanout_all_tf",
+    "candle_rollup": "candle_cube",
+    "atr_14_1h": "trix_15_1h",
+    "stochastic_14_3_1h": "trix_15_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
@@ -127,15 +111,15 @@ SIBLING = {
     # events_compaction_plan / decontaminate_fuzzy_lsh / donchian_20_1h /
     # ichimoku_9_26_52_1h / dupgraph_triangle_stats / customer_rfm_segments /
     # media_dhash are the incoming family twins).
-    "media_extract_meta": "media_dhash",
+    "media_extract_meta": "media_frame_sample",
     "events_retention_plan": "events_orphan_files",
     "events_zorder_stats": "events_orphan_files",
     "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
     "dedup_keeper_centrality": "dupgraph_triangle_stats",
-    "volatility_20_1h": "williams_r_14_1h",
-    "pair_rolling_correlation": "williams_r_14_1h",
-    "events_value_winsorize": "approx_value_quantiles",
-    "embedding_knn_ivfadc": "embedding_hard_negatives",
+    "volatility_20_1h": "sma_fanout_all_tf",
+    "pair_rolling_correlation": "sma_fanout_all_tf",
+    "events_value_winsorize": "spread_quantiles",
+    "embedding_knn_ivfadc": "embedding_ann_recall_eval",
     "streaming_firstwins_append": "idempotent_append_fresh",
     # r11 rotation wave 5: ALL 14 never-driver-certified r10-born queries
     # moved INTO the window (backlog emptied again); these 14 r10-driver-green
@@ -146,42 +130,65 @@ SIBLING = {
     # orphan-files the maintenance dry-runs, filtered-ANN + drift-report the
     # IVF family, ngram-diversity the text gates, containment the banded-LSH
     # family; media_dhash stays in window for the media kernels).
-    "donchian_20_1h": "williams_r_14_1h",
-    "ichimoku_9_26_52_1h": "williams_r_14_1h",
-    "shipping_priority_q3": "nation_volume_q7",
+    "donchian_20_1h": "sma_fanout_all_tf",
+    "ichimoku_9_26_52_1h": "sma_fanout_all_tf",
+    "shipping_priority_q3": "market_share_q8",
     "disjunctive_revenue_q19": "market_share_q8",
-    "customer_rfm_segments": "approx_value_quantiles",
+    "customer_rfm_segments": "spread_quantiles",
     "events_compaction_plan": "events_orphan_files",
-    "embedding_knn_ivf_kmeans": "embedding_hard_negatives",
+    "embedding_knn_ivf_kmeans": "embedding_ann_recall_eval",
     "text_quality_score": "text_ccnet_ppl_buckets",
-    "dedup_lsh_eval": "dedup_incremental_minhash",
-    "holt_forecast_1h": "keltner_20_10_1h",
+    "dedup_lsh_eval": "streaming_ingest_dedup_gate",
+    "holt_forecast_1h": "trix_15_1h",
     "returned_item_q10": "large_volume_q18",
     "customers_no_open_orders_anti": "custdist_q13",
-    "media_resize": "media_dhash",
-    "media_audio_features": "media_dhash",
+    "media_resize": "media_frame_sample",
+    "media_audio_features": "media_frame_sample",
     # r12 rotation wave 6: ALL 15 r11-born + the newly registered
     # streaming_ingest_dedup_gate moved INTO the window (backlog emptied);
     # these 16 r11-driver-green queries rotated out, each with a
     # same-family twin in the window — for most, the incoming r11-born
     # queries ARE the twins. williams_r_14_1h stays in-window for its
     # post--0.0-fix re-certification.
-    "adx_14_1h": "keltner_20_10_1h",
-    "backtest_max_drawdown": "obv_1h",
-    "cci_20_1h": "williams_r_14_1h",
-    "late_shipment_q4": "nation_volume_q7",
+    "adx_14_1h": "trix_15_1h",
+    "backtest_max_drawdown": "vwap_daily_1h",
+    "cci_20_1h": "sma_fanout_all_tf",
+    "late_shipment_q4": "market_share_q8",
     "top_supplier_q15": "large_volume_q18",
     "idle_rich_customers_q22": "custdist_q13",
     "promo_revenue_q14": "market_share_q8",
     "revenue_concentration_q11": "market_share_q8",
-    "embedding_knn_filtered": "embedding_hard_negatives",
-    "corpus_domain_mix": "corpus_mixture_plan",
-    "dedup_minhash_containment": "dedup_incremental_minhash",
+    "embedding_knn_filtered": "embedding_ann_recall_eval",
+    "corpus_domain_mix": "stratified_sample_by_lang",
+    "dedup_minhash_containment": "streaming_ingest_dedup_gate",
     "streaming_enrich_dim_join": "streaming_ohlc_1m",
     "streaming_scd2_apply": "streaming_ingest_dedup_gate",
     "text_ngram_diversity": "text_ccnet_ppl_buckets",
-    "orders_table_profile": "approx_value_quantiles",
-    "candle_unpivot": "candle_patterns_1h",
+    "orders_table_profile": "spread_quantiles",
+    "candle_unpivot": "candle_cube",
+    # r13 rotation wave 7: the 16 queries whose ONLY driver-green evidence
+    # was round 1 moved back INTO the window (first driver contact since
+    # the canon hardening closed classes 3-5); these 16 r12-driver-green
+    # queries rotated out, each with a same-family twin in the window —
+    # for several, the incoming r1-only queries ARE the twins.
+    # vwap_daily_1h stays in-window for its post-fixed-point
+    # re-certification (exactly the williams_r wave-6 precedent).
+    "williams_r_14_1h": "sma_fanout_all_tf",
+    "keltner_20_10_1h": "trix_15_1h",
+    "obv_1h": "vwap_daily_1h",
+    "candle_patterns_1h": "candle_cube",
+    "incremental_cursor_scan": "watermark_max_time",
+    "approx_value_quantiles": "spread_quantiles",
+    "nation_volume_q7": "market_share_q8",
+    "product_profit_q9": "market_share_q8",
+    "small_qty_revenue_q17": "large_volume_q18",
+    "waiting_supplier_q21": "custdist_q13",
+    "dedup_incremental_minhash": "streaming_ingest_dedup_gate",
+    "embedding_hard_negatives": "embedding_ann_recall_eval",
+    "corpus_mixture_plan": "stratified_sample_by_lang",
+    "bpe_encode_fertility": "text_token_count",
+    "text_tfidf_top_terms": "text_top_terms_per_lang",
+    "media_dhash": "media_frame_sample",
 }
 
 
@@ -214,33 +221,34 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round12_rotation_in_window():
-    # VERDICT r11 task #2 (rotation wave 6): ALL 15 never-driver-certified
-    # r11-born queries plus the newly registered streaming ingest gate are
-    # inside the 50-row correctness window this round — once certified, the
-    # backlog is empty again. williams_r_14_1h must also be in-window for
-    # its post--0.0-fix re-certification (task #1 done-criterion). (Earlier
-    # rounds' in-window assertions are superseded by rotation; their driver
-    # certifications are on record in CORRECTNESS_r{1..11}.json.)
+def test_round13_rotation_in_window():
+    # VERDICT r12 task #2 (rotation wave 7): the 16 queries whose ONLY
+    # driver-green evidence was round 1 are inside the 50-row correctness
+    # window this round — their first driver contact in eleven rounds and
+    # the first since the canon hardening closed divergence classes 3-5.
+    # vwap_daily_1h must also be in-window for its post-fixed-point
+    # re-certification (task #1 done-criterion). (Earlier rounds' in-window
+    # assertions are superseded by rotation; their driver certifications
+    # are on record in CORRECTNESS_r{1..12}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "williams_r_14_1h",
-        "keltner_20_10_1h",
-        "trix_15_1h",
-        "obv_1h",
+        "avg_close_pivot",
+        "backtest_equity_curve",
+        "backtest_trades",
+        "candle_cube",
+        "dedup_ngram_jaccard",
+        "embedding_knn_bruteforce",
+        "embedding_knn_ivf",
+        "embedding_near_dup",
+        "media_frame_sample",
+        "sma_dead_cross",
+        "sma_fanout_all_tf",
+        "spread_quantiles",
+        "text_fingerprint",
+        "text_token_count",
+        "text_top_terms_per_lang",
+        "watermark_max_time",
         "vwap_daily_1h",
-        "candle_patterns_1h",
-        "nation_volume_q7",
-        "custdist_q13",
-        "small_qty_revenue_q17",
-        "large_volume_q18",
-        "waiting_supplier_q21",
-        "embedding_hard_negatives",
-        "corpus_mixture_plan",
-        "market_share_q8",
-        "product_profit_q9",
-        "dedup_incremental_minhash",
-        "streaming_ingest_dedup_gate",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

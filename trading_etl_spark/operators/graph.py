@@ -245,10 +245,15 @@ def pagerank(
     engines, partition counts, cluster sizes, and retries. Damping enters
     as the exact rational 17/20 (:func:`damping_fraction`); the only
     float op left is the final exact-int → double division, correctly
-    rounded identically everywhere. Overflow-safe at ANY graph size in
-    int64: total rank mass ≈ 1, so a node's contribution sum is ≤ ~1.2e12
-    regardless of |V| (the 1e-12-unit mass of the whole graph), and every
-    intermediate stays < 1e14 ≪ 2^63.
+    rounded identically everywhere. Overflow bound (ADVICE r12 — stated
+    WITH the rounding-drift term): total rank mass starts at ~1e6
+    micro-units and per-node half-up rounding can add up to 0.5 micro-unit
+    per node per iteration, so after k iterations mass ≤ 1e6 + k·|V|/2
+    micro-units and a node's contribution sum (1e-12 units) is ≤
+    1e6·(1e6 + k·|V|/2). At the default k=10 that stays < 2^63 for |V| up
+    to ~1.8e12 nodes — far beyond any dup-graph this engine will ever
+    rank (a trillion-node graph would bottleneck elsewhere first) — but
+    it is a |V|-dependent bound, not "any graph size".
 
     Scale shape (the classic distributed PageRank): the symmetrized
     degree-annotated edge list materializes ONCE (``localCheckpoint``, so

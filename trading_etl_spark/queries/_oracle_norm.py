@@ -18,8 +18,9 @@ are covered without touching 300+ source sites, and the rewrite reaches the
 driver because the driver consumes ``oracle_sql()``'s returned strings.
 
 The rewriter is a tiny SQL-aware scanner, not a regex: it skips
-single-quoted string literals, double-quoted identifiers, and ``--`` line
-comments, and paren-matches with the same awareness, recursing into the
+single-quoted string literals, double-quoted identifiers, ``--`` line
+comments, and ``/* ... */`` block comments, and paren-matches with the same
+awareness, recursing into the
 call's argument list so nested rounds normalize too. Unit-tested in
 ``tests/test_oracle_parity.py`` alongside the other two historical
 check-green/driver-red canonicalization classes (HUGEINT sums, DECIMAL
@@ -62,6 +63,11 @@ def _scan_token(sql: str, i: int) -> int:
     if c == "-" and i + 1 < n and sql[i + 1] == "-":
         j = sql.find("\n", i)
         return n if j < 0 else j + 1
+    if c == "/" and i + 1 < n and sql[i + 1] == "*":
+        # block comment: skip to the closing */ (ADVICE r12 — a 'round('
+        # or unbalanced paren inside /* ... */ must not be scanned)
+        j = sql.find("*/", i + 2)
+        return n if j < 0 else j + 2
     return i
 
 

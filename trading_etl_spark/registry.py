@@ -21,24 +21,20 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 # cheaper/scale-path twin stays in the window — so they register LAST.
 # tests/test_registry.py asserts the window invariants.
 _DEFER: list[str] = [
-    "sma_dead_cross",         # same J1 self-join shape as sma_golden_cross [twin: williams_r_14_1h]
-    "spread_quantiles",       # percentiles covered by approx_value_quantiles [twin: approx_value_quantiles]
-    "avg_close_pivot",        # pivot-on-literal; cheap sibling of rollup/cube [twin: candle_patterns_1h]
-    "text_fingerprint",       # order-insensitive twin of text_rolling_fingerprint [twin: dedup_exact]
-    "embedding_near_dup",     # exact all-pairs baseline; LSH twin is the scale path [twin: embedding_near_dup_lsh]
-    "dedup_ngram_jaccard",    # quadratic verification baseline; minhash LSH twin in window [twin: dedup_incremental_minhash]
-    "embedding_knn_bruteforce",  # exact O(n·q) baseline; IVF twin is the scale path [twin: embedding_hard_negatives]
-    "candle_cube",            # grouping-set sibling of candle_rollup [twin: candle_patterns_1h]
-    "backtest_equity_curve",  # cumulative-window sibling of backtest_trades [twin: obv_1h]
-    "media_frame_sample",     # mapInPandas multimodal covered by extract_meta [twin: media_dhash]
-    "sma_fanout_all_tf",      # same native-window SMA as sma_golden_cross's inputs, fanned across tfs [twin: williams_r_14_1h]
-    "backtest_trades",        # window-over-candles sibling of backtest_pnl [twin: obv_1h]
-    "watermark_max_time",     # trivial max-agg consumed by incremental_cursor_scan
-    "text_token_count",       # token stats subsumed by text_quality_score [twin: text_ccnet_ppl_buckets]
-    "embedding_knn_ivf",      # single-cell probe; multiprobe twin is the production path [twin: embedding_hard_negatives]
-    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_hard_negatives]
-    "text_top_terms_per_lang",  # explode→count→rank covered by text_tfidf_top_terms
-    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: dedup_incremental_minhash]
+    # r13 rotation wave 7 (VERDICT r12 task #2) moved the 16 r1-only-
+    # certified queries that used to open this list (sma_dead_cross,
+    # spread_quantiles, avg_close_pivot, text_fingerprint,
+    # embedding_near_dup, dedup_ngram_jaccard, embedding_knn_bruteforce,
+    # candle_cube, backtest_equity_curve, media_frame_sample,
+    # sma_fanout_all_tf, backtest_trades, watermark_max_time,
+    # text_token_count, embedding_knn_ivf, text_top_terms_per_lang) back
+    # INTO the window — their only driver-green evidence was round 1,
+    # eleven rounds of code movement ago, and the canon they were last
+    # locally swept through masked classes 3-5. See the wave-7 block at
+    # the END of this list for the 16 freshly-r12-certified rows that
+    # made room.
+    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_ann_recall_eval]
+    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: streaming_ingest_dedup_gate]
     "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram [twin: event_type_copairs]
     "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
     # r5 rotation (VERDICT r4 task #1): the 13 never-driver-checked queries
@@ -48,18 +44,18 @@ _DEFER: list[str] = [
     # INTO the window; these 14 redundant siblings — every one with r1-r4
     # driver-green rows AND a same-family twin still in the window — moved
     # out to make room. All stay oracle-verified by tools/check.py.
-    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_patterns_1h]
-    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: williams_r_14_1h]
+    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_cube]
+    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: sma_fanout_all_tf]
     "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
-    "candle_returns_quartile",  # exact percentiles; GK-sketch twin approx_value_quantiles in window [twin: approx_value_quantiles]
+    "candle_returns_quartile",  # exact percentiles; GK-sketch twin spread_quantiles in window [twin: spread_quantiles]
     "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick [twin: event_asof_tick_plain]
-    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: dedup_incremental_minhash]
+    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: streaming_ingest_dedup_gate]
     "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle [twin: dedup_cc_two_phase]
     "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint [twin: corpus_pack_sequences]
     "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window [twin: text_ccnet_ppl_buckets]
     "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window [twin: stratified_sample_by_lang]
-    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_hard_negatives]
-    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_hard_negatives]
+    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_ann_recall_eval]
+    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_ann_recall_eval]
     "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
     "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window [twin: custdist_q13]
     # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
@@ -68,9 +64,9 @@ _DEFER: list[str] = [
     # one carries an r5 (most also r1-r4) driver-green row and a
     # same-family twin still in the window. All stay oracle-verified by
     # tools/check.py.
-    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_patterns_1h]
+    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_cube]
     "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window [twin: event_asof_tick_plain]
-    "text_bigram_pmi",        # explode→count collocations; family of text_tfidf_top_terms
+    "text_bigram_pmi",        # explode→count collocations; family of text_top_terms_per_lang
     "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
     "user_funnel_conversion",  # funnel window chain; window family of user_cohort_retention
     "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
@@ -78,7 +74,7 @@ _DEFER: list[str] = [
     "streaming_sliding_stats",  # sliding-window streaming agg; family of streaming_ohlc_1m
     "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score [twin: text_ccnet_ppl_buckets]
     "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti [twin: custdist_q13]
-    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: keltner_20_10_1h]
+    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: trix_15_1h]
                               # through the stricter stateful-streaming path
     # r7 rotation wave 1 (VERDICT r6 task #1): 12 of the 22 r6-born queries
     # (macd, bollinger, semantic dedup, bloom decontaminate, streaming
@@ -89,16 +85,16 @@ _DEFER: list[str] = [
     # oracle-verified by tools/check.py.
     "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
     "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family [twin: event_asof_tick_plain]
-    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_hard_negatives]
-    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_hard_negatives]
+    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_ann_recall_eval]
+    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_ann_recall_eval]
     "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle [twin: decontaminate_fuzzy_lsh]
     "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel [twin: streaming_heavy_hitters]
                               # family, batch rsi_14_1h the grouped recursion family
     "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
     "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
-    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: nation_volume_q7]
+    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: market_share_q8]
     "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
-    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: dedup_incremental_minhash]
+    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: streaming_ingest_dedup_gate]
     # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
     # r6/r7-born queries (operator-family firsts prioritized) plus
     # approx_value_quantiles (task #4: the GK-sketch quantile family regains
@@ -107,10 +103,10 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: keltner_20_10_1h]
-    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: williams_r_14_1h]
+    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: trix_15_1h]
+    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: sma_fanout_all_tf]
     "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
-    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_hard_negatives]
+    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_ann_recall_eval]
     "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
     "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells [twin: embedding_ivf_drift_report]
     "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window [twin: user_cohort_retention]
@@ -127,21 +123,21 @@ _DEFER: list[str] = [
     # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
     # apply the SAME oracle/operator as their rotated-out twins).
     "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
-    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: obv_1h]
-    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: approx_value_quantiles]
-    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: incremental_cursor_scan]
-    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: dedup_incremental_minhash]
+    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: vwap_daily_1h]
+    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: spread_quantiles]
+    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
+    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: streaming_ingest_dedup_gate]
     "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
-    "bpe_train_merges",       # BPE trainer; bpe_encode_fertility encodes with the SAME merges
+    "bpe_train_merges",       # BPE trainer; text_token_count encodes with the SAME merges
     "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: large_volume_q18]
-    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: nation_volume_q7]
+    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: market_share_q8]
     "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
                               # oracle through the stricter stateful-streaming path
-    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: williams_r_14_1h]
+    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_fanout_all_tf]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: candle_patterns_1h]
-    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: keltner_20_10_1h]
-    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: keltner_20_10_1h]
+    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: candle_cube]
+    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
+    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
@@ -152,15 +148,15 @@ _DEFER: list[str] = [
     # ichimoku_9_26_52_1h / customer_rfm_segments / media_dhash are the
     # incoming twins; idempotent_append_fresh runs streaming_firstwins_append's
     # EXACT oracle). All stay oracle-verified by tools/check.py.
-    "media_extract_meta",     # mapInPandas metadata probe; media_dhash does real pixel work in window
+    "media_extract_meta",     # mapInPandas metadata probe; media_frame_sample does real pixel work in window
     "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
     "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
-    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: williams_r_14_1h]
-    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: williams_r_14_1h]
-    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: approx_value_quantiles]
-    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_hard_negatives]
+    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: sma_fanout_all_tf]
+    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: sma_fanout_all_tf]
+    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: spread_quantiles]
+    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_ann_recall_eval]
     "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
     # r11 rotation wave 5 (VERDICT r10 task #1): ALL 14 never-driver-certified
     # r10-born queries moved INTO the window — the certification backlog is
@@ -172,20 +168,20 @@ _DEFER: list[str] = [
     # adx_14_1h / top_supplier_q15 / idle_rich_customers_q22; media_dhash stays
     # in window for the media kernels). All stay oracle-verified by
     # tools/check.py.
-    "donchian_20_1h",         # min/max channel windows; twin: williams_r_14_1h
-    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: williams_r_14_1h]
-    "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4 [twin: nation_volume_q7]
+    "donchian_20_1h",         # min/max channel windows; twin: sma_fanout_all_tf
+    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: sma_fanout_all_tf]
+    "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4 [twin: market_share_q8]
     "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14 [twin: market_share_q8]
-    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: approx_value_quantiles]
+    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: spread_quantiles]
     "events_compaction_plan",  # small-file maintenance dry-run; twin: events_orphan_files
-    "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_hard_negatives]
+    "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_ann_recall_eval]
     "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
-    "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: dedup_incremental_minhash]
-    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h [twin: keltner_20_10_1h]
+    "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: streaming_ingest_dedup_gate]
+    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h [twin: trix_15_1h]
     "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15 [twin: large_volume_q18]
     "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22 [twin: custdist_q13]
-    "media_resize",           # BMP pixel kernel; twin: media_dhash
-    "media_audio_features",   # WAV sample kernel; twin: media_dhash
+    "media_resize",           # BMP pixel kernel; twin: media_frame_sample
+    "media_audio_features",   # WAV sample kernel; twin: media_frame_sample
     # r12 rotation wave 6 (VERDICT r11 task #2): ALL 15 never-driver-certified
     # r11-born queries moved INTO the window (backlog emptied again), plus the
     # newly registered streaming_ingest_dedup_gate (streaming/docs.py's ingest
@@ -200,22 +196,47 @@ _DEFER: list[str] = [
     # family, the incremental probe + ingest gate the banded-MinHash family).
     # williams_r_14_1h deliberately STAYS in-window for its post--0.0-fix
     # re-certification (VERDICT r11 task #1 done-criterion).
-    "adx_14_1h",              # grouped Wilder kernel; twins: keltner_20_10_1h, trix_15_1h
-    "backtest_max_drawdown",  # cumulative window; twins: obv_1h, vwap_daily_1h
-    "cci_20_1h",              # keyed native-window; twins: williams_r_14_1h, candle_patterns_1h
-    "late_shipment_q4",       # TPC-H star; twins: nation_volume_q7, waiting_supplier_q21, product_profit_q9
+    "adx_14_1h",              # grouped Wilder kernel; twins: trix_15_1h, trix_15_1h
+    "backtest_max_drawdown",  # cumulative window; twins: vwap_daily_1h, vwap_daily_1h
+    "cci_20_1h",              # keyed native-window; twins: sma_fanout_all_tf, candle_cube
+    "late_shipment_q4",       # TPC-H star; twins: market_share_q8, waiting_supplier_q21, product_profit_q9
     "top_supplier_q15",       # TPC-H agg+join-back; twin: large_volume_q18
     "idle_rich_customers_q22",  # anti/left-outer; twin: custdist_q13
     "promo_revenue_q14",      # conditional-share agg; twins: small_qty_revenue_q17, market_share_q8
     "revenue_concentration_q11",  # scalar-threshold star agg; twins: market_share_q8, product_profit_q9
-    "embedding_knn_filtered",  # filtered ANN; twin: embedding_hard_negatives (+ recall_eval, drift_report)
-    "corpus_domain_mix",      # sampling/mixing; twin: corpus_mixture_plan
-    "dedup_minhash_containment",  # banded MinHash verify; twins: dedup_incremental_minhash, streaming_ingest_dedup_gate
+    "embedding_knn_filtered",  # filtered ANN; twin: embedding_ann_recall_eval (+ recall_eval, drift_report)
+    "corpus_domain_mix",      # sampling/mixing; twin: stratified_sample_by_lang
+    "dedup_minhash_containment",  # banded MinHash verify; twins: streaming_ingest_dedup_gate, streaming_ingest_dedup_gate
     "streaming_enrich_dim_join",  # stream-static join; twins: streaming_ohlc_1m, streaming_ingest_dedup_gate
     "streaming_scd2_apply",   # foreachBatch IVM; twin: streaming_ingest_dedup_gate (foreachBatch keyed sink family)
     "text_ngram_diversity",   # zero-shuffle text gate; twins: text_ccnet_ppl_buckets, text_unigram_logprob
-    "orders_table_profile",   # conditional-agg profile; twin: approx_value_quantiles (quantile/profile family)
-    "candle_unpivot",         # candle reshaping; twin: candle_patterns_1h (candle-derivation family)
+    "orders_table_profile",   # conditional-agg profile; twin: spread_quantiles (quantile/profile family)
+    "candle_unpivot",         # candle reshaping; twin: candle_cube (candle-derivation family)
+    # r13 rotation wave 7 (VERDICT r12 task #2): the 16 queries whose ONLY
+    # driver-green evidence was round 1 moved back INTO the window (first
+    # driver contact in eleven rounds, and first since the canon hardening
+    # closed classes 3-5). These 16 freshly-r12-certified rows rotated out
+    # to make room; every one keeps a same-family twin in the window — for
+    # several, the incoming r1-only queries ARE the twins.
+    # vwap_daily_1h deliberately STAYS in-window for its post-fixed-point
+    # re-certification (VERDICT r12 task #1 done-criterion), exactly as
+    # williams_r_14_1h did in wave 6.
+    "williams_r_14_1h",       # keyed native-window; twins: sma_dead_cross + sma_fanout_all_tf (incoming), vwap_daily_1h
+    "keltner_20_10_1h",       # grouped Arrow kernel; twin: trix_15_1h
+    "obv_1h",                 # cumulative window; twins: vwap_daily_1h (staying), backtest_equity_curve + backtest_trades (incoming)
+    "candle_patterns_1h",     # candle derivation; twins: candle_cube + avg_close_pivot (incoming)
+    "incremental_cursor_scan",  # MAX-watermark cursor; twin: watermark_max_time (incoming — the max-agg it consumes)
+    "approx_value_quantiles",  # GK quantiles; twin: spread_quantiles (incoming — exact-percentile sibling)
+    "nation_volume_q7",       # TPC-H star; twins: market_share_q8, custdist_q13
+    "product_profit_q9",      # TPC-H star agg; twin: market_share_q8
+    "small_qty_revenue_q17",  # scalar-threshold star; twin: large_volume_q18
+    "waiting_supplier_q21",   # anti/exists star; twin: custdist_q13
+    "dedup_incremental_minhash",  # banded MinHash probe; twins: streaming_ingest_dedup_gate (same probe), dedup_ngram_jaccard (incoming)
+    "embedding_hard_negatives",  # ANN mining; twins: embedding_ann_recall_eval, embedding_near_dup_lsh + the 3 incoming embedding baselines
+    "corpus_mixture_plan",    # mixing planner; twin: stratified_sample_by_lang
+    "bpe_encode_fertility",   # token stats; twins: text_token_count (incoming), text_unigram_logprob
+    "text_tfidf_top_terms",   # explode→count→rank; twins: text_top_terms_per_lang (incoming), bm25_search
+    "media_dhash",            # BMP/WAV kernels; twin: media_frame_sample (incoming mapInPandas media row)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -229,15 +250,20 @@ _DEFER: list[str] = [
 # accreting a long tail of r1-r4-only rows. tests/test_registry.py's
 # backlog invariant (≤ 15 never-certified) enforces the budget side.
 #
-# r13 re-certification queue (computed from CORRECTNESS_r*.json at r12:
-# the 16 deferred rows whose ONLY driver-green evidence is round 1 —
-# exactly one wave): avg_close_pivot, backtest_equity_curve,
-# backtest_trades, candle_cube, dedup_ngram_jaccard,
-# embedding_knn_bruteforce, embedding_knn_ivf, embedding_near_dup,
-# media_frame_sample, sma_dead_cross, sma_fanout_all_tf,
-# spread_quantiles, text_fingerprint, text_token_count,
-# text_top_terms_per_lang, watermark_max_time. Once the 16 r12-born/
-# re-certified window rows go green, rotate them out and these in.
+# r13 executed rotation wave 7: the 16 r1-only rows (avg_close_pivot …
+# watermark_max_time) are IN the window; 16 freshly-r12-certified rows
+# rotated out (see the wave-7 block at the end of _DEFER).
+#
+# r14 re-certification queue (computed from CORRECTNESS_r*.json at r12;
+# the oldest remaining driver-green evidence after wave 7 lands):
+# the r5-certified wave-5 rotations (ohlc_derived_multi_tf, sma_14_1h,
+# tick_sessions, candle_returns_quartile, event_reaction_window,
+# dedup_simhash, dedup_connected_components, dedup_passages,
+# text_repetition_filter, train_test_split, embedding_label_centroids,
+# embedding_quantize_int8, daily_active_users,
+# returned_order_priority_semi) plus text_simhash and
+# top_customers_by_open_value (r1-r4 evidence only) — refresh oldest-first
+# as wave-8 slots open.
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
@@ -274,6 +300,16 @@ def build_oracles() -> dict[str, str]:
     # (the r11 williams_r_14_1h red row). Rewriting round(...) →
     # (round(...) + 0.0) HERE covers all ~350 call sites, present and
     # future, because the driver consumes these returned strings.
+    #
+    # DOUBLE-only assumption (ADVICE r12): the appended 0.0 literal is a
+    # DECIMAL(2,1) in DuckDB, which is type-preserving for DOUBLE operands
+    # (DOUBLE + DECIMAL → DOUBLE) but would WIDEN a DECIMAL-typed round()
+    # — a precision/scale change the driver's type-sensitive hash would
+    # see (class 2). The repo convention is that every oracle round()
+    # operates on DOUBLE (aggregates are ::DOUBLE/::BIGINT-cast at the
+    # source), and tools/check.py's type_mismatches() enforces it: any
+    # DECIMAL-typed oracle output column is flagged BANNED unconditionally,
+    # so a DECIMAL round() site cannot ship check-green.
     from .queries._oracle_norm import normalize_round_neg_zero
 
     out: dict[str, str] = {}
