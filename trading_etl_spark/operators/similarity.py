@@ -394,6 +394,30 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _mean_update(assigned: DataFrame, col: str, dim: int) -> DataFrame:
+    """Centroid mean update as ONE hash-agg with ``dim`` per-component AVG
+    buffers per cell — (cell, cv) rows. Replaces the posexplode shape
+    (r13): exploding to (cell, pos, val) shuffles n·dim ROWS per
+    iteration, while this shuffles only the map-side partial-agg buffers
+    (|cells| rows of dim doubles per partition) — at a 100 TB-scale
+    training sample (say 1M × 1024-dim) that is 1e9 exploded rows per
+    iteration vs kilobytes of partials. Values are unchanged: each
+    component's AVG aggregates the same multiset and is 6dp-rounded, the
+    same margin argument as before (PLANS.md float-reduction ledger)."""
+    aggs = [
+        F.round(F.avg(F.col(col).getItem(i)), 6).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    return (
+        assigned.groupBy("cell")
+        .agg(*aggs)
+        .select(
+            "cell",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cv"),
+        )
+    )
+
+
 def kmeans_codebook(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -424,16 +448,10 @@ def kmeans_codebook(
     )
     cent_rows = [(i, [float(x) for x in r["emb"]]) for i, r in enumerate(seeds)]
     schema = "cell int, cv array<double>"
+    dim = len(cent_rows[0][1])
     for _ in range(iters):
         assigned = assign_cells_rows(emb, cent_rows)
-        new = (
-            assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("av"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pv"))
-            .select("cell", F.expr("transform(pv, x -> x.av)").alias("cv"))
-        )
+        new = _mean_update(assigned, "emb", dim)
         cent_rows = [(int(r["cell"]), list(r["cv"])) for r in new.collect()]
     return spark.createDataFrame(cent_rows, schema)
 
@@ -649,17 +667,11 @@ def _lloyd_rows(
     returns the trained centroid rows. Same reduce shape as
     :func:`kmeans_codebook`: per-iteration output is k×dim doubles pulled
     to the driver and re-closed-over — lineage truncated every round."""
+    dim = len(cent_rows[0][1])
     for _ in range(iters):
         nearest = _nearest_cell_udf(cent_rows)
         assigned = vecs.select(nearest(F.col(col)).alias("cell"), F.col(col).alias("sv"))
-        new = (
-            assigned.select("cell", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("av"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pv"))
-            .select("cell", F.expr("transform(pv, x -> x.av)").alias("cv"))
-        )
+        new = _mean_update(assigned, "sv", dim)
         cent_rows = [(int(r["cell"]), list(r["cv"])) for r in new.collect()]
     return cent_rows
 
