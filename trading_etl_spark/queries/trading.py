@@ -601,12 +601,20 @@ def q_candle_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair×tf, pair, tf, grand total) in one hash-agg pass; completes the
     grouping-sets family next to ``q_candle_rollup``."""
     base, derived = candle_chain(spark, sf_dir)
-    candles = base.unionByName(derived)
+    # exact-integer 6dp rounding of the average (classes 4+5 — the same
+    # sf0.001-caught half-tie as q_close_pivot; see its docstring)
+    candles = base.unionByName(derived).withColumn(
+        "_cfp", F.floor(F.col("close") * 100.0 + 0.5)
+    )
+    avg6 = F.expr(
+        "((20000 * sum(_cfp) + count(_cfp)) div (2 * nullif(count(_cfp), 0)))"
+        " / CAST(1000000.0 AS DOUBLE)"
+    )
     return (
         candles.cube("currency_pair_code", "timeframe_code")
         .agg(
             F.count("*").alias("n_candles"),
-            F.round(F.avg("close"), 6).alias("avg_close"),
+            avg6.alias("avg_close"),
         )
         .select(
             F.coalesce("currency_pair_code", F.lit("ALL")).alias("currency_pair_code"),
@@ -714,14 +722,30 @@ def q_spread_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_close_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (absent in reference): avg close per timeframe × pair, pairs as
     columns. Explicit pivot values keep the plan a single hash-agg pass —
-    no extra distinct-values job, same one shuffle as a plain groupBy."""
+    no extra distinct-values job, same one shuffle as a plain groupBy.
+
+    r13: the 6dp rounding of the average is EXACT-INTEGER (divergence
+    classes 4+5, the vwap recipe): closes live on the 1e-2 tick grid, so
+    with k = Σ floor(close·100 + 0.5) and n = count, the rounded average
+    is ((2·k·10⁴ + n) div (2·n)) / 10⁶ — the true half-up rounding of the
+    exact rational k/(100·n), reduction-order- and engine-independent.
+    The r13 sf0.001 sweep caught the native round(avg(close), 6) form
+    flipping on an exact 7dp half-tie (avg over 224 = 2⁵·7 candles with a
+    7-divisible sum terminates at …5); int64-safe to ~8e9 rows per group
+    at these price scales."""
     base, derived = candle_chain(spark, sf_dir)
-    candles = base.unionByName(derived)
+    candles = base.unionByName(derived).withColumn(
+        "_cfp", F.floor(F.col("close") * 100.0 + 0.5)
+    )
     pairs = [code for _, _, _, code, _ in dims.CURRENCY_SEED]
+    avg6 = F.expr(
+        "((20000 * sum(_cfp) + count(_cfp)) div (2 * nullif(count(_cfp), 0)))"
+        " / CAST(1000000.0 AS DOUBLE)"
+    )
     piv = (
         candles.groupBy("timeframe_code")
         .pivot("currency_pair_code", pairs)
-        .agg(F.round(F.avg("close"), 6))
+        .agg(avg6)
     )
     cols = [F.col("timeframe_code")] + [
         F.col(f"`{p}`").alias(p.replace("/", "_").lower()) for p in pairs
@@ -1576,12 +1600,18 @@ GROUP BY 1""",
         "ohlc_all AS (SELECT * FROM ohlc_1m UNION ALL SELECT * FROM ohlc_derived)",
     )
     + "\nSELECT timeframe_code,\n"
+    # exact-integer 6dp average (classes 4+5): k in 1e-2 close units,
+    # ((2·k·1e4 + n) // (2·n)) / 1e6; sums cast through BIGINT off
+    # DuckDB's HUGEINT (class 1); nullif guards empty pivot cells
     + ",\n".join(
-        f"""       round(avg(CASE WHEN currency_pair_code = '{c}' THEN "close" END), 6)"""
-        f""" AS {c.replace("/", "_").lower()}"""
+        f"""       (CAST((20000 * sum(CASE WHEN currency_pair_code = '{c}' THEN cfp END)"""
+        f""" + count(CASE WHEN currency_pair_code = '{c}' THEN cfp END))"""
+        f""" // (2 * nullif(count(CASE WHEN currency_pair_code = '{c}' THEN cfp END), 0)) AS BIGINT)"""
+        f""" / 1000000.0) AS {c.replace("/", "_").lower()}"""
         for _, _, _, c, _ in dims.CURRENCY_SEED
     )
-    + "\nFROM ohlc_all GROUP BY timeframe_code",
+    + "\nFROM (SELECT *, CAST(floor(\"close\" * 100.0 + 0.5) AS BIGINT) AS cfp"
+    + " FROM ohlc_all) GROUP BY timeframe_code",
     "sma_golden_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _GOLDEN_SQL,
     "sma_dead_cross": _with(*_TO_1H, _SMA_PAIRED_SQL) + "\n" + _DEAD_SQL,
     "idempotent_append_fresh": _with(*_TO_1M)
@@ -1678,8 +1708,10 @@ GROUP BY ROLLUP (currency_pair_code, timeframe_code)""",
 SELECT coalesce(currency_pair_code, 'ALL') AS currency_pair_code,
        coalesce(timeframe_code, 'ALL') AS timeframe_code,
        count(*) AS n_candles,
-       round(avg("close"), 6) AS avg_close
-FROM ohlc_all
+       (CAST((20000 * sum(cfp) + count(cfp))
+             // (2 * nullif(count(cfp), 0)) AS BIGINT) / 1000000.0) AS avg_close
+FROM (SELECT *, CAST(floor("close" * 100.0 + 0.5) AS BIGINT) AS cfp
+      FROM ohlc_all)
 GROUP BY CUBE (currency_pair_code, timeframe_code)""",
     "backtest_pnl": _with(*_TO_1H, _SMA_PAIRED_SQL)
     + f""",
