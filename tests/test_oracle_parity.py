@@ -222,6 +222,29 @@ def test_infinity_canon_does_not_crash(con):
     assert canon(v) == "Infinity"
 
 
+# --- class 2b (r13): DECIMAL literals in INTERMEDIATE arithmetic -------------
+
+
+def test_decimal_literal_in_intermediate_arithmetic_diverges(con, spark):
+    """Class 2's output-type gate (type_mismatches) cannot see this one:
+    both outputs are DOUBLE, but DuckDB types the literal 0.001 as
+    DECIMAL(4,3), computes k·0.001 EXACTLY, and converts once — while
+    Spark multiplies by the double nearest 0.001. For some k the results
+    differ by 1 ulp. Caught live by the hardened-canon sf0.1 sweep in
+    ticks_parse_validate/ticks_dedup_second (28 rows); fixed by typing
+    the oracle literal ::DOUBLE so both engines run identical IEEE ops."""
+    (dec_v,) = con.execute("SELECT 0.01::DOUBLE + 9 * 0.001").fetchone()
+    (dbl_v,) = con.execute("SELECT 0.01::DOUBLE + 9 * 0.001::DOUBLE").fetchone()
+    [(sv,)] = spark.sql(
+        "SELECT CAST(0.01 AS DOUBLE) + 9 * CAST(0.001 AS DOUBLE) AS v"
+    ).collect()
+    assert dbl_v == sv  # identical IEEE ops -> identical bits
+    assert dec_v != dbl_v  # the DECIMAL-literal path is a different double
+    from tools.check import canon
+
+    assert canon(dec_v) != canon(sv)  # and the hardened canon sees it
+
+
 # --- class 5 (r13): round() tie semantics on the SAME double -----------------
 
 

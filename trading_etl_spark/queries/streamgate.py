@@ -845,12 +845,12 @@ SELECT e.event_id,
        d.currency_pair_code, d.base_currency, d.quote_currency,
        CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS time,
        e.value AS bid,
-       e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 AS ask
+       e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE AS ask
 FROM events e
 JOIN dim_currency d ON d.id = CAST(e.user_id % 6 AS INTEGER) + 1
 WHERE e.value > 0
-  AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 > 0
-  AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001
+  AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE > 0
+  AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE
 """.strip(),
     # sliding 2min/1min: every tick belongs to exactly two windows — the one
     # starting at its minute and the one starting a minute earlier

@@ -209,14 +209,14 @@ raw_ticks AS (
   SELECT d.currency_pair_code,
          CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS time,
          e.value AS bid,
-         e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 AS ask,
+         e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE AS ask,
          e.ts AS _ts,
          e.event_id AS _event_id
   FROM events e
   JOIN dim_currency d ON d.id = CAST(e.user_id % 6 AS INTEGER) + 1
   WHERE e.value > 0
-    AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001 > 0
-    AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001
+    AND e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE > 0
+    AND e.value <= e.value + ((CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10) + 1) * 0.001::DOUBLE
 )
 """.strip()
 
