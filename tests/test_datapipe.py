@@ -543,6 +543,35 @@ def test_kmeans_codebook_separates_clusters(spark):
     assert cells[0] != cells[3]
 
 
+def test_mean_update_matches_explode_shape(spark):
+    # r13: the single-pass per-component _mean_update must produce the
+    # exact rows the old posexplode -> (cell, pos) agg produced — same
+    # per-component multiset, same 6dp rounding — so the Lloyd trajectory
+    # (and every oracle replaying it) is unchanged by the plan-shape swap.
+    rows = [
+        (0, [0.1, 0.25, 0.7]),
+        (1, [0.3, 0.15, 0.1]),
+        (0, [0.2, 0.05, 0.4]),
+        (2, [0.9, 0.85, 0.3]),
+    ]
+    assigned = spark.createDataFrame(rows, "cell int, sv array<double>")
+    got = {
+        (r["cell"], tuple(r["cv"]))
+        for r in sim._mean_update(assigned, "sv", 3).collect()
+    }
+    old = (
+        assigned.select("cell", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("av"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "av"))).alias("pv"))
+        .select("cell", F.expr("transform(pv, x -> x.av)").alias("cv"))
+    )
+    want = {(r["cell"], tuple(r["cv"])) for r in old.collect()}
+    assert got == want
+    assert (0, (0.15, 0.15, 0.55)) in got  # exact hand-computed means
+
+
 def test_kmeans_codebook_deterministic(spark):
     emb = spark.createDataFrame(
         [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(20)],
