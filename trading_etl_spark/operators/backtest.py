@@ -87,12 +87,18 @@ def max_drawdown(events: DataFrame) -> DataFrame:
 
 
 def backtest_pnl(events: DataFrame) -> DataFrame:
-    """Per (pair, timeframe, period): number of closed trades + realized PnL."""
+    """Per (pair, timeframe, period): number of closed trades + realized
+    PnL. The PnL sum is exact decimal (r13): per-trade price diffs sit on
+    the 1e-2 tick grid, so DECIMAL(27,6) recovers and sums them exactly —
+    order- and engine-independent (the _msum convention; see PLANS.md
+    float-reduction ledger)."""
     return (
         backtest_trades(events)
         .groupBy("currency_pair_code", "timeframe_code", "period")
         .agg(
             F.count("*").cast("long").alias("n_trades"),
-            F.round(F.sum(F.col("sell_price") - F.col("buy_price")), 6).alias("total_pnl"),
+            F.sum((F.col("sell_price") - F.col("buy_price")).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_pnl"),
         )
     )

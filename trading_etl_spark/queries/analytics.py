@@ -22,21 +22,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _msum(col) -> "F.Column":
+    """Exact 'money' SUM (r13): the per-row double sits within 1 ulp of a
+    ≤6dp decimal grid point (2dp prices × 2dp rates), so casting to
+    DECIMAL(27,6) recovers the exact grid value, and Spark's decimal
+    aggregation (int128-backed, order-independent, partial-aggregable
+    whole-stage codegen — THE idiomatic exact-money sum at scale) adds
+    them exactly; one final cast emits the correctly-rounded DOUBLE.
+    Replaces round(sum(double), 6): its order-dependent drift EXCEEDS the
+    6dp grid once |sum| ≳ 1e9 (ulp(2.8e9) ≈ 4.8e-7 with √n amplification)
+    — caught live by the r13 sf0.1 full-precision sweep in
+    tpch_pricing_summary and star_join_revenue. Oracle twin:
+    CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE)."""
+    return F.sum(col.cast("decimal(27,6)")).cast("double")
+
+
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: one hash-agg pass over lineitem with
     pushed-down shipdate predicate and fully partial-aggregable measures."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        # integral quantities in exact units for the int-exact average
+        .withColumn("_qfp", F.floor(F.col("l_quantity") + 0.5))
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # sums are exact decimal (_msum); avg_qty is the exact-integer 6dp
+    # rounding ((2·k·1e6 + n) div (2·n))/1e6 over integral quantities —
+    # both order- and engine-independent (r13, sf0.1 sweep catch)
+    avg_qty = F.expr(
+        "(2000000 * sum(_qfp) + count(_qfp)) div (2 * nullif(count(_qfp), 0))"
+    ) / 1000000.0
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _msum(F.col("l_quantity")).alias("sum_qty"),
+            _msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _msum(disc_price).alias("sum_disc_price"),
+            _msum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            avg_qty.alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -63,7 +89,7 @@ def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "inner")
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(revenue), 6).alias("revenue"),
+            _msum(revenue).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -107,7 +133,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(revenue), 6).alias("revenue"),
+            _msum(revenue).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -119,7 +145,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     cust = _t(spark, sf_dir, "customer")
     totals = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 6).alias("open_value"),
+        _msum(F.col("o_totalprice")).alias("open_value"),
         F.count("*").alias("n_orders"),
     )
     return (
@@ -195,7 +221,7 @@ def q_top_customers_unlimited(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     cust = _t(spark, sf_dir, "customer")
     totals = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 6).alias("open_value"),
+        _msum(F.col("o_totalprice")).alias("open_value"),
         F.count("*").alias("n_orders"),
     )
     return totals.join(cust, totals.o_custkey == cust.c_custkey, "inner").select(
@@ -219,7 +245,7 @@ def q_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _msum(F.col("value")).alias("sum_value"),
         )
     )
 
@@ -236,6 +262,7 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.from_json("props", "k BIGINT").getField("k")
     return (
         ev.select("event_type", k.alias("k"), "value", "user_id")
+        .withColumn("_vfp", F.floor(F.col("value") * 100.0 + 0.5))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -243,7 +270,14 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact-integer 6dp avg over the 1e-2 value grid (r13)
+            (
+                F.expr(
+                    "(20000 * sum(_vfp) + count(_vfp))"
+                    " div (2 * nullif(count(_vfp), 0))"
+                )
+                / 1000000.0
+            ).alias("avg_value"),
         )
     )
 
@@ -396,9 +430,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            _msum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
@@ -486,8 +520,8 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            _msum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -746,8 +780,8 @@ def q_returned_item_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            _msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -801,7 +835,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
             ).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+            _msum(F.col("o_totalprice")).alias("monetary"),
         )
     )
     th = per.agg(
@@ -1063,8 +1097,8 @@ def q_promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * _msum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / _msum(rev),
                 6,
             ).alias("promo_revenue_pct")
         )
@@ -1093,9 +1127,9 @@ def q_revenue_concentration_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice", "l_discount"
     )
     rev = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 6).alias("revenue"))
+    per_part = li.groupBy("l_partkey").agg(_msum(rev).alias("revenue"))
     totals = li.agg(
-        F.round(F.sum(rev), 6).alias("_total"),
+        _msum(rev).alias("_total"),
         F.countDistinct("l_partkey").alias("_nparts"),
     )
     return (
@@ -1129,8 +1163,8 @@ def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+        _msum(
+            F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
         ).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
@@ -1166,8 +1200,19 @@ def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(F.avg("c_acctbal"), 6).alias("_avg_bal")
+    # exact-integer 6dp avg over the 1e-2 acctbal grid (r13)
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .withColumn("_bfp", F.floor(F.col("c_acctbal") * 100.0 + 0.5))
+        .agg(
+            (
+                F.expr(
+                    "(20000 * sum(_bfp) + count(_bfp))"
+                    " div (2 * nullif(count(_bfp), 0))"
+                )
+                / 1000000.0
+            ).alias("_avg_bal")
+        )
     )
     recent = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1181,7 +1226,7 @@ def q_idle_rich_customers_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rich_idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        _msum(F.col("c_acctbal")).alias("totacctbal"),
     )
 
 
@@ -1250,8 +1295,8 @@ def q_nation_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 6
+            _msum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -1317,14 +1362,32 @@ def q_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
+    # exact-integer 6dp threshold: 0.2·avg(int qty) = k/(5n), rounded as
+    # ((2·k·2e5 + n) div (2·n))/1e6; avg_yearly = round6(S/7) over the
+    # exact decimal sum S as ((2·S·1e6 + 7) div 14)/1e6 (r13)
+    pl = pl.withColumn("_qfp", F.floor(F.col("l_quantity") + 0.5))
     th = pl.groupBy("l_partkey").agg(
-        F.round(0.2 * F.avg("l_quantity"), 6).alias("_qty_threshold")
+        (
+            F.expr(
+                "(400000 * sum(_qfp) + count(_qfp))"
+                " div (2 * nullif(count(_qfp), 0))"
+            )
+            / 1000000.0
+        ).alias("_qty_threshold")
     )
     return (
         pl.join(th.withColumnRenamed("l_partkey", "_pk"),
                 F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+        .agg(
+            (
+                F.expr(
+                    "((2 * cast(sum(cast(l_extendedprice as decimal(27,6)))"
+                    " * 1000000 as bigint) + 7) div 14)"
+                )
+                / 1000000.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1346,7 +1409,7 @@ def q_large_volume_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     oq = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .agg(_msum(F.col("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -1501,10 +1564,10 @@ def q_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                _msum(
                     F.when(F.col("supp_nation") == Q8_SUPP_NATION, vol).otherwise(0.0)
                 )
-                / F.sum(vol),
+                / _msum(vol),
                 6,
             ).alias("mkt_share")
         )
@@ -1566,7 +1629,7 @@ def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(amount), 6).alias("sum_profit"))
+        .agg(_msum(amount).alias("sum_profit"))
     )
 
 
@@ -1639,7 +1702,7 @@ WITH per AS (
   SELECT o_custkey,
          date_diff('day', max(o_orderdate::DATE), DATE '{RFM_ANCHOR}')::INT AS recency_days,
          count(*) AS frequency,
-         round(sum(o_totalprice), 6) AS monetary
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS monetary
   FROM orders GROUP BY 1
 ), th AS (
   SELECT round(quantile_cont(recency_days, 0.25), 6) AS r25,
@@ -1693,17 +1756,17 @@ WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
 GROUP BY 1
 """.strip(),
     "promo_revenue_q14": f"""
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1.0 - l.l_discount)
-                              ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS promo_revenue_pct
+                              ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_DATE_LO}'
   AND l.l_shipdate < TIMESTAMP '{Q14_DATE_HI}'
 """.strip(),
     "top_supplier_q15": f"""
 WITH revenue AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS total_revenue
+  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
     AND l_shipdate < TIMESTAMP '{Q15_DATE_HI}'
@@ -1716,10 +1779,13 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """.strip(),
     "idle_rich_customers_q22": f"""
 WITH avg_pos AS (
-  SELECT round(avg(c_acctbal), 6) AS a FROM customer WHERE c_acctbal > 0.0
+  SELECT ((20000 * sum(bfp) + count(bfp)) // (2 * nullif(count(bfp), 0)))
+         / 1000000.0 AS a
+  FROM (SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bfp
+        FROM customer WHERE c_acctbal > 0.0)
 )
 SELECT c.c_nationkey, count(*)::BIGINT AS numcust,
-       round(sum(c.c_acctbal), 6) AS totacctbal
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
 FROM customer c, avg_pos
 WHERE round(c.c_acctbal, 6) > avg_pos.a
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1729,10 +1795,10 @@ GROUP BY 1
 """.strip(),
     "revenue_concentration_q11": f"""
 WITH per_part AS (
-  SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+  SELECT l_partkey, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY 1
 ), totals AS (
-  SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS t,
+  SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS t,
          count(DISTINCT l_partkey) AS n FROM lineitem
 )
 SELECT p.l_partkey, p.revenue
@@ -1754,7 +1820,7 @@ FROM events GROUP BY ts::DATE
 SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
 FROM (
   SELECT o.o_custkey,
-         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+         CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'
@@ -1798,7 +1864,7 @@ FROM keyed GROUP BY 1
 """.strip(),
     "local_supplier_volume": """
 SELECT n.n_name AS nation_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1934,33 +2000,34 @@ SELECT event_type,
        sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
        max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
-       round(avg(value), 6) AS avg_value
-FROM events
+       ((20000 * sum(vfp) + count(vfp)) // (2 * nullif(count(vfp), 0)))
+         / 1000000.0 AS avg_value
+FROM (SELECT *, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vfp FROM events)
 GROUP BY 1
 """.strip(),
     "daily_active_users": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """.strip(),
     "tpch_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       ((2000000 * sum(qfp) + count(qfp)) // (2 * nullif(count(qfp), 0))) / 1000000.0 AS avg_qty,
        count(*) AS count_order
-FROM lineitem
+FROM (SELECT *, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qfp FROM lineitem)
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2
 """.strip(),
     "star_join_revenue": """
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1971,7 +2038,7 @@ GROUP BY 1, 2
 """.strip(),
     "top_customers_by_open_value": """
 SELECT c.c_custkey AS custkey, c.c_name,
-       round(sum(o.o_totalprice), 6) AS open_value,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS open_value,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderstatus = 'O'
@@ -2006,7 +2073,7 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """.strip(),
     "top_customers_page2_offset": """
 SELECT c.c_custkey AS custkey, c.c_name,
-       round(sum(o.o_totalprice), 6) AS open_value,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS open_value,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderstatus = 'O'
@@ -2048,7 +2115,7 @@ SELECT currency_pair_code, time, field, round(v, 6) AS value FROM (
 ORACLES["shipping_priority_q3"] = f"""
 SELECT l_orderkey, revenue, o_orderdate FROM (
   SELECT l.l_orderkey,
-         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue,
+         CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
          o.o_orderdate
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2076,7 +2143,7 @@ GROUP BY 1
 """.strip()
 
 ORACLES["disjunctive_revenue_q19"] = f"""
-SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {" OR ".join(
@@ -2141,7 +2208,7 @@ WHERE e.value IS NOT NULL
 ORACLES["nation_volume_q7"] = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l.l_shipdate)::BIGINT AS l_year,
-       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -2174,19 +2241,23 @@ WITH pl AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE p.p_brand = '{Q17_BRAND}'
 ), th AS (
-  SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_threshold
-  FROM pl GROUP BY 1
+  SELECT l_partkey,
+         ((400000 * sum(qfp) + count(qfp)) // (2 * nullif(count(qfp), 0)))
+         / 1000000.0 AS qty_threshold
+  FROM (SELECT *, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qfp FROM pl)
+  GROUP BY 1
 )
-SELECT round(sum(pl.l_extendedprice) / 7.0, 6) AS avg_yearly
+SELECT ((2 * CAST(sum(CAST(pl.l_extendedprice AS DECIMAL(27,6))) * 1000000 AS BIGINT) + 7)
+        // 14) / 1000000.0 AS avg_yearly
 FROM pl JOIN th USING (l_partkey)
 WHERE pl.l_quantity < th.qty_threshold
 """.strip()
 
 ORACLES["large_volume_q18"] = f"""
 WITH oq AS (
-  SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY 1
-  HAVING round(sum(l_quantity), 6) > {Q18_QTY_THRESHOLD}
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > {Q18_QTY_THRESHOLD}
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        round(o.o_totalprice, 6) AS o_totalprice, oq.sum_qty
@@ -2236,16 +2307,17 @@ WITH flat AS (
   JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{Q8_REGION}'
 )
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN volume
-                      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+       round(CAST(sum(CAST(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN volume
+                      ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(27,6))) AS DOUBLE), 6) AS mkt_share
 FROM flat GROUP BY 1
 """.strip()
 
 ORACLES["product_profit_q9"] = f"""
 SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
-       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
-                 - {Q9_COST_FACTOR!r} * p.p_retailprice * l.l_quantity),
-             6) AS sum_profit
+       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 - {Q9_COST_FACTOR!r} * p.p_retailprice * l.l_quantity
+                 AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%{Q9_PART_TOKEN}%'
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -1729,7 +1729,7 @@ SELECT currency_pair_code,
        trigger_indicator_timeframe AS timeframe_code,
        trigger_indicator_period AS period,
        count(*) AS n_trades,
-       round(sum(price - prev_price), 6) AS total_pnl
+       CAST(sum(CAST(price - prev_price AS DECIMAL(27,6))) AS DOUBLE) AS total_pnl
 FROM trades
 WHERE event_type = 'SELL' AND prev_type = 'BUY'
 GROUP BY 1, 2, 3""",
