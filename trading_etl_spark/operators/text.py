@@ -52,6 +52,25 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("toks", F.split("text", " "))
 
 
+def ratio6(num, den):
+    """Exact 6dp half-up rounding of an INTEGER ratio num/den as a Column
+    expression (divergence classes 4+5, r13): round6(num/den) =
+    (t − t mod 2·den) / 2·den / 10⁶ with t = 2·10⁶·num + den — all
+    intermediate values are exact integers, the final two divisions are
+    exact-multiple and power-of-ten divisions (correctly rounded IEEE), so
+    the result is the true half-up rounding of the exact rational on ANY
+    engine. Built from pmod instead of `div` so it composes with unnamed
+    Column expressions. Exact while t < 2⁵³ (num < 4.5e9 — every per-row
+    token/count ratio). Oracle twin: ((2000000·num + den) // (2·den)) /
+    1000000.0. NULL/zero-den rows stay NULL (pmod/div of NULL)."""
+    num = num.cast("long")
+    den = den.cast("long")
+    t = F.lit(2000000).cast("long") * num + den
+    # NULL (not error) on zero denominators — ANSI pmod raises otherwise
+    d = F.when(den != 0, F.lit(2).cast("long") * den)
+    return (t - F.pmod(t, d)) / d / F.lit(1000000.0)
+
+
 def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh) with sh = the doc's DISTINCT token n-gram shingles as an
     array — entirely map-side (``array_distinct`` in the scan stage), so
@@ -230,7 +249,7 @@ def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
             )
         return F.when(
             F.size(t) >= n,
-            F.round(F.size(F.array_distinct(grams)) / F.size(grams), 6),
+            ratio6(F.size(F.array_distinct(grams)), F.size(grams)),
         ).alias(f"distinct_{n}")
 
     return docs.select(
@@ -754,8 +773,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         "n_tokens",
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        # output ratios are exact-integer 6dp (classes 4+5, r13); score
+        # keeps the raw-double formula (off-grid composite, sweep-netted)
+        ratio6(F.col("n_chars") - (n_tok - 1), n_tok).alias("mean_token_len"),
+        ratio6(F.col("stop_hits"), n_tok).alias("stopword_ratio"),
         F.round(score, 6).alias("quality"),
     )
 
@@ -977,18 +998,23 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     n_grams = F.size("grams").cast("double")
     dup2 = F.when(
         F.size("grams") > 0,
-        1.0 - F.size(F.array_distinct("grams")) / n_grams,
+        ratio6(
+            F.size("grams") - F.size(F.array_distinct("grams")),
+            F.size("grams"),
+        ),
     ).otherwise(0.0)
     mcw_hits = F.expr(
         "reduce(array_distinct(toks), 0,"
         " (acc, t) -> greatest(acc, size(filter(toks, x -> x = t))))"
     ).cast("double")
-    mcw = F.when(F.size("toks") > 0, mcw_hits / n_tok).otherwise(0.0)
+    mcw = F.when(
+        F.size("toks") > 0, ratio6(mcw_hits, F.size("toks"))
+    ).otherwise(0.0)
     out = d.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.round(dup2, 6).alias("dup2_frac"),
-        F.round(mcw, 6).alias("mcw_frac"),
+        dup2.alias("dup2_frac"),
+        mcw.alias("mcw_frac"),
     )
     return out.withColumn(
         "keep", (F.col("dup2_frac") <= 0.4) & (F.col("mcw_frac") <= 0.2)
@@ -1047,8 +1073,14 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
+            # exact-integer 6dp ratio of ints (classes 4+5, r13):
+            # ((2e6·inter + union) div (2·union)) / 1e6
             "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+            F.expr(
+                "(2000000 * inter + (sz_a + sz_b - inter))"
+                " div (2 * (sz_a + sz_b - inter))"
+            )
+            / 1000000.0,
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -1246,10 +1278,17 @@ def dedup_minhash_containment(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment_a_in_b"),
-            F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment_b_in_a"),
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            # exact-integer 6dp ratios of ints (classes 4+5, r13)
+            (F.expr("(2000000 * inter + sz_a) div (2 * sz_a)") / 1000000.0
+             ).alias("containment_a_in_b"),
+            (F.expr("(2000000 * inter + sz_b) div (2 * sz_b)") / 1000000.0
+             ).alias("containment_b_in_a"),
+            (
+                F.expr(
+                    "(2000000 * inter + (sz_a + sz_b - inter))"
+                    " div (2 * (sz_a + sz_b - inter))"
+                )
+                / 1000000.0
             ).alias("jaccard"),
         )
     )
@@ -1368,11 +1407,15 @@ def lsh_eval_report(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             "n_exact",
             F.when(
                 F.col("n_candidates") > 0,
-                F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+                F.expr(
+                "(2000000 * n_verified + n_candidates) div (2 * n_candidates)"
+            )
+            / 1000000.0,
             ).alias("candidate_precision"),
             F.when(
                 F.col("n_exact") > 0,
-                F.round(F.col("n_verified") / F.col("n_exact"), 6),
+                F.expr("(2000000 * n_verified + n_exact) div (2 * n_exact)")
+            / 1000000.0,
             ).alias("recall"),
         )
     )
@@ -1774,7 +1817,7 @@ def passage_dedup(docs: DataFrame, p: int = PASSAGE_TOKENS) -> DataFrame:
             F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_passages"),
         )
         .withColumn(
-            "dup_frac", F.round(F.col("n_dup_passages") / F.col("n_passages"), 6)
+            "dup_frac", ratio6(F.col("n_dup_passages"), F.col("n_passages"))
         )
     )
 
@@ -2015,7 +2058,7 @@ def bpe_encode_stats(
         )
         .withColumn(
             "bpe_tokens_per_word",
-            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6),
+            ratio6(F.col("n_bpe_tokens"), F.col("n_ws_tokens")),
         )
     )
 
@@ -2187,7 +2230,8 @@ inter AS (
 ),
 verified AS (
   SELECT i.doc_a, i.doc_b,
-         round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         ((2000000 * i.i + (sa.sz + sb.sz - i.i))
+          // (2 * (sa.sz + sb.sz - i.i))) / 1000000.0 AS jaccard
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b

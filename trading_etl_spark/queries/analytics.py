@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.text import ratio6
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -696,9 +698,9 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_view.alias("n_viewed"),
         n_click.alias("n_clicked_after_view"),
         n_purchase.alias("n_purchased_after_click"),
-        F.round(n_click / n_view, 6).alias("view_to_click"),
-        F.round(n_purchase / n_click, 6).alias("click_to_purchase"),
-        F.round(n_purchase / n_view, 6).alias("view_to_purchase"),
+        ratio6(n_click, n_view).alias("view_to_click"),
+        ratio6(n_purchase, n_click).alias("click_to_purchase"),
+        ratio6(n_purchase, n_view).alias("view_to_purchase"),
     )
 
 
@@ -727,7 +729,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_offset",
         "n_active",
         "cohort_size",
-        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        (
+            F.expr(
+                "(2000000 * n_active + cohort_size) div (2 * cohort_size)"
+            )
+            / 1000000.0
+        ).alias("retention"),  # exact-integer 6dp ratio (r13)
     )
 
 
@@ -1921,9 +1928,9 @@ SELECT count(*) AS n_users,
        count(tv) AS n_viewed,
        count(tc) AS n_clicked_after_view,
        count(tp) AS n_purchased_after_click,
-       round(count(tc) / count(tv)::DOUBLE, 6) AS view_to_click,
-       round(count(tp) / count(tc)::DOUBLE, 6) AS click_to_purchase,
-       round(count(tp) / count(tv)::DOUBLE, 6) AS view_to_purchase
+       ((2000000 * (count(tc)) + (count(tv))) // (2 * (count(tv)))) / 1000000.0 AS view_to_click,
+       ((2000000 * (count(tp)) + (count(tc))) // (2 * (count(tc)))) / 1000000.0 AS click_to_purchase,
+       ((2000000 * (count(tp)) + (count(tv))) // (2 * (count(tv)))) / 1000000.0 AS view_to_purchase
 FROM u
 """.strip(),
     "user_cohort_retention": """
@@ -1941,7 +1948,7 @@ a AS (
 )
 SELECT CAST(a.cohort_day AS TIMESTAMP) AS cohort_day, a.day_offset, a.n_active,
        sz.cohort_size,
-       round(a.n_active / sz.cohort_size::DOUBLE, 6) AS retention
+       ((2000000 * a.n_active + sz.cohort_size) // (2 * sz.cohort_size)) / 1000000.0 AS retention
 FROM a JOIN sz ON a.cohort_day = sz.cohort_day
 """.strip(),
     "events_value_histogram": """

@@ -463,7 +463,10 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(sim.TOP_K).alias("k"),
         "n_exact",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_k"),
+        (
+            F.expr("(2000000 * n_hits + n_exact) div (2 * n_exact)")
+            / 1000000.0
+        ).alias("recall_at_k"),  # exact-integer 6dp ratio (r13)
     )
 
 
@@ -895,8 +898,8 @@ _EN = _sql_in(tx.LANG_STOPWORDS["en"])
 _QUALITY_SQL = f"""
 SELECT doc_id,
        len(t)::DOUBLE AS n_tokens,
-       round((length(text)::DOUBLE - (len(t) - 1)) / len(t), 6) AS mean_token_len,
-       round(len(list_filter(t, x -> x IN {_EN}))::DOUBLE / len(t), 6) AS stopword_ratio,
+       ((2000000 * (length(text) - (len(t) - 1)) + (len(t))) // (2 * (len(t)))) / 1000000.0 AS mean_token_len,
+       ((2000000 * (len(list_filter(t, x -> x IN {_EN}))) + (len(t))) // (2 * (len(t)))) / 1000000.0 AS stopword_ratio,
        round(least(len(t) / 100.0, 1.0) * 0.4
              + least(len(list_filter(t, x -> x IN {_EN}))::DOUBLE / len(t) * 5.0, 1.0) * 0.3
              + CASE WHEN (length(text)::DOUBLE - (len(t) - 1)) / len(t) BETWEEN 3.0 AND 8.0
@@ -1151,7 +1154,7 @@ exact_topk AS (
         _with(*parts)
         + f"""
 SELECT t.n_queries, {sim.TOP_K}::INT AS k, t.n_exact, h.n_hits,
-       round(h.n_hits / t.n_exact, 6) AS recall_at_k
+       ((2000000 * h.n_hits + t.n_exact) // (2 * t.n_exact)) / 1000000.0 AS recall_at_k
 FROM (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact
       FROM exact_topk) t,
      (SELECT count(*) AS n_hits
@@ -1206,9 +1209,10 @@ inter AS (
 ),
 scored AS (
   SELECT i.doc_a, i.doc_b,
-         round(i.i * 1.0 / sa.sz, 6) AS containment_a_in_b,
-         round(i.i * 1.0 / sb.sz, 6) AS containment_b_in_a,
-         round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         ((2000000 * i.i + sa.sz) // (2 * sa.sz)) / 1000000.0 AS containment_a_in_b,
+         ((2000000 * i.i + sb.sz) // (2 * sb.sz)) / 1000000.0 AS containment_b_in_a,
+         ((2000000 * i.i + (sa.sz + sb.sz - i.i))
+          // (2 * (sa.sz + sb.sz - i.i))) / 1000000.0 AS jaccard
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -1298,7 +1302,8 @@ pair_inter AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 exact_pairs AS (
   SELECT p.doc_a, p.doc_b,
-         round(p.i * 1.0 / (sa.sz + sb.sz - p.i), 6) AS jaccard
+         ((2000000 * p.i + (sa.sz + sb.sz - p.i))
+          // (2 * (sa.sz + sb.sz - p.i))) / 1000000.0 AS jaccard
   FROM pair_inter p
   JOIN sizes sa ON sa.doc_id = p.doc_a
   JOIN sizes sb ON sb.doc_id = p.doc_b
@@ -1313,9 +1318,10 @@ ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact_pairs WHERE jaccard >= 0.5)
     + """
 SELECT n_candidates, n_verified, n_exact,
        CASE WHEN n_candidates > 0
-            THEN round(n_verified * 1.0 / n_candidates, 6) END AS candidate_precision,
+            THEN ((2000000 * n_verified + n_candidates)
+                  // (2 * n_candidates)) / 1000000.0 END AS candidate_precision,
        CASE WHEN n_exact > 0
-            THEN round(n_verified * 1.0 / n_exact, 6) END AS recall
+            THEN ((2000000 * n_verified + n_exact) // (2 * n_exact)) / 1000000.0 END AS recall
 FROM nc, nv, ne""",
     "dedup_ngram_jaccard": _with(
         tx.DOCS_TOKS_SQL,
@@ -1447,7 +1453,7 @@ ps AS (
 d AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM ps GROUP BY 1)
 SELECT doc_id, count(*) AS n_passages,
        sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_passages,
-       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+       ((2000000 * (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) + (count(*))) // (2 * (count(*)))) / 1000000.0 AS dup_frac
 FROM ps JOIN d USING (ph) GROUP BY 1""",
     "text_simhash": _with(tx.DOCS_TOKS_SQL)
     + ",\n"
@@ -1694,11 +1700,11 @@ grams AS (
 SELECT doc_id,
        len(t)::BIGINT AS n_tokens,
        CASE WHEN len(t) >= 1
-            THEN round(len(list_distinct(t)) / len(t), 6) END AS distinct_1,
+            THEN ((2000000 * (len(list_distinct(t))) + (len(t))) // (2 * (len(t)))) / 1000000.0 END AS distinct_1,
        CASE WHEN len(t) >= 2
-            THEN round(len(list_distinct(g2)) / len(g2), 6) END AS distinct_2,
+            THEN ((2000000 * (len(list_distinct(g2))) + (len(g2))) // (2 * (len(g2)))) / 1000000.0 END AS distinct_2,
        CASE WHEN len(t) >= 3
-            THEN round(len(list_distinct(g3)) / len(g3), 6) END AS distinct_3
+            THEN ((2000000 * (len(list_distinct(g3))) + (len(g3))) // (2 * (len(g3)))) / 1000000.0 END AS distinct_3
 FROM grams
 """.strip(),
     "text_lang_id": _with(tx.DOCS_TOKS_SQL) + ",\n" + _lang_id_sql(),
@@ -1788,11 +1794,12 @@ SELECT doc_id, n_tokens, dup2_frac, mcw_frac,
        (dup2_frac <= 0.4 AND mcw_frac <= 0.2) AS keep
 FROM (
   SELECT g.doc_id, len(g.t)::BIGINT AS n_tokens,
-         round(CASE WHEN len(grams) > 0
-                    THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
-                    ELSE 0.0 END, 6) AS dup2_frac,
-         round(CASE WHEN len(g.t) > 0 THEN mc.mc::DOUBLE / len(g.t)
-                    ELSE 0.0 END, 6) AS mcw_frac
+         CASE WHEN len(grams) > 0
+              THEN ((2000000 * (len(grams) - len(list_distinct(grams))) + (len(grams))) // (2 * (len(grams)))) / 1000000.0
+              ELSE 0.0 END AS dup2_frac,
+         CASE WHEN len(g.t) > 0
+              THEN ((2000000 * (mc.mc) + (len(g.t))) // (2 * (len(g.t)))) / 1000000.0
+              ELSE 0.0 END AS mcw_frac
   FROM g JOIN mc ON mc.doc_id = g.doc_id
 )""",
     "stratified_sample_by_lang": """
@@ -2583,7 +2590,7 @@ dw AS (
 SELECT dw.doc_id,
        count(*)::BIGINT AS n_ws_tokens,
        sum(len(sN.s))::BIGINT AS n_bpe_tokens,
-       round(sum(len(sN.s))::DOUBLE / count(*), 6) AS bpe_tokens_per_word
+       ((2000000 * (sum(len(sN.s))) + (count(*))) // (2 * (count(*)))) / 1000000.0 AS bpe_tokens_per_word
 FROM dw JOIN s{BPE_MERGES} sN ON sN.wid = dw.w
 GROUP BY 1"""
     )
