@@ -1,21 +1,34 @@
 """Oracle-parity regression corpus (VERDICT r11 task #6).
 
-Four cross-engine divergence classes have each cost a round to discover
-(the first three shipped check-green and died driver-red because
+Six cross-engine divergence classes have each cost real debugging to
+discover (several shipped check-green and died driver-red because
 tools/check.py's canonicalizer was more forgiving than the driver's
-bit-sensitive, type-sensitive value hash; the fourth was caught by the
-r12 cross-SF sweep before any driver contact):
+bit-sensitive, type-sensitive value hash; the later ones were caught by
+the cross-SF/perturbed-partitioning sweeps before driver contact):
 
-- r7  HUGEINT:  DuckDB types ``sum(int)`` as HUGEINT (arrow decimal128),
+- r7  (1) HUGEINT: DuckDB types ``sum(int)`` as HUGEINT (arrow decimal128),
   Spark as BIGINT — byte-identical values, different arrow buffers.
-- r7  DECIMAL literal: an un-cast ``0.0`` anchor types a recursive-CTE
+- r7  (2) DECIMAL literal: an un-cast ``0.0`` anchor types a recursive-CTE
   column DECIMAL(2,1) and DuckDB silently truncates every recursive value.
-- r11 signed zero: DuckDB ``round()`` on DOUBLE preserves IEEE ``-0.0``
+- r13 (2b) DECIMAL literal in INTERMEDIATE arithmetic: a bare ``0.001``
+  in oracle SQL computes exactly in decimal where Spark multiplies
+  doubles — 1-ulp diffs in UNROUNDED output columns that the class-2
+  output-type gate cannot see. Oracle literals must be ``::DOUBLE``.
+- r11 (3) signed zero: DuckDB ``round()`` on DOUBLE preserves IEEE ``-0.0``
   where Spark's ``F.round`` (BigDecimal HALF_UP) emits ``+0.0``.
-- r12 reduction order: a float SUM feeding a 6dp round flips at
+- r12 (4) reduction order: a float SUM feeding a 6dp round flips at
   round-half ties when the (engine/partitioning-dependent) summation
   order shifts the sum by an ulp — amplified by chained rounded
-  iterations (PageRank). Fixed by integer fixed-point arithmetic.
+  iterations (PageRank), and EXCEEDING the whole 6dp grid once
+  |sum| ≳ 1e9 (r13 sf0.1 TPC-H). Fixed by integer fixed-point / exact
+  DECIMAL(27,6) aggregation. (4b) is the checker-side variant: the old
+  %.6g canon masked 6-decimal diffs for |v| ≥ 10.
+- r13 (5) round() tie semantics on the SAME double: Spark half-ups the
+  SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB rounds the
+  binary expansion — exact 7dp half-ties (integer ratios, quantized
+  numerators over small divisors) flip differently even with identical
+  bits. Fixed by exact-integer half-up rounding (ratio6 / the vwap
+  (2n+d) div 2d form) on BOTH sides.
 
 This module drives adversarial micro-fixtures through BOTH engines and the
 repo's own canonicalization/normalization layers and asserts each class is
@@ -453,3 +466,30 @@ def test_fuzz_normalized_round_never_emits_minus_zero(expr):
         assert v is None or canon(v) != "-0"
     finally:
         con.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4_000_000_000),
+    st.integers(min_value=1, max_value=2_000_000),
+)
+def test_fuzz_ratio6_is_true_half_up_and_engine_identical(num, den):
+    """operators/text.ratio6 and its oracle twin ((2e6·n + d) // (2d))/1e6
+    must BOTH equal the true half-up rounding of the exact rational n/d at
+    6dp (computed in unbounded Python ints), across the helper's whole
+    int64-safe domain — the property that makes every converted ratio site
+    engine- and order-independent."""
+    from fractions import Fraction
+
+    t = 2_000_000 * num + den
+    expect_fp = t // (2 * den)  # floor == trunc (positives)
+    # ground truth: half-up of the exact rational at 6dp
+    q6 = Fraction(num, den) * 1_000_000
+    truth = q6.numerator // q6.denominator
+    if Fraction(q6 - truth) >= Fraction(1, 2):
+        truth += 1
+    assert expect_fp == truth
+    # the helper's pmod formulation on exact doubles matches while t < 2^53
+    assert t < 2**53
+    got = (t - (t % (2 * den))) / (2 * den) / 1_000_000.0
+    assert got == truth / 1_000_000.0
