@@ -14,33 +14,17 @@ DRIVER_WINDOW = 50
 
 # deferred key -> the in-window sibling that exercises the same operator
 SIBLING = {
-    "embedding_knn_ivf_multiprobe": "embedding_ann_recall_eval",
-    "text_simhash": "streaming_ingest_dedup_gate",
-    "event_props_json_agg": "event_type_copairs",
-    "top_customers_by_open_value": "top_customers_page2_offset",
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
-    "ohlc_derived_multi_tf": "candle_cube",
-    "sma_14_1h": "sma_fanout_all_tf",
     "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
-    "candle_returns_quartile": "spread_quantiles",
-    "event_reaction_window": "event_asof_tick_plain",
-    "dedup_simhash": "streaming_ingest_dedup_gate",
-    "dedup_connected_components": "dedup_cc_two_phase",
-    "dedup_passages": "corpus_pack_sequences",
-    "text_repetition_filter": "text_ccnet_ppl_buckets",
     "train_test_split": "stratified_sample_by_lang",
-    "embedding_label_centroids": "embedding_ann_recall_eval",
-    "embedding_quantize_int8": "embedding_ann_recall_eval",
-    "daily_active_users": "approx_distinct_users",
-    "returned_order_priority_semi": "custdist_q13",
     # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
     # the stateful-streaming path).
-    "candle_gap_fill": "candle_cube",
+    "candle_gap_fill": "ohlc_derived_multi_tf",
     "event_asof_next_tick": "event_asof_tick_plain",
-    "text_bigram_pmi": "text_top_terms_per_lang",
+    "text_bigram_pmi": "bm25_search",
     "dim_scd2_history": "user_cohort_retention",
     "user_funnel_conversion": "user_cohort_retention",
     "sample_weighted_quality": "stratified_sample_by_lang",
@@ -70,7 +54,7 @@ SIBLING = {
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
     "macd_12_26_9_1h": "trix_15_1h",
-    "bollinger_20_2_1h": "sma_fanout_all_tf",
+    "bollinger_20_2_1h": "sma_14_1h",
     "hybrid_search_rrf": "bm25_search",
     "embedding_knn_matryoshka": "embedding_ann_recall_eval",
     "corpus_dsir_resample": "text_unigram_logprob",
@@ -91,16 +75,16 @@ SIBLING = {
     # dedup_lsh_eval apply the same trained artifacts or spans).
     "event_asof_tick": "event_asof_tick_plain",
     "backtest_pnl": "vwap_daily_1h",
-    "events_value_histogram": "spread_quantiles",
+    "events_value_histogram": "candle_returns_quartile",
     "ticks_freshness_sla": "watermark_max_time",
     "dedup_minhash_lsh": "streaming_ingest_dedup_gate",
     "dedup_exact_substring": "corpus_strip_dup_spans",
-    "bpe_train_merges": "text_token_count",
+    "bpe_train_merges": "text_unigram_logprob",
     "priority_shipmonth_q12": "large_volume_q18",
     "local_supplier_volume": "market_share_q8",
     "rsi_14_1h": "streaming_rsi_14_1h",
-    "sma_golden_cross": "sma_fanout_all_tf",
-    "candle_rollup": "candle_cube",
+    "sma_golden_cross": "sma_14_1h",
+    "candle_rollup": "ohlc_derived_multi_tf",
     "atr_14_1h": "trix_15_1h",
     "stochastic_14_3_1h": "trix_15_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
@@ -116,9 +100,9 @@ SIBLING = {
     "events_zorder_stats": "events_orphan_files",
     "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
     "dedup_keeper_centrality": "dupgraph_triangle_stats",
-    "volatility_20_1h": "sma_fanout_all_tf",
-    "pair_rolling_correlation": "sma_fanout_all_tf",
-    "events_value_winsorize": "spread_quantiles",
+    "volatility_20_1h": "sma_14_1h",
+    "pair_rolling_correlation": "sma_14_1h",
+    "events_value_winsorize": "candle_returns_quartile",
     "embedding_knn_ivfadc": "embedding_ann_recall_eval",
     "streaming_firstwins_append": "idempotent_append_fresh",
     # r11 rotation wave 5: ALL 14 never-driver-certified r10-born queries
@@ -130,11 +114,11 @@ SIBLING = {
     # orphan-files the maintenance dry-runs, filtered-ANN + drift-report the
     # IVF family, ngram-diversity the text gates, containment the banded-LSH
     # family; media_dhash stays in window for the media kernels).
-    "donchian_20_1h": "sma_fanout_all_tf",
-    "ichimoku_9_26_52_1h": "sma_fanout_all_tf",
+    "donchian_20_1h": "sma_14_1h",
+    "ichimoku_9_26_52_1h": "sma_14_1h",
     "shipping_priority_q3": "market_share_q8",
     "disjunctive_revenue_q19": "market_share_q8",
-    "customer_rfm_segments": "spread_quantiles",
+    "customer_rfm_segments": "candle_returns_quartile",
     "events_compaction_plan": "events_orphan_files",
     "embedding_knn_ivf_kmeans": "embedding_ann_recall_eval",
     "text_quality_score": "text_ccnet_ppl_buckets",
@@ -152,7 +136,7 @@ SIBLING = {
     # post--0.0-fix re-certification.
     "adx_14_1h": "trix_15_1h",
     "backtest_max_drawdown": "vwap_daily_1h",
-    "cci_20_1h": "sma_fanout_all_tf",
+    "cci_20_1h": "sma_14_1h",
     "late_shipment_q4": "market_share_q8",
     "top_supplier_q15": "large_volume_q18",
     "idle_rich_customers_q22": "custdist_q13",
@@ -164,8 +148,8 @@ SIBLING = {
     "streaming_enrich_dim_join": "streaming_ohlc_1m",
     "streaming_scd2_apply": "streaming_ingest_dedup_gate",
     "text_ngram_diversity": "text_ccnet_ppl_buckets",
-    "orders_table_profile": "spread_quantiles",
-    "candle_unpivot": "candle_cube",
+    "orders_table_profile": "candle_returns_quartile",
+    "candle_unpivot": "ohlc_derived_multi_tf",
     # r13 rotation wave 7: the 16 queries whose ONLY driver-green evidence
     # was round 1 moved back INTO the window (first driver contact since
     # the canon hardening closed classes 3-5); these 16 r12-driver-green
@@ -173,12 +157,12 @@ SIBLING = {
     # for several, the incoming r1-only queries ARE the twins.
     # vwap_daily_1h stays in-window for its post-fixed-point
     # re-certification (exactly the williams_r wave-6 precedent).
-    "williams_r_14_1h": "sma_fanout_all_tf",
+    "williams_r_14_1h": "sma_14_1h",
     "keltner_20_10_1h": "trix_15_1h",
     "obv_1h": "vwap_daily_1h",
-    "candle_patterns_1h": "candle_cube",
+    "candle_patterns_1h": "ohlc_derived_multi_tf",
     "incremental_cursor_scan": "watermark_max_time",
-    "approx_value_quantiles": "spread_quantiles",
+    "approx_value_quantiles": "candle_returns_quartile",
     "nation_volume_q7": "market_share_q8",
     "product_profit_q9": "market_share_q8",
     "small_qty_revenue_q17": "large_volume_q18",
@@ -186,9 +170,31 @@ SIBLING = {
     "dedup_incremental_minhash": "streaming_ingest_dedup_gate",
     "embedding_hard_negatives": "embedding_ann_recall_eval",
     "corpus_mixture_plan": "stratified_sample_by_lang",
-    "bpe_encode_fertility": "text_token_count",
-    "text_tfidf_top_terms": "text_top_terms_per_lang",
+    "bpe_encode_fertility": "text_unigram_logprob",
+    "text_tfidf_top_terms": "bm25_search",
     "media_dhash": "media_frame_sample",
+    # r14 rotation wave 8: the 16 oldest-evidence queries (r2-r4 driver
+    # rows) moved INTO the window; these 16 freshly-r13-certified queries
+    # rotated out, each with a same-family twin in the window — for most,
+    # the incoming oldest-evidence queries ARE the twins.
+    # media_frame_sample, watermark_max_time and vwap_daily_1h stay
+    # in-window as their families' only representatives.
+    "avg_close_pivot": "ohlc_derived_multi_tf",
+    "backtest_equity_curve": "vwap_daily_1h",
+    "backtest_trades": "vwap_daily_1h",
+    "candle_cube": "ohlc_derived_multi_tf",
+    "dedup_ngram_jaccard": "streaming_ingest_dedup_gate",
+    "embedding_knn_bruteforce": "embedding_ann_recall_eval",
+    "embedding_knn_ivf": "embedding_knn_ivf_multiprobe",
+    "embedding_near_dup": "embedding_ann_recall_eval",
+    "embedding_near_dup_lsh": "embedding_ann_recall_eval",
+    "event_type_copairs": "event_props_json_agg",
+    "sma_dead_cross": "sma_14_1h",
+    "sma_fanout_all_tf": "sma_14_1h",
+    "spread_quantiles": "candle_returns_quartile",
+    "text_fingerprint": "text_simhash",
+    "text_token_count": "text_unigram_logprob",
+    "text_top_terms_per_lang": "bm25_search",
 }
 
 
@@ -221,59 +227,113 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round13_rotation_in_window():
-    # VERDICT r12 task #2 (rotation wave 7): the 16 queries whose ONLY
-    # driver-green evidence was round 1 are inside the 50-row correctness
-    # window this round — their first driver contact in eleven rounds and
-    # the first since the canon hardening closed divergence classes 3-5.
-    # vwap_daily_1h must also be in-window for its post-fixed-point
-    # re-certification (task #1 done-criterion). (Earlier rounds' in-window
-    # assertions are superseded by rotation; their driver certifications
-    # are on record in CORRECTNESS_r{1..12}.json.)
+def test_round14_rotation_in_window():
+    # VERDICT r13 task #1 (rotation wave 8): the 16 oldest-evidence queries
+    # — computed strictly oldest-first from CORRECTNESS_r{1..13}.json, led
+    # by embedding_knn_ivf_multiprobe (last driver-green round 2) and
+    # event_props_json_agg (r3), which the r13-written queue omitted — are
+    # inside the 50-row correctness window this round. media_frame_sample,
+    # watermark_max_time and vwap_daily_1h stay in-window as their operator
+    # families' only representatives. (Earlier rounds' in-window assertions
+    # are superseded by rotation; their driver certifications are on record
+    # in CORRECTNESS_r{1..13}.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "avg_close_pivot",
-        "backtest_equity_curve",
-        "backtest_trades",
-        "candle_cube",
-        "dedup_ngram_jaccard",
-        "embedding_knn_bruteforce",
-        "embedding_knn_ivf",
-        "embedding_near_dup",
+        "embedding_knn_ivf_multiprobe",
+        "event_props_json_agg",
+        "text_simhash",
+        "top_customers_by_open_value",
+        "candle_returns_quartile",
+        "daily_active_users",
+        "dedup_connected_components",
+        "dedup_passages",
+        "dedup_simhash",
+        "embedding_label_centroids",
+        "embedding_quantize_int8",
+        "event_reaction_window",
+        "ohlc_derived_multi_tf",
+        "returned_order_priority_semi",
+        "sma_14_1h",
+        "text_repetition_filter",
+        # staying family-only representatives
         "media_frame_sample",
-        "sma_dead_cross",
-        "sma_fanout_all_tf",
-        "spread_quantiles",
-        "text_fingerprint",
-        "text_token_count",
-        "text_top_terms_per_lang",
         "watermark_max_time",
         "vwap_daily_1h",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 
 
-def test_never_certified_backlog_within_rotation_budget():
-    # VERDICT r9 task #8 (durability): new registrations per round must stay
-    # within the rotation budget, so the certification backlog can always be
-    # cleared by ONE rotation wave. A query is "certified" once any
-    # CORRECTNESS_r*.json carries a row for it; queries never certified must
-    # either be in the current window (being certified this round) or number
-    # at most 15 (the largest single wave executed, r9).
+def _newest_green_rounds() -> tuple[dict[str, int], int]:
+    """(query -> newest round with a driver-green row, max round on disk).
+
+    Green = rows+schema match and the hash either matched or was not
+    computed (rows-only checks for non-SQL-expressible ops record
+    hash_match null). hash_match=false rows are NOT evidence.
+    """
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    certified: set[str] = set()
+    newest: dict[str, int] = {}
+    max_round = 0
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        certified |= set(json.loads(path.read_text()))
+        rnd = int(re.search(r"r(\d+)", path.name).group(1))
+        max_round = max(max_round, rnd)
+        for key, row in json.loads(path.read_text()).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            )
+            if green:
+                newest[key] = max(newest.get(key, 0), rnd)
+    return newest, max_round
+
+
+def test_recert_queue_matches_correctness_history():
+    # VERDICT r13 task #6: the written re-certification queue must be
+    # COMPUTED, not hand-maintained — the r13-written queue omitted the two
+    # oldest-evidence queries in the registry (embedding_knn_ivf_multiprobe
+    # at r2, event_props_json_agg at r3). registry.RECERT_QUEUE must equal
+    # the 16 oldest-evidence queries outside the current window, ordered
+    # strictly by (newest driver-green round, name).
+    newest, _ = _newest_green_rounds()
     keys = list(build_queries())
     in_window = set(keys[:DRIVER_WINDOW])
-    backlog = [k for k in keys if k not in certified and k not in in_window]
-    assert len(backlog) <= 15, (
-        f"{len(backlog)} registered queries are outside the window with no "
-        f"driver-green row in any CORRECTNESS file — exceeds the one-wave "
-        f"rotation budget: {backlog}"
+    expected = [
+        q
+        for _, q in sorted(
+            (rnd, q) for q, rnd in newest.items()
+            if q in set(keys) and q not in in_window
+        )
+    ][: len(registry.RECERT_QUEUE)]
+    assert registry.RECERT_QUEUE == expected, (
+        "registry.RECERT_QUEUE is stale — recompute it from the CORRECTNESS "
+        f"files. Expected (oldest-first):\n{expected}"
+    )
+
+
+def test_registry_staleness_bounded():
+    # Successor to the never-certified backlog invariant (vacuous since r13:
+    # 174/174 queries hold a driver-green row). The live invariant: every
+    # registered query's newest driver-green evidence is at most 11 rounds
+    # old (full re-certification cycle at 16-slot waves over ~124 deferred
+    # queries is ~8 rounds; 11 leaves head-room without letting a query rot
+    # the way the r1-only block did for eleven rounds).
+    newest, max_round = _newest_green_rounds()
+    keys = list(build_queries())
+    never = [q for q in keys if q not in newest]
+    assert not never, f"registered queries with NO driver-green row: {never}"
+    in_window = set(keys[:DRIVER_WINDOW])
+    stale = {
+        q: newest[q]
+        for q in keys
+        if max_round - newest[q] > 11 and q not in in_window
+    }
+    assert not stale, (
+        f"queries whose newest driver-green evidence is >11 rounds old and "
+        f"which are not being re-certified this round: {stale}"
     )
 
 

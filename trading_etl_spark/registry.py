@@ -21,22 +21,16 @@ _DOMAINS = [trading, datapipe, analytics, streamgate]
 # cheaper/scale-path twin stays in the window — so they register LAST.
 # tests/test_registry.py asserts the window invariants.
 _DEFER: list[str] = [
-    # r13 rotation wave 7 (VERDICT r12 task #2) moved the 16 r1-only-
-    # certified queries that used to open this list (sma_dead_cross,
-    # spread_quantiles, avg_close_pivot, text_fingerprint,
-    # embedding_near_dup, dedup_ngram_jaccard, embedding_knn_bruteforce,
-    # candle_cube, backtest_equity_curve, media_frame_sample,
-    # sma_fanout_all_tf, backtest_trades, watermark_max_time,
-    # text_token_count, embedding_knn_ivf, text_top_terms_per_lang) back
-    # INTO the window — their only driver-green evidence was round 1,
-    # eleven rounds of code movement ago, and the canon they were last
-    # locally swept through masked classes 3-5. See the wave-7 block at
-    # the END of this list for the 16 freshly-r12-certified rows that
-    # made room.
-    "embedding_knn_ivf_multiprobe",  # label-codebook multiprobe; trained-codebook kmeans twin subsumes it [twin: embedding_ann_recall_eval]
-    "text_simhash",           # signature computation subsumed by dedup_simhash's (check.py + r1-r4 driver rows) [twin: streaming_ingest_dedup_gate]
-    "event_props_json_agg",   # events-table JSON agg; family of in-window events_value_histogram [twin: event_type_copairs]
-    "top_customers_by_open_value",  # O1 sort also evidenced by top_customers_page2_offset
+    # r14 rotation wave 8 (VERDICT r13 task #1) moved the 16 oldest-evidence
+    # queries INTO the window, computed oldest-first from CORRECTNESS_r*.json
+    # at r13 (see RECERT_QUEUE below for the mechanism): led by
+    # embedding_knn_ivf_multiprobe (last driver-green round 2 — the oldest
+    # evidence in the registry, omitted from the r13-written queue) and
+    # event_props_json_agg (r3), then text_simhash +
+    # top_customers_by_open_value (r3) and 12 of the 14 r4-evidence rows
+    # (tick_sessions and train_test_split, alphabetically last of the r4
+    # block, head the wave-9 queue). See the wave-8 block at the END of
+    # this list for the 16 freshly-r13-certified rows that made room.
     # r5 rotation (VERDICT r4 task #1): the 13 never-driver-checked queries
     # (funnel, cohort, histogram, SCD2, forward as-of, weighted sampling,
     # bigram PMI, RAG chunking, two-phase CC, sliding windows, stream-stream
@@ -44,29 +38,17 @@ _DEFER: list[str] = [
     # INTO the window; these 14 redundant siblings — every one with r1-r4
     # driver-green rows AND a same-family twin still in the window — moved
     # out to make room. All stay oracle-verified by tools/check.py.
-    "ohlc_derived_multi_tf",  # A2 re-agg; candle_rollup + candle_gap_fill keep the candle-chain family [twin: candle_cube]
-    "sma_14_1h",              # native-window SMA feeding in-window sma_golden_cross [twin: sma_fanout_all_tf]
     "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
-    "candle_returns_quartile",  # exact percentiles; GK-sketch twin spread_quantiles in window [twin: spread_quantiles]
-    "event_reaction_window",  # range-join family of in-window event_asof_tick/next_tick [twin: event_asof_tick_plain]
-    "dedup_simhash",          # banded near-dup; dedup_minhash_lsh + embedding_near_dup_lsh in window [twin: streaming_ingest_dedup_gate]
-    "dedup_connected_components",  # min-label CC; two-phase twin in window, same oracle [twin: dedup_cc_two_phase]
-    "dedup_passages",         # passage hashing; slicing family of text_chunk_rag/text_rolling_fingerprint [twin: corpus_pack_sequences]
-    "text_repetition_filter",  # text gate; quality_score + lang_id gates stay in window [twin: text_ccnet_ppl_buckets]
     "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window [twin: stratified_sample_by_lang]
-    "embedding_label_centroids",  # broadcast-codebook agg inside in-window embedding_knn_ivf_kmeans [twin: embedding_ann_recall_eval]
-    "embedding_quantize_int8",  # zero-shuffle codegen map, plan CI-asserted (test_plan_regressions) [twin: embedding_ann_recall_eval]
-    "daily_active_users",     # exact DISTINCT agg; HLL twin approx_distinct_users in window
-    "returned_order_priority_semi",  # semi join; anti twin customers_no_open_orders_anti in window [twin: custdist_q13]
     # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
     # r6-born ones (IVFADC, stateful streaming EMA) moved INTO the window
     # for driver certification; these 11 rotated out to make room — every
     # one carries an r5 (most also r1-r4) driver-green row and a
     # same-family twin still in the window. All stay oracle-verified by
     # tools/check.py.
-    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: candle_cube]
+    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: ohlc_derived_multi_tf]
     "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window [twin: event_asof_tick_plain]
-    "text_bigram_pmi",        # explode→count collocations; family of text_top_terms_per_lang
+    "text_bigram_pmi",        # explode→count collocations; explode→count→rank family [twin: bm25_search]
     "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
     "user_funnel_conversion",  # funnel window chain; window family of user_cohort_retention
     "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
@@ -104,7 +86,7 @@ _DEFER: list[str] = [
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
     "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: trix_15_1h]
-    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: sma_fanout_all_tf]
+    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: sma_14_1h]
     "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
     "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_ann_recall_eval]
     "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
@@ -124,18 +106,18 @@ _DEFER: list[str] = [
     # apply the SAME oracle/operator as their rotated-out twins).
     "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
     "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: vwap_daily_1h]
-    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: spread_quantiles]
+    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: candle_returns_quartile]
     "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
     "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: streaming_ingest_dedup_gate]
     "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
-    "bpe_train_merges",       # BPE trainer; text_token_count encodes with the SAME merges
+    "bpe_train_merges",       # BPE trainer; token-stats family [twin: text_unigram_logprob]
     "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: large_volume_q18]
     "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: market_share_q8]
     "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
                               # oracle through the stricter stateful-streaming path
-    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_fanout_all_tf]
+    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_14_1h]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: candle_cube]
+    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: ohlc_derived_multi_tf]
     "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
     "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
@@ -153,9 +135,9 @@ _DEFER: list[str] = [
     "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
     "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
-    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: sma_fanout_all_tf]
-    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: sma_fanout_all_tf]
-    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: spread_quantiles]
+    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: sma_14_1h]
+    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: sma_14_1h]
+    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: candle_returns_quartile]
     "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_ann_recall_eval]
     "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
     # r11 rotation wave 5 (VERDICT r10 task #1): ALL 14 never-driver-certified
@@ -168,11 +150,11 @@ _DEFER: list[str] = [
     # adx_14_1h / top_supplier_q15 / idle_rich_customers_q22; media_dhash stays
     # in window for the media kernels). All stay oracle-verified by
     # tools/check.py.
-    "donchian_20_1h",         # min/max channel windows; twin: sma_fanout_all_tf
-    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: sma_fanout_all_tf]
+    "donchian_20_1h",         # min/max channel windows; twin: sma_14_1h
+    "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: sma_14_1h]
     "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4 [twin: market_share_q8]
     "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14 [twin: market_share_q8]
-    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: spread_quantiles]
+    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: candle_returns_quartile]
     "events_compaction_plan",  # small-file maintenance dry-run; twin: events_orphan_files
     "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_ann_recall_eval]
     "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
@@ -198,7 +180,7 @@ _DEFER: list[str] = [
     # re-certification (VERDICT r11 task #1 done-criterion).
     "adx_14_1h",              # grouped Wilder kernel; twins: trix_15_1h, trix_15_1h
     "backtest_max_drawdown",  # cumulative window; twins: vwap_daily_1h, vwap_daily_1h
-    "cci_20_1h",              # keyed native-window; twins: sma_fanout_all_tf, candle_cube
+    "cci_20_1h",              # keyed native-window; twin: sma_14_1h
     "late_shipment_q4",       # TPC-H star; twins: market_share_q8, waiting_supplier_q21, product_profit_q9
     "top_supplier_q15",       # TPC-H agg+join-back; twin: large_volume_q18
     "idle_rich_customers_q22",  # anti/left-outer; twin: custdist_q13
@@ -210,8 +192,8 @@ _DEFER: list[str] = [
     "streaming_enrich_dim_join",  # stream-static join; twins: streaming_ohlc_1m, streaming_ingest_dedup_gate
     "streaming_scd2_apply",   # foreachBatch IVM; twin: streaming_ingest_dedup_gate (foreachBatch keyed sink family)
     "text_ngram_diversity",   # zero-shuffle text gate; twins: text_ccnet_ppl_buckets, text_unigram_logprob
-    "orders_table_profile",   # conditional-agg profile; twin: spread_quantiles (quantile/profile family)
-    "candle_unpivot",         # candle reshaping; twin: candle_cube (candle-derivation family)
+    "orders_table_profile",   # conditional-agg profile; twin: candle_returns_quartile (quantile/profile family)
+    "candle_unpivot",         # candle reshaping; twin: ohlc_derived_multi_tf (candle-derivation family)
     # r13 rotation wave 7 (VERDICT r12 task #2): the 16 queries whose ONLY
     # driver-green evidence was round 1 moved back INTO the window (first
     # driver contact in eleven rounds, and first since the canon hardening
@@ -221,12 +203,12 @@ _DEFER: list[str] = [
     # vwap_daily_1h deliberately STAYS in-window for its post-fixed-point
     # re-certification (VERDICT r12 task #1 done-criterion), exactly as
     # williams_r_14_1h did in wave 6.
-    "williams_r_14_1h",       # keyed native-window; twins: sma_dead_cross + sma_fanout_all_tf (incoming), vwap_daily_1h
+    "williams_r_14_1h",       # keyed native-window; twin: sma_14_1h (incoming wave 8)
     "keltner_20_10_1h",       # grouped Arrow kernel; twin: trix_15_1h
     "obv_1h",                 # cumulative window; twins: vwap_daily_1h (staying), backtest_equity_curve + backtest_trades (incoming)
-    "candle_patterns_1h",     # candle derivation; twins: candle_cube + avg_close_pivot (incoming)
+    "candle_patterns_1h",     # candle derivation; twin: ohlc_derived_multi_tf (incoming wave 8)
     "incremental_cursor_scan",  # MAX-watermark cursor; twin: watermark_max_time (incoming — the max-agg it consumes)
-    "approx_value_quantiles",  # GK quantiles; twin: spread_quantiles (incoming — exact-percentile sibling)
+    "approx_value_quantiles",  # GK quantiles; twin: candle_returns_quartile (exact-percentile sibling, incoming wave 8)
     "nation_volume_q7",       # TPC-H star; twins: market_share_q8, custdist_q13
     "product_profit_q9",      # TPC-H star agg; twin: market_share_q8
     "small_qty_revenue_q17",  # scalar-threshold star; twin: large_volume_q18
@@ -236,7 +218,36 @@ _DEFER: list[str] = [
     "corpus_mixture_plan",    # mixing planner; twin: stratified_sample_by_lang
     "bpe_encode_fertility",   # token stats; twins: text_token_count (incoming), text_unigram_logprob
     "text_tfidf_top_terms",   # explode→count→rank; twins: text_top_terms_per_lang (incoming), bm25_search
-    "media_dhash",            # BMP/WAV kernels; twin: media_frame_sample (incoming mapInPandas media row)
+    "media_dhash",            # BMP/WAV kernels; twin: media_frame_sample (in-window mapInPandas media row)
+    # r14 rotation wave 8 (VERDICT r13 task #1): the 16 oldest-evidence
+    # queries (r2-r4 driver rows; see the block at the TOP of this list)
+    # moved INTO the window; these 16 freshly-r13-certified rows rotated
+    # out, each with a same-family twin staying in the window — for most,
+    # the incoming oldest-evidence queries ARE the twins (ohlc_derived_
+    # multi_tf keeps the candle re-agg family, sma_14_1h the keyed
+    # native-window SMA family, candle_returns_quartile the exact-quantile
+    # family, text_simhash the fingerprint family, event_props_json_agg
+    # the events-agg family, embedding_knn_ivf_multiprobe the IVF family).
+    # media_frame_sample, watermark_max_time and vwap_daily_1h deliberately
+    # STAY in-window: each is its operator family's only in-window
+    # representative (media kernels, MAX-watermark cursor, cumulative
+    # window for the deferred backtest/obv rows).
+    "avg_close_pivot",        # pivot col-name templating; candle-derivation family [twin: ohlc_derived_multi_tf]
+    "backtest_equity_curve",  # cumulative window; twin: vwap_daily_1h (staying cumulative-window rep)
+    "backtest_trades",        # LAG signal chain; twin: vwap_daily_1h (staying cumulative-window rep)
+    "candle_cube",            # grouping-set cube; twin: ohlc_derived_multi_tf (incoming A2 re-agg, same family)
+    "dedup_ngram_jaccard",    # banded n-gram Jaccard; twin: streaming_ingest_dedup_gate (same banded probe)
+    "embedding_knn_bruteforce",  # exact top-k baseline; twin: embedding_ann_recall_eval (runs brute force as its truth side)
+    "embedding_knn_ivf",      # IVF top-k; twin: embedding_knn_ivf_multiprobe (incoming, same inverted-list index)
+    "embedding_near_dup",     # cosine near-dup; twin: embedding_ann_recall_eval (ANN family)
+    "embedding_near_dup_lsh",  # LSH-bucketed near-dup; twin: embedding_ann_recall_eval (ANN family)
+    "event_type_copairs",     # events co-occurrence agg; twin: event_props_json_agg (incoming events-agg family)
+    "sma_dead_cross",         # J1 self-join signal; twin: sma_14_1h (incoming SMA-fact builder it joins)
+    "sma_fanout_all_tf",      # native-window fanout; twin: sma_14_1h (incoming, same keyed window)
+    "spread_quantiles",       # exact percentiles; twin: candle_returns_quartile (incoming quantile family)
+    "text_fingerprint",       # rolling-hash fingerprint; twin: text_simhash (incoming fingerprint family)
+    "text_token_count",       # token counting; twin: text_unigram_logprob (staying token-stats rep)
+    "text_top_terms_per_lang",  # explode→count→rank; twin: bm25_search (staying retrieval/rank rep)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -247,23 +258,42 @@ _DEFER: list[str] = [
 # otherwise rounds spend freed rotation slots re-certifying the OLDEST
 # driver-green rows (lowest max round in CORRECTNESS_r*.json history) so
 # certification evidence stays fresh across the whole registry instead of
-# accreting a long tail of r1-r4-only rows. tests/test_registry.py's
-# backlog invariant (≤ 15 never-certified) enforces the budget side.
+# accreting a long tail of r1-r4-only rows.
 #
-# r13 executed rotation wave 7: the 16 r1-only rows (avg_close_pivot …
-# watermark_max_time) are IN the window; 16 freshly-r12-certified rows
-# rotated out (see the wave-7 block at the end of _DEFER).
-#
-# r14 re-certification queue (computed from CORRECTNESS_r*.json at r12;
-# the oldest remaining driver-green evidence after wave 7 lands):
-# the r5-certified wave-5 rotations (ohlc_derived_multi_tf, sma_14_1h,
-# tick_sessions, candle_returns_quartile, event_reaction_window,
-# dedup_simhash, dedup_connected_components, dedup_passages,
-# text_repetition_filter, train_test_split, embedding_label_centroids,
-# embedding_quantize_int8, daily_active_users,
-# returned_order_priority_semi) plus text_simhash and
-# top_customers_by_open_value (r1-r4 evidence only) — refresh oldest-first
-# as wave-8 slots open.
+# r14 executed rotation wave 8: the 16 oldest-evidence rows (r2-r4; led by
+# embedding_knn_ivf_multiprobe, the registry's oldest at r2) are IN the
+# window; 16 freshly-r13-certified rows rotated out (see the wave-8 block
+# at the end of _DEFER).
+
+# RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
+# #6): the 16 oldest-evidence deferred queries, ordered strictly by
+# (newest driver-green round, name) computed from CORRECTNESS_r*.json.
+# tests/test_registry.py::test_recert_queue_matches_correctness_history
+# recomputes this from the CORRECTNESS files and asserts equality, so the
+# written queue can never again silently omit the oldest query (the r13
+# wrongness-#1 class: the hand-written r14 queue dropped
+# embedding_knn_ivf_multiprobe, whose evidence was the oldest on record).
+# Rotation waves consume this list front-first; recompute it (the test
+# failure message prints the expected value) whenever a wave executes or
+# a new CORRECTNESS file lands.
+RECERT_QUEUE: list[str] = [
+    "tick_sessions",              # r4
+    "train_test_split",           # r4
+    "candle_gap_fill",            # r5
+    "dim_scd2_history",           # r5
+    "ema_14_1h",                  # r5
+    "event_asof_next_tick",       # r5
+    "sample_weighted_quality",    # r5
+    "streaming_sliding_stats",    # r5
+    "text_bigram_pmi",            # r5
+    "text_chunk_rag",             # r5
+    "text_pii_redact",            # r5
+    "urgent_not_finished_setops",  # r5
+    "user_funnel_conversion",     # r5
+    "corpus_clean_pipeline",      # r6
+    "decontaminate_train_ngrams",  # r6
+    "embedding_knn_pq_adc",       # r6
+]
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
