@@ -969,8 +969,20 @@ def test_domain_mix_rates_and_determinism(spark):
 
 
 def test_unigram_logprob_hand_computed(spark):
-    """Add-one unigram LM on a 2-doc corpus, checked against hand math."""
+    """Add-one unigram LM on a 2-doc corpus, checked against hand math in
+    the operator's fixed-point semantics (r14, VERDICT r13 task #3): each
+    per-token ln quantizes to BIGINT 1e-6 units via floor(x*1e6 + 0.5),
+    the doc reduction is an exact integer sum, and the mean rounds
+    half-away-from-zero by integer division — order-independent, so the
+    value is bit-identical for every partitioning and both engines."""
     import math
+
+    def q6(x: float) -> int:
+        return math.floor(x * 1e6 + 0.5)
+
+    def fixed6_mean(num: int, den: int) -> float:
+        mag = (2 * abs(num) + den) // (2 * den)
+        return (-mag if num < 0 else mag) / 1e6
 
     docs = spark.createDataFrame(
         [(1, "a a b"), (2, "a c")], "doc_id long, text string"
@@ -978,10 +990,13 @@ def test_unigram_logprob_hand_computed(spark):
     # counts: a=3, b=1, c=1; N=5, V=3 → denom 8
     out = {r["doc_id"]: r for r in tx.unigram_logprob(docs).collect()}
     p_a, p_b, p_c = 4 / 8, 2 / 8, 2 / 8
-    want1 = round((2 * math.log(p_a) + math.log(p_b)) / 3, 6)
-    want2 = round((math.log(p_a) + math.log(p_c)) / 2, 6)
-    assert out[1]["n_tokens"] == 3 and abs(out[1]["mean_logprob"] - want1) < 1e-9
-    assert out[2]["n_tokens"] == 2 and abs(out[2]["mean_logprob"] - want2) < 1e-9
+    want1 = fixed6_mean(2 * q6(math.log(p_a)) + q6(math.log(p_b)), 3)
+    want2 = fixed6_mean(q6(math.log(p_a)) + q6(math.log(p_c)), 2)
+    assert out[1]["n_tokens"] == 3 and out[1]["mean_logprob"] == want1
+    assert out[2]["n_tokens"] == 2 and out[2]["mean_logprob"] == want2
+    # fixed-point mean stays within one 1e-6 grain of the true float mean
+    true1 = (2 * math.log(p_a) + math.log(p_b)) / 3
+    assert abs(out[1]["mean_logprob"] - true1) < 2e-6
     # rarer-token doc scores lower (the quality-filter signal)
     assert out[2]["mean_logprob"] < out[1]["mean_logprob"]
 

@@ -512,3 +512,95 @@ def test_fuzz_canon_equal_iff_bit_equal(a, b):
     # and canon round-trips: the rendering loses nothing
     assert float(canon(a)) == a or (a == 0.0 and math.copysign(1, a) < 0)
     assert bits(float(canon(a))) == bits(a)
+
+
+# --- class (b) ledger closure (r14): ln()-sum fixed-point ---------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.integers(min_value=1, max_value=2**20),
+)
+def test_fuzz_fixed6_mean_signed_half_away_and_engine_identical(num, den):
+    """operators/text.fixed6_mean_expr and its fixed6_mean_sql twin close
+    the last margin-based float-sum family (VERDICT r13 task #3): for any
+    SIGNED 1e-6-unit numerator, the signed magnitude form
+    sign·((2|n|+d) div (2d)) must equal the true half-AWAY-from-zero
+    rounding of the exact rational n/d (unbounded Python ints) — floor-div
+    (DuckDB //) and trunc-div (Spark div) agree because the CASE keeps
+    both operands positive."""
+    from fractions import Fraction
+
+    mag = (2 * abs(num) + den) // (2 * den)
+    got = -mag if num < 0 else mag
+    # ground truth: half-away-from-zero of the exact rational num/den
+    q = Fraction(abs(num), den)
+    truth = q.numerator // q.denominator
+    if q - truth >= Fraction(1, 2):
+        truth += 1
+    truth = -truth if num < 0 else truth
+    assert got == truth
+    # int64 headroom for the SQL form: 2|n|+d stays far inside 2^63
+    assert 2 * abs(num) + den < 2**63
+
+
+def test_fixed6_mean_sql_twins_bit_identical(con, spark):
+    """The exact SQL strings both engines run (fixed6_mean_expr /
+    fixed6_mean_sql) on adversarial numerators: exact half ties both
+    signs, off-by-one around ties, zero (must emit +0.0, never -0.0)."""
+    from trading_etl_spark.operators.text import (
+        fixed6_mean_expr,
+        fixed6_mean_sql,
+    )
+
+    cases = [
+        (-10_737_523, 2),   # negative half tie: -5368761.5 → -5368762
+        (10_737_523, 2),    # positive half tie → 5368762
+        (-10_737_521, 2),   # just under the tie → -5368760.5 → -5368761
+        (-3, 2),            # -1.5 → -2 (away from zero)
+        (3, 2),             # 1.5 → 2
+        (-1, 10),           # rounds to -0 integer → must canon as +0.0
+        (0, 7),
+        (-2_000_000_000_123, 997),  # large magnitude, odd divisor
+    ]
+    for num, den in cases:
+        sql = fixed6_mean_sql(str(num), str(den))
+        (dv,) = con.execute(f"SELECT {sql}").fetchone()
+        row = (
+            spark.range(1)
+            .selectExpr(f"{num} AS _num", f"{den} AS _den")
+            .select(fixed6_mean_expr("_num", "_den").alias("v"))
+            .collect()
+        )
+        spv = row[0]["v"]
+        assert dv.hex() == spv.hex(), (num, den, dv, spv)
+        assert canon(dv) == canon(spv)
+        if num == -1 and den == 10:
+            assert math.copysign(1.0, spv) > 0, "signed zero leaked"
+
+
+def test_unigram_logprob_is_partitioning_invariant(spark):
+    """The r14 redesign's defining property: mean_logprob is an exact
+    integer reduction of quantized per-token logprobs, so the value must
+    be BIT-identical under any partitioning — the float-sum order drift
+    that made this family margin-based (PLANS.md ledger (b)) is gone."""
+    import random
+
+    from trading_etl_spark.operators import text as tx
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 120))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    results = []
+    for parts in (1, 7, 32):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["mean_logprob"].hex())
+            for r in tx.unigram_logprob(docs.repartition(parts)).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]

@@ -461,9 +461,16 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     Model: add-one-smoothed unigram LM, p(tok) = (c+1)/(N+V) with N total
     tokens and V vocabulary size — both corpus-level aggregates. Score =
-    mean over the doc's tokens of ln p(tok), rounded 6dp (repo float
-    convention; cross-engine summation-order drift ~1e-13 sits far below
-    the rounding grain).
+    mean over the doc's tokens of ln p(tok), fixed-point at 6dp: each
+    per-token ln quantizes to BIGINT 1e-6 units (floor(x·1e6 + 0.5) —
+    exact given identical ln bits, both engines), the doc reduction is an
+    exact integer sum (ORDER-INDEPENDENT — no float-summation drift for
+    any partitioning), and the mean rounds half-away-from-zero via signed
+    integer division. This is the r12 PageRank / r13 vwap discipline
+    applied to the last margin-based float-sum family (VERDICT r13 task
+    #3): the only residual cross-engine hazard is a per-token ln() ulp
+    difference landing within ~2e-9 of a quantization boundary, strictly
+    smaller than the per-row summation-order tie window it replaces.
 
     Scale shape: two shuffles — the vocabulary count (keyed on token,
     map-side partial combine bounds the exchange by |vocab|, not corpus
@@ -486,16 +493,42 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
     )
     lp = F.log((F.col("c") + 1.0) / (F.col("n_total") + F.col("v_size")))
+    q = F.floor(lp * F.lit(1000000.0) + F.lit(0.5))  # BIGINT 1e-6 units
     return (
         doc_tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_tokens"),
-            F.round(F.sum(F.col("cnt") * lp) / F.sum("cnt"), 6).alias(
-                "mean_logprob"
-            ),
+            F.sum(F.col("cnt") * q).alias("_num"),
+            F.sum("cnt").alias("_den"),
         )
+        .withColumn("mean_logprob", fixed6_mean_expr("_num", "_den"))
+        .drop("_num", "_den")
+    )
+
+
+def fixed6_mean_expr(num: str, den: str):
+    """round6((num/den)/1e6) for BIGINT ``num`` (any sign, 1e-6 fixed-point
+    units) and positive BIGINT ``den``: half-away-from-zero via integer
+    division on the magnitude ((2a+b) div (2b) — floor- and trunc-div
+    agree on positives, the cross-engine recipe from the vwap redesign),
+    sign reapplied, exact double /1e6 at the end. Order-independent and
+    bit-identical to the DuckDB twin :func:`fixed6_mean_sql`."""
+    return F.expr(
+        f"CASE WHEN {num} < 0 THEN -((-2*{num} + {den}) div (2*{den})) "
+        f"ELSE ((2*{num} + {den}) div (2*{den})) END / CAST(1e6 AS DOUBLE)"
+    )
+
+
+def fixed6_mean_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`fixed6_mean_expr` (`//` floor-div equals
+    Spark's trunc `div` on the positive operands used here). Callers must
+    ensure ``num``/``den`` are BIGINT-cast — DuckDB sums promote to
+    HUGEINT, which the driver's type-sensitive hash rejects."""
+    return (
+        f"CASE WHEN {num} < 0 THEN -((-2*{num} + {den}) // (2*{den})) "
+        f"ELSE ((2*{num} + {den}) // (2*{den})) END / CAST(1e6 AS DOUBLE)"
     )
 
 
@@ -1636,6 +1669,13 @@ def dsir_resample(
         (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("n_t") + F.col("v_t"))
     )
     lp_r = F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v_raw")))
+    # Per-token log-ratio quantized to BIGINT 1e-6 units before the doc
+    # reduction (exact integer sum — order-independent), mean rounded by
+    # signed integer division: the fixed-point discipline that closed the
+    # margin-based ln()-sum class (VERDICT r13 task #3; see
+    # unigram_logprob). exp/pow below stay per-row transcendentals on the
+    # already-quantized 6dp value.
+    q = F.floor((lp_t - lp_r) * F.lit(1000000.0) + F.lit(0.5))
     scored = (
         doc_tok.join(raw_vocab, "tok")
         .join(t_vocab, "tok", "left")
@@ -1643,10 +1683,11 @@ def dsir_resample(
         .crossJoin(F.broadcast(tot_t))
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.col("cnt") * (lp_t - lp_r)) / F.sum("cnt"), 6).alias(
-                "logratio"
-            )
+            F.sum(F.col("cnt") * q).alias("_num"),
+            F.sum("cnt").alias("_den"),
         )
+        .withColumn("logratio", fixed6_mean_expr("_num", "_den"))
+        .drop("_num", "_den")
     )
     key_expr = (
         f"round(power({hex32_unit_expr('samp_h')},"

@@ -2022,26 +2022,33 @@ FROM keyed
 WHERE {tx.hex32_unit_expr('mix_h')} <= keep_rate
 """.strip()
 
-# Unigram-LM oracle: ln is IEEE-identical in both engines; the only
-# cross-engine drift is summation order (~1e-13), far below the 6dp
-# rounding grain. Mirrors the de-skewed Spark shape (VERDICT r5 #4): the
-# vocab join's probe side is the per-doc-distinct (doc_id, tok, cnt)
-# pre-aggregate and the mean is the cnt-weighted average — identical math
-# to avg-over-occurrences, matching FP summation structure.
+# Unigram-LM oracle: per-token ln quantizes to BIGINT 1e-6 units
+# (floor(x*1e6 + 0.5) — exact given identical ln bits), the doc reduction
+# is an exact integer sum (ORDER-INDEPENDENT: the float-summation-order
+# margin class is closed, VERDICT r13 task #3), and the mean rounds
+# half-away-from-zero via fixed6_mean_sql — bit-identical to the Spark
+# fixed6_mean_expr path. Mirrors the de-skewed Spark shape (VERDICT r5
+# #4): the vocab join's probe side is the per-doc-distinct
+# (doc_id, tok, cnt) pre-aggregate.
 ORACLES["text_unigram_logprob"] = (
     "WITH "
     + tx.DOCS_TOKS_SQL
-    + """,
+    + f""",
 ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 doc_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok),
 vocab AS (SELECT tok, sum(cnt) AS c FROM doc_tok GROUP BY tok),
-tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab)
-SELECT d.doc_id,
-       sum(d.cnt)::BIGINT AS n_tokens,
-       round(sum(d.cnt * ln((vb.c + 1.0) / (tot.n_total + tot.v_size)))
-             / sum(d.cnt), 6) AS mean_logprob
-FROM doc_tok d JOIN vocab vb USING (tok) CROSS JOIN tot
-GROUP BY d.doc_id
+tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab),
+scored AS (
+  SELECT d.doc_id,
+         sum(d.cnt)::BIGINT AS n_tokens,
+         sum(d.cnt * CAST(floor(ln((vb.c + 1.0) / (tot.n_total + tot.v_size))
+                                * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS num,
+         sum(d.cnt)::BIGINT AS den
+  FROM doc_tok d JOIN vocab vb USING (tok) CROSS JOIN tot
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, {tx.fixed6_mean_sql('num', 'den')} AS mean_logprob
+FROM scored
 """
 )
 
@@ -2336,12 +2343,18 @@ ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 doc_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY doc_id, tok),
 vocab AS (SELECT tok, sum(cnt) AS c FROM doc_tok GROUP BY tok),
 tot AS (SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab),
-lp AS (
+scored AS (
   SELECT d.doc_id,
-         round(sum(d.cnt * ln((vb.c + 1.0) / (tot.n_total + tot.v_size)))
-               / sum(d.cnt), 6) AS mean_logprob
+         sum(d.cnt * CAST(floor(ln((vb.c + 1.0) / (tot.n_total + tot.v_size))
+                                * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS num,
+         sum(d.cnt)::BIGINT AS den
   FROM doc_tok d JOIN vocab vb USING (tok) CROSS JOIN tot
   GROUP BY d.doc_id
+),
+lp AS (
+  SELECT doc_id, """
+    + tx.fixed6_mean_sql("num", "den")
+    + """ AS mean_logprob FROM scored
 )
 SELECT doc_id, lang, mean_logprob,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
@@ -2388,16 +2401,21 @@ t_vocab AS (SELECT tok, sum(cnt) AS c_t FROM doc_tok JOIN t_ids USING (doc_id)
             GROUP BY tok),
 tot_raw AS (SELECT sum(c_raw) AS n_raw, count(*) AS v_raw FROM raw_vocab),
 tot_t AS (SELECT sum(c_t) AS n_t, count(*) AS v_t FROM t_vocab),
-scored AS (
+summed AS (
   SELECT d.doc_id,
-         round(sum(d.cnt * (ln((coalesce(t.c_t, 0) + 1.0) / (tot_t.n_t + tot_t.v_t))
-                          - ln((r.c_raw + 1.0) / (tot_raw.n_raw + tot_raw.v_raw))))
-               / sum(d.cnt), 6) AS logratio
+         sum(d.cnt * CAST(floor(
+               (ln((coalesce(t.c_t, 0) + 1.0) / (tot_t.n_t + tot_t.v_t))
+                - ln((r.c_raw + 1.0) / (tot_raw.n_raw + tot_raw.v_raw)))
+               * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS num,
+         sum(d.cnt)::BIGINT AS den
   FROM doc_tok d
   JOIN raw_vocab r USING (tok)
   LEFT JOIN t_vocab t USING (tok)
   CROSS JOIN tot_raw CROSS JOIN tot_t
   GROUP BY d.doc_id
+),
+scored AS (
+  SELECT doc_id, {tx.fixed6_mean_sql('num', 'den')} AS logratio FROM summed
 ),
 keyed AS (
   SELECT doc_id, logratio, round(exp(logratio), 6) AS weight,
