@@ -1454,3 +1454,55 @@ def test_plan_cache_key_reuse_and_isolation(spark, tmp_path):
 
     clear_model_caches(spark)
     assert not tx._SHINGLE_REL_CACHE
+
+
+# --- simplified silhouette (r14) ----------------------------------------------
+
+def test_silhouette_perfectly_separated_clusters_score_one(spark):
+    """Two tight clusters far apart: every point sits ON its own centroid
+    (a = 0) and far from the other (b >> 0), so s = 1.0 exactly for every
+    point and the per-label mean is exactly 1.0 — the all-integer
+    pipeline has no rounding slack on this input."""
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 1, [-1.0, 0.0]),
+        (3, 1, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    got = {
+        r["label"]: (r["n_points"], r["mean_silhouette"])
+        for r in sim.cluster_silhouette(emb).collect()
+    }
+    assert got == {0: (2, 1.0), 1: (2, 1.0)}
+
+
+def test_silhouette_interloper_lowers_its_label_mean(spark):
+    """A label-0 point sitting between the clusters drags label 0's mean
+    below label 1's, and no score leaves [-1, 1]."""
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 0.0]),  # interloper: nearer the midpoint
+        (3, 1, [-1.0, 0.0]),
+        (4, 1, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    got = {r["label"]: r["mean_silhouette"] for r in sim.cluster_silhouette(emb).collect()}
+    assert got[0] < got[1]
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_silhouette_point_on_foreign_centroid_scores_negative(spark):
+    """A label-0 point exactly ON label 1's centroid has b = 0 < a, so its
+    s is negative — with one such point out of two, label 0's mean must
+    go below zero while label 1 (tight, far) stays positive."""
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [-1.0, 0.0]),  # sits exactly on label 1's centroid
+        (2, 1, [-1.0, 0.0]),
+        (3, 1, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    got = {r["label"]: r["mean_silhouette"] for r in sim.cluster_silhouette(emb).collect()}
+    assert got[0] < 0.0 < got[1]

@@ -690,3 +690,120 @@ def test_streaming_probe_inner_plan_cached_index_broadcast_batch(spark):
     final = _physical(matches)  # AQE-final: the band join must broadcast
     assert "BroadcastHashJoin" in final, final
     assert "CartesianProduct" not in final, final
+
+
+def _sf_dir_or_skip():
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
+    return sf_dir
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """r14: Q6 is ONE partial-aggregable scan — every predicate (shipdate
+    range, discount band, quantity cap) must push to the parquet reader
+    (asserted on the FORMATTED explain: the physical toString truncates
+    long PushedFilters lists), and the plan may contain no join and no
+    hash exchange (only the single-partition final-agg exchange)."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.analytics import q_forecast_revenue_q6
+
+    df = q_forecast_revenue_q6(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    formatted = df._jdf.queryExecution().explainString(mode)
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ]:
+        assert frag in formatted, (frag, formatted)
+    plan = _physical(df)
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q2_window_min_over_aggregate_all_dims_broadcast(spark):
+    """r14: Q2's correlated-MIN rewrite — the window MIN must run over the
+    per-(part, supplier) AGGREGATE (exactly two hash exchanges: the
+    composite-key partial agg, then the partkey window repartition of the
+    tiny aggregated relation), every dim join broadcast, part filters
+    pushed to the part scan."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.analytics import q_min_cost_supplier_q2
+
+    plan = _physical(q_min_cost_supplier_q2(spark, sf_dir))
+    assert "EqualTo(p_size,15)" in plan, plan
+    assert "EqualTo(p_type,STANDARD)" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """r14: Q16's NOT-IN subquery must compile to a broadcast LEFT ANTI
+    join (never a shuffled one — the excluded set is tiny), with the
+    part attribute filters pushed to the part scan."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.analytics import q_parts_supplier_q16
+
+    plan = _physical(q_parts_supplier_q16(spark, sf_dir))
+    assert "BuildRight, LeftAnti" in plan or "LeftAnti, BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "LessThan(s_acctbal,0.0)" in plan, plan
+
+
+def test_q20_nested_in_is_all_broadcast_one_exchange(spark):
+    """r14: Q20's nested-IN chain — inner part-name IN as a broadcast
+    join against the unique-key part dim, outer supplier IN as a
+    broadcast LEFT SEMI against the aggregated qualifying set; the ONLY
+    hash exchange is the (suppkey, partkey) partial agg, and the
+    shipdate + name-prefix predicates reach their scans."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.analytics import q_excess_share_supplier_q20
+
+    plan = _physical(q_excess_share_supplier_q20(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "StringStartsWith(p_name,red )" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_fuzzy_match_blocked_join_never_cartesian(spark):
+    """r14 (entity-resolution family): the candidate generator must be an
+    EQUI join on the blocking key — a cartesian/nested-loop pair
+    enumeration here is the classic ER scale failure — and the
+    edit-distance must evaluate AFTER blocking (in the join condition/
+    post-filter), never against the unblocked name square."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.analytics import q_part_name_fuzzy_match
+
+    plan = _physical(q_part_name_fuzzy_match(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_silhouette_scoring_job_is_map_side(spark):
+    """r14: the silhouette scorer must follow the two-job codebook
+    pattern — after the centroid collect, the scoring plan carries NO
+    join of any kind (a/b derive from broadcast literals map-side) and
+    exactly one hash exchange (the k-row final label agg), keeping the
+    per-point work embarrassingly parallel at corpus scale."""
+    sf_dir = _sf_dir_or_skip()
+    from trading_etl_spark.queries.datapipe import q_cluster_silhouette
+
+    plan = _physical(q_cluster_silhouette(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "PythonUDF" not in plan, plan

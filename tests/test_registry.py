@@ -195,6 +195,15 @@ SIBLING = {
     "text_fingerprint": "text_simhash",
     "text_token_count": "text_unigram_logprob",
     "text_top_terms_per_lang": "bm25_search",
+    # r14 wave 8b: six freshly-r13-certified rows rotated out so the six
+    # r14-born queries (ER + silhouette families, TPC-H 22/22 completion)
+    # get birth-round driver rows; each keeps a same-family twin in window.
+    "tick_zscore_outliers": "sma_14_1h",
+    "approx_distinct_users": "daily_active_users",
+    "top_customers_page2_offset": "top_customers_by_open_value",
+    "latest_tick_per_pair": "watermark_max_time",
+    "dim_broadcast_enrich": "market_share_q8",
+    "ticks_dedup_second": "dedup_exact",
 }
 
 
@@ -259,6 +268,13 @@ def test_round14_rotation_in_window():
         "media_frame_sample",
         "watermark_max_time",
         "vwap_daily_1h",
+        # wave 8b: the six r14-born queries certify in their birth round
+        "forecast_revenue_q6",
+        "min_cost_supplier_q2",
+        "parts_supplier_q16",
+        "excess_share_supplier_q20",
+        "part_name_fuzzy_match",
+        "embedding_cluster_silhouette",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 
@@ -323,13 +339,17 @@ def test_registry_staleness_bounded():
     # the way the r1-only block did for eleven rounds).
     newest, max_round = _newest_green_rounds()
     keys = list(build_queries())
-    never = [q for q in keys if q not in newest]
-    assert not never, f"registered queries with NO driver-green row: {never}"
     in_window = set(keys[:DRIVER_WINDOW])
+    # a never-certified query is acceptable ONLY while it sits in the
+    # window awaiting its birth-round driver row (the r14 wave-8b births);
+    # a never-certified DEFERRED query is the rot this invariant exists
+    # to prevent.
+    never = [q for q in keys if q not in newest and q not in in_window]
+    assert not never, f"deferred queries with NO driver-green row: {never}"
     stale = {
         q: newest[q]
         for q in keys
-        if max_round - newest[q] > 11 and q not in in_window
+        if q in newest and max_round - newest[q] > 11 and q not in in_window
     }
     assert not stale, (
         f"queries whose newest driver-green evidence is >11 rounds old and "

@@ -1178,6 +1178,120 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     )
 
 
+SIL_Q = 10000  # component quantization grid: 1e-4 units
+
+
+def cluster_silhouette(emb: DataFrame) -> DataFrame:
+    """Simplified silhouette per label (r14-born — the cluster-quality
+    eval of the embedding lifecycle, next to :func:`ivf_drift_report`):
+    for each point, a = squared distance to its OWN label centroid, b =
+    min squared distance to any OTHER label centroid, s = (b−a)/max(a,b);
+    the per-label mean-s says how separable that label's cluster is.
+    Centroid-based ("simplified") silhouette is the O(n·k) variant — the
+    O(n²) pairwise classic cannot exist at corpus scale — and squared
+    distances keep the pipeline inside +/* only.
+
+    Exactness (the post-r13 discipline — no float-margin class): every
+    component quantizes to the BIGINT 1e-4 grid (floor(x·1e4 + 0.5) of
+    the exact float→double cast), centroids are half-away-from-zero
+    integer means, a/b are exact integer squared distances, per-point s
+    is the round-half-up integer ratio in 1e-6 units, and the per-label
+    mean goes through the fixed6 integer mean — order-, partitioning-
+    and engine-independent by construction. Overflow headroom: |q| ≤
+    ~5.3e3 here (unit-ish embeddings quantized at 1e-4), so d² ≤ 64·
+    (2·5.3e3)² ≈ 7.2e9 and the s-ratio numerator ≤ 2·d²·1e6 ≈ 1.4e16;
+    the label-sum of s stays < 9.2e18 up to ~9e12 points per label.
+
+    Scale — the two-job codebook pattern (same as :func:`kmeans_codebook`):
+    job 1 computes centroids with one (label, pos) partial agg (shuffle
+    bounded at k·dim rows at ANY corpus size) and collects the k×dim
+    integer codebook to the driver (the established small-state broadcast
+    pattern); job 2 re-derives a/b/s entirely MAP-SIDE against the
+    centroid literals — no n·k distance-row shuffle, no per-point
+    regroup — and ends in one k-row label agg. Total exchanges that
+    scale with n: the centroid partial agg and the final partial agg,
+    both map-combined."""
+    from .text import fixed6_mean_expr
+
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(f"transform(emb, x -> cast(floor(x * {SIL_Q} + 0.5) as bigint))").alias(
+            "qv"
+        ),
+    )
+    cpos = (
+        q.select("label", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .withColumn(
+            "c",
+            F.expr(
+                "CASE WHEN s < 0 THEN -((-2*s + n) div (2*n))"
+                " ELSE (2*s + n) div (2*n) END"
+            ),
+        )
+    )
+    cent: dict[int, dict[int, int]] = {}
+    for row in cpos.select("label", "pos", "c").collect():  # k×dim ints — tiny
+        cent.setdefault(row["label"], {})[row["pos"]] = row["c"]
+    cent_arrays = {
+        lbl: [by_pos[p] for p in sorted(by_pos)] for lbl, by_pos in cent.items()
+    }
+
+    def _arr(cv: list[int]) -> str:
+        return "array(" + ",".join(f"{c}L" for c in cv) + ")"
+
+    own_map = (
+        "map("
+        + ",".join(
+            f"cast({lbl} as bigint), {_arr(cv)}" for lbl, cv in sorted(cent_arrays.items())
+        )
+        + ")"
+    )
+    entries = (
+        "array("
+        + ",".join(
+            f"named_struct('l', cast({lbl} as bigint), 'cv', {_arr(cv)})"
+            for lbl, cv in sorted(cent_arrays.items())
+        )
+        + ")"
+    )
+
+    def _d2(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+
+    s = q.select(
+        "label",
+        F.expr(_d2("qv", f"element_at({own_map}, label)")).alias("a"),
+        F.expr(
+            f"array_min(transform({entries},"
+            f" e -> IF(e.l = label, cast(null as bigint), {_d2('qv', 'e.cv')})))"
+        ).alias("b"),
+    ).withColumn(
+        "sfp",
+        F.expr(
+            "CASE WHEN greatest(a, b) = 0 THEN cast(0 as bigint)"
+            " WHEN b - a < 0 THEN"
+            "  -((-2*(b - a)*1000000 + greatest(a, b)) div (2*greatest(a, b)))"
+            " ELSE ((2*(b - a)*1000000 + greatest(a, b)) div (2*greatest(a, b))) END"
+        ),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("sfp").alias("_num"),
+            F.count("*").alias("_den"),
+        )
+        .withColumn("mean_silhouette", fixed6_mean_expr("_num", "_den"))
+        .drop("_num", "_den")
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 EMB_SQL = """

@@ -1640,6 +1640,245 @@ def q_product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- r14-born: the four remaining TPC-H shapes (22/22) + fuzzy matching ------
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24
+
+
+def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped revenue-change forecast (r14-born — completes the
+    22-query TPC-H suite alongside Q1-Q22 already registered): the
+    what-if revenue of discount-band lines in one shipping year.
+
+    Scale: the whole query is ONE partial-aggregable scan — all four
+    predicates (shipdate range, discount band, quantity cap) push down
+    to the parquet reader, the map-side partial sum reduces each
+    partition to a single DECIMAL(27,6) cell, and the final exchange
+    moves |partitions| rows. The revenue sum is exact-decimal (_msum),
+    order- and engine-independent."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q6_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q6_DATE_HI))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY_MAX)
+        )
+        .agg(_msum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier (r14-born): for each
+    qualifying part (size/type filters), every EUROPE supplier that ties
+    the minimum unit cost of that part. This fixture has no partsupp
+    table, so the part↔supplier relation and the unit cost derive from
+    shipped lineitem rows: cost(part, supplier) = round-half-up 6dp of
+    sum(extendedprice)/sum(quantity), computed ALL-INTEGER (exact
+    decimal price sum in 1e-6 units over integral quantity sum — the
+    vwap/q17 fixed-point recipe), so the min and the tie-equality are
+    engine- and order-independent.
+
+    Q2's correlated MIN subquery is re-expressed as a window MIN over
+    the per-(part, supplier) aggregate — no second scan, no self-join;
+    the oracle runs the classic correlated form to certify the rewrite.
+
+    Scale: the part dim filter broadcasts into the lineitem scan, the
+    one shuffle is the (partkey, suppkey) partial agg; the EUROPE
+    supplier dim broadcasts; the window MIN runs over the tiny
+    aggregated relation (|qualifying parts × suppliers|), not lineitem."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey", "p_name")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(27,6))) * 1000000 as bigint)"
+            ).alias("_sp"),
+            F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias("_sq"),
+        )
+        # round-half-up integer ratio: unit cost in 1e-6 price units
+        .withColumn("_cost_fp", F.expr("(2 * _sp + _sq) div (2 * _sq)"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("_min_cost", F.min("_cost_fp").over(w))
+        .filter(F.col("_cost_fp") == F.col("_min_cost"))
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            (F.col("_cost_fp") / F.lit(1000000.0)).alias("supply_cost"),
+        )
+    )
+
+
+Q16_BRAND_EXCL = "Brand#9"
+Q16_TYPE_EXCL_PREFIX = "MEDIUM"
+Q16_SIZES = [1, 4, 9, 16, 25, 36, 49]
+
+
+def q_parts_supplier_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped part/supplier relationship count (r14-born): how
+    many distinct suppliers can supply each (brand, type, size) bucket of
+    qualifying parts — excluding brand/type-prefix classes and suppliers
+    with negative account balance (this fixture's analog of Q16's
+    customer-complaints comment filter; the supplier↔part relation
+    derives from shipped lineitem rows, as there is no partsupp table).
+
+    Q16's NOT-IN subquery becomes a broadcast LEFT ANTI join; the part
+    attribute filters broadcast into the lineitem scan.
+
+    Scale: lineitem is reduced map-side by the broadcast part filter,
+    the anti join is broadcast (excluded-supplier set is tiny), and the
+    single shuffle is the (brand, type, size) agg with a partial
+    distinct on (bucket, suppkey) — no row-level distinct pre-pass."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_BRAND_EXCL)
+            & ~F.col("p_type").startswith(Q16_TYPE_EXCL_PREFIX)
+            & F.col("p_size").isin(Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complained = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complained),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_NAME_PREFIX = "red "
+Q20_QTY_THRESHOLD = 50
+Q20_DATE_LO = "1996-01-01"
+Q20_DATE_HI = "1997-01-01"
+
+
+def q_excess_share_supplier_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped excess-stock suppliers (r14-born): suppliers who
+    shipped more than ``Q20_QTY_THRESHOLD`` units of any one qualifying
+    part (name prefix) inside the target year — Q20's
+    supplier-IN(part-IN(...)) nested-subquery chain. Without a partsupp
+    availqty, the excess test is the shipped-quantity sum itself (exact
+    integral units, floor(qty+0.5) per line).
+
+    The nested INs become joins: the inner part-name IN is a broadcast
+    join against the (unique-key) filtered part dim — equivalent to a
+    semi join because p_partkey is unique — and the outer supplier IN is
+    a LEFT SEMI join against the aggregated qualifying-supplier set.
+
+    Scale: shipdate + name-prefix predicates cut lineitem map-side (the
+    dim broadcast, the date pushdown); one (suppkey, partkey) agg
+    shuffle; the semi join probes with the tiny supplier dim."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    qual = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_DATE_LO))
+            & (F.col("l_shipdate") < F.lit(Q20_DATE_HI))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.expr("cast(floor(l_quantity + 0.5) as bigint)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+FUZZY_MAX_DIST = 3
+
+
+def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names (r14-born — the
+    entity-resolution operator family): candidate near-duplicate name
+    pairs = same blocking key (the name's second token) and Levenshtein
+    distance ≤ ``FUZZY_MAX_DIST``, with each name's part count carried
+    for reviewer triage. The classic ER design: never compare all pairs
+    — dedupe to the distinct-name relation first, then self-join ONLY
+    within blocks.
+
+    Scale: the name dedup is one hash agg (distinct names ≪ rows — a
+    vocabulary-sized relation); the blocked self-join generates
+    Σ_b m_b² candidates instead of m², and at any realistic block size
+    the name relation broadcasts, so the expensive edit-distance runs
+    map-side with no shuffle of the base table. Levenshtein is integer
+    — no float hazard."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
+    )
+    return (
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "lev_dist", "n_a", "n_b")
+    )
+
+
 QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "late_shipment_q4": q_late_shipment_q4,
@@ -1684,6 +1923,11 @@ QUERIES = {
     "customers_no_open_orders_anti": q_customers_no_open_orders,
     "urgent_not_finished_setops": q_urgent_not_finished,
     "top_customers_page2_offset": q_top_customers_page2,
+    "forecast_revenue_q6": q_forecast_revenue_q6,
+    "min_cost_supplier_q2": q_min_cost_supplier_q2,
+    "parts_supplier_q16": q_parts_supplier_q16,
+    "excess_share_supplier_q20": q_excess_share_supplier_q20,
+    "part_name_fuzzy_match": q_part_name_fuzzy_match,
 }
 
 # unrolled Morton interleave (16 bits/dim), mirroring layout.interleave_bits;
@@ -2331,4 +2575,91 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
+""".strip()
+
+ORACLES["forecast_revenue_q6"] = f"""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_DATE_HI}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+""".strip()
+
+# the classic correlated-MIN Q2 form — certifies the Spark side's window-MIN
+# rewrite over the per-(part, supplier) fixed-point unit-cost aggregate
+ORACLES["min_cost_supplier_q2"] = f"""
+WITH ps AS MATERIALIZED (
+  SELECT l.l_partkey, l.l_suppkey, p.p_name,
+         ((2 * CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,6))) * 1000000 AS BIGINT)
+           + sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)))
+          // (2 * sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)))) AS cost_fp
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+  GROUP BY 1, 2, 3
+), eu AS MATERIALIZED (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q2_REGION}'
+)
+SELECT round(eu.s_acctbal, 6) AS s_acctbal, eu.s_name, eu.n_name,
+       ps.l_partkey AS p_partkey, ps.p_name,
+       ps.cost_fp / 1000000.0 AS supply_cost
+FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+WHERE ps.cost_fp = (
+  SELECT min(ps2.cost_fp)
+  FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+  WHERE ps2.l_partkey = ps.l_partkey
+)
+""".strip()
+
+ORACLES["parts_supplier_q16"] = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_BRAND_EXCL}'
+  AND p.p_type NOT LIKE '{Q16_TYPE_EXCL_PREFIX}%'
+  AND p.p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+""".strip()
+
+# the literal nested-IN Q20 form — certifies the Spark side's
+# broadcast-join + left-semi rewrite
+ORACLES["excess_share_supplier_q20"] = f"""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+        )
+    AND l.l_shipdate >= TIMESTAMP '{Q20_DATE_LO}'
+    AND l.l_shipdate < TIMESTAMP '{Q20_DATE_HI}'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) > {Q20_QTY_THRESHOLD}
+)
+""".strip()
+
+ORACLES["part_name_fuzzy_match"] = f"""
+WITH names AS MATERIALIZED (
+  SELECT p_name, count(*)::BIGINT AS n_parts,
+         split_part(p_name, ' ', 2) AS blk
+  FROM part GROUP BY 1, 3
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS lev_dist,
+       a.n_parts AS n_a, b.n_parts AS n_b
+FROM names a
+JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 """.strip()

@@ -501,6 +501,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_long(sim.hard_negatives(_emb(spark, sf_dir)), "rank")
 
 
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette (r14-born): the cluster-quality
+    eval of the embedding lifecycle — all-integer (quantized grid), so
+    the score is order-, partitioning- and engine-independent."""
+    return sim.cluster_silhouette(_emb(spark, sf_dir))
+
+
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture sampling plan (r11-born): per-lang sampling rates
     and epoch counts for the target weights — |langs| output rows at any
@@ -847,6 +854,7 @@ QUERIES = {
     "embedding_ann_recall_eval": q_ann_recall_eval,
     "embedding_ivf_drift_report": q_ivf_drift_report,
     "embedding_hard_negatives": q_hard_negatives,
+    "embedding_cluster_silhouette": q_cluster_silhouette,
     "corpus_mixture_plan": q_mixture_plan,
     "text_ngram_diversity": q_ngram_diversity,
     "embedding_label_centroids": q_emb_centroids,
@@ -2616,3 +2624,56 @@ GROUP BY 1"""
 
 ORACLES["bpe_train_merges"] = _bpe_sql()
 ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()
+
+# Simplified-silhouette oracle: the same all-integer pipeline as
+# sim.cluster_silhouette — 1e-4-grid component quantization, half-away
+# integer-mean centroids, integer squared distances, round-half-up
+# integer s-ratio in 1e-6 units, fixed6 integer mean per label. Every
+# step is BIGINT arithmetic, so the twin is bit-identical by
+# construction (no float-margin class). list_zip structs are unnamed in
+# DuckDB — fields are s[1]/s[2]; centroid lists assemble in pos order
+# (list(... ORDER BY i)), pairing positionwise exactly like Spark's
+# zip_with over the posexplode-ordered transform.
+ORACLES["embedding_cluster_silhouette"] = _with(sim.EMB_SQL) + f""",
+e AS (
+  SELECT vec_id, label::BIGINT AS label,
+         list_transform(v, x -> CAST(floor(x * {sim.SIL_Q} + 0.5) AS BIGINT)) AS qv
+  FROM emb
+),
+cpos AS (
+  SELECT label, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM e, unnest(generate_series(1, len(qv))) AS g(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label AS clabel,
+         list(CASE WHEN s < 0 THEN -((-2*s + n) // (2*n))
+                   ELSE (2*s + n) // (2*n) END ORDER BY i) AS cv
+  FROM cpos GROUP BY 1
+),
+dist AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         CAST(list_aggregate(
+           list_transform(list_zip(e.qv, c.cv),
+                          s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS BIGINT) AS d2
+  FROM e, cent c
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN d2 END) AS a,
+         min(CASE WHEN clabel <> label THEN d2 END) AS b
+  FROM dist GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(a, b) = 0 THEN 0
+              WHEN b - a < 0 THEN
+                -((-2*(b - a)*1000000 + greatest(a, b)) // (2*greatest(a, b)))
+              ELSE ((2*(b - a)*1000000 + greatest(a, b)) // (2*greatest(a, b))) END
+           AS sfp
+  FROM ab
+)
+SELECT label, count(*)::BIGINT AS n_points,
+       {tx.fixed6_mean_sql('sum(sfp)::BIGINT', 'count(*)::BIGINT')} AS mean_silhouette
+FROM s GROUP BY 1
+""".strip()

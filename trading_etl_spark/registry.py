@@ -248,6 +248,21 @@ _DEFER: list[str] = [
     "text_fingerprint",       # rolling-hash fingerprint; twin: text_simhash (incoming fingerprint family)
     "text_token_count",       # token counting; twin: text_unigram_logprob (staying token-stats rep)
     "text_top_terms_per_lang",  # explode→count→rank; twin: bm25_search (staying retrieval/rank rep)
+    # r14 wave 8b (same round, after wave 8): six r14-born queries enter the
+    # window for first certification — part_name_fuzzy_match (NEW
+    # entity-resolution family), embedding_cluster_silhouette (NEW
+    # cluster-quality eval), and the four TPC-H completions
+    # (forecast_revenue_q6 / min_cost_supplier_q2 / parts_supplier_q16 /
+    # excess_share_supplier_q20 — the documented one-time exception to the
+    # birth freeze closing the suite at 22/22). These six
+    # freshly-r13-certified rows rotate out to make room, each with a
+    # same-family twin still in the window.
+    "tick_zscore_outliers",   # rolling mean/std outlier gate; twin: sma_14_1h (staying keyed-window stats rep)
+    "approx_distinct_users",  # HLL distinct; twin: daily_active_users (staying exact-distinct rep, same users)
+    "top_customers_page2_offset",  # sort+offset paging; twin: top_customers_by_open_value (staying O1 sort rep)
+    "latest_tick_per_pair",   # top-1-by-time lookup; twin: watermark_max_time (staying latest/cursor rep)
+    "dim_broadcast_enrich",   # broadcast dim join; twin: market_share_q8 (staying broadcast star-join rep)
+    "ticks_dedup_second",     # 1-second first-wins dedup; twin: dedup_exact (staying exact-dedup rep)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -264,6 +279,15 @@ _DEFER: list[str] = [
 # embedding_knn_ivf_multiprobe, the registry's oldest at r2) are IN the
 # window; 16 freshly-r13-certified rows rotated out (see the wave-8 block
 # at the end of _DEFER).
+#
+# r14 births (wave 8b): part_name_fuzzy_match certifies the NEW
+# entity-resolution family (blocked edit-distance linkage — no prior
+# representative) and embedding_cluster_silhouette the NEW cluster-quality
+# eval; forecast_revenue_q6 / min_cost_supplier_q2 / parts_supplier_q16 /
+# excess_share_supplier_q20 are the four remaining TPC-H shapes — a
+# documented ONE-TIME exception to the birth freeze that closes the TPC-H
+# suite at 22/22 (a bounded, suite-completing batch certified in its birth
+# round, not open-ended drift). Registry: 180 queries, 130 deferred.
 
 # RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
 # #6): the 16 oldest-evidence deferred queries, ordered strictly by
