@@ -81,6 +81,11 @@ HEADLINE = [
     # banded index; the all-pairs dedup_minhash_lsh line above is the
     # one-time full pass). Scaling probe carries its 1x/10x/100x slopes.
     "dedup_incremental_minhash",
+    # r14-born families: blocked-Levenshtein record linkage (vocabulary-sized
+    # blocked self-join) and the all-integer two-job silhouette (centroid
+    # agg + collect, then map-side scoring) — new lines, no prior series.
+    "part_name_fuzzy_match",
+    "embedding_cluster_silhouette",
 ]
 
 # Warm-up query OUTSIDE the candle chain (JVM/codegen/parquet-footer warmup

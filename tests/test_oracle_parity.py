@@ -604,3 +604,63 @@ def test_unigram_logprob_is_partitioning_invariant(spark):
         }
         results.append(got)
     assert results[0] == results[1] == results[2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**33),
+    st.integers(min_value=0, max_value=2**33),
+)
+def test_fuzz_silhouette_ratio_half_up_and_in_range(a, b):
+    """The silhouette per-point score (r14): the integer form
+    sign·((2·|b−a|·1e6 + M) div (2M)), M = max(a,b), must equal the true
+    half-away-from-zero rounding of the exact rational (b−a)·1e6/M for
+    any non-negative squared distances — and stay inside ±1e6 (|s| ≤ 1
+    by construction). Headroom: 2·|b−a|·1e6 + M stays far inside 2^63
+    for the 1e-4-grid distances the operator produces (d² ≤ ~7.2e9)."""
+    from fractions import Fraction
+
+    m = max(a, b)
+    if m == 0:
+        return  # operator emits 0 for the degenerate all-equal case
+    num = (b - a) * 1_000_000
+    mag = (2 * abs(num) + m) // (2 * m)
+    got = -mag if num < 0 else mag
+    q = Fraction(abs(num), m)
+    truth = q.numerator // q.denominator
+    if q - truth >= Fraction(1, 2):
+        truth += 1
+    truth = -truth if num < 0 else truth
+    assert got == truth
+    assert -1_000_000 <= got <= 1_000_000
+    assert 2 * abs(num) + m < 2**63
+
+
+def test_silhouette_is_partitioning_invariant(spark):
+    """The silhouette operator's defining property (r14 birth): the
+    all-integer pipeline (quantized components → integer-mean centroids →
+    integer d² → integer s-ratio → fixed6 mean) must emit BIT-identical
+    doubles under any partitioning — there is no float reduction anywhere
+    to reorder."""
+    import random
+
+    from trading_etl_spark.operators import similarity as sim
+
+    rng = random.Random(41)
+    rows = [
+        (
+            i,
+            i % 5,
+            [rng.uniform(-0.6, 0.6) + (i % 5) * 0.3 for _ in range(16)],
+        )
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    results = []
+    for parts in (1, 7, 32):
+        got = {
+            r["label"]: (r["n_points"], r["mean_silhouette"].hex())
+            for r in sim.cluster_silhouette(emb.repartition(parts)).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]

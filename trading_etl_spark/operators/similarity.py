@@ -1189,7 +1189,9 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     the per-label mean-s says how separable that label's cluster is.
     Centroid-based ("simplified") silhouette is the O(n·k) variant — the
     O(n²) pairwise classic cannot exist at corpus scale — and squared
-    distances keep the pipeline inside +/* only.
+    distances keep the pipeline inside +/* only. With a single label there
+    is no "other" centroid: b (and the mean) are NULL — silhouette is
+    undefined at k = 1, and the NULL says so rather than faking a score.
 
     Exactness (the post-r13 discipline — no float-margin class): every
     component quantizes to the BIGINT 1e-4 grid (floor(x·1e4 + 0.5) of
