@@ -1493,6 +1493,23 @@ def test_silhouette_interloper_lowers_its_label_mean(spark):
     assert all(-1.0 <= v <= 1.0 for v in got.values())
 
 
+def test_silhouette_single_label_is_null_not_zero(spark):
+    """k = 1 has no 'other' centroid, so silhouette is UNDEFINED: the mean
+    must be NULL — including when points sit exactly ON their centroid
+    (a = 0), where a naive greatest(a, NULL) = 0 branch would fake
+    s = 0.0. n_points still counts the label's members."""
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),  # identical: a = 0, the branch-order trap
+        (2, 0, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    out = sim.cluster_silhouette(emb).collect()
+    assert len(out) == 1
+    assert out[0]["n_points"] == 3
+    assert out[0]["mean_silhouette"] is None
+
+
 def test_silhouette_point_on_foreign_centroid_scores_negative(spark):
     """A label-0 point exactly ON label 1's centroid has b = 0 < a, so its
     s is negative — with one such point out of two, label 0's mean must

@@ -27,11 +27,15 @@ def _lev(a: str, b: str) -> int:
 
 
 def test_fuzzy_match_equals_bruteforce(spark):
-    """The blocked plan must return EXACTLY the pairs a brute-force
-    all-pairs scan finds — within-block candidate generation loses
-    nothing here because the block key (second token) is part of every
-    ≤3-edit pair's agreement on this vocabulary, and the test would
-    expose a blocking key that starts dropping true pairs."""
+    """Two assertions with distinct jobs: (1) the blocked plan returns
+    EXACTLY the pairs its declared contract promises — every ≤3-edit pair
+    agreeing on at least one token (union blocking over per-token keys) —
+    recomputed with an independent DP Levenshtein over the UNBLOCKED name
+    square; (2) on this fixture the contracted set IS the full all-pairs
+    answer (measured recall 1.0, the number the operator docstring
+    claims) — if a future fixture grows a ≤3-edit pair whose every token
+    differs, assertion (2) fails loudly and the recall claim must be
+    re-measured, while (1) keeps certifying the operator itself."""
     from trading_etl_spark.queries.analytics import (
         FUZZY_MAX_DIST,
         q_part_name_fuzzy_match,
@@ -45,33 +49,88 @@ def test_fuzzy_match_equals_bruteforce(spark):
     names = {}
     for row in spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_name").collect():
         names[row["p_name"]] = names.get(row["p_name"], 0) + 1
-    expected = {}
+    all_pairs = {}
+    blocked = {}
     items = sorted(names)
     for i, a in enumerate(items):
         for b in items[i + 1 :]:
-            if a.split(" ")[1] != b.split(" ")[1]:
-                continue  # the blocking key the operator declares
             d = _lev(a, b)
-            if d <= FUZZY_MAX_DIST:
-                expected[(a, b)] = (d, names[a], names[b])
-    assert got == expected
-    assert expected, "fixture produced no fuzzy pairs — parameters degenerate"
+            if d > FUZZY_MAX_DIST:
+                continue
+            all_pairs[(a, b)] = (d, names[a], names[b])
+            if set(a.split(" ")) & set(b.split(" ")):
+                blocked[(a, b)] = (d, names[a], names[b])
+    assert got == blocked, "operator diverges from its union-blocking contract"
+    assert blocked == all_pairs, (
+        "fixture now holds ≤3-edit pairs with NO shared token — union "
+        f"blocking recall dropped below 1.0: {set(all_pairs) - set(blocked)}"
+    )
+    assert all_pairs, "fixture produced no fuzzy pairs — parameters degenerate"
 
 
 def test_q2_rows_are_the_per_part_minimum_with_ties(spark):
-    """Every returned row must carry its part's MINIMUM supply cost among
-    EUROPE suppliers, and every cost tie must be returned (Q2 proper's
-    semantics) — recomputed from the returned relation itself plus the
-    raw tables."""
-    from trading_etl_spark.queries.analytics import q_min_cost_supplier_q2
+    """Every returned (part, supplier) must be a TRUE minimizer of that
+    part's unit cost among EUROPE suppliers, and every tie must be
+    returned (Q2 proper's semantics) — the minimum is recomputed
+    BRUTE-FORCE from the raw tables in the driver with the same exact
+    arithmetic (per-row half-up 6dp decimal of the price, integral
+    quantities, half-up integer cost ratio), independent of both the
+    Spark plan and the DuckDB oracle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from trading_etl_spark.queries.analytics import (
+        Q2_REGION,
+        Q2_SIZE,
+        Q2_TYPE,
+        q_min_cost_supplier_q2,
+    )
 
     rows = q_min_cost_supplier_q2(spark, SF_DIR).collect()
     assert rows
-    by_part = {}
-    for r in rows:
-        by_part.setdefault(r["p_partkey"], set()).add(r["supply_cost"])
-    for pk, costs in by_part.items():
-        assert len(costs) == 1, f"part {pk} returned non-tied costs {costs}"
+    got = {(r["p_partkey"], r["s_name"]): r["supply_cost"] for r in rows}
+
+    parts = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+        if r["p_size"] == Q2_SIZE and r["p_type"] == Q2_TYPE
+    }
+    regions = {
+        r["r_regionkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
+        if r["r_name"] == Q2_REGION
+    }
+    nations = {
+        r["n_nationkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+        if r["n_regionkey"] in regions
+    }
+    eu = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+        if r["s_nationkey"] in nations
+    }
+    grain = Decimal("0.000001")
+    sums = {}  # (partkey, suppkey) -> [price_fp_sum, qty_sum]
+    for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect():
+        if r["l_partkey"] in parts:
+            k = (r["l_partkey"], r["l_suppkey"])
+            cell = sums.setdefault(k, [0, 0])
+            cell[0] += int(
+                Decimal(r["l_extendedprice"]).quantize(grain, ROUND_HALF_UP) * 1_000_000
+            )
+            cell[1] += int(r["l_quantity"] + 0.5)
+    cost = {
+        k: (2 * sp + sq) // (2 * sq) for k, (sp, sq) in sums.items() if k[1] in eu
+    }
+    mins = {}
+    for (pk, sk), c in cost.items():
+        mins[pk] = min(mins.get(pk, c), c)
+    expected = {
+        (pk, eu[sk]): mins[pk] / 1_000_000.0
+        for (pk, sk), c in cost.items()
+        if c == mins[pk]
+    }
+    assert got == expected
 
 
 def test_q20_suppliers_all_exceed_threshold(spark):

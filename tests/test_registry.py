@@ -317,13 +317,20 @@ def test_recert_queue_matches_correctness_history():
     newest, _ = _newest_green_rounds()
     keys = list(build_queries())
     in_window = set(keys[:DRIVER_WINDOW])
-    expected = [
+    candidates = [
         q
         for _, q in sorted(
             (rnd, q) for q, rnd in newest.items()
             if q in set(keys) and q not in in_window
         )
-    ][: len(registry.RECERT_QUEUE)]
+    ]
+    # the wave size is FIXED, never inferred from the written queue's own
+    # length — truncating the expectation to len(RECERT_QUEUE) would let a
+    # shortened/emptied queue pass the very invariant this test enforces
+    # (the r13 omission class, relocated to the tail)
+    wave_slots = 16
+    expected = candidates[:wave_slots]
+    assert len(registry.RECERT_QUEUE) == min(wave_slots, len(candidates))
     assert registry.RECERT_QUEUE == expected, (
         "registry.RECERT_QUEUE is stale — recompute it from the CORRECTNESS "
         f"files. Expected (oldest-first):\n{expected}"

@@ -1181,6 +1181,19 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
 SIL_Q = 10000  # component quantization grid: 1e-4 units
 
 
+def half_away_div(num: str, den: str, intdiv: str = "div") -> str:
+    """sign·((2|n|+d) intdiv (2d)) — the cross-engine half-away-from-zero
+    integer rounding of n/d (the vwap/fixed6 recipe, for positive ``den``):
+    ``intdiv`` is ``div`` for Spark (trunc-div) or ``//`` for DuckDB
+    (floor-div) — identical on the positive operands the CASE produces.
+    ONE definition serves the Spark expression and its oracle twin, so a
+    future change to the rounding recipe cannot fork the engines."""
+    return (
+        f"CASE WHEN {num} < 0 THEN -((-2*({num}) + {den}) {intdiv} (2*({den})))"
+        f" ELSE (2*({num}) + {den}) {intdiv} (2*({den})) END"
+    )
+
+
 def cluster_silhouette(emb: DataFrame) -> DataFrame:
     """Simplified silhouette per label (r14-born — the cluster-quality
     eval of the embedding lifecycle, next to :func:`ivf_drift_report`):
@@ -1190,8 +1203,11 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     Centroid-based ("simplified") silhouette is the O(n·k) variant — the
     O(n²) pairwise classic cannot exist at corpus scale — and squared
     distances keep the pipeline inside +/* only. With a single label there
-    is no "other" centroid: b (and the mean) are NULL — silhouette is
-    undefined at k = 1, and the NULL says so rather than faking a score.
+    is no "other" centroid: b is NULL for every point, each per-point s is
+    NULL (the b-IS-NULL guard fires BEFORE the degenerate a=0 branch), and
+    the mean — an all-NULL sum over a count of non-NULL scores — is NULL:
+    silhouette is undefined at k = 1 and the NULL says so rather than
+    faking a score.
 
     Exactness (the post-r13 discipline — no float-margin class): every
     component quantizes to the BIGINT 1e-4 grid (floor(x·1e4 + 0.5) of
@@ -1226,13 +1242,7 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
         q.select("label", F.posexplode("qv").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-        .withColumn(
-            "c",
-            F.expr(
-                "CASE WHEN s < 0 THEN -((-2*s + n) div (2*n))"
-                " ELSE (2*s + n) div (2*n) END"
-            ),
-        )
+        .withColumn("c", F.expr(half_away_div("s", "n")))
     )
     cent: dict[int, dict[int, int]] = {}
     for row in cpos.select("label", "pos", "c").collect():  # k×dim ints — tiny
@@ -1276,10 +1286,12 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     ).withColumn(
         "sfp",
         F.expr(
-            "CASE WHEN greatest(a, b) = 0 THEN cast(0 as bigint)"
-            " WHEN b - a < 0 THEN"
-            "  -((-2*(b - a)*1000000 + greatest(a, b)) div (2*greatest(a, b)))"
-            " ELSE ((2*(b - a)*1000000 + greatest(a, b)) div (2*greatest(a, b))) END"
+            # b IS NULL ⇒ k = 1 (no other label anywhere) ⇒ s undefined;
+            # the guard must fire BEFORE the a = 0 branch or a point
+            # sitting on its own centroid would fake s = 0 at k = 1
+            "CASE WHEN b IS NULL THEN cast(null as bigint)"
+            " WHEN greatest(a, b) = 0 THEN cast(0 as bigint)"
+            f" ELSE {half_away_div('(b - a)*1000000', 'greatest(a, b)')} END"
         ),
     )
     return (
@@ -1287,7 +1299,9 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_points"),
             F.sum("sfp").alias("_num"),
-            F.count("*").alias("_den"),
+            # count of non-NULL scores: 0 at k = 1, where the NULL _num
+            # then propagates a NULL mean (undefined, not 0.0)
+            F.count("sfp").alias("_den"),
         )
         .withColumn("mean_silhouette", fixed6_mean_expr("_num", "_den"))
         .drop("_num", "_den")

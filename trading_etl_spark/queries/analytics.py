@@ -1846,33 +1846,51 @@ FUZZY_MAX_DIST = 3
 def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage over part names (r14-born — the
     entity-resolution operator family): candidate near-duplicate name
-    pairs = same blocking key (the name's second token) and Levenshtein
-    distance ≤ ``FUZZY_MAX_DIST``, with each name's part count carried
-    for reviewer triage. The classic ER design: never compare all pairs
-    — dedupe to the distinct-name relation first, then self-join ONLY
-    within blocks.
+    pairs under Levenshtein distance ≤ ``FUZZY_MAX_DIST``, with each
+    name's part count carried for reviewer triage. The classic ER
+    design: never compare all pairs — dedupe to the distinct-name
+    relation first, then self-join only within blocks.
+
+    Blocking contract (multi-pass union blocking): every TOKEN of a name
+    is a blocking key, so any pair agreeing on at least one token is
+    GUARANTEED to be generated; a ≤3-edit pair whose every token differs
+    would be missed — the standard recall/cost tradeoff of blocking,
+    stated rather than hidden. On the fixture vocabulary the measured
+    recall vs the unblocked all-pairs answer is 1.0 at every SF
+    (pinned in tests/test_entity_resolution.py, which recomputes the
+    TRUE all-pairs set with an independent DP Levenshtein).
 
     Scale: the name dedup is one hash agg (distinct names ≪ rows — a
-    vocabulary-sized relation); the blocked self-join generates
-    Σ_b m_b² candidates instead of m², and at any realistic block size
-    the name relation broadcasts, so the expensive edit-distance runs
-    map-side with no shuffle of the base table. Levenshtein is integer
-    — no float hazard."""
-    names = (
+    vocabulary-sized relation); per-token keys multiply that tiny
+    relation by tokens-per-name, the blocked self-join generates
+    Σ_b m_b² candidates instead of m², and the pair DISTINCT (a pair
+    agreeing on two tokens arrives twice) runs BEFORE the edit distance
+    so Levenshtein is computed once per candidate. The name relation
+    broadcasts, so nothing about the base table ever shuffles.
+    Levenshtein is integer — no float hazard. Per-token explode also
+    keeps the key derivation total: a single-token name simply carries
+    one key (no NULL-vs-empty-string divergence between engines)."""
+    keyed = (
         _t(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").alias("n_parts"))
-        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+        .select(
+            "p_name",
+            "n_parts",
+            F.explode(F.array_distinct(F.split(F.col("p_name"), " "))).alias("blk"),
+        )
     )
-    a = names.select(
+    a = keyed.select(
         F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
     )
-    b = names.select(
+    b = keyed.select(
         F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
     )
     return (
         a.join(F.broadcast(b), "blk")
         .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "n_a", "n_b")
+        .distinct()
         .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("lev_dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "lev_dist", "n_a", "n_b")
@@ -2650,16 +2668,23 @@ WHERE s.s_suppkey IN (
 )
 """.strip()
 
+# union blocking twin: every token of a name is a blocking key; candidate
+# pairs dedupe BEFORE the edit distance, mirroring the Spark shape
 ORACLES["part_name_fuzzy_match"] = f"""
 WITH names AS MATERIALIZED (
-  SELECT p_name, count(*)::BIGINT AS n_parts,
-         split_part(p_name, ' ', 2) AS blk
-  FROM part GROUP BY 1, 3
+  SELECT p_name, count(*)::BIGINT AS n_parts FROM part GROUP BY 1
+), keyed AS MATERIALIZED (
+  SELECT p_name, n_parts,
+         unnest(list_distinct(string_split(p_name, ' '))) AS blk
+  FROM names
+), cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+         a.n_parts AS n_a, b.n_parts AS n_b
+  FROM keyed a
+  JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
 )
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name)::BIGINT AS lev_dist,
-       a.n_parts AS n_a, b.n_parts AS n_b
-FROM names a
-JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+SELECT name_a, name_b,
+       levenshtein(name_a, name_b)::BIGINT AS lev_dist, n_a, n_b
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
 """.strip()

@@ -2627,13 +2627,16 @@ ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()
 
 # Simplified-silhouette oracle: the same all-integer pipeline as
 # sim.cluster_silhouette — 1e-4-grid component quantization, half-away
-# integer-mean centroids, integer squared distances, round-half-up
-# integer s-ratio in 1e-6 units, fixed6 integer mean per label. Every
-# step is BIGINT arithmetic, so the twin is bit-identical by
-# construction (no float-margin class). list_zip structs are unnamed in
-# DuckDB — fields are s[1]/s[2]; centroid lists assemble in pos order
-# (list(... ORDER BY i)), pairing positionwise exactly like Spark's
-# zip_with over the posexplode-ordered transform.
+# integer-mean centroids (sim.half_away_div with DuckDB's // — ONE
+# rounding definition for both engines), integer squared distances,
+# round-half-up integer s-ratio in 1e-6 units (b-IS-NULL k=1 guard
+# first, matching the Spark CASE order), fixed6 integer mean over the
+# count of NON-NULL scores. Every step is BIGINT arithmetic, so the
+# twin is bit-identical by construction (no float-margin class).
+# list_zip structs are unnamed in DuckDB — fields are s[1]/s[2];
+# centroid lists assemble in pos order (list(... ORDER BY i)), pairing
+# positionwise exactly like Spark's zip_with over the
+# posexplode-ordered transform.
 ORACLES["embedding_cluster_silhouette"] = _with(sim.EMB_SQL) + f""",
 e AS (
   SELECT vec_id, label::BIGINT AS label,
@@ -2647,8 +2650,7 @@ cpos AS (
 ),
 cent AS (
   SELECT label AS clabel,
-         list(CASE WHEN s < 0 THEN -((-2*s + n) // (2*n))
-                   ELSE (2*s + n) // (2*n) END ORDER BY i) AS cv
+         list({sim.half_away_div('s', 'n', '//')} ORDER BY i) AS cv
   FROM cpos GROUP BY 1
 ),
 dist AS (
@@ -2666,14 +2668,13 @@ ab AS (
 ),
 s AS (
   SELECT label,
-         CASE WHEN greatest(a, b) = 0 THEN 0
-              WHEN b - a < 0 THEN
-                -((-2*(b - a)*1000000 + greatest(a, b)) // (2*greatest(a, b)))
-              ELSE ((2*(b - a)*1000000 + greatest(a, b)) // (2*greatest(a, b))) END
+         CASE WHEN b IS NULL THEN NULL
+              WHEN greatest(a, b) = 0 THEN 0
+              ELSE {sim.half_away_div('(b - a)*1000000', 'greatest(a, b)', '//')} END
            AS sfp
   FROM ab
 )
 SELECT label, count(*)::BIGINT AS n_points,
-       {tx.fixed6_mean_sql('sum(sfp)::BIGINT', 'count(*)::BIGINT')} AS mean_silhouette
+       {tx.fixed6_mean_sql('sum(sfp)::BIGINT', 'count(sfp)::BIGINT')} AS mean_silhouette
 FROM s GROUP BY 1
 """.strip()
