@@ -1523,3 +1523,37 @@ def test_silhouette_point_on_foreign_centroid_scores_negative(spark):
     emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
     got = {r["label"]: r["mean_silhouette"] for r in sim.cluster_silhouette(emb).collect()}
     assert got[0] < 0.0 < got[1]
+
+
+def test_silhouette_null_labels_dropped_not_crash(spark):
+    """Unassigned (NULL-label) points have no cluster to score against:
+    they are dropped, the labeled points score normally, and the
+    driver-side codebook build never sees a NULL key."""
+    rows = [
+        (0, None, [9.0, 9.0]),  # unassigned — must not poison the codebook
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 1, [-1.0, 0.0]),
+        (4, 1, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, emb array<double>")
+    got = {
+        r["label"]: (r["n_points"], r["mean_silhouette"])
+        for r in sim.cluster_silhouette(emb).collect()
+    }
+    assert got == {0: (2, 1.0), 1: (2, 1.0)}
+
+
+def test_silhouette_empty_input_returns_empty_frame(spark):
+    """Empty input (or all labels NULL) must yield a 0-row frame with the
+    contract schema — not an untyped-literal AnalysisException."""
+    empty = spark.createDataFrame([], "vec_id long, label int, emb array<double>")
+    out = sim.cluster_silhouette(empty)
+    assert [f.name for f in out.schema.fields] == [
+        "label", "n_points", "mean_silhouette",
+    ]
+    assert out.count() == 0
+    all_null = spark.createDataFrame(
+        [(0, None, [1.0, 0.0])], "vec_id long, label int, emb array<double>"
+    )
+    assert sim.cluster_silhouette(all_null).count() == 0

@@ -1181,17 +1181,10 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
 SIL_Q = 10000  # component quantization grid: 1e-4 units
 
 
-def half_away_div(num: str, den: str, intdiv: str = "div") -> str:
-    """sign·((2|n|+d) intdiv (2d)) — the cross-engine half-away-from-zero
-    integer rounding of n/d (the vwap/fixed6 recipe, for positive ``den``):
-    ``intdiv`` is ``div`` for Spark (trunc-div) or ``//`` for DuckDB
-    (floor-div) — identical on the positive operands the CASE produces.
-    ONE definition serves the Spark expression and its oracle twin, so a
-    future change to the rounding recipe cannot fork the engines."""
-    return (
-        f"CASE WHEN {num} < 0 THEN -((-2*({num}) + {den}) {intdiv} (2*({den})))"
-        f" ELSE (2*({num}) + {den}) {intdiv} (2*({den})) END"
-    )
+# canonical rounding recipe lives with the fixed6 helpers in operators.text;
+# re-exported here because the silhouette oracle twin reads it as
+# sim.half_away_div next to sim.EMB_SQL/sim.SIL_Q
+from .text import half_away_div  # noqa: E402
 
 
 def cluster_silhouette(emb: DataFrame) -> DataFrame:
@@ -1231,7 +1224,10 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     both map-combined."""
     from .text import fixed6_mean_expr
 
-    q = emb.select(
+    # NULL-label rows are unassigned points — there is no cluster to score
+    # them against, so they are dropped here (a NULL key would otherwise
+    # crash the driver-side codebook sort below and poison the literals)
+    q = emb.filter(F.col("label").isNotNull()).select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
         F.expr(f"transform(emb, x -> cast(floor(x * {SIL_Q} + 0.5) as bigint))").alias(
@@ -1250,6 +1246,13 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     cent_arrays = {
         lbl: [by_pos[p] for p in sorted(by_pos)] for lbl, by_pos in cent.items()
     }
+    if not cent_arrays:
+        # empty (or all-NULL-label) input: 0 labels — emit an empty frame
+        # with the contract schema instead of generating untyped map()/
+        # array() literals the analyzer rejects
+        return emb.sparkSession.createDataFrame(
+            [], "label long, n_points long, mean_silhouette double"
+        )
 
     def _arr(cv: list[int]) -> str:
         return "array(" + ",".join(f"{c}L" for c in cv) + ")"

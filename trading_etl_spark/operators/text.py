@@ -508,28 +508,37 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def half_away_div(num: str, den: str, intdiv: str = "div") -> str:
+    """sign·((2|n|+d) intdiv (2d)) — the cross-engine half-away-from-zero
+    integer rounding of n/d (the vwap recipe, for positive ``den``):
+    ``intdiv`` is ``div`` for Spark (trunc-div) or ``//`` for DuckDB
+    (floor-div) — identical on the positive operands the CASE produces.
+    ONE parameterized definition serves every Spark expression and its
+    oracle twin (fixed6 means, silhouette centroids and s-ratios), so a
+    future change to the rounding recipe cannot fork the engines; the
+    operands are parenthesized so compound expressions like ``a - b``
+    round the intended value."""
+    return (
+        f"CASE WHEN ({num}) < 0 THEN -((-2*({num}) + ({den})) {intdiv} (2*({den})))"
+        f" ELSE (2*({num}) + ({den})) {intdiv} (2*({den})) END"
+    )
+
+
 def fixed6_mean_expr(num: str, den: str):
     """round6((num/den)/1e6) for BIGINT ``num`` (any sign, 1e-6 fixed-point
-    units) and positive BIGINT ``den``: half-away-from-zero via integer
-    division on the magnitude ((2a+b) div (2b) — floor- and trunc-div
-    agree on positives, the cross-engine recipe from the vwap redesign),
-    sign reapplied, exact double /1e6 at the end. Order-independent and
-    bit-identical to the DuckDB twin :func:`fixed6_mean_sql`."""
-    return F.expr(
-        f"CASE WHEN {num} < 0 THEN -((-2*{num} + {den}) div (2*{den})) "
-        f"ELSE ((2*{num} + {den}) div (2*{den})) END / CAST(1e6 AS DOUBLE)"
-    )
+    units) and positive BIGINT ``den``: :func:`half_away_div` on the
+    magnitude, sign reapplied, exact double /1e6 at the end.
+    Order-independent and bit-identical to the DuckDB twin
+    :func:`fixed6_mean_sql` — both are the SAME parameterized body."""
+    return F.expr(f"{half_away_div(num, den)} / CAST(1e6 AS DOUBLE)")
 
 
 def fixed6_mean_sql(num: str, den: str) -> str:
-    """DuckDB twin of :func:`fixed6_mean_expr` (`//` floor-div equals
-    Spark's trunc `div` on the positive operands used here). Callers must
-    ensure ``num``/``den`` are BIGINT-cast — DuckDB sums promote to
-    HUGEINT, which the driver's type-sensitive hash rejects."""
-    return (
-        f"CASE WHEN {num} < 0 THEN -((-2*{num} + {den}) // (2*{den})) "
-        f"ELSE ((2*{num} + {den}) // (2*{den})) END / CAST(1e6 AS DOUBLE)"
-    )
+    """DuckDB twin of :func:`fixed6_mean_expr` (same :func:`half_away_div`
+    body with `//` floor-div). Callers must ensure ``num``/``den`` are
+    BIGINT-cast — DuckDB sums promote to HUGEINT, which the driver's
+    type-sensitive hash rejects."""
+    return f"{half_away_div(num, den, '//')} / CAST(1e6 AS DOUBLE)"
 
 
 CHUNK_TOKENS = 32
