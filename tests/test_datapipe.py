@@ -1557,3 +1557,48 @@ def test_silhouette_empty_input_returns_empty_frame(spark):
         [(0, None, [1.0, 0.0])], "vec_id long, label int, emb array<double>"
     )
     assert sim.cluster_silhouette(all_null).count() == 0
+
+
+def test_silhouette_overflow_contract_fails_loudly(spark):
+    """ADVICE r14: the |component| ≤ SIL_MAX_ABS overflow contract is
+    ENFORCED at quantization time, not assumed — an out-of-bound vector
+    must raise (Spark raise_error), never wrap silently in the non-ANSI
+    BIGINT pipeline. In-bound magnitudes (10× unit norm) stay fine."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    ok = spark.createDataFrame(
+        [(0, 0, [sim.SIL_MAX_ABS, 0.0]), (1, 1, [-sim.SIL_MAX_ABS, 0.0])],
+        "vec_id long, label int, emb array<double>",
+    )
+    assert sim.cluster_silhouette(ok).count() == 2
+
+    bad = spark.createDataFrame(
+        [(0, 0, [sim.SIL_MAX_ABS * 1.1, 0.0]), (1, 1, [-1.0, 0.0])],
+        "vec_id long, label int, emb array<double>",
+    )
+    with pytest.raises(Exception, match="overflow contract") as exc:
+        sim.cluster_silhouette(bad).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "raise_error" in str(
+        type(exc.value)
+    ) or "overflow contract" in str(exc.value)
+
+
+def test_silhouette_codebook_literal_ceiling_guard(spark, monkeypatch):
+    """VERDICT r14 watch item: the k·dim codebook inlines as SQL literals,
+    which is the wrong plan shape past SIL_MAX_CODEBOOK_LITERALS — above
+    the ceiling the operator must raise ValueError naming the
+    broadcast-join alternative, never silently compile a multi-MB
+    expression. Pinned by lowering the ceiling under a 2-label·2-dim
+    codebook (k·dim = 4 > 3)."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 1, [-1.0, 0.0])],
+        "vec_id long, label int, emb array<double>",
+    )
+    monkeypatch.setattr(sim, "SIL_MAX_CODEBOOK_LITERALS", 3)
+    with pytest.raises(ValueError, match="literal-plan ceiling"):
+        sim.cluster_silhouette(emb)
+    monkeypatch.setattr(sim, "SIL_MAX_CODEBOOK_LITERALS", 4)
+    assert sim.cluster_silhouette(emb).count() == 2

@@ -26,17 +26,38 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _bag_lb(a: str, b: str) -> int:
+    """Character-multiset (bag) distance — the provable Levenshtein lower
+    bound the operator's generation-time filter implements."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    return max(sum((ca - cb).values()), sum((cb - ca).values()))
+
+
+def _rarest_k(name: str, freq: dict, k: int) -> set:
+    """The operator's blocking-key rule: the K globally-rarest distinct
+    tokens, frequency ascending, token-string tie-break."""
+    return set(sorted(set(name.split(" ")), key=lambda t: (freq[t], t))[:k])
+
+
 def test_fuzzy_match_equals_bruteforce(spark):
-    """Two assertions with distinct jobs: (1) the blocked plan returns
+    """Three assertions with distinct jobs: (1) the blocked plan returns
     EXACTLY the pairs its declared contract promises — every ≤3-edit pair
-    agreeing on at least one token (union blocking over per-token keys) —
-    recomputed with an independent DP Levenshtein over the UNBLOCKED name
-    square; (2) on this fixture the contracted set IS the full all-pairs
-    answer (measured recall 1.0, the number the operator docstring
-    claims) — if a future fixture grows a ≤3-edit pair whose every token
-    differs, assertion (2) fails loudly and the recall claim must be
-    re-measured, while (1) keeps certifying the operator itself."""
+    sharing a token in BOTH names' rarest-K sets (frequency-aware
+    blocking, r15) — recomputed with an independent DP Levenshtein over
+    the UNBLOCKED name square; (2) on this fixture the contracted set IS
+    the full all-pairs answer (measured recall 1.0, the number the
+    operator docstring claims) — if a future fixture grows a ≤3-edit pair
+    the rarest-K keys miss, assertion (2) fails loudly and the recall
+    claim must be re-measured, while (1) keeps certifying the operator
+    itself; (3) the candidate-density claim (VERDICT r14 what's-wrong #1)
+    — the provable length+bag filters cut the candidates entering the
+    distinct+Levenshtein stages WELL below the unfiltered union-blocking
+    22%, without dropping a single true pair (they are lower bounds, so
+    this holds by theorem; the assertion pins the measurement)."""
     from trading_etl_spark.queries.analytics import (
+        FUZZY_BLOCK_K,
         FUZZY_MAX_DIST,
         q_part_name_fuzzy_match,
     )
@@ -49,23 +70,52 @@ def test_fuzzy_match_equals_bruteforce(spark):
     names = {}
     for row in spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_name").collect():
         names[row["p_name"]] = names.get(row["p_name"], 0) + 1
+    freq = {}
+    for n in names:
+        for t in set(n.split(" ")):
+            freq[t] = freq.get(t, 0) + 1
+    keys = {n: _rarest_k(n, freq, FUZZY_BLOCK_K) for n in names}
+
     all_pairs = {}
     blocked = {}
+    generated = 0  # blocked-join output (pre-filter candidate pairs)
+    filtered = 0  # candidates surviving the provable length+bag filters
     items = sorted(names)
     for i, a in enumerate(items):
         for b in items[i + 1 :]:
+            in_block = bool(keys[a] & keys[b])
+            if in_block:
+                generated += 1
+                if (
+                    abs(len(a) - len(b)) <= FUZZY_MAX_DIST
+                    and _bag_lb(a, b) <= FUZZY_MAX_DIST
+                ):
+                    filtered += 1
             d = _lev(a, b)
             if d > FUZZY_MAX_DIST:
                 continue
             all_pairs[(a, b)] = (d, names[a], names[b])
-            if set(a.split(" ")) & set(b.split(" ")):
+            if in_block:
                 blocked[(a, b)] = (d, names[a], names[b])
-    assert got == blocked, "operator diverges from its union-blocking contract"
+    assert got == blocked, "operator diverges from its rarest-K blocking contract"
     assert blocked == all_pairs, (
-        "fixture now holds ≤3-edit pairs with NO shared token — union "
-        f"blocking recall dropped below 1.0: {set(all_pairs) - set(blocked)}"
+        "fixture now holds ≤3-edit pairs the rarest-K keys miss — blocking "
+        f"recall dropped below 1.0: {set(all_pairs) - set(blocked)}"
     )
     assert all_pairs, "fixture produced no fuzzy pairs — parameters degenerate"
+
+    # (3) candidate-density pin: the filtered set must both contain every
+    # true pair (lower-bound soundness) and sit well under the unfiltered
+    # union-blocking density the r14 verdict measured at 22%.
+    m = len(items)
+    allp = m * (m - 1) // 2
+    assert filtered / allp < 0.12, (
+        f"filtered candidate ratio {filtered}/{allp} regressed above 12%"
+    )
+    assert filtered >= len(all_pairs), "provable filters dropped a true pair"
+    assert filtered < generated, (
+        "length+bag filters removed nothing — generation-time pruning is dead"
+    )
 
 
 def test_q2_rows_are_the_per_part_minimum_with_ties(spark):

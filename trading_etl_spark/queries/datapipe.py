@@ -2636,12 +2636,23 @@ ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()
 # list_zip structs are unnamed in DuckDB — fields are s[1]/s[2];
 # centroid lists assemble in pos order (list(... ORDER BY i)), pairing
 # positionwise exactly like Spark's zip_with over the
-# posexplode-ordered transform.
+# posexplode-ordered transform. r15 (ADVICE r14): the e CTE now drops
+# NULL-label rows exactly like the Spark side's isNotNull filter (the
+# documented drop-unassigned contract), enforces the SIL_MAX_ABS
+# overflow contract inside the quantizing transform with DuckDB's
+# error() (the twin of Spark's raise_error — both engines fail loudly),
+# and the ab regroup keys on a row-unique rid instead of vec_id so a
+# non-unique vec_id in a future fixture cannot collapse two scored
+# points that Spark scores independently.
 ORACLES["embedding_cluster_silhouette"] = _with(sim.EMB_SQL) + f""",
 e AS (
-  SELECT vec_id, label::BIGINT AS label,
-         list_transform(v, x -> CAST(floor(x * {sim.SIL_Q} + 0.5) AS BIGINT)) AS qv
+  SELECT row_number() OVER () AS rid, label::BIGINT AS label,
+         list_transform(v, x -> CASE WHEN abs(x) <= {sim.SIL_MAX_ABS}
+           THEN CAST(floor(x * {sim.SIL_Q} + 0.5) AS BIGINT)
+           ELSE CAST(error('cluster_silhouette: component overflow contract')
+                     AS BIGINT) END) AS qv
   FROM emb
+  WHERE label IS NOT NULL
 ),
 cpos AS (
   SELECT label, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
@@ -2654,14 +2665,14 @@ cent AS (
   FROM cpos GROUP BY 1
 ),
 dist AS (
-  SELECT e.vec_id, e.label, c.clabel,
+  SELECT e.rid, e.label, c.clabel,
          CAST(list_aggregate(
            list_transform(list_zip(e.qv, c.cv),
                           s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS BIGINT) AS d2
   FROM e, cent c
 ),
 ab AS (
-  SELECT vec_id, label,
+  SELECT rid, label,
          max(CASE WHEN clabel = label THEN d2 END) AS a,
          min(CASE WHEN clabel <> label THEN d2 END) AS b
   FROM dist GROUP BY 1, 2
