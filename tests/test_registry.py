@@ -16,49 +16,33 @@ DRIVER_WINDOW = 50
 SIBLING = {
     # r5 rotation: 14 r1-r4-driver-green queries moved out, each with a
     # same-family twin still in the window.
-    "tick_sessions": "streaming_ohlc_1m",  # session-window rep rotated out r8; streaming window-agg family
-    "train_test_split": "stratified_sample_by_lang",
     # r6 rotation: 11 r5-driver-green queries moved out so the 9 r5-born +
     # 2 r6-born operators get driver rows; each has a same-family twin
     # still in the window (ema_14_1h's twin runs its EXACT oracle through
     # the stateful-streaming path).
-    "candle_gap_fill": "ohlc_derived_multi_tf",
-    "event_asof_next_tick": "event_asof_tick_plain",
-    "text_bigram_pmi": "bm25_search",
-    "dim_scd2_history": "user_cohort_retention",
-    "user_funnel_conversion": "user_cohort_retention",
-    "sample_weighted_quality": "stratified_sample_by_lang",
-    "text_chunk_rag": "corpus_pack_sequences",
-    "streaming_sliding_stats": "streaming_ohlc_1m",
-    "text_pii_redact": "text_ccnet_ppl_buckets",
-    "urgent_not_finished_setops": "custdist_q13",
-    "ema_14_1h": "trix_15_1h",
     # r7 rotation wave 1: 12 r6-driver-green queries moved out so 12 of the
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
     "ohlc_1m": "streaming_ohlc_1m",
-    "event_asof_nearest_tick": "event_asof_tick_plain",
+    "event_asof_nearest_tick": "event_asof_next_tick",
     "embedding_pq_codes": "embedding_ann_recall_eval",
-    "embedding_knn_pq_adc": "embedding_ann_recall_eval",
-    "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "text_heavy_hitters_cms": "streaming_heavy_hitters",
     "streaming_dedup_exact": "dedup_exact",
     "star_join_revenue": "market_share_q8",
-    "text_rolling_fingerprint": "corpus_pack_sequences",
-    "corpus_clean_pipeline": "streaming_ingest_dedup_gate",
+    "text_rolling_fingerprint": "text_chunk_rag",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "trix_15_1h",
+    "macd_12_26_9_1h": "ema_14_1h",
     "bollinger_20_2_1h": "sma_14_1h",
     "hybrid_search_rrf": "bm25_search",
     "embedding_knn_matryoshka": "embedding_ann_recall_eval",
     "corpus_dsir_resample": "text_unigram_logprob",
-    "dedup_semantic_kmeans": "embedding_ivf_drift_report",
+    "dedup_semantic_kmeans": "embedding_knn_ivf_multiprobe",
     "dim_scd2_merge_apply": "user_cohort_retention",
     "events_snapshot_diff": "user_cohort_retention",
     "streaming_tick_sessions": "streaming_ohlc_1m",
@@ -73,7 +57,7 @@ SIBLING = {
     # (event_asof_tick_plain / streaming_rsi_14_1h run their rotated-out
     # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
     # dedup_lsh_eval apply the same trained artifacts or spans).
-    "event_asof_tick": "event_asof_tick_plain",
+    "event_asof_tick": "event_asof_next_tick",
     "backtest_pnl": "vwap_daily_1h",
     "events_value_histogram": "candle_returns_quartile",
     "ticks_freshness_sla": "watermark_max_time",
@@ -84,9 +68,9 @@ SIBLING = {
     "local_supplier_volume": "market_share_q8",
     "rsi_14_1h": "streaming_rsi_14_1h",
     "sma_golden_cross": "sma_14_1h",
-    "candle_rollup": "ohlc_derived_multi_tf",
-    "atr_14_1h": "trix_15_1h",
-    "stochastic_14_3_1h": "trix_15_1h",
+    "candle_rollup": "candle_gap_fill",
+    "atr_14_1h": "ema_14_1h",
+    "stochastic_14_3_1h": "ema_14_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
@@ -99,7 +83,7 @@ SIBLING = {
     "events_retention_plan": "events_orphan_files",
     "events_zorder_stats": "events_orphan_files",
     "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
-    "dedup_keeper_centrality": "dupgraph_triangle_stats",
+    "dedup_keeper_centrality": "dedup_cc_two_phase",
     "volatility_20_1h": "sma_14_1h",
     "pair_rolling_correlation": "sma_14_1h",
     "events_value_winsorize": "candle_returns_quartile",
@@ -123,7 +107,7 @@ SIBLING = {
     "embedding_knn_ivf_kmeans": "embedding_ann_recall_eval",
     "text_quality_score": "text_ccnet_ppl_buckets",
     "dedup_lsh_eval": "streaming_ingest_dedup_gate",
-    "holt_forecast_1h": "trix_15_1h",
+    "holt_forecast_1h": "ema_14_1h",
     "returned_item_q10": "large_volume_q18",
     "customers_no_open_orders_anti": "custdist_q13",
     "media_resize": "media_frame_sample",
@@ -134,7 +118,7 @@ SIBLING = {
     # same-family twin in the window — for most, the incoming r11-born
     # queries ARE the twins. williams_r_14_1h stays in-window for its
     # post--0.0-fix re-certification.
-    "adx_14_1h": "trix_15_1h",
+    "adx_14_1h": "ema_14_1h",
     "backtest_max_drawdown": "vwap_daily_1h",
     "cci_20_1h": "sma_14_1h",
     "late_shipment_q4": "market_share_q8",
@@ -143,13 +127,13 @@ SIBLING = {
     "promo_revenue_q14": "market_share_q8",
     "revenue_concentration_q11": "market_share_q8",
     "embedding_knn_filtered": "embedding_ann_recall_eval",
-    "corpus_domain_mix": "stratified_sample_by_lang",
+    "corpus_domain_mix": "sample_weighted_quality",
     "dedup_minhash_containment": "streaming_ingest_dedup_gate",
     "streaming_enrich_dim_join": "streaming_ohlc_1m",
     "streaming_scd2_apply": "streaming_ingest_dedup_gate",
     "text_ngram_diversity": "text_ccnet_ppl_buckets",
     "orders_table_profile": "candle_returns_quartile",
-    "candle_unpivot": "ohlc_derived_multi_tf",
+    "candle_unpivot": "candle_gap_fill",
     # r13 rotation wave 7: the 16 queries whose ONLY driver-green evidence
     # was round 1 moved back INTO the window (first driver contact since
     # the canon hardening closed classes 3-5); these 16 r12-driver-green
@@ -158,9 +142,9 @@ SIBLING = {
     # vwap_daily_1h stays in-window for its post-fixed-point
     # re-certification (exactly the williams_r wave-6 precedent).
     "williams_r_14_1h": "sma_14_1h",
-    "keltner_20_10_1h": "trix_15_1h",
+    "keltner_20_10_1h": "ema_14_1h",
     "obv_1h": "vwap_daily_1h",
-    "candle_patterns_1h": "ohlc_derived_multi_tf",
+    "candle_patterns_1h": "candle_gap_fill",
     "incremental_cursor_scan": "watermark_max_time",
     "approx_value_quantiles": "candle_returns_quartile",
     "nation_volume_q7": "market_share_q8",
@@ -169,7 +153,7 @@ SIBLING = {
     "waiting_supplier_q21": "custdist_q13",
     "dedup_incremental_minhash": "streaming_ingest_dedup_gate",
     "embedding_hard_negatives": "embedding_ann_recall_eval",
-    "corpus_mixture_plan": "stratified_sample_by_lang",
+    "corpus_mixture_plan": "sample_weighted_quality",
     "bpe_encode_fertility": "text_unigram_logprob",
     "text_tfidf_top_terms": "bm25_search",
     "media_dhash": "media_frame_sample",
@@ -179,10 +163,10 @@ SIBLING = {
     # the incoming oldest-evidence queries ARE the twins.
     # media_frame_sample, watermark_max_time and vwap_daily_1h stay
     # in-window as their families' only representatives.
-    "avg_close_pivot": "ohlc_derived_multi_tf",
+    "avg_close_pivot": "candle_gap_fill",
     "backtest_equity_curve": "vwap_daily_1h",
     "backtest_trades": "vwap_daily_1h",
-    "candle_cube": "ohlc_derived_multi_tf",
+    "candle_cube": "candle_gap_fill",
     "dedup_ngram_jaccard": "streaming_ingest_dedup_gate",
     "embedding_knn_bruteforce": "embedding_ann_recall_eval",
     "embedding_knn_ivf": "embedding_knn_ivf_multiprobe",
@@ -199,11 +183,36 @@ SIBLING = {
     # r14-born queries (ER + silhouette families, TPC-H 22/22 completion)
     # get birth-round driver rows; each keeps a same-family twin in window.
     "tick_zscore_outliers": "sma_14_1h",
-    "approx_distinct_users": "daily_active_users",
-    "top_customers_page2_offset": "top_customers_by_open_value",
+    "approx_distinct_users": "parts_supplier_q16",
+    "top_customers_page2_offset": "large_volume_q18",
     "latest_tick_per_pair": "watermark_max_time",
     "dim_broadcast_enrich": "market_share_q8",
     "ticks_dedup_second": "dedup_exact",
+    # r15 rotation wave 9: the 16 RECERT_QUEUE rows (r4-r6 evidence) moved
+    # INTO the window; these 16 freshly-r14-certified queries rotated out,
+    # each with a same-family twin in the window — for most, the incoming
+    # oldest-evidence queries ARE the twins. part_name_fuzzy_match,
+    # embedding_cluster_silhouette and min_cost_supplier_q2 stay in-window
+    # for post-change re-certification (blocking hardening / oracle
+    # NULL+rid+overflow fixes / half_away_div rewrite); media_frame_sample,
+    # watermark_max_time, vwap_daily_1h, sma_14_1h and text_simhash stay as
+    # their families' only representatives.
+    "ohlc_derived_multi_tf": "candle_gap_fill",
+    "trix_15_1h": "ema_14_1h",
+    "event_asof_tick_plain": "event_asof_next_tick",
+    "event_reaction_window": "event_asof_next_tick",
+    "dedup_simhash": "dedup_exact",
+    "dedup_passages": "streaming_ingest_dedup_gate",
+    "dedup_connected_components": "dedup_cc_two_phase",
+    "dupgraph_triangle_stats": "dedup_cc_two_phase",
+    "text_repetition_filter": "text_pii_redact",
+    "corpus_pack_sequences": "text_chunk_rag",
+    "stratified_sample_by_lang": "sample_weighted_quality",
+    "embedding_quantize_int8": "embedding_knn_pq_adc",
+    "embedding_label_centroids": "embedding_cluster_silhouette",
+    "embedding_ivf_drift_report": "embedding_knn_ivf_multiprobe",
+    "daily_active_users": "parts_supplier_q16",
+    "top_customers_by_open_value": "large_volume_q18",
 }
 
 
@@ -236,45 +245,48 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round14_rotation_in_window():
-    # VERDICT r13 task #1 (rotation wave 8): the 16 oldest-evidence queries
-    # — computed strictly oldest-first from CORRECTNESS_r{1..13}.json, led
-    # by embedding_knn_ivf_multiprobe (last driver-green round 2) and
-    # event_props_json_agg (r3), which the r13-written queue omitted — are
-    # inside the 50-row correctness window this round. media_frame_sample,
-    # watermark_max_time and vwap_daily_1h stay in-window as their operator
-    # families' only representatives. (Earlier rounds' in-window assertions
-    # are superseded by rotation; their driver certifications are on record
-    # in CORRECTNESS_r{1..13}.json.)
+def test_round15_rotation_in_window():
+    # VERDICT r14 task #2 (rotation wave 9): the 16 RECERT_QUEUE rows
+    # written at r14 — the oldest-evidence deferred queries, r4-r6 driver
+    # rows, consumed front-first — are inside the 50-row correctness
+    # window this round, alongside the deliberate stays:
+    # part_name_fuzzy_match re-certifies its hardened rarest-K blocking
+    # (the task #1 done-criterion), embedding_cluster_silhouette and
+    # min_cost_supplier_q2 re-certify their changed oracle/expression
+    # twins (the williams_r/vwap post-fix precedent), and
+    # media_frame_sample / watermark_max_time / vwap_daily_1h / sma_14_1h
+    # / text_simhash stay as their families' only representatives.
+    # (Earlier rounds' in-window assertions are superseded by rotation;
+    # their driver certifications are on record in CORRECTNESS_r*.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        "embedding_knn_ivf_multiprobe",
-        "event_props_json_agg",
-        "text_simhash",
-        "top_customers_by_open_value",
-        "candle_returns_quartile",
-        "daily_active_users",
-        "dedup_connected_components",
-        "dedup_passages",
-        "dedup_simhash",
-        "embedding_label_centroids",
-        "embedding_quantize_int8",
-        "event_reaction_window",
-        "ohlc_derived_multi_tf",
-        "returned_order_priority_semi",
-        "sma_14_1h",
-        "text_repetition_filter",
+        # wave 9 incoming (the full r14 RECERT_QUEUE, front-first)
+        "tick_sessions",
+        "train_test_split",
+        "candle_gap_fill",
+        "dim_scd2_history",
+        "ema_14_1h",
+        "event_asof_next_tick",
+        "sample_weighted_quality",
+        "streaming_sliding_stats",
+        "text_bigram_pmi",
+        "text_chunk_rag",
+        "text_pii_redact",
+        "urgent_not_finished_setops",
+        "user_funnel_conversion",
+        "corpus_clean_pipeline",
+        "decontaminate_train_ngrams",
+        "embedding_knn_pq_adc",
+        # deliberate stays: post-change re-certification
+        "part_name_fuzzy_match",
+        "embedding_cluster_silhouette",
+        "min_cost_supplier_q2",
         # staying family-only representatives
         "media_frame_sample",
         "watermark_max_time",
         "vwap_daily_1h",
-        # wave 8b: the six r14-born queries certify in their birth round
-        "forecast_revenue_q6",
-        "min_cost_supplier_q2",
-        "parts_supplier_q16",
-        "excess_share_supplier_q20",
-        "part_name_fuzzy_match",
-        "embedding_cluster_silhouette",
+        "sma_14_1h",
+        "text_simhash",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 
@@ -339,11 +351,14 @@ def test_recert_queue_matches_correctness_history():
 
 def test_registry_staleness_bounded():
     # Successor to the never-certified backlog invariant (vacuous since r13:
-    # 174/174 queries hold a driver-green row). The live invariant: every
-    # registered query's newest driver-green evidence is at most 11 rounds
-    # old (full re-certification cycle at 16-slot waves over ~124 deferred
-    # queries is ~8 rounds; 11 leaves head-room without letting a query rot
-    # the way the r1-only block did for eleven rounds).
+    # 174/174 queries hold a driver-green row). The live invariant — the
+    # max-staleness ALARM of the r15 window-economics policy (VERDICT r14
+    # task #3, PLANS.md): every registered query's newest driver-green
+    # evidence is at most registry.MAX_STALENESS_ROUNDS old. The bound is
+    # derived in registry.py next to the constant (refresh latency ~8.1
+    # rounds at 130 deferred / 16 slots; 10 = latency + ~2 rounds slack,
+    # firing well before the r13-era 11+-round rot). In-window queries are
+    # exempt — they are being re-certified this round by construction.
     newest, max_round = _newest_green_rounds()
     keys = list(build_queries())
     in_window = set(keys[:DRIVER_WINDOW])
@@ -356,11 +371,15 @@ def test_registry_staleness_bounded():
     stale = {
         q: newest[q]
         for q in keys
-        if q in newest and max_round - newest[q] > 11 and q not in in_window
+        if q in newest
+        and max_round - newest[q] > registry.MAX_STALENESS_ROUNDS
+        and q not in in_window
     }
     assert not stale, (
-        f"queries whose newest driver-green evidence is >11 rounds old and "
-        f"which are not being re-certified this round: {stale}"
+        f"queries whose newest driver-green evidence is more than "
+        f"{registry.MAX_STALENESS_ROUNDS} rounds old and which are not "
+        f"being re-certified this round: {stale} — rotate them into the "
+        f"window (RECERT_QUEUE front-first) or justify in PLANS.md"
     )
 
 

@@ -38,26 +38,12 @@ _DEFER: list[str] = [
     # INTO the window; these 14 redundant siblings — every one with r1-r4
     # driver-green rows AND a same-family twin still in the window — moved
     # out to make room. All stay oracle-verified by tools/check.py.
-    "tick_sessions",          # session windows; streaming window-agg family of streaming_ohlc_1m
-    "train_test_split",       # md5-bucket split; sampling family of stratified + weighted in window [twin: stratified_sample_by_lang]
-    # r6 rotation (VERDICT r5 task #1): the 9 r5-born queries plus the two
-    # r6-born ones (IVFADC, stateful streaming EMA) moved INTO the window
-    # for driver certification; these 11 rotated out to make room — every
-    # one carries an r5 (most also r1-r4) driver-green row and a
-    # same-family twin still in the window. All stay oracle-verified by
-    # tools/check.py.
-    "candle_gap_fill",        # calendar-spine fill; candle family of candle_rollup [twin: ohlc_derived_multi_tf]
-    "event_asof_next_tick",   # forward as-of; event_asof_tick + the NEW nearest variant in window [twin: event_asof_tick_plain]
-    "text_bigram_pmi",        # explode→count collocations; explode→count→rank family [twin: bm25_search]
-    "dim_scd2_history",       # SCD2 window chain; window family of user_cohort_retention
-    "user_funnel_conversion",  # funnel window chain; window family of user_cohort_retention
-    "sample_weighted_quality",  # A-Res sampling; stratified_sample_by_lang + NEW corpus_domain_mix in window
-    "text_chunk_rag",         # token-window slicing; family of text_rolling_fingerprint [twin: corpus_pack_sequences]
-    "streaming_sliding_stats",  # sliding-window streaming agg; family of streaming_ohlc_1m
-    "text_pii_redact",        # zero-shuffle regex gate; family of text_quality_score [twin: text_ccnet_ppl_buckets]
-    "urgent_not_finished_setops",  # INTERSECT/EXCEPT; set-op family of customers_no_open_orders_anti [twin: custdist_q13]
-    "ema_14_1h",              # batch EMA; the NEW streaming_ema_14_1h runs the SAME oracle [twin: trix_15_1h]
-                              # through the stricter stateful-streaming path
+    # (r15 rotation wave 9 moved the 13 r5/r6-era rows that opened this
+    # list — tick_sessions, train_test_split, candle_gap_fill,
+    # event_asof_next_tick, text_bigram_pmi, dim_scd2_history,
+    # user_funnel_conversion, sample_weighted_quality, text_chunk_rag,
+    # streaming_sliding_stats, text_pii_redact, urgent_not_finished_setops,
+    # ema_14_1h — back INTO the window; see the wave-9 block at the END.)
     # r7 rotation wave 1 (VERDICT r6 task #1): 12 of the 22 r6-born queries
     # (macd, bollinger, semantic dedup, bloom decontaminate, streaming
     # sessions/sma-cross/scd2, dsir, scd2 merge, rrf, matryoshka, profile)
@@ -66,17 +52,14 @@ _DEFER: list[str] = [
     # row and a same-family twin still in the window. All stay
     # oracle-verified by tools/check.py.
     "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
-    "event_asof_nearest_tick",  # nearest as-of; event_asof_tick keeps the as-of family [twin: event_asof_tick_plain]
+    "event_asof_nearest_tick",  # nearest as-of; the forward variant keeps the as-of family [twin: event_asof_next_tick]
     "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_ann_recall_eval]
-    "embedding_knn_pq_adc",   # flat ADC scan; embedding_knn_ivfadc (cell-pruned ADC) subsumes it [twin: embedding_ann_recall_eval]
-    "decontaminate_train_ngrams",  # broadcast-set path; bloom-prefilter twin runs the SAME oracle [twin: decontaminate_fuzzy_lsh]
     "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel [twin: streaming_heavy_hitters]
                               # family, batch rsi_14_1h the grouped recursion family
     "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
     "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
     "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: market_share_q8]
-    "text_rolling_fingerprint",  # rolling hash; corpus_pack_sequences keeps the slicing family
-    "corpus_clean_pipeline",  # composed gates→dedup; components (minhash, quality, lang) all in window [twin: streaming_ingest_dedup_gate]
+    "text_rolling_fingerprint",  # rolling hash; text_chunk_rag keeps the token-slicing family [twin: text_chunk_rag]
     # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
     # r6/r7-born queries (operator-family firsts prioritized) plus
     # approx_value_quantiles (task #4: the GK-sketch quantile family regains
@@ -85,12 +68,12 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "macd_12_26_9_1h",        # grouped EMA recursion; rsi_14_1h + holt keep the kernel family [twin: trix_15_1h]
+    "macd_12_26_9_1h",        # grouped EMA recursion; batch EMA keeps the kernel family [twin: ema_14_1h]
     "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: sma_14_1h]
     "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
     "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_ann_recall_eval]
     "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
-    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; embedding_knn_ivf_kmeans keeps trained-cells [twin: embedding_ivf_drift_report]
+    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; the IVF probe keeps trained-cells [twin: embedding_knn_ivf_multiprobe]
     "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window [twin: user_cohort_retention]
     "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family [twin: user_cohort_retention]
     "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
@@ -104,7 +87,7 @@ _DEFER: list[str] = [
     # queries rotated out to make room; every one keeps a same-family twin
     # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
     # apply the SAME oracle/operator as their rotated-out twins).
-    "event_asof_tick",        # bucketed as-of; event_asof_tick_plain runs the SAME oracle
+    "event_asof_tick",        # bucketed as-of; the forward as-of keeps the family [twin: event_asof_next_tick]
     "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: vwap_daily_1h]
     "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: candle_returns_quartile]
     "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
@@ -117,9 +100,9 @@ _DEFER: list[str] = [
                               # oracle through the stricter stateful-streaming path
     "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_14_1h]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; candle_unpivot keeps the candle reshaping family [twin: ohlc_derived_multi_tf]
-    "atr_14_1h",              # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
-    "stochastic_14_3_1h",     # grouped Arrow kernel; holt_forecast_1h keeps the kernel family [twin: trix_15_1h]
+    "candle_rollup",          # grouping sets; gap-fill keeps the candle family [twin: candle_gap_fill]
+    "atr_14_1h",              # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
+    "stochastic_14_3_1h",     # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
@@ -134,7 +117,7 @@ _DEFER: list[str] = [
     "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance [twin: events_orphan_files]
     "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
-    "dedup_keeper_centrality",  # PageRank keeper election; dupgraph_triangle_stats keeps dup-graph
+    "dedup_keeper_centrality",  # PageRank keeper election; two-phase CC keeps dup-graph [twin: dedup_cc_two_phase]
     "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: sma_14_1h]
     "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: sma_14_1h]
     "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: candle_returns_quartile]
@@ -159,7 +142,7 @@ _DEFER: list[str] = [
     "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_ann_recall_eval]
     "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
     "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: streaming_ingest_dedup_gate]
-    "holt_forecast_1h",       # grouped Arrow kernel; twin: adx_14_1h [twin: trix_15_1h]
+    "holt_forecast_1h",       # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
     "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15 [twin: large_volume_q18]
     "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22 [twin: custdist_q13]
     "media_resize",           # BMP pixel kernel; twin: media_frame_sample
@@ -178,7 +161,7 @@ _DEFER: list[str] = [
     # family, the incremental probe + ingest gate the banded-MinHash family).
     # williams_r_14_1h deliberately STAYS in-window for its post--0.0-fix
     # re-certification (VERDICT r11 task #1 done-criterion).
-    "adx_14_1h",              # grouped Wilder kernel; twins: trix_15_1h, trix_15_1h
+    "adx_14_1h",              # grouped Wilder kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
     "backtest_max_drawdown",  # cumulative window; twins: vwap_daily_1h, vwap_daily_1h
     "cci_20_1h",              # keyed native-window; twin: sma_14_1h
     "late_shipment_q4",       # TPC-H star; twins: market_share_q8, waiting_supplier_q21, product_profit_q9
@@ -187,13 +170,13 @@ _DEFER: list[str] = [
     "promo_revenue_q14",      # conditional-share agg; twins: small_qty_revenue_q17, market_share_q8
     "revenue_concentration_q11",  # scalar-threshold star agg; twins: market_share_q8, product_profit_q9
     "embedding_knn_filtered",  # filtered ANN; twin: embedding_ann_recall_eval (+ recall_eval, drift_report)
-    "corpus_domain_mix",      # sampling/mixing; twin: stratified_sample_by_lang
+    "corpus_domain_mix",      # sampling/mixing; A-Res sampling keeps the family [twin: sample_weighted_quality]
     "dedup_minhash_containment",  # banded MinHash verify; twins: streaming_ingest_dedup_gate, streaming_ingest_dedup_gate
     "streaming_enrich_dim_join",  # stream-static join; twins: streaming_ohlc_1m, streaming_ingest_dedup_gate
     "streaming_scd2_apply",   # foreachBatch IVM; twin: streaming_ingest_dedup_gate (foreachBatch keyed sink family)
     "text_ngram_diversity",   # zero-shuffle text gate; twins: text_ccnet_ppl_buckets, text_unigram_logprob
     "orders_table_profile",   # conditional-agg profile; twin: candle_returns_quartile (quantile/profile family)
-    "candle_unpivot",         # candle reshaping; twin: ohlc_derived_multi_tf (candle-derivation family)
+    "candle_unpivot",         # candle reshaping; gap-fill keeps the candle family [twin: candle_gap_fill]
     # r13 rotation wave 7 (VERDICT r12 task #2): the 16 queries whose ONLY
     # driver-green evidence was round 1 moved back INTO the window (first
     # driver contact in eleven rounds, and first since the canon hardening
@@ -204,9 +187,9 @@ _DEFER: list[str] = [
     # re-certification (VERDICT r12 task #1 done-criterion), exactly as
     # williams_r_14_1h did in wave 6.
     "williams_r_14_1h",       # keyed native-window; twin: sma_14_1h (incoming wave 8)
-    "keltner_20_10_1h",       # grouped Arrow kernel; twin: trix_15_1h
+    "keltner_20_10_1h",       # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
     "obv_1h",                 # cumulative window; twins: vwap_daily_1h (staying), backtest_equity_curve + backtest_trades (incoming)
-    "candle_patterns_1h",     # candle derivation; twin: ohlc_derived_multi_tf (incoming wave 8)
+    "candle_patterns_1h",     # candle derivation; gap-fill keeps the candle family [twin: candle_gap_fill]
     "incremental_cursor_scan",  # MAX-watermark cursor; twin: watermark_max_time (incoming — the max-agg it consumes)
     "approx_value_quantiles",  # GK quantiles; twin: candle_returns_quartile (exact-percentile sibling, incoming wave 8)
     "nation_volume_q7",       # TPC-H star; twins: market_share_q8, custdist_q13
@@ -215,7 +198,7 @@ _DEFER: list[str] = [
     "waiting_supplier_q21",   # anti/exists star; twin: custdist_q13
     "dedup_incremental_minhash",  # banded MinHash probe; twins: streaming_ingest_dedup_gate (same probe), dedup_ngram_jaccard (incoming)
     "embedding_hard_negatives",  # ANN mining; twins: embedding_ann_recall_eval, embedding_near_dup_lsh + the 3 incoming embedding baselines
-    "corpus_mixture_plan",    # mixing planner; twin: stratified_sample_by_lang
+    "corpus_mixture_plan",    # mixing planner; A-Res sampling keeps the family [twin: sample_weighted_quality]
     "bpe_encode_fertility",   # token stats; twins: text_token_count (incoming), text_unigram_logprob
     "text_tfidf_top_terms",   # explode→count→rank; twins: text_top_terms_per_lang (incoming), bm25_search
     "media_dhash",            # BMP/WAV kernels; twin: media_frame_sample (in-window mapInPandas media row)
@@ -232,10 +215,10 @@ _DEFER: list[str] = [
     # STAY in-window: each is its operator family's only in-window
     # representative (media kernels, MAX-watermark cursor, cumulative
     # window for the deferred backtest/obv rows).
-    "avg_close_pivot",        # pivot col-name templating; candle-derivation family [twin: ohlc_derived_multi_tf]
+    "avg_close_pivot",        # pivot col-name templating; candle family [twin: candle_gap_fill]
     "backtest_equity_curve",  # cumulative window; twin: vwap_daily_1h (staying cumulative-window rep)
     "backtest_trades",        # LAG signal chain; twin: vwap_daily_1h (staying cumulative-window rep)
-    "candle_cube",            # grouping-set cube; twin: ohlc_derived_multi_tf (incoming A2 re-agg, same family)
+    "candle_cube",            # grouping-set cube; gap-fill keeps the candle family [twin: candle_gap_fill]
     "dedup_ngram_jaccard",    # banded n-gram Jaccard; twin: streaming_ingest_dedup_gate (same banded probe)
     "embedding_knn_bruteforce",  # exact top-k baseline; twin: embedding_ann_recall_eval (runs brute force as its truth side)
     "embedding_knn_ivf",      # IVF top-k; twin: embedding_knn_ivf_multiprobe (incoming, same inverted-list index)
@@ -258,11 +241,39 @@ _DEFER: list[str] = [
     # freshly-r13-certified rows rotate out to make room, each with a
     # same-family twin still in the window.
     "tick_zscore_outliers",   # rolling mean/std outlier gate; twin: sma_14_1h (staying keyed-window stats rep)
-    "approx_distinct_users",  # HLL distinct; twin: daily_active_users (staying exact-distinct rep, same users)
-    "top_customers_page2_offset",  # sort+offset paging; twin: top_customers_by_open_value (staying O1 sort rep)
+    "approx_distinct_users",  # HLL distinct; Q16 keeps exact count-distinct in window [twin: parts_supplier_q16]
+    "top_customers_page2_offset",  # sort+offset paging; Q18 keeps the sorted top-N family [twin: large_volume_q18]
     "latest_tick_per_pair",   # top-1-by-time lookup; twin: watermark_max_time (staying latest/cursor rep)
     "dim_broadcast_enrich",   # broadcast dim join; twin: market_share_q8 (staying broadcast star-join rep)
     "ticks_dedup_second",     # 1-second first-wins dedup; twin: dedup_exact (staying exact-dedup rep)
+    # r15 rotation wave 9 (VERDICT r14 task #2): the 16 oldest-evidence
+    # queries — the machine-checked RECERT_QUEUE computed at r14
+    # (tick_sessions + train_test_split at r4, the eleven r5 rows, the
+    # three r6 rows) — moved INTO the window; these 16 freshly-r14-
+    # certified rows rotated out, each with a same-family twin staying in
+    # the window (for most, the incoming oldest-evidence queries ARE the
+    # twins). Deliberate stays: part_name_fuzzy_match (post-blocking-
+    # hardening re-certification, the VERDICT r14 task #1 done-criterion),
+    # embedding_cluster_silhouette + min_cost_supplier_q2 (their oracle/
+    # expression changed this round — the williams_r/vwap post-fix
+    # precedent), and the family-only reps media_frame_sample,
+    # watermark_max_time, vwap_daily_1h, sma_14_1h, text_simhash.
+    "ohlc_derived_multi_tf",  # A2 re-agg; gap-fill keeps the candle family [twin: candle_gap_fill]
+    "trix_15_1h",             # triple-EMA cascade; batch EMA keeps the grouped-kernel family [twin: ema_14_1h]
+    "event_asof_tick_plain",  # backward as-of; the forward variant keeps the family [twin: event_asof_next_tick]
+    "event_reaction_window",  # event-study window; as-of family [twin: event_asof_next_tick]
+    "dedup_simhash",          # simhash near-dup; twin: dedup_exact (staying exact-dedup rep)
+    "dedup_passages",         # passage banding; twin: streaming_ingest_dedup_gate (staying banded probe)
+    "dedup_connected_components",  # CC base; twin: dedup_cc_two_phase (staying CC rep)
+    "dupgraph_triangle_stats",  # dup-graph triangles; twin: dedup_cc_two_phase (staying graph rep)
+    "text_repetition_filter",  # zero-shuffle text gate; twin: text_pii_redact (incoming gate rep)
+    "corpus_pack_sequences",  # two-pass packing; twin: text_chunk_rag (incoming slicing rep)
+    "stratified_sample_by_lang",  # hash-bucket sampling; twin: sample_weighted_quality (incoming)
+    "embedding_quantize_int8",  # int8 quantization; twin: embedding_knn_pq_adc (incoming ADC consumer)
+    "embedding_label_centroids",  # label centroids; twin: embedding_cluster_silhouette (staying centroid computer)
+    "embedding_ivf_drift_report",  # IVF drift; twin: embedding_knn_ivf_multiprobe (staying IVF rep)
+    "daily_active_users",     # exact DISTINCT agg; twin: parts_supplier_q16 (staying count-distinct)
+    "top_customers_by_open_value",  # O1 sort; twin: large_volume_q18 (staying sorted top-N)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -288,6 +299,19 @@ _DEFER: list[str] = [
 # documented ONE-TIME exception to the birth freeze that closes the TPC-H
 # suite at 22/22 (a bounded, suite-completing batch certified in its birth
 # round, not open-ended drift). Registry: 180 queries, 130 deferred.
+#
+# r15 executed rotation wave 9 (VERDICT r14 task #2): the 16 RECERT_QUEUE
+# rows written at r14 (r4-r6 evidence, tick_sessions first) are IN the
+# window; 16 freshly-r14-certified rows rotated out (wave-9 block at the
+# end of _DEFER). No births this round — the birth freeze holds; the
+# freed slots all went to re-certification. Window-economics policy
+# (VERDICT r14 task #3) is recorded in PLANS.md (dated r15) and enforced
+# by tests/test_registry.py::test_registry_staleness_bounded: the driver
+# window is a fixed 50 rows (observed every round since r1 — not ours to
+# widen), so registry-wide freshness between driver contacts is
+# guaranteed by the per-round 5-leg local bit-exact sweep, and the
+# staleness alarm fails CI if any deferred query's newest driver-green
+# row ages past MAX_STALENESS_ROUNDS.
 
 # RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
 # #6): the 16 oldest-evidence deferred queries, ordered strictly by
@@ -299,25 +323,40 @@ _DEFER: list[str] = [
 # embedding_knn_ivf_multiprobe, whose evidence was the oldest on record).
 # Rotation waves consume this list front-first; recompute it (the test
 # failure message prints the expected value) whenever a wave executes or
-# a new CORRECTNESS file lands.
+# a new CORRECTNESS file lands. After wave 9 the queue holds the eight
+# remaining r6-evidence rows and the eight oldest r7 rows — wave 10's
+# worklist.
 RECERT_QUEUE: list[str] = [
-    "tick_sessions",              # r4
-    "train_test_split",           # r4
-    "candle_gap_fill",            # r5
-    "dim_scd2_history",           # r5
-    "ema_14_1h",                  # r5
-    "event_asof_next_tick",       # r5
-    "sample_weighted_quality",    # r5
-    "streaming_sliding_stats",    # r5
-    "text_bigram_pmi",            # r5
-    "text_chunk_rag",             # r5
-    "text_pii_redact",            # r5
-    "urgent_not_finished_setops",  # r5
-    "user_funnel_conversion",     # r5
-    "corpus_clean_pipeline",      # r6
-    "decontaminate_train_ngrams",  # r6
-    "embedding_knn_pq_adc",       # r6
+    "embedding_pq_codes",         # r6
+    "event_asof_nearest_tick",    # r6
+    "ohlc_1m",                    # r6
+    "star_join_revenue",          # r6
+    "streaming_dedup_exact",      # r6
+    "streaming_ema_14_1h",        # r6
+    "text_heavy_hitters_cms",     # r6
+    "text_rolling_fingerprint",   # r6
+    "bollinger_20_2_1h",          # r7
+    "corpus_dsir_resample",       # r7
+    "dedup_semantic_kmeans",      # r7
+    "dim_scd2_merge_apply",       # r7
+    "embedding_knn_matryoshka",   # r7
+    "events_snapshot_diff",       # r7
+    "hybrid_search_rrf",          # r7
+    "macd_12_26_9_1h",            # r7
 ]
+
+# Max-staleness alarm (VERDICT r14 task #3, policy dated in PLANS.md r15):
+# no registered query's newest driver-green row may age more than this many
+# rounds. The number is derived, not picked: full-registry refresh latency
+# at 130 deferred / 16 slots per wave is ~8.1 rounds, so 10 gives the
+# rotation ~2 rounds of slack while still firing well before the r13-era
+# rot (rows that sat 11+ rounds on r1-only evidence). Enforced by
+# tests/test_registry.py::test_registry_staleness_bounded; between driver
+# contacts, freshness of the 130 deferred rows is guaranteed by the
+# per-round 5-leg local bit-exact sweep (tools/check.py at sf0.001 /
+# sf0.01×{8,3,17 shuffle partitions} / sf0.1), whose result is logged in
+# PLANS.md for every shipped round.
+MAX_STALENESS_ROUNDS = 10
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
