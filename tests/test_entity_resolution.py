@@ -255,3 +255,50 @@ def test_fuzzy_match_shuffle_fallback_matches_broadcast(spark, monkeypatch):
     )
     assert rows(fallback) == broadcast_rows
     assert broadcast_rows, "degenerate fixture"
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CHARS = st.text(alphabet="ab c~", max_size=8)
+
+
+@given(_CHARS, _CHARS)
+@settings(max_examples=300, deadline=None)
+def test_filter_bounds_are_sound_lower_bounds(a, b):
+    """The two generation-time filters are PROVABLE Levenshtein lower
+    bounds — the property the output-invariance argument rests on:
+    |len(a)−len(b)| ≤ lev(a,b) and bag(a,b) ≤ lev(a,b). Fuzzed over a
+    small alphabet (including space and the probe's copy-tag char) so
+    collisions are dense."""
+    d = _lev(a, b)
+    assert abs(len(a) - len(b)) <= d
+    assert _bag_lb(a, b) <= d
+
+
+def test_bag_sql_expression_matches_python(spark):
+    """The Spark HOF expression in analytics._bag_lb_sql must compute the
+    SAME bag distance as the independent Python recomputation on every
+    pair of a dense small-alphabet string set (lengths 0-3 over
+    {a, b, space} plus the fixture-shaped names) — one batched DataFrame
+    evaluation, no per-example session cost."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.queries.analytics import _bag_lb_sql
+
+    alpha = "ab "
+    strings = [""]
+    for n in (1, 2, 3):
+        strings += ["".join(t) for t in itertools.product(alpha, repeat=n)]
+    strings += ["red gear", "red ring", "cold anvil", "c old anvil"]
+    pairs = list(itertools.combinations(strings, 2))[:600]
+    df = spark.createDataFrame(pairs, "name_a string, name_b string")
+    got = (
+        df.withColumn("bag", F.expr(_bag_lb_sql("name_a", "name_b")))
+        .collect()
+    )
+    for r in got:
+        expect = _bag_lb(r["name_a"], r["name_b"])
+        assert r["bag"] == expect, (r["name_a"], r["name_b"], r["bag"], expect)
