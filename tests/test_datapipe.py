@@ -1583,6 +1583,16 @@ def test_silhouette_overflow_contract_fails_loudly(spark):
         type(exc.value)
     ) or "overflow contract" in str(exc.value)
 
+    # a NULL component is corrupt data, not an overflow: it must raise
+    # too, with a message naming the actual cause (r15 self-review — a
+    # single-arm CASE would misdiagnose the NULL as an overflow)
+    corrupt = spark.createDataFrame(
+        [(0, 0, [1.0, None]), (1, 1, [-1.0, 0.0])],
+        "vec_id long, label int, emb array<double>",
+    )
+    with pytest.raises(Exception, match="NULL component"):
+        sim.cluster_silhouette(corrupt).collect()
+
 
 def test_silhouette_codebook_literal_ceiling_guard(spark, monkeypatch):
     """VERDICT r14 watch item: the k·dim codebook inlines as SQL literals,

@@ -1262,12 +1262,18 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     q = emb.filter(F.col("label").isNotNull()).select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
-        # the overflow contract fires HERE, inside the quantizing
-        # transform, so no out-of-bound component ever enters the BIGINT
-        # pipeline (see SIL_MAX_ABS; the oracle twin carries the same
-        # CASE with DuckDB's error())
+        # the input contract fires HERE, inside the quantizing transform,
+        # so no out-of-bound (or NULL — corrupt-vector) component ever
+        # enters the BIGINT pipeline (see SIL_MAX_ABS; the oracle twin
+        # carries the same two-arm CASE with DuckDB's error()). The NULL
+        # arm is explicit so the failure message is truthful: without it
+        # a NULL comparison would fall into the overflow ELSE and
+        # misdiagnose corrupt data as an overflow (r15 self-review).
         F.expr(
-            f"transform(emb, x -> CASE WHEN abs(x) <= {SIL_MAX_ABS}"
+            "transform(emb, x -> CASE"
+            " WHEN x IS NULL THEN cast(raise_error('cluster_silhouette:"
+            " NULL component — corrupt embedding vector') as bigint)"
+            f" WHEN abs(x) <= {SIL_MAX_ABS}"
             f" THEN cast(floor(x * {SIL_Q} + 0.5) as bigint)"
             f" ELSE cast(raise_error('cluster_silhouette: |component| >"
             f" {SIL_MAX_ABS} breaks the BIGINT overflow contract') as bigint)"

@@ -2647,7 +2647,10 @@ ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()
 ORACLES["embedding_cluster_silhouette"] = _with(sim.EMB_SQL) + f""",
 e AS (
   SELECT row_number() OVER () AS rid, label::BIGINT AS label,
-         list_transform(v, x -> CASE WHEN abs(x) <= {sim.SIL_MAX_ABS}
+         list_transform(v, x -> CASE
+           WHEN x IS NULL THEN CAST(error('cluster_silhouette: NULL component')
+                                    AS BIGINT)
+           WHEN abs(x) <= {sim.SIL_MAX_ABS}
            THEN CAST(floor(x * {sim.SIL_Q} + 0.5) AS BIGINT)
            ELSE CAST(error('cluster_silhouette: component overflow contract')
                      AS BIGINT) END) AS qv
