@@ -304,3 +304,22 @@ def test_bag_sql_expression_matches_python(spark):
     for r in got:
         expect = _bag_lb(r["name_a"], r["name_b"])
         assert r["bag"] == expect, (r["name_a"], r["name_b"], r["bag"], expect)
+
+
+def test_fuzzy_toks_relation_cached_per_session(spark):
+    """The two-pass token relation is train-once per (app, sf_dir) via the
+    shared FIFO registry (r15 self-review: a per-call persist leaked one
+    cached vocabulary relation per invocation) — two calls must reuse the
+    SAME persisted DataFrame and the same measured key-row count, and the
+    shared clear helper must evict it."""
+    from trading_etl_spark.queries import analytics
+    from trading_etl_spark.queries.trading import clear_caches
+
+    clear_caches((analytics._FUZZY_TOKS_CACHE,))
+    toks1, rows1 = analytics._fuzzy_toks(spark, SF_DIR)
+    toks2, rows2 = analytics._fuzzy_toks(spark, SF_DIR)
+    assert toks1 is toks2, "second call rebuilt the relation"
+    assert rows1 == rows2 and rows1 > 0
+    assert toks1.is_cached
+    assert clear_caches((analytics._FUZZY_TOKS_CACHE,)) == 1
+    assert not analytics._FUZZY_TOKS_CACHE
