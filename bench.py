@@ -147,6 +147,39 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {}
 
+    # --- Burst-local host canary (VERDICT r15 task #2) -------------------
+    # The r15 adjudication gap: the driver's bench moved +16% across lines
+    # whose code did not change while the END-of-run canary read flat — a
+    # single canary placement cannot see load that arrives and leaves
+    # mid-run. Fix: sample the same fixed-work codegen probe (pure
+    # whole-stage-codegen JVM loop, no IO, no Python, no dependence on any
+    # operator under test) BETWEEN query bursts and record the series in
+    # BENCH_DETAIL. Each burst is 2 samples (~0.2 s quiet); labels follow
+    # the bench's block structure so a loaded burst localizes the noise to
+    # the exact lines it poisoned. Adjudication rule (also in PLANS.md):
+    # a line's move is attributable to host load iff the canary bursts
+    # bracketing its block moved in the same direction by >=15% vs the
+    # run's quietest burst; a line that moves under flat brackets is real.
+    bench_t0 = time.time()
+    canary_bursts: list[dict] = []
+
+    def canary_burst(label: str, n: int = 2) -> None:
+        samples = []
+        for _ in range(n):
+            t0 = time.time()
+            spark.range(200_000_000).groupBy().sum("id").collect()
+            samples.append(round(time.time() - t0, 3))
+        canary_bursts.append(
+            {
+                "at": label,
+                "t_rel_sec": round(time.time() - bench_t0, 1),
+                "samples": samples,
+                "min_sec": min(samples),
+            }
+        )
+
+    canary_burst("pre_cold")
+
     # Cold candle-chain build, reported as its own line: tick scan → dedup →
     # 1m agg → derived agg, single shuffle. The chain cache it populates is
     # the in-session analog of the reference's materialized OHLC tables;
@@ -168,6 +201,7 @@ def main() -> None:
         clear_candle_caches(spark)
         cold.append(run_once(chain_fn))
     runs["candle_chain_cold"] = cold
+    canary_burst("post_chain_cold")
 
     # Cold DOWNSTREAM-cache materialization, its own line (VERDICT r7 task
     # #5): the as-of/backtest/signal queries read through four cached
@@ -200,6 +234,7 @@ def main() -> None:
         ).save()
         cache_cold.append(round(time.time() - t0, 3))
     runs["candle_cache_cold"] = cache_cold
+    canary_burst("post_cache_cold")
 
     # Cold coarse-quantizer training, its own line for the same honesty
     # reason: the train-once model caches mean the ANN/SemDeDup headline
@@ -213,6 +248,7 @@ def main() -> None:
         _codebook(spark, sf_dir)  # eager Lloyd loop — no action needed
         train_cold.append(round(time.time() - t0, 3))
     runs["kmeans_train_cold"] = train_cold
+    canary_burst("post_train_cold")
 
     # Cold IVF inverted-list build (r10): corpus cell assignment + norms
     # are index-BUILD state (what FAISS's IndexIVF stores); the warm ANN
@@ -230,6 +266,7 @@ def main() -> None:
         _ivf_index(spark, sf_dir).write.format("noop").mode("overwrite").save()
         index_cold.append(round(time.time() - t0, 3))
     runs["ivf_index_build_cold"] = index_cold
+    canary_burst("post_index_cold")
 
     # Round-interleaved headline measurement (VERDICT r6 task #7): the
     # whole headline set runs once per round over the warm caches, and the
@@ -238,12 +275,13 @@ def main() -> None:
     # every query instead of all runs of a few. Round 1 additionally pays
     # the one-time SMA/signal cache materialization (the steady state the
     # per-query min then excludes, exactly as in prior rounds).
-    for _ in range(N_RUNS):
+    for rnd in range(N_RUNS):
         for name in HEADLINE:
             fn = queries.get(name)
             if fn is None:
                 continue
             runs.setdefault(name, []).append(run_once(fn))
+        canary_burst(f"post_headline_round_{rnd + 1}")
 
     # --- Partition-pruning proof lines (VERDICT r8 task #8b) -------------
     # The day-partitioned many-small-files events twin (the compaction
@@ -296,6 +334,7 @@ def main() -> None:
     for _ in range(N_RUNS):
         runs.setdefault("events_scan_full", []).append(run_once(_scan_full))
         runs.setdefault("events_scan_pruned_3d", []).append(run_once(_scan_pruned))
+    canary_burst("post_pruning_lines")
 
     # --- Skew-stress lines (VERDICT r8 task #8a) -------------------------
     # Hot-key join fixture: 95% of the big side carries ONE key; the small
@@ -395,6 +434,7 @@ def main() -> None:
     for _ in range(N_RUNS):
         runs.setdefault("join_orderkey_bucketed", []).append(run_once(_join_bucketed))
         runs.setdefault("join_orderkey_shuffled", []).append(run_once(_join_shuffled))
+    canary_burst("post_bucket_lines")
 
     prev_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -406,6 +446,7 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bjt)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    canary_burst("post_skew_lines")
 
     # --- Host-noise canary (VERDICT r11 task #3) -------------------------
     # Two fixed-work probes with NO dependence on any operator under test,
@@ -427,9 +468,29 @@ def main() -> None:
         t0 = time.time()
         n_listed = len(_glob.glob(f"{fixture}/dt=*/*.parquet"))
         fs_canary.append(round(time.time() - t0, 4))
+    canary_bursts.append(
+        {
+            "at": "end",
+            "t_rel_sec": round(time.time() - bench_t0, 1),
+            "samples": cpu_canary,
+            "min_sec": min(cpu_canary),
+        }
+    )
     host_canary = {
-        "cpu_codegen_min_sec": min(cpu_canary),
+        # min over EVERY sample in the run (bursts included) — the run's
+        # quietest moment, the reference point for the burst adjudication
+        "cpu_codegen_min_sec": min(
+            min(b["samples"]) for b in canary_bursts
+        ),
+        # the 5 consecutive end-of-run samples, series-comparable r11..r15
         "cpu_codegen_runs": cpu_canary,
+        # burst-local series (VERDICT r15 task #2): one burst before the
+        # cold block, one after each cold line's block, one after every
+        # headline round, one after each proof-line block, one at end.
+        # Adjudicate a line move as HOST LOAD iff the bursts bracketing
+        # its block are >=15% over the run minimum; flat brackets = the
+        # move is real engine behavior.
+        "cpu_codegen_bursts": canary_bursts,
         "fs_list_min_sec": min(fs_canary),
         "fs_list_runs": fs_canary,
         "fs_files_listed": n_listed,

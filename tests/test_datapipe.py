@@ -1594,6 +1594,47 @@ def test_silhouette_overflow_contract_fails_loudly(spark):
         sim.cluster_silhouette(corrupt).collect()
 
 
+def test_silhouette_dim_guard_fails_loudly(spark):
+    """ADVICE r15: the SIL_MAX_ABS headroom derivation only bounds the
+    BIGINT s-ratio for dim <= SIL_MAX_DIM (115 at the current grid) — a
+    higher-dim vector with max-magnitude components could wrap Spark's
+    non-ANSI BIGINT path while DuckDB raises. The dim arm enforces the
+    derivation itself, on both engines; a dim-115 in-bound vector passes."""
+    import duckdb
+    import pytest
+
+    assert sim.SIL_MAX_DIM == 115
+    ok = spark.createDataFrame(
+        [(0, 0, [1.0] * sim.SIL_MAX_DIM), (1, 1, [-1.0] * sim.SIL_MAX_DIM)],
+        "vec_id long, label int, emb array<double>",
+    )
+    assert sim.cluster_silhouette(ok).count() == 2
+
+    bad = spark.createDataFrame(
+        [(0, 0, [1.0] * (sim.SIL_MAX_DIM + 1)), (1, 1, [-1.0] * (sim.SIL_MAX_DIM + 1))],
+        "vec_id long, label int, emb array<double>",
+    )
+    with pytest.raises(Exception, match="overflow headroom"):
+        sim.cluster_silhouette(bad).collect()
+
+    # the DuckDB oracle twin carries the SAME dim arm (error() vs
+    # raise_error): a >SIL_MAX_DIM fixture fails on both engines, never
+    # asymmetrically
+    from trading_etl_spark.queries.datapipe import ORACLES
+
+    sql = ORACLES["embedding_cluster_silhouette"]
+    con = duckdb.connect()
+    # unit components so ONLY the dim arm can fire (a large component
+    # would trip the component-overflow arm first)
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT 0 AS vec_id, 0 AS label, "
+        f"[{', '.join('1.0' for _ in range(sim.SIL_MAX_DIM + 1))}]::DOUBLE[]"
+        " AS embedding"
+    )
+    with pytest.raises(Exception, match="dim overflow-headroom"):
+        con.execute(sql).fetchall()
+
+
 def test_silhouette_codebook_literal_ceiling_guard(spark, monkeypatch):
     """VERDICT r14 watch item: the k·dim codebook inlines as SQL literals,
     which is the wrong plan shape past SIL_MAX_CODEBOOK_LITERALS — above

@@ -238,21 +238,29 @@ def test_fuzzy_match_shuffle_fallback_matches_broadcast(spark, monkeypatch):
         }
 
     bcast_df = analytics.q_part_name_fuzzy_match(spark, SF_DIR)
-    broadcast_rows = rows(bcast_df)
     monkeypatch.setattr(analytics, "FUZZY_BROADCAST_MAX_KEY_ROWS", 0)
     fallback = analytics.q_part_name_fuzzy_match(spark, SF_DIR)
     # BOTH broadcast HINTS (the keyed b-side and the freq rank input)
     # must drop out of the fallback plan — no unconditional broadcast
-    # remains on the path, so the initial plan has strictly FEWER
-    # broadcast joins. AQE may still promote either join back to
-    # broadcast at runtime from the MEASURED exchange size — that is the
-    # designed behavior: the fix removes the unconditional hints that
-    # bypassed any size check, it does not forbid a measured broadcast.
-    bcast_plan = bcast_df._jdf.queryExecution().executedPlan().toString()
-    fb_plan = fallback._jdf.queryExecution().executedPlan().toString()
-    assert fb_plan.count("BroadcastHashJoin") < bcast_plan.count(
-        "BroadcastHashJoin"
-    )
+    # remains on the path. Asserted on the OPTIMIZED LOGICAL plan's
+    # join-hint annotations (strategy=broadcast), which is fixed before
+    # execution — not on physical BroadcastHashJoin counts, which AQE
+    # re-plans mid-run so the count depends on WHEN the plan string is
+    # read (ADVICE r15: the old executedPlan comparison read the two
+    # plans at different lifecycle stages and passed by read order). AQE
+    # may still promote either join to broadcast at runtime from the
+    # MEASURED exchange size — designed behavior: the fix removes the
+    # unconditional hints that bypassed any size check, it does not
+    # forbid a measured broadcast.
+    bcast_hints = (
+        bcast_df._jdf.queryExecution().optimizedPlan().toString()
+    ).count("strategy=broadcast")
+    fb_hints = (
+        fallback._jdf.queryExecution().optimizedPlan().toString()
+    ).count("strategy=broadcast")
+    assert bcast_hints >= 2, "gated path lost its two broadcast hints"
+    assert fb_hints == 0, "fallback path still carries a broadcast hint"
+    broadcast_rows = rows(bcast_df)
     assert rows(fallback) == broadcast_rows
     assert broadcast_rows, "degenerate fixture"
 
@@ -322,4 +330,12 @@ def test_fuzzy_toks_relation_cached_per_session(spark):
     assert rows1 == rows2 and rows1 > 0
     assert toks1.is_cached
     assert clear_caches((analytics._FUZZY_TOKS_CACHE,)) == 1
+    assert not analytics._FUZZY_TOKS_CACHE
+
+    # ADVICE r15: the module-level clear helper (the analytics leg of the
+    # session-wide 'evict everything' trio next to clear_candle_caches /
+    # clear_model_caches) reaches this cache too — an eager sweep that
+    # enumerates the three helpers leaves no persisted relation behind
+    analytics._fuzzy_toks(spark, SF_DIR)
+    assert analytics.clear_analytics_caches(spark) == 1
     assert not analytics._FUZZY_TOKS_CACHE

@@ -24,40 +24,24 @@ SIBLING = {
     # 22 r6-born operators get driver rows; each keeps a same-family twin
     # still in the window (ohlc_1m / text_heavy_hitters_cms /
     # decontaminate_train_ngrams twins run their EXACT oracles).
-    "ohlc_1m": "streaming_ohlc_1m",
-    "event_asof_nearest_tick": "event_asof_next_tick",
-    "embedding_pq_codes": "embedding_ann_recall_eval",
-    "text_heavy_hitters_cms": "streaming_heavy_hitters",
-    "streaming_dedup_exact": "dedup_exact",
-    "star_join_revenue": "market_share_q8",
-    "text_rolling_fingerprint": "text_chunk_rag",
     # r8 rotation wave 2: 13 r7-driver-green queries moved out so the 12
     # prioritized r6/r7-born operators + approx_value_quantiles (the
     # GK-quantile family's representative, VERDICT r7 task #4) get driver
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "macd_12_26_9_1h": "ema_14_1h",
-    "bollinger_20_2_1h": "sma_14_1h",
-    "hybrid_search_rrf": "bm25_search",
-    "embedding_knn_matryoshka": "embedding_ann_recall_eval",
-    "corpus_dsir_resample": "text_unigram_logprob",
-    "dedup_semantic_kmeans": "embedding_knn_ivf_multiprobe",
-    "dim_scd2_merge_apply": "user_cohort_retention",
-    "events_snapshot_diff": "user_cohort_retention",
     "streaming_tick_sessions": "streaming_ohlc_1m",
     "streaming_sma_cross": "streaming_heavy_hitters",
     "tpch_pricing_summary": "large_volume_q18",
     "streaming_view_click_join": "streaming_ohlc_1m",
     "text_lang_id": "text_ccnet_ppl_buckets",
-    "streaming_ema_14_1h": "streaming_heavy_hitters",
     # r9 rotation wave 3: ALL 15 never-driver-certified queries moved INTO
     # the window (certification backlog emptied); these 15 r8-driver-green
     # queries rotated out, each with a same-family twin in the window
     # (event_asof_tick_plain / streaming_rsi_14_1h run their rotated-out
     # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
     # dedup_lsh_eval apply the same trained artifacts or spans).
-    "event_asof_tick": "event_asof_next_tick",
+    "event_asof_tick": "event_asof_nearest_tick",
     "backtest_pnl": "vwap_daily_1h",
     "events_value_histogram": "candle_returns_quartile",
     "ticks_freshness_sla": "watermark_max_time",
@@ -68,9 +52,9 @@ SIBLING = {
     "local_supplier_volume": "market_share_q8",
     "rsi_14_1h": "streaming_rsi_14_1h",
     "sma_golden_cross": "sma_14_1h",
-    "candle_rollup": "candle_gap_fill",
-    "atr_14_1h": "ema_14_1h",
-    "stochastic_14_3_1h": "ema_14_1h",
+    "candle_rollup": "ohlc_1m",
+    "atr_14_1h": "macd_12_26_9_1h",
+    "stochastic_14_3_1h": "macd_12_26_9_1h",
     "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
@@ -107,7 +91,7 @@ SIBLING = {
     "embedding_knn_ivf_kmeans": "embedding_ann_recall_eval",
     "text_quality_score": "text_ccnet_ppl_buckets",
     "dedup_lsh_eval": "streaming_ingest_dedup_gate",
-    "holt_forecast_1h": "ema_14_1h",
+    "holt_forecast_1h": "macd_12_26_9_1h",
     "returned_item_q10": "large_volume_q18",
     "customers_no_open_orders_anti": "custdist_q13",
     "media_resize": "media_frame_sample",
@@ -118,7 +102,7 @@ SIBLING = {
     # same-family twin in the window — for most, the incoming r11-born
     # queries ARE the twins. williams_r_14_1h stays in-window for its
     # post--0.0-fix re-certification.
-    "adx_14_1h": "ema_14_1h",
+    "adx_14_1h": "macd_12_26_9_1h",
     "backtest_max_drawdown": "vwap_daily_1h",
     "cci_20_1h": "sma_14_1h",
     "late_shipment_q4": "market_share_q8",
@@ -127,13 +111,13 @@ SIBLING = {
     "promo_revenue_q14": "market_share_q8",
     "revenue_concentration_q11": "market_share_q8",
     "embedding_knn_filtered": "embedding_ann_recall_eval",
-    "corpus_domain_mix": "sample_weighted_quality",
+    "corpus_domain_mix": "corpus_dsir_resample",
     "dedup_minhash_containment": "streaming_ingest_dedup_gate",
     "streaming_enrich_dim_join": "streaming_ohlc_1m",
     "streaming_scd2_apply": "streaming_ingest_dedup_gate",
     "text_ngram_diversity": "text_ccnet_ppl_buckets",
     "orders_table_profile": "candle_returns_quartile",
-    "candle_unpivot": "candle_gap_fill",
+    "candle_unpivot": "ohlc_1m",
     # r13 rotation wave 7: the 16 queries whose ONLY driver-green evidence
     # was round 1 moved back INTO the window (first driver contact since
     # the canon hardening closed classes 3-5); these 16 r12-driver-green
@@ -142,9 +126,9 @@ SIBLING = {
     # vwap_daily_1h stays in-window for its post-fixed-point
     # re-certification (exactly the williams_r wave-6 precedent).
     "williams_r_14_1h": "sma_14_1h",
-    "keltner_20_10_1h": "ema_14_1h",
+    "keltner_20_10_1h": "macd_12_26_9_1h",
     "obv_1h": "vwap_daily_1h",
-    "candle_patterns_1h": "candle_gap_fill",
+    "candle_patterns_1h": "ohlc_1m",
     "incremental_cursor_scan": "watermark_max_time",
     "approx_value_quantiles": "candle_returns_quartile",
     "nation_volume_q7": "market_share_q8",
@@ -153,7 +137,7 @@ SIBLING = {
     "waiting_supplier_q21": "custdist_q13",
     "dedup_incremental_minhash": "streaming_ingest_dedup_gate",
     "embedding_hard_negatives": "embedding_ann_recall_eval",
-    "corpus_mixture_plan": "sample_weighted_quality",
+    "corpus_mixture_plan": "corpus_dsir_resample",
     "bpe_encode_fertility": "text_unigram_logprob",
     "text_tfidf_top_terms": "bm25_search",
     "media_dhash": "media_frame_sample",
@@ -163,10 +147,10 @@ SIBLING = {
     # the incoming oldest-evidence queries ARE the twins.
     # media_frame_sample, watermark_max_time and vwap_daily_1h stay
     # in-window as their families' only representatives.
-    "avg_close_pivot": "candle_gap_fill",
+    "avg_close_pivot": "ohlc_1m",
     "backtest_equity_curve": "vwap_daily_1h",
     "backtest_trades": "vwap_daily_1h",
-    "candle_cube": "candle_gap_fill",
+    "candle_cube": "ohlc_1m",
     "dedup_ngram_jaccard": "streaming_ingest_dedup_gate",
     "embedding_knn_bruteforce": "embedding_ann_recall_eval",
     "embedding_knn_ivf": "embedding_knn_ivf_multiprobe",
@@ -197,22 +181,43 @@ SIBLING = {
     # NULL+rid+overflow fixes / half_away_div rewrite); media_frame_sample,
     # watermark_max_time, vwap_daily_1h, sma_14_1h and text_simhash stay as
     # their families' only representatives.
-    "ohlc_derived_multi_tf": "candle_gap_fill",
-    "trix_15_1h": "ema_14_1h",
-    "event_asof_tick_plain": "event_asof_next_tick",
-    "event_reaction_window": "event_asof_next_tick",
+    "ohlc_derived_multi_tf": "ohlc_1m",
+    "trix_15_1h": "macd_12_26_9_1h",
+    "event_asof_tick_plain": "event_asof_nearest_tick",
+    "event_reaction_window": "event_asof_nearest_tick",
     "dedup_simhash": "dedup_exact",
     "dedup_passages": "streaming_ingest_dedup_gate",
     "dedup_connected_components": "dedup_cc_two_phase",
     "dupgraph_triangle_stats": "dedup_cc_two_phase",
-    "text_repetition_filter": "text_pii_redact",
-    "corpus_pack_sequences": "text_chunk_rag",
-    "stratified_sample_by_lang": "sample_weighted_quality",
-    "embedding_quantize_int8": "embedding_knn_pq_adc",
+    "text_repetition_filter": "text_ccnet_ppl_buckets",
+    "corpus_pack_sequences": "text_rolling_fingerprint",
+    "stratified_sample_by_lang": "corpus_dsir_resample",
+    "embedding_quantize_int8": "embedding_pq_codes",
     "embedding_label_centroids": "embedding_cluster_silhouette",
     "embedding_ivf_drift_report": "embedding_knn_ivf_multiprobe",
     "daily_active_users": "parts_supplier_q16",
     "top_customers_by_open_value": "large_volume_q18",
+    # r16 rotation wave 10: the 16 RECERT_QUEUE rows (eight r6-evidence
+    # rows at the MAX_STALENESS_ROUNDS bound + eight oldest r7 rows) moved
+    # INTO the window; these 16 freshly-r15-certified queries rotated out,
+    # each with a same-family twin in the window — for most, the incoming
+    # oldest-evidence queries ARE the twins.
+    "tick_sessions": "streaming_ohlc_1m",
+    "train_test_split": "corpus_dsir_resample",
+    "candle_gap_fill": "ohlc_1m",
+    "dim_scd2_history": "dim_scd2_merge_apply",
+    "ema_14_1h": "macd_12_26_9_1h",
+    "event_asof_next_tick": "event_asof_nearest_tick",
+    "sample_weighted_quality": "corpus_dsir_resample",
+    "streaming_sliding_stats": "streaming_ohlc_1m",
+    "text_bigram_pmi": "bm25_search",
+    "text_chunk_rag": "text_rolling_fingerprint",
+    "text_pii_redact": "text_ccnet_ppl_buckets",
+    "urgent_not_finished_setops": "custdist_q13",
+    "user_funnel_conversion": "user_cohort_retention",
+    "corpus_clean_pipeline": "streaming_ingest_dedup_gate",
+    "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
+    "embedding_knn_pq_adc": "embedding_pq_codes",
 }
 
 
@@ -245,48 +250,46 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round15_rotation_in_window():
-    # VERDICT r14 task #2 (rotation wave 9): the 16 RECERT_QUEUE rows
-    # written at r14 — the oldest-evidence deferred queries, r4-r6 driver
-    # rows, consumed front-first — are inside the 50-row correctness
-    # window this round, alongside the deliberate stays:
-    # part_name_fuzzy_match re-certifies its hardened rarest-K blocking
-    # (the task #1 done-criterion), embedding_cluster_silhouette and
-    # min_cost_supplier_q2 re-certify their changed oracle/expression
-    # twins (the williams_r/vwap post-fix precedent), and
-    # media_frame_sample / watermark_max_time / vwap_daily_1h / sma_14_1h
-    # / text_simhash stay as their families' only representatives.
+def test_round16_rotation_in_window():
+    # VERDICT r15 task #1 (rotation wave 10): the 16 RECERT_QUEUE rows
+    # written at r15 — the eight r6-evidence rows, whose driver evidence
+    # reaches MAX_STALENESS_ROUNDS = 10 exactly at r16, plus the eight
+    # oldest r7 rows — are inside the 50-row correctness window this
+    # round, alongside the staying family-only representatives.
     # (Earlier rounds' in-window assertions are superseded by rotation;
     # their driver certifications are on record in CORRECTNESS_r*.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        # wave 9 incoming (the full r14 RECERT_QUEUE, front-first)
-        "tick_sessions",
-        "train_test_split",
-        "candle_gap_fill",
-        "dim_scd2_history",
-        "ema_14_1h",
-        "event_asof_next_tick",
-        "sample_weighted_quality",
-        "streaming_sliding_stats",
-        "text_bigram_pmi",
-        "text_chunk_rag",
-        "text_pii_redact",
-        "urgent_not_finished_setops",
-        "user_funnel_conversion",
-        "corpus_clean_pipeline",
-        "decontaminate_train_ngrams",
-        "embedding_knn_pq_adc",
-        # deliberate stays: post-change re-certification
-        "part_name_fuzzy_match",
-        "embedding_cluster_silhouette",
-        "min_cost_supplier_q2",
-        # staying family-only representatives
+        # wave 10 incoming (the full r15 RECERT_QUEUE, front-first)
+        "embedding_pq_codes",
+        "event_asof_nearest_tick",
+        "ohlc_1m",
+        "star_join_revenue",
+        "streaming_dedup_exact",
+        "streaming_ema_14_1h",
+        "text_heavy_hitters_cms",
+        "text_rolling_fingerprint",
+        "bollinger_20_2_1h",
+        "corpus_dsir_resample",
+        "dedup_semantic_kmeans",
+        "dim_scd2_merge_apply",
+        "embedding_knn_matryoshka",
+        "events_snapshot_diff",
+        "hybrid_search_rrf",
+        "macd_12_26_9_1h",
+        # staying family-only representatives (sibling targets)
         "media_frame_sample",
         "watermark_max_time",
         "vwap_daily_1h",
         "sma_14_1h",
         "text_simhash",
+        "streaming_ohlc_1m",
+        "streaming_ingest_dedup_gate",
+        "user_cohort_retention",
+        "custdist_q13",
+        "bm25_search",
+        "text_ccnet_ppl_buckets",
+        "decontaminate_fuzzy_lsh",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

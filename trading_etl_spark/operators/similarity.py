@@ -1195,6 +1195,14 @@ SIL_MAX_ABS = 10.0
 # the codebook on label: one extra k·dim-row broadcast hash join, no
 # literal growth) rather than compiling a multi-MB expression tree.
 SIL_MAX_CODEBOOK_LITERALS = 200_000
+# DERIVED dim ceiling (ADVICE r15): the SIL_MAX_ABS headroom math above is
+# valid only while dim·(2·SIL_MAX_ABS·SIL_Q)²·1e6·2 < 2^63 — the per-
+# component contract alone cannot stop a high-dim max-magnitude vector
+# from wrapping Spark's non-ANSI BIGINT s-ratio while DuckDB raises, the
+# exact asymmetry the overflow guard exists to close. Enforced AT
+# quantization time on both engines, same as the component check.
+SIL_MAX_DIM = int((2**63 - 1) / (2 * (2 * SIL_MAX_ABS * SIL_Q) ** 2 * 1_000_000))
+assert SIL_MAX_DIM == 115  # the docstring derivation, pinned
 
 
 # canonical rounding recipe lives with the fixed6 helpers in operators.text;
@@ -1270,14 +1278,22 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
         # a NULL comparison would fall into the overflow ELSE and
         # misdiagnose corrupt data as an overflow (r15 self-review).
         F.expr(
-            "transform(emb, x -> CASE"
+            # the dim arm (ADVICE r15) fires before any component quantizes:
+            # past SIL_MAX_DIM the headroom derivation no longer bounds the
+            # s-ratio under 2^63, so the operator fails loudly on BOTH
+            # engines instead of wrapping silently on one
+            f"CASE WHEN size(emb) > {SIL_MAX_DIM}"
+            f" THEN cast(raise_error('cluster_silhouette: dim > {SIL_MAX_DIM}"
+            " breaks the BIGINT overflow headroom derivation')"
+            " as array<bigint>)"
+            " ELSE transform(emb, x -> CASE"
             " WHEN x IS NULL THEN cast(raise_error('cluster_silhouette:"
             " NULL component — corrupt embedding vector') as bigint)"
             f" WHEN abs(x) <= {SIL_MAX_ABS}"
             f" THEN cast(floor(x * {SIL_Q} + 0.5) as bigint)"
             f" ELSE cast(raise_error('cluster_silhouette: |component| >"
             f" {SIL_MAX_ABS} breaks the BIGINT overflow contract') as bigint)"
-            " END)"
+            " END) END"
         ).alias("qv"),
     )
     cpos = (

@@ -1865,6 +1865,17 @@ FUZZY_BROADCAST_MAX_KEY_ROWS = 2_000_000
 _FUZZY_TOKS_CACHE: dict = {}
 
 
+def clear_analytics_caches(spark: SparkSession | None = None) -> int:
+    """Eagerly drop this module's materialized-relation caches (ADVICE
+    r15: session-wide 'evict everything' sweeps enumerate the trading and
+    datapipe helpers — this is the analytics leg, same shared eviction
+    loop; optionally only the given session's). Returns entries evicted."""
+    from .trading import clear_caches
+
+    app_id = spark.sparkContext.applicationId if spark is not None else None
+    return clear_caches((_FUZZY_TOKS_CACHE,), app_id)
+
+
 def _fuzzy_toks(spark: SparkSession, sf_dir: str):
     from .trading import _cache_put
 

@@ -2643,17 +2643,23 @@ ORACLES["bpe_encode_fertility"] = _bpe_encode_sql()
 # error() (the twin of Spark's raise_error — both engines fail loudly),
 # and the ab regroup keys on a row-unique rid instead of vec_id so a
 # non-unique vec_id in a future fixture cannot collapse two scored
-# points that Spark scores independently.
+# points that Spark scores independently. r16 (ADVICE r15): the dim arm
+# guards the headroom DERIVATION — past sim.SIL_MAX_DIM the per-component
+# bound no longer keeps the s-ratio under 2^63 — with DuckDB's error()
+# twinning Spark's raise_error, so both engines fail loudly.
 ORACLES["embedding_cluster_silhouette"] = _with(sim.EMB_SQL) + f""",
 e AS (
   SELECT row_number() OVER () AS rid, label::BIGINT AS label,
-         list_transform(v, x -> CASE
+         CASE WHEN len(v) > {sim.SIL_MAX_DIM}
+         THEN CAST(error('cluster_silhouette: dim overflow-headroom contract')
+                   AS BIGINT[])
+         ELSE list_transform(v, x -> CASE
            WHEN x IS NULL THEN CAST(error('cluster_silhouette: NULL component')
                                     AS BIGINT)
            WHEN abs(x) <= {sim.SIL_MAX_ABS}
            THEN CAST(floor(x * {sim.SIL_Q} + 0.5) AS BIGINT)
            ELSE CAST(error('cluster_silhouette: component overflow contract')
-                     AS BIGINT) END) AS qv
+                     AS BIGINT) END) END AS qv
   FROM emb
   WHERE label IS NOT NULL
 ),

@@ -51,15 +51,6 @@ _DEFER: list[str] = [
     # to make room — every one carries an r6 (most also earlier) driver-green
     # row and a same-family twin still in the window. All stay
     # oracle-verified by tools/check.py.
-    "ohlc_1m",                # A1 agg; streaming_ohlc_1m runs the SAME oracle in window
-    "event_asof_nearest_tick",  # nearest as-of; the forward variant keeps the as-of family [twin: event_asof_next_tick]
-    "embedding_pq_codes",     # PQ encode; embedding_knn_ivfadc reads the same codes in window [twin: embedding_ann_recall_eval]
-    "streaming_ema_14_1h",    # stateful EMA; streaming_sma_cross keeps the stateful-kernel [twin: streaming_heavy_hitters]
-                              # family, batch rsi_14_1h the grouped recursion family
-    "text_heavy_hitters_cms",  # batch CMS; streaming_heavy_hitters runs the SAME oracle in window
-    "streaming_dedup_exact",  # watermark dedup; batch dedup_exact twin in window
-    "star_join_revenue",      # star join; local_supplier_volume (Q5) keeps the family [twin: market_share_q8]
-    "text_rolling_fingerprint",  # rolling hash; text_chunk_rag keeps the token-slicing family [twin: text_chunk_rag]
     # r8 rotation wave 2 (VERDICT r7 task #3): 12 of the 19 uncertified
     # r6/r7-born queries (operator-family firsts prioritized) plus
     # approx_value_quantiles (task #4: the GK-sketch quantile family regains
@@ -68,14 +59,6 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "macd_12_26_9_1h",        # grouped EMA recursion; batch EMA keeps the kernel family [twin: ema_14_1h]
-    "bollinger_20_2_1h",      # native stddev window; sma_golden_cross keeps the window family [twin: sma_14_1h]
-    "hybrid_search_rrf",      # rank fusion; bm25_search keeps the retrieval family
-    "embedding_knn_matryoshka",  # prefix-dim rerank; embedding_knn_ivf_kmeans keeps ANN [twin: embedding_ann_recall_eval]
-    "corpus_dsir_resample",   # importance resampling from the unigram LM; text_unigram_logprob in window
-    "dedup_semantic_kmeans",  # kmeans-cell semantic dedup; the IVF probe keeps trained-cells [twin: embedding_knn_ivf_multiprobe]
-    "dim_scd2_merge_apply",   # SCD2 merge; streaming_scd2_apply runs the SAME oracle in window [twin: user_cohort_retention]
-    "events_snapshot_diff",   # full-outer drift; streaming_scd2_apply keeps the reconcile family [twin: user_cohort_retention]
     "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
     "streaming_sma_cross",    # stateful kernel; streaming_heavy_hitters keeps applyInPandasWithState
     "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family [twin: large_volume_q18]
@@ -87,7 +70,7 @@ _DEFER: list[str] = [
     # queries rotated out to make room; every one keeps a same-family twin
     # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
     # apply the SAME oracle/operator as their rotated-out twins).
-    "event_asof_tick",        # bucketed as-of; the forward as-of keeps the family [twin: event_asof_next_tick]
+    "event_asof_tick",        # bucketed as-of; the nearest variant keeps the family [twin: event_asof_nearest_tick]
     "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: vwap_daily_1h]
     "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: candle_returns_quartile]
     "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
@@ -100,9 +83,9 @@ _DEFER: list[str] = [
                               # oracle through the stricter stateful-streaming path
     "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_14_1h]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; gap-fill keeps the candle family [twin: candle_gap_fill]
-    "atr_14_1h",              # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
-    "stochastic_14_3_1h",     # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
+    "candle_rollup",          # grouping sets; the 1m agg keeps the candle family [twin: ohlc_1m]
+    "atr_14_1h",              # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
+    "stochastic_14_3_1h",     # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
@@ -142,7 +125,7 @@ _DEFER: list[str] = [
     "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_ann_recall_eval]
     "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
     "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: streaming_ingest_dedup_gate]
-    "holt_forecast_1h",       # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
+    "holt_forecast_1h",       # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15 [twin: large_volume_q18]
     "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22 [twin: custdist_q13]
     "media_resize",           # BMP pixel kernel; twin: media_frame_sample
@@ -161,7 +144,7 @@ _DEFER: list[str] = [
     # family, the incremental probe + ingest gate the banded-MinHash family).
     # williams_r_14_1h deliberately STAYS in-window for its post--0.0-fix
     # re-certification (VERDICT r11 task #1 done-criterion).
-    "adx_14_1h",              # grouped Wilder kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
+    "adx_14_1h",              # grouped Wilder kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "backtest_max_drawdown",  # cumulative window; twins: vwap_daily_1h, vwap_daily_1h
     "cci_20_1h",              # keyed native-window; twin: sma_14_1h
     "late_shipment_q4",       # TPC-H star; twins: market_share_q8, waiting_supplier_q21, product_profit_q9
@@ -170,13 +153,13 @@ _DEFER: list[str] = [
     "promo_revenue_q14",      # conditional-share agg; twins: small_qty_revenue_q17, market_share_q8
     "revenue_concentration_q11",  # scalar-threshold star agg; twins: market_share_q8, product_profit_q9
     "embedding_knn_filtered",  # filtered ANN; twin: embedding_ann_recall_eval (+ recall_eval, drift_report)
-    "corpus_domain_mix",      # sampling/mixing; A-Res sampling keeps the family [twin: sample_weighted_quality]
+    "corpus_domain_mix",      # sampling/mixing; DSIR resampling keeps the family [twin: corpus_dsir_resample]
     "dedup_minhash_containment",  # banded MinHash verify; twins: streaming_ingest_dedup_gate, streaming_ingest_dedup_gate
     "streaming_enrich_dim_join",  # stream-static join; twins: streaming_ohlc_1m, streaming_ingest_dedup_gate
     "streaming_scd2_apply",   # foreachBatch IVM; twin: streaming_ingest_dedup_gate (foreachBatch keyed sink family)
     "text_ngram_diversity",   # zero-shuffle text gate; twins: text_ccnet_ppl_buckets, text_unigram_logprob
     "orders_table_profile",   # conditional-agg profile; twin: candle_returns_quartile (quantile/profile family)
-    "candle_unpivot",         # candle reshaping; gap-fill keeps the candle family [twin: candle_gap_fill]
+    "candle_unpivot",         # candle reshaping; the 1m agg keeps the candle family [twin: ohlc_1m]
     # r13 rotation wave 7 (VERDICT r12 task #2): the 16 queries whose ONLY
     # driver-green evidence was round 1 moved back INTO the window (first
     # driver contact in eleven rounds, and first since the canon hardening
@@ -187,9 +170,9 @@ _DEFER: list[str] = [
     # re-certification (VERDICT r12 task #1 done-criterion), exactly as
     # williams_r_14_1h did in wave 6.
     "williams_r_14_1h",       # keyed native-window; twin: sma_14_1h (incoming wave 8)
-    "keltner_20_10_1h",       # grouped Arrow kernel; batch EMA keeps the kernel family [twin: ema_14_1h]
+    "keltner_20_10_1h",       # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "obv_1h",                 # cumulative window; twins: vwap_daily_1h (staying), backtest_equity_curve + backtest_trades (incoming)
-    "candle_patterns_1h",     # candle derivation; gap-fill keeps the candle family [twin: candle_gap_fill]
+    "candle_patterns_1h",     # candle derivation; the 1m agg keeps the candle family [twin: ohlc_1m]
     "incremental_cursor_scan",  # MAX-watermark cursor; twin: watermark_max_time (incoming — the max-agg it consumes)
     "approx_value_quantiles",  # GK quantiles; twin: candle_returns_quartile (exact-percentile sibling, incoming wave 8)
     "nation_volume_q7",       # TPC-H star; twins: market_share_q8, custdist_q13
@@ -198,7 +181,7 @@ _DEFER: list[str] = [
     "waiting_supplier_q21",   # anti/exists star; twin: custdist_q13
     "dedup_incremental_minhash",  # banded MinHash probe; twins: streaming_ingest_dedup_gate (same probe), dedup_ngram_jaccard (incoming)
     "embedding_hard_negatives",  # ANN mining; twins: embedding_ann_recall_eval, embedding_near_dup_lsh + the 3 incoming embedding baselines
-    "corpus_mixture_plan",    # mixing planner; A-Res sampling keeps the family [twin: sample_weighted_quality]
+    "corpus_mixture_plan",    # mixing planner; DSIR resampling keeps the family [twin: corpus_dsir_resample]
     "bpe_encode_fertility",   # token stats; twins: text_token_count (incoming), text_unigram_logprob
     "text_tfidf_top_terms",   # explode→count→rank; twins: text_top_terms_per_lang (incoming), bm25_search
     "media_dhash",            # BMP/WAV kernels; twin: media_frame_sample (in-window mapInPandas media row)
@@ -215,10 +198,10 @@ _DEFER: list[str] = [
     # STAY in-window: each is its operator family's only in-window
     # representative (media kernels, MAX-watermark cursor, cumulative
     # window for the deferred backtest/obv rows).
-    "avg_close_pivot",        # pivot col-name templating; candle family [twin: candle_gap_fill]
+    "avg_close_pivot",        # pivot col-name templating; candle family [twin: ohlc_1m]
     "backtest_equity_curve",  # cumulative window; twin: vwap_daily_1h (staying cumulative-window rep)
     "backtest_trades",        # LAG signal chain; twin: vwap_daily_1h (staying cumulative-window rep)
-    "candle_cube",            # grouping-set cube; gap-fill keeps the candle family [twin: candle_gap_fill]
+    "candle_cube",            # grouping-set cube; the 1m agg keeps the candle family [twin: ohlc_1m]
     "dedup_ngram_jaccard",    # banded n-gram Jaccard; twin: streaming_ingest_dedup_gate (same banded probe)
     "embedding_knn_bruteforce",  # exact top-k baseline; twin: embedding_ann_recall_eval (runs brute force as its truth side)
     "embedding_knn_ivf",      # IVF top-k; twin: embedding_knn_ivf_multiprobe (incoming, same inverted-list index)
@@ -258,22 +241,44 @@ _DEFER: list[str] = [
     # expression changed this round — the williams_r/vwap post-fix
     # precedent), and the family-only reps media_frame_sample,
     # watermark_max_time, vwap_daily_1h, sma_14_1h, text_simhash.
-    "ohlc_derived_multi_tf",  # A2 re-agg; gap-fill keeps the candle family [twin: candle_gap_fill]
-    "trix_15_1h",             # triple-EMA cascade; batch EMA keeps the grouped-kernel family [twin: ema_14_1h]
-    "event_asof_tick_plain",  # backward as-of; the forward variant keeps the family [twin: event_asof_next_tick]
-    "event_reaction_window",  # event-study window; as-of family [twin: event_asof_next_tick]
+    "ohlc_derived_multi_tf",  # A2 re-agg; the 1m agg it derives from keeps the family [twin: ohlc_1m]
+    "trix_15_1h",             # triple-EMA cascade; MACD keeps the grouped-kernel family [twin: macd_12_26_9_1h]
+    "event_asof_tick_plain",  # backward as-of; the nearest variant keeps the family [twin: event_asof_nearest_tick]
+    "event_reaction_window",  # event-study window; as-of family [twin: event_asof_nearest_tick]
     "dedup_simhash",          # simhash near-dup; twin: dedup_exact (staying exact-dedup rep)
     "dedup_passages",         # passage banding; twin: streaming_ingest_dedup_gate (staying banded probe)
     "dedup_connected_components",  # CC base; twin: dedup_cc_two_phase (staying CC rep)
     "dupgraph_triangle_stats",  # dup-graph triangles; twin: dedup_cc_two_phase (staying graph rep)
-    "text_repetition_filter",  # zero-shuffle text gate; twin: text_pii_redact (incoming gate rep)
-    "corpus_pack_sequences",  # two-pass packing; twin: text_chunk_rag (incoming slicing rep)
-    "stratified_sample_by_lang",  # hash-bucket sampling; twin: sample_weighted_quality (incoming)
-    "embedding_quantize_int8",  # int8 quantization; twin: embedding_knn_pq_adc (incoming ADC consumer)
+    "text_repetition_filter",  # zero-shuffle text gate; twin: text_ccnet_ppl_buckets (staying gate rep)
+    "corpus_pack_sequences",  # two-pass packing; twin: text_rolling_fingerprint (incoming slicing rep)
+    "stratified_sample_by_lang",  # hash-bucket sampling; twin: corpus_dsir_resample (incoming sampling rep)
+    "embedding_quantize_int8",  # int8 quantization; twin: embedding_pq_codes (incoming code producer)
     "embedding_label_centroids",  # label centroids; twin: embedding_cluster_silhouette (staying centroid computer)
     "embedding_ivf_drift_report",  # IVF drift; twin: embedding_knn_ivf_multiprobe (staying IVF rep)
     "daily_active_users",     # exact DISTINCT agg; twin: parts_supplier_q16 (staying count-distinct)
     "top_customers_by_open_value",  # O1 sort; twin: large_volume_q18 (staying sorted top-N)
+    # r16 rotation wave 10 (VERDICT r15 task #1): the 16 RECERT_QUEUE rows
+    # written at r15 — the eight r6-evidence rows (which hit
+    # MAX_STALENESS_ROUNDS = 10 exactly at r16) plus the eight oldest r7
+    # rows — moved INTO the window; these 16 freshly-r15-certified rows
+    # rotated out, each with a same-family twin staying in the window —
+    # for most, the incoming oldest-evidence queries ARE the twins.
+    "tick_sessions",          # time-gap sessions; twin: streaming_ohlc_1m (staying streaming window-agg rep)
+    "train_test_split",       # hash-bucket split; twin: corpus_dsir_resample (incoming sampling rep)
+    "candle_gap_fill",        # candle scaffold+fill; twin: ohlc_1m (incoming candle-agg rep)
+    "dim_scd2_history",       # SCD2 ranges; twin: dim_scd2_merge_apply (incoming SCD2 rep)
+    "ema_14_1h",              # grouped EMA recursion; twin: macd_12_26_9_1h (incoming, same Arrow kernel)
+    "event_asof_next_tick",   # forward as-of; twin: event_asof_nearest_tick (incoming as-of rep)
+    "sample_weighted_quality",  # A-Res weighted sampling; twin: corpus_dsir_resample (incoming sampling rep)
+    "streaming_sliding_stats",  # sliding windows; twin: streaming_ohlc_1m (staying streaming window-agg rep)
+    "text_bigram_pmi",        # corpus co-occurrence stats; twin: bm25_search (staying broadcast-corpus-stats rep)
+    "text_chunk_rag",         # token slicing; twin: text_rolling_fingerprint (incoming token-slicing rep)
+    "text_pii_redact",        # zero-shuffle text gate; twin: text_ccnet_ppl_buckets (staying gate rep)
+    "urgent_not_finished_setops",  # EXCEPT/INTERSECT; twin: custdist_q13 (staying set-ops/anti rep)
+    "user_funnel_conversion",  # sequence funnel; twin: user_cohort_retention (staying cohort rep)
+    "corpus_clean_pipeline",  # composed clean pipeline; twin: streaming_ingest_dedup_gate (staying banded-probe rep)
+    "decontaminate_train_ngrams",  # exact n-gram decontam; twin: decontaminate_fuzzy_lsh (staying decontam rep)
+    "embedding_knn_pq_adc",   # ADC scoring; twin: embedding_pq_codes (incoming, produces the codes ADC reads)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -312,6 +317,13 @@ _DEFER: list[str] = [
 # guaranteed by the per-round 5-leg local bit-exact sweep, and the
 # staleness alarm fails CI if any deferred query's newest driver-green
 # row ages past MAX_STALENESS_ROUNDS.
+#
+# r16 executed rotation wave 10 (VERDICT r15 task #1): the 16 RECERT_QUEUE
+# rows written at r15 — the eight r6-evidence rows, which reached
+# MAX_STALENESS_ROUNDS = 10 exactly this round, plus the eight oldest r7
+# rows — are IN the window; 16 freshly-r15-certified rows rotated out
+# (wave-10 block at the end of _DEFER). No births — the birth freeze
+# holds; all freed slots went to re-certification.
 
 # RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
 # #6): the 16 oldest-evidence deferred queries, ordered strictly by
@@ -323,26 +335,27 @@ _DEFER: list[str] = [
 # embedding_knn_ivf_multiprobe, whose evidence was the oldest on record).
 # Rotation waves consume this list front-first; recompute it (the test
 # failure message prints the expected value) whenever a wave executes or
-# a new CORRECTNESS file lands. After wave 9 the queue holds the eight
-# remaining r6-evidence rows and the eight oldest r7 rows — wave 10's
-# worklist.
+# a new CORRECTNESS file lands. After wave 10 the queue holds the five
+# remaining r7-evidence rows and the eleven oldest r8 rows — wave 11's
+# worklist (the r7 rows reach the staleness bound at r17, so wave 11 is
+# mandatory next round).
 RECERT_QUEUE: list[str] = [
-    "embedding_pq_codes",         # r6
-    "event_asof_nearest_tick",    # r6
-    "ohlc_1m",                    # r6
-    "star_join_revenue",          # r6
-    "streaming_dedup_exact",      # r6
-    "streaming_ema_14_1h",        # r6
-    "text_heavy_hitters_cms",     # r6
-    "text_rolling_fingerprint",   # r6
-    "bollinger_20_2_1h",          # r7
-    "corpus_dsir_resample",       # r7
-    "dedup_semantic_kmeans",      # r7
-    "dim_scd2_merge_apply",       # r7
-    "embedding_knn_matryoshka",   # r7
-    "events_snapshot_diff",       # r7
-    "hybrid_search_rrf",          # r7
-    "macd_12_26_9_1h",            # r7
+    "streaming_sma_cross",        # r7
+    "streaming_tick_sessions",    # r7
+    "streaming_view_click_join",  # r7
+    "text_lang_id",               # r7
+    "tpch_pricing_summary",       # r7
+    "atr_14_1h",                  # r8
+    "backtest_pnl",               # r8
+    "bpe_train_merges",           # r8
+    "candle_rollup",              # r8
+    "dedup_exact_substring",      # r8
+    "dedup_minhash_lsh",          # r8
+    "dupgraph_pagerank",          # r8
+    "event_asof_tick",            # r8
+    "events_value_histogram",     # r8
+    "local_supplier_volume",      # r8
+    "priority_shipmonth_q12",     # r8
 ]
 
 # Max-staleness alarm (VERDICT r14 task #3, policy dated in PLANS.md r15):
