@@ -1965,11 +1965,20 @@ def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_bag_lb_sql` ≤ d). Both are sound — they can NEVER drop a
     true ≤d pair — so the OUTPUT is provably unchanged while the
     candidate set entering the distinct+Levenshtein stages drops to
-    200 of 2,016 = 9.9% on this fixture (ratio pinned in the test). At
-    100 TB the expensive stages (shuffle + DP) therefore run near the
-    true-pair count; the residual dense-block row GENERATION is
-    irreducible for any exact-recall method on a uniform closed
-    vocabulary and is the documented cost of the recall contract.
+    200 of 2,016 = 9.9% on this fixture (ratio pinned in the test) —
+    2.1× the 96 true pairs. HOW NEAR the true pairs the survivors sit
+    is vocabulary-dependent (measured, VERDICT r15 task #5, in
+    tools/scaling_probe.py's closed-vocab leg): on real-shaped
+    vocabularies the length/bag spread does the work, but on a FIXED
+    uniform vocabulary at ×10/×100 names the candidates are
+    permutation-dense — near-identical character bags — so the bag
+    bound is weak exactly there and survivors run 52-153× the true
+    pairs. What holds at EVERY measured scale: the filters cut >96% of
+    the blocked generation and the distinct+DP stages run under 2% of
+    the naive all-pairs square (both pinned in the probe). The residual
+    dense-block row GENERATION is irreducible for any exact-recall
+    method on a uniform closed vocabulary and is the documented cost of
+    the recall contract.
 
     Scale: the name dedup is one hash agg (distinct names ≪ rows — a
     vocabulary-sized relation, persisted once per (app, sf_dir) via the
@@ -1992,24 +2001,20 @@ def q_part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_match_pairs(*_fuzzy_toks(spark, sf_dir))
 
 
-def _fuzzy_match_pairs(toks: DataFrame, key_rows: int) -> DataFrame:
-    """The rarest-K blocking + provable-filter + DP pipeline over a
-    (p_name, n_parts, tok) token relation — split from the query wrapper
-    so the recall contract is MEASURABLE on synthetic vocabularies
-    (VERDICT r15 task #4: the driver fixture's 2-token names degenerate
-    K=2 to union blocking, so the recall-loss branch never executed under
-    test; tests/test_entity_resolution.py runs THIS code on Zipfian
-    3-token names — measured recall 31/34 ≈ 0.912, every miss explained
-    by the stated condition: the pair's rarest-K key sets are
-    disjoint)."""
-    # BOTH broadcasts ride the same measured gate: distinct tokens are a
-    # subset of the key rows, so an open vocabulary that overflows the
-    # bound demotes the freq side to a shuffle join too (r15 self-review:
-    # an unconditionally-broadcast freq would re-open the very
-    # memory-ceiling hole the keyed-side gate closes)
+def _fuzzy_blocked_keyed(toks: DataFrame, key_rows: int) -> DataFrame:
+    """(p_name, n_parts, blk): each distinct name under its FUZZY_BLOCK_K
+    globally-rarest tokens — the blocking-key half of the pipeline, split
+    out so the closed-vocabulary scaling leg (tools/scaling_probe.py,
+    VERDICT r15 task #5) counts candidate-stage rows against the SAME key
+    derivation the operator ships. BOTH broadcasts ride the same measured
+    gate: distinct tokens are a subset of the key rows, so an open
+    vocabulary that overflows the bound demotes the freq side to a
+    shuffle join too (r15 self-review: an unconditionally-broadcast freq
+    would re-open the very memory-ceiling hole the keyed-side gate
+    closes)."""
     in_bounds = key_rows <= FUZZY_BROADCAST_MAX_KEY_ROWS
     freq = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
-    keyed = (
+    return (
         toks.join(F.broadcast(freq) if in_bounds else freq, "tok")
         .withColumn(
             "_rk",
@@ -2020,6 +2025,20 @@ def _fuzzy_match_pairs(toks: DataFrame, key_rows: int) -> DataFrame:
         .filter(F.col("_rk") <= FUZZY_BLOCK_K)
         .select("p_name", "n_parts", F.col("tok").alias("blk"))
     )
+
+
+def _fuzzy_match_pairs(toks: DataFrame, key_rows: int) -> DataFrame:
+    """The rarest-K blocking + provable-filter + DP pipeline over a
+    (p_name, n_parts, tok) token relation — split from the query wrapper
+    so the recall contract is MEASURABLE on synthetic vocabularies
+    (VERDICT r15 task #4: the driver fixture's 2-token names degenerate
+    K=2 to union blocking, so the recall-loss branch never executed under
+    test; tests/test_entity_resolution.py runs THIS code on Zipfian
+    3-token names — measured recall 31/34 ≈ 0.912, every miss explained
+    by the stated condition: the pair's rarest-K key sets are
+    disjoint)."""
+    in_bounds = key_rows <= FUZZY_BROADCAST_MAX_KEY_ROWS
+    keyed = _fuzzy_blocked_keyed(toks, key_rows)
     a = keyed.select(
         F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
     )
