@@ -520,6 +520,10 @@ DETAIL_REQUIRED_KEYS = (
     "queries_runs",
     "partition_pruning",
     "scaling",
+    # r16 (VERDICT r15 task #2): the burst-local host canary is the
+    # round-over-round load-adjudication evidence — a refactor that drops
+    # it silently re-opens the r15 "+16% under a flat canary" gap
+    "host_canary",
 )
 
 

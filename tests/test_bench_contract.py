@@ -80,6 +80,12 @@ def test_detail_payload_carries_required_proof_blocks(tmp_path):
 
     _, detail = bench.summarize(_fake_runs(), sf=0.1)
     detail["partition_pruning"] = {"full": 10, "pruned": 2}
+    detail["host_canary"] = {
+        "cpu_codegen_min_sec": 0.1,
+        "cpu_codegen_bursts": [
+            {"at": "pre_cold", "t_rel_sec": 0.0, "samples": [0.1], "min_sec": 0.1}
+        ],
+    }
     written = bench.write_detail(detail, path)
     assert written["scaling"] == scaling  # carried forward, stamp intact
     on_disk = json.load(open(path))
@@ -105,3 +111,10 @@ def test_committed_detail_file_has_required_proof_blocks():
         assert key in on_disk, f"committed BENCH_DETAIL.json lost {key}"
     # the scaling block must carry its provenance stamp (ADVICE r10)
     assert "measured_commit" in on_disk["scaling"]
+    # the canary must be BURST-LOCAL (VERDICT r15 task #2): a series of
+    # labeled samples spanning the run, bracketed by pre_cold and end, so
+    # a mid-run load burst is attributable to the lines it poisoned
+    bursts = on_disk["host_canary"]["cpu_codegen_bursts"]
+    labels = [b["at"] for b in bursts]
+    assert labels[0] == "pre_cold" and labels[-1] == "end"
+    assert len(labels) >= 8, "burst series too sparse to localize load"
