@@ -163,7 +163,7 @@ def main() -> None:
     bench_t0 = time.time()
     canary_bursts: list[dict] = []
 
-    def canary_burst(label: str, n: int = 2) -> None:
+    def canary_burst(label: str, n: int = 2) -> list[float]:
         samples = []
         for _ in range(n):
             t0 = time.time()
@@ -177,6 +177,7 @@ def main() -> None:
                 "min_sec": min(samples),
             }
         )
+        return samples
 
     canary_burst("pre_cold")
 
@@ -458,24 +459,16 @@ def main() -> None:
     # Detail-only — the driver-parsed stdout line must not grow.
     import glob as _glob
 
-    cpu_canary = []
-    for _ in range(5):
-        t0 = time.time()
-        spark.range(200_000_000).groupBy().sum("id").collect()
-        cpu_canary.append(round(time.time() - t0, 3))
+    # the end burst IS the probe — one helper, one workload definition
+    # (r16 self-review: a hand-rolled copy here would quietly diverge from
+    # canary_burst and break the cross-burst min comparison); 5 samples
+    # keep cpu_codegen_runs series-comparable with r11..r15
+    cpu_canary = canary_burst("end", n=5)
     fs_canary = []
     for _ in range(5):
         t0 = time.time()
         n_listed = len(_glob.glob(f"{fixture}/dt=*/*.parquet"))
         fs_canary.append(round(time.time() - t0, 4))
-    canary_bursts.append(
-        {
-            "at": "end",
-            "t_rel_sec": round(time.time() - bench_t0, 1),
-            "samples": cpu_canary,
-            "min_sec": min(cpu_canary),
-        }
-    )
     host_canary = {
         # min over EVERY sample in the run (bursts included) — the run's
         # quietest moment, the reference point for the burst adjudication

@@ -302,6 +302,12 @@ def closed_vocab_er_block(spark) -> dict:
             "wall_runs_sec": runs,
             "wall_min_sec": min(runs),
         }
+        # a degenerate vocabulary (zero blocked generation) must fail with
+        # ITS OWN message, not a ZeroDivisionError inside the ratio pins
+        assert generated > 0, (
+            f"closed-vocab {n} names: blocking generated ZERO candidate "
+            "pairs — the fixture no longer exercises the dense regime"
+        )
         assert (
             filtered / generated <= CLOSED_VOCAB_FILTERED_OVER_GENERATED_MAX
         ), (

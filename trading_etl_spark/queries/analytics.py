@@ -1876,6 +1876,15 @@ def clear_analytics_caches(spark: SparkSession | None = None) -> int:
     return clear_caches((_FUZZY_TOKS_CACHE,), app_id)
 
 
+def _fuzzy_broadcast_ok(key_rows: int) -> bool:
+    """THE broadcast gate for the fuzzy-match path — both consumers (the
+    freq side in :func:`_fuzzy_blocked_keyed`, the keyed self-join side in
+    :func:`_fuzzy_match_pairs`) call this one predicate, so the two
+    decisions can never silently diverge (r16 self-review: the pipeline
+    split had duplicated the comparison in both halves)."""
+    return key_rows <= FUZZY_BROADCAST_MAX_KEY_ROWS
+
+
 def _name_token_relation(parts: DataFrame) -> DataFrame:
     """(p_name, n_parts, tok) over DISTINCT names — the dedup-first half
     of the ER design, split out so the recall test can build the same
@@ -2012,7 +2021,7 @@ def _fuzzy_blocked_keyed(toks: DataFrame, key_rows: int) -> DataFrame:
     shuffle join too (r15 self-review: an unconditionally-broadcast freq
     would re-open the very memory-ceiling hole the keyed-side gate
     closes)."""
-    in_bounds = key_rows <= FUZZY_BROADCAST_MAX_KEY_ROWS
+    in_bounds = _fuzzy_broadcast_ok(key_rows)
     freq = toks.groupBy("tok").agg(F.count("*").alias("tok_freq"))
     return (
         toks.join(F.broadcast(freq) if in_bounds else freq, "tok")
@@ -2037,7 +2046,7 @@ def _fuzzy_match_pairs(toks: DataFrame, key_rows: int) -> DataFrame:
     3-token names — measured recall 31/34 ≈ 0.912, every miss explained
     by the stated condition: the pair's rarest-K key sets are
     disjoint)."""
-    in_bounds = key_rows <= FUZZY_BROADCAST_MAX_KEY_ROWS
+    in_bounds = _fuzzy_broadcast_ok(key_rows)
     keyed = _fuzzy_blocked_keyed(toks, key_rows)
     a = keyed.select(
         F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
