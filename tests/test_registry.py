@@ -30,32 +30,23 @@ SIBLING = {
     # rows; each keeps a same-family twin still in the window
     # (dim_scd2_merge_apply's twin runs its EXACT oracle through the
     # stricter stateful-streaming path).
-    "streaming_tick_sessions": "streaming_ohlc_1m",
-    "streaming_sma_cross": "streaming_heavy_hitters",
-    "tpch_pricing_summary": "large_volume_q18",
-    "streaming_view_click_join": "streaming_ohlc_1m",
-    "text_lang_id": "text_ccnet_ppl_buckets",
+    # (r17 wave 11: the five r7 rows that opened this block rotated back
+    # INTO the window at the staleness bound; see the wave-11 block at
+    # the end of this map.)
     # r9 rotation wave 3: ALL 15 never-driver-certified queries moved INTO
     # the window (certification backlog emptied); these 15 r8-driver-green
     # queries rotated out, each with a same-family twin in the window
     # (event_asof_tick_plain / streaming_rsi_14_1h run their rotated-out
     # twins' EXACT oracles; corpus_strip_dup_spans / bpe_encode_fertility /
     # dedup_lsh_eval apply the same trained artifacts or spans).
-    "event_asof_tick": "event_asof_nearest_tick",
-    "backtest_pnl": "vwap_daily_1h",
-    "events_value_histogram": "candle_returns_quartile",
+    # (r17 wave 11: event_asof_tick, backtest_pnl, events_value_histogram,
+    # dedup_minhash_lsh, dedup_exact_substring, bpe_train_merges,
+    # priority_shipmonth_q12, local_supplier_volume, candle_rollup,
+    # atr_14_1h and dupgraph_pagerank rotated back INTO the window.)
     "ticks_freshness_sla": "watermark_max_time",
-    "dedup_minhash_lsh": "streaming_ingest_dedup_gate",
-    "dedup_exact_substring": "corpus_strip_dup_spans",
-    "bpe_train_merges": "text_unigram_logprob",
-    "priority_shipmonth_q12": "large_volume_q18",
-    "local_supplier_volume": "market_share_q8",
     "rsi_14_1h": "streaming_rsi_14_1h",
     "sma_golden_cross": "sma_14_1h",
-    "candle_rollup": "ohlc_1m",
-    "atr_14_1h": "macd_12_26_9_1h",
     "stochastic_14_3_1h": "macd_12_26_9_1h",
-    "dupgraph_pagerank": "dedup_cc_two_phase",
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
     # rotated out, each with a same-family twin in the window
@@ -153,7 +144,7 @@ SIBLING = {
     "candle_cube": "ohlc_1m",
     "dedup_ngram_jaccard": "streaming_ingest_dedup_gate",
     "embedding_knn_bruteforce": "embedding_ann_recall_eval",
-    "embedding_knn_ivf": "embedding_knn_ivf_multiprobe",
+    "embedding_knn_ivf": "embedding_ann_recall_eval",
     "embedding_near_dup": "embedding_ann_recall_eval",
     "embedding_near_dup_lsh": "embedding_ann_recall_eval",
     "event_type_copairs": "event_props_json_agg",
@@ -194,7 +185,7 @@ SIBLING = {
     "stratified_sample_by_lang": "corpus_dsir_resample",
     "embedding_quantize_int8": "embedding_pq_codes",
     "embedding_label_centroids": "embedding_cluster_silhouette",
-    "embedding_ivf_drift_report": "embedding_knn_ivf_multiprobe",
+    "embedding_ivf_drift_report": "embedding_ann_recall_eval",
     "daily_active_users": "parts_supplier_q16",
     "top_customers_by_open_value": "large_volume_q18",
     # r16 rotation wave 10: the 16 RECERT_QUEUE rows (eight r6-evidence
@@ -218,6 +209,29 @@ SIBLING = {
     "corpus_clean_pipeline": "streaming_ingest_dedup_gate",
     "decontaminate_train_ngrams": "decontaminate_fuzzy_lsh",
     "embedding_knn_pq_adc": "embedding_pq_codes",
+    # r17 rotation wave 11: the 16 RECERT_QUEUE rows (five r7-evidence rows
+    # at the MAX_STALENESS_ROUNDS bound + the eleven oldest r8 rows) moved
+    # INTO the window; these 16 freshly-r16-certified rows rotated out,
+    # each with a same-family twin staying in the window — for several,
+    # the incoming oldest-evidence queries ARE the twins.
+    # part_name_fuzzy_match stays in-window for its post-positional-filter
+    # re-certification.
+    "ticks_parse_validate": "ohlc_1m",
+    "bollinger_20_2_1h": "sma_14_1h",
+    "hybrid_search_rrf": "bm25_search",
+    "embedding_knn_matryoshka": "embedding_ann_recall_eval",
+    "embedding_knn_ivf_multiprobe": "embedding_ann_recall_eval",
+    "text_heavy_hitters_cms": "streaming_heavy_hitters",
+    "dedup_semantic_kmeans": "embedding_cluster_silhouette",
+    "events_snapshot_diff": "events_orphan_files",
+    "star_join_revenue": "market_share_q8",
+    "returned_order_priority_semi": "custdist_q13",
+    "forecast_revenue_q6": "tpch_pricing_summary",
+    "min_cost_supplier_q2": "local_supplier_volume",
+    "excess_share_supplier_q20": "parts_supplier_q16",
+    "streaming_dedup_exact": "streaming_ingest_dedup_gate",
+    "streaming_ema_14_1h": "streaming_rsi_14_1h",
+    "corpus_strip_dup_spans": "dedup_exact_substring",
 }
 
 
@@ -250,44 +264,54 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round16_rotation_in_window():
-    # VERDICT r15 task #1 (rotation wave 10): the 16 RECERT_QUEUE rows
-    # written at r15 — the eight r6-evidence rows, whose driver evidence
-    # reaches MAX_STALENESS_ROUNDS = 10 exactly at r16, plus the eight
-    # oldest r7 rows — are inside the 50-row correctness window this
+def test_round17_rotation_in_window():
+    # VERDICT r16 task #1 (rotation wave 11): the 16 RECERT_QUEUE rows
+    # written at r16 — the five r7-evidence rows, whose driver evidence
+    # reaches MAX_STALENESS_ROUNDS = 10 exactly at r17, plus the eleven
+    # oldest r8 rows — are inside the 50-row correctness window this
     # round, alongside the staying family-only representatives.
     # (Earlier rounds' in-window assertions are superseded by rotation;
     # their driver certifications are on record in CORRECTNESS_r*.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        # wave 10 incoming (the full r15 RECERT_QUEUE, front-first)
-        "embedding_pq_codes",
-        "event_asof_nearest_tick",
-        "ohlc_1m",
-        "star_join_revenue",
-        "streaming_dedup_exact",
-        "streaming_ema_14_1h",
-        "text_heavy_hitters_cms",
-        "text_rolling_fingerprint",
-        "bollinger_20_2_1h",
-        "corpus_dsir_resample",
-        "dedup_semantic_kmeans",
-        "dim_scd2_merge_apply",
-        "embedding_knn_matryoshka",
-        "events_snapshot_diff",
-        "hybrid_search_rrf",
-        "macd_12_26_9_1h",
+        # wave 11 incoming (the full r16 RECERT_QUEUE, front-first)
+        "streaming_sma_cross",
+        "streaming_tick_sessions",
+        "streaming_view_click_join",
+        "text_lang_id",
+        "tpch_pricing_summary",
+        "atr_14_1h",
+        "backtest_pnl",
+        "bpe_train_merges",
+        "candle_rollup",
+        "dedup_exact_substring",
+        "dedup_minhash_lsh",
+        "dupgraph_pagerank",
+        "event_asof_tick",
+        "events_value_histogram",
+        "local_supplier_volume",
+        "priority_shipmonth_q12",
+        # deliberate stay: post-positional-filter re-certification
+        "part_name_fuzzy_match",
         # staying family-only representatives (sibling targets)
         "media_frame_sample",
         "watermark_max_time",
         "vwap_daily_1h",
         "sma_14_1h",
+        "ohlc_1m",
         "text_simhash",
         "streaming_ohlc_1m",
         "streaming_ingest_dedup_gate",
+        "streaming_heavy_hitters",
+        "streaming_rsi_14_1h",
         "user_cohort_retention",
         "custdist_q13",
         "bm25_search",
+        "market_share_q8",
+        "parts_supplier_q16",
+        "embedding_ann_recall_eval",
+        "embedding_cluster_silhouette",
+        "events_orphan_files",
         "text_ccnet_ppl_buckets",
         "decontaminate_fuzzy_lsh",
     ]:

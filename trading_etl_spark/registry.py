@@ -59,34 +59,29 @@ _DEFER: list[str] = [
     # 13 rotated out to make room — every one carries an r7 (most also
     # earlier) driver-green row and a same-family twin still in the window.
     # All stay oracle-verified by tools/check.py.
-    "streaming_tick_sessions",  # session windows; streaming_ohlc_1m keeps streaming window aggs
-    "streaming_sma_cross",    # stateful kernel; streaming_heavy_hitters keeps applyInPandasWithState
-    "tpch_pricing_summary",   # lineitem conditional agg; priority_shipmonth_q12 keeps the family [twin: large_volume_q18]
-    "streaming_view_click_join",  # stream-stream join; streaming_ohlc_1m keeps the streaming family
-    "text_lang_id",           # n-gram gate; text_quality_score keeps the text-gate family [twin: text_ccnet_ppl_buckets]
+    # (r17 rotation wave 11 moved the five r7-evidence rows that opened
+    # this block — streaming_tick_sessions, streaming_sma_cross,
+    # tpch_pricing_summary, streaming_view_click_join, text_lang_id —
+    # back INTO the window at the MAX_STALENESS_ROUNDS bound; see the
+    # wave-11 block at the END of this list.)
     # r9 rotation wave 3 (VERDICT r8 task #1): ALL 15 never-driver-certified
     # queries (7 r6/r7-born wave-3 carryovers + 8 r8-born) moved INTO the
     # window — this empties the certification backlog. These 15 r8-green
     # queries rotated out to make room; every one keeps a same-family twin
     # in the window (event_asof_tick_plain / corpus_strip_dup_spans run or
     # apply the SAME oracle/operator as their rotated-out twins).
-    "event_asof_tick",        # bucketed as-of; the nearest variant keeps the family [twin: event_asof_nearest_tick]
-    "backtest_pnl",           # LAG pnl; backtest_max_drawdown keeps the backtest window family [twin: vwap_daily_1h]
-    "events_value_histogram",  # width_bucket agg; events_value_winsorize keeps the events-agg family [twin: candle_returns_quartile]
+    # (r17 rotation wave 11 moved the eleven oldest r8-evidence rows of
+    # this block — event_asof_tick, backtest_pnl, events_value_histogram,
+    # dedup_minhash_lsh, dedup_exact_substring, bpe_train_merges,
+    # priority_shipmonth_q12, local_supplier_volume, candle_rollup,
+    # atr_14_1h, dupgraph_pagerank — back INTO the window; see the
+    # wave-11 block at the END of this list.)
     "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
-    "dedup_minhash_lsh",      # banded near-dup; dedup_lsh_eval evaluates the SAME banding in window [twin: streaming_ingest_dedup_gate]
-    "dedup_exact_substring",  # span finder; corpus_strip_dup_spans APPLIES the same spans in window
-    "bpe_train_merges",       # BPE trainer; token-stats family [twin: text_unigram_logprob]
-    "priority_shipmonth_q12",  # TPC-H Q12; returned_item_q10 keeps the TPC-H star family [twin: large_volume_q18]
-    "local_supplier_volume",  # TPC-H Q5; shipping_priority_q3 keeps the star-join family [twin: market_share_q8]
     "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
                               # oracle through the stricter stateful-streaming path
     "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_14_1h]
                               # volatility_20_1h keep the keyed native-window family
-    "candle_rollup",          # grouping sets; the 1m agg keeps the candle family [twin: ohlc_1m]
-    "atr_14_1h",              # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "stochastic_14_3_1h",     # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
-    "dupgraph_pagerank",      # iterative ranks; dedup_keeper_centrality composes PageRank in window [twin: dedup_cc_two_phase]
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
     # time NO registered query lacks a driver-green row in its history. These
@@ -204,7 +199,8 @@ _DEFER: list[str] = [
     "candle_cube",            # grouping-set cube; the 1m agg keeps the candle family [twin: ohlc_1m]
     "dedup_ngram_jaccard",    # banded n-gram Jaccard; twin: streaming_ingest_dedup_gate (same banded probe)
     "embedding_knn_bruteforce",  # exact top-k baseline; twin: embedding_ann_recall_eval (runs brute force as its truth side)
-    "embedding_knn_ivf",      # IVF top-k; twin: embedding_knn_ivf_multiprobe (incoming, same inverted-list index)
+    "embedding_knn_ivf",      # IVF top-k; twin: embedding_ann_recall_eval (staying IVF-family evaluator; repointed
+                              # at r17 when embedding_knn_ivf_multiprobe rotated out in wave 11)
     "embedding_near_dup",     # cosine near-dup; twin: embedding_ann_recall_eval (ANN family)
     "embedding_near_dup_lsh",  # LSH-bucketed near-dup; twin: embedding_ann_recall_eval (ANN family)
     "event_type_copairs",     # events co-occurrence agg; twin: event_props_json_agg (incoming events-agg family)
@@ -254,7 +250,8 @@ _DEFER: list[str] = [
     "stratified_sample_by_lang",  # hash-bucket sampling; twin: corpus_dsir_resample (incoming sampling rep)
     "embedding_quantize_int8",  # int8 quantization; twin: embedding_pq_codes (incoming code producer)
     "embedding_label_centroids",  # label centroids; twin: embedding_cluster_silhouette (staying centroid computer)
-    "embedding_ivf_drift_report",  # IVF drift; twin: embedding_knn_ivf_multiprobe (staying IVF rep)
+    "embedding_ivf_drift_report",  # IVF drift; twin: embedding_ann_recall_eval (staying IVF-family evaluator;
+                              # repointed at r17 when embedding_knn_ivf_multiprobe rotated out in wave 11)
     "daily_active_users",     # exact DISTINCT agg; twin: parts_supplier_q16 (staying count-distinct)
     "top_customers_by_open_value",  # O1 sort; twin: large_volume_q18 (staying sorted top-N)
     # r16 rotation wave 10 (VERDICT r15 task #1): the 16 RECERT_QUEUE rows
@@ -279,6 +276,33 @@ _DEFER: list[str] = [
     "corpus_clean_pipeline",  # composed clean pipeline; twin: streaming_ingest_dedup_gate (staying banded-probe rep)
     "decontaminate_train_ngrams",  # exact n-gram decontam; twin: decontaminate_fuzzy_lsh (staying decontam rep)
     "embedding_knn_pq_adc",   # ADC scoring; twin: embedding_pq_codes (incoming, produces the codes ADC reads)
+    # r17 rotation wave 11 (VERDICT r16 task #1): the 16 RECERT_QUEUE rows
+    # written at r16 — the five r7-evidence rows (which hit
+    # MAX_STALENESS_ROUNDS = 10 exactly at r17) plus the eleven oldest r8
+    # rows — moved INTO the window; these 16 freshly-r16-certified rows
+    # rotated out, each with a same-family twin staying in the window —
+    # for several, the incoming oldest-evidence queries ARE the twins.
+    # Deliberate stay: part_name_fuzzy_match remains in-window for its
+    # post-positional-filter re-certification (the r15 oracle-change
+    # precedent).
+    "ticks_parse_validate",   # S2 scalar parse/validate; every candle consumer runs the same
+                              # source path — twin: ohlc_1m (staying candle-agg rep)
+    "bollinger_20_2_1h",      # stddev-band windows; twin: sma_14_1h (staying keyed native-window rep)
+    "hybrid_search_rrf",      # RRF fusion; twin: bm25_search (staying retrieval rep)
+    "embedding_knn_matryoshka",  # prefix-dim rerank; twin: embedding_ann_recall_eval (staying ANN evaluator)
+    "embedding_knn_ivf_multiprobe",  # multiprobe IVF; twin: embedding_ann_recall_eval (staying ANN evaluator)
+    "text_heavy_hitters_cms",  # CMS sketch; twin: streaming_heavy_hitters (staying, runs the same
+                              # CMS kernel through the stricter stateful-streaming path)
+    "dedup_semantic_kmeans",  # semantic dedup; twin: embedding_cluster_silhouette (staying centroid/cluster rep)
+    "events_snapshot_diff",   # snapshot diff; twin: events_orphan_files (staying maintenance dry-run rep)
+    "star_join_revenue",      # star join; twin: market_share_q8 (staying star-join rep)
+    "returned_order_priority_semi",  # semi-join; twin: custdist_q13 (staying set-ops/anti rep)
+    "forecast_revenue_q6",    # lineitem conditional agg; twin: tpch_pricing_summary (incoming, same family)
+    "min_cost_supplier_q2",   # min-cost correlated join; twin: local_supplier_volume (incoming star-join rep)
+    "excess_share_supplier_q20",  # supplier/part share; twin: parts_supplier_q16 (staying supplier-part rep)
+    "streaming_dedup_exact",  # streaming watermark dedup; twin: streaming_ingest_dedup_gate (staying streaming-dedup rep)
+    "streaming_ema_14_1h",    # stateful EMA recursion; twin: streaming_rsi_14_1h (staying stateful-recursion rep)
+    "corpus_strip_dup_spans",  # span application; twin: dedup_exact_substring (incoming, FINDS the spans this applies)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -324,6 +348,14 @@ _DEFER: list[str] = [
 # rows — are IN the window; 16 freshly-r15-certified rows rotated out
 # (wave-10 block at the end of _DEFER). No births — the birth freeze
 # holds; all freed slots went to re-certification.
+#
+# r17 executed rotation wave 11 (VERDICT r16 task #1): the 16 RECERT_QUEUE
+# rows written at r16 — the five r7-evidence rows, which reached
+# MAX_STALENESS_ROUNDS = 10 exactly this round, plus the eleven oldest r8
+# rows — are IN the window; 16 freshly-r16-certified rows rotated out
+# (wave-11 block at the end of _DEFER). No births — the birth freeze
+# holds; all freed slots went to re-certification. part_name_fuzzy_match
+# stays in-window for post-positional-filter re-certification.
 
 # RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
 # #6): the 16 oldest-evidence deferred queries, ordered strictly by
@@ -335,27 +367,27 @@ _DEFER: list[str] = [
 # embedding_knn_ivf_multiprobe, whose evidence was the oldest on record).
 # Rotation waves consume this list front-first; recompute it (the test
 # failure message prints the expected value) whenever a wave executes or
-# a new CORRECTNESS file lands. After wave 10 the queue holds the five
-# remaining r7-evidence rows and the eleven oldest r8 rows — wave 11's
-# worklist (the r7 rows reach the staleness bound at r17, so wave 11 is
-# mandatory next round).
+# a new CORRECTNESS file lands. After wave 11 the queue holds the four
+# remaining r8-evidence rows, the ten r9 rows and the two oldest r10
+# rows — wave 12's worklist (the r8 rows reach the staleness bound at
+# r18, so wave 12 is mandatory next round).
 RECERT_QUEUE: list[str] = [
-    "streaming_sma_cross",        # r7
-    "streaming_tick_sessions",    # r7
-    "streaming_view_click_join",  # r7
-    "text_lang_id",               # r7
-    "tpch_pricing_summary",       # r7
-    "atr_14_1h",                  # r8
-    "backtest_pnl",               # r8
-    "bpe_train_merges",           # r8
-    "candle_rollup",              # r8
-    "dedup_exact_substring",      # r8
-    "dedup_minhash_lsh",          # r8
-    "dupgraph_pagerank",          # r8
-    "event_asof_tick",            # r8
-    "events_value_histogram",     # r8
-    "local_supplier_volume",      # r8
-    "priority_shipmonth_q12",     # r8
+    "rsi_14_1h",                   # r8
+    "sma_golden_cross",            # r8
+    "stochastic_14_3_1h",          # r8
+    "ticks_freshness_sla",         # r8
+    "decontaminate_bloom_prefilter",  # r9
+    "dedup_keeper_centrality",     # r9
+    "embedding_knn_ivfadc",        # r9
+    "events_retention_plan",       # r9
+    "events_value_winsorize",      # r9
+    "events_zorder_stats",         # r9
+    "media_extract_meta",          # r9
+    "pair_rolling_correlation",    # r9
+    "streaming_firstwins_append",  # r9
+    "volatility_20_1h",            # r9
+    "customer_rfm_segments",       # r10
+    "customers_no_open_orders_anti",  # r10
 ]
 
 # Max-staleness alarm (VERDICT r14 task #3, policy dated in PLANS.md r15):
