@@ -481,9 +481,17 @@ def main() -> None:
         n_listed = len(_glob.glob(f"{fixture}/dt=*/*.parquet"))
         fs_canary.append(round(time.time() - t0, 4))
     host_canary = {
+        # min of the END-of-run burst — ADVICE r16: the r16 record briefly
+        # redefined this field as the min over ALL bursts (the run-wide
+        # quietest, typically an earlier burst), silently breaking series
+        # comparability with the r11-r15 records; the r11-r15 semantics
+        # (min of the 5 end-of-run samples) are restored here and the
+        # run-wide floor moved to its own NEW key below. The r16 record's
+        # value for THIS key is the one semantic outlier in the series.
+        "cpu_codegen_min_sec": min(cpu_canary),
         # min over EVERY sample in the run (bursts included) — the run's
-        # quietest moment, the reference point for the burst adjudication
-        "cpu_codegen_min_sec": min(
+        # quietest moment; new key (r17) so the series above stays clean
+        "cpu_codegen_run_floor_sec": min(
             min(b["samples"]) for b in canary_bursts
         ),
         # the 5 consecutive end-of-run samples, series-comparable r11..r15

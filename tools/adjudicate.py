@@ -3,36 +3,56 @@ apply the burst-canary load-attribution rule to two rounds' shipped
 records, so "did the engine regress or did the host load move?" is
 decidable from the committed artifacts alone — no off-record re-runs.
 
-Rule: a line's move is attributable to HOST LOAD iff the canary bursts
-BRACKETING its block moved >= LOAD_THRESHOLD in the SAME direction as the
+Rule: a line's move is attributable to HOST LOAD iff A bracketing canary
+burst of its block moved >= LOAD_THRESHOLD in the SAME direction as the
 line, measured POSITION-WISE against the same-labeled bursts of the
 previous record; a move under flat brackets is real engine behavior.
+ANY-bracket (not both-brackets) on block lines is deliberate: load that
+arrives mid-block moves only the closing bracket, and load that drains
+mid-block moves only the opening one — requiring both would convert
+either case into a false REAL (ADVICE r16 #2: this rationale is now the
+documented rule, here and in bench.py/README). Headline lines are
+round-interleaved (the min can come from ANY of the headline rounds), so
+they adjudicate against the LEAST-moved round burst: a regression is
+excusable as LOAD only if EVERY round was loud, an improvement only if
+some round got quieter.
+
 Position-wise (not vs the run's own quietest burst) because the JVM
 matures over the whole bench run — a fresh canary descends 0.21 -> 0.06
 across the run with NO external load (measured r16), so early bursts are
 structurally above the end-of-run floor and a within-run floor comparison
 would read every cold-block move as LOAD. Comparing burst[i] to burst[i]
 of the prior round holds maturation state constant. When the previous
-record predates the burst series (pre-r16), the within-run floor
-comparison is the fallback.
+record predates the burst series (pre-r16) there is NO valid comparison:
+the within-run-floor fallback the r16 version applied reads every
+pre-r16 bracket at 1.3-3.4x (maturation), making the REAL-regression
+gate vacuous against old baselines (ADVICE r16 #1) — such moves are now
+reported INDETERMINATE and a regression among them exits 2, never a
+silent 0.
 
 Usage:
     python tools/adjudicate.py BENCH_DETAIL_prev.json [BENCH_DETAIL_cur.json]
 
-The current record defaults to the repo's BENCH_DETAIL.json. The previous
-record must also be a BENCH_DETAIL payload (per-query minima live there;
-the compact BENCH_r{N}.json line holds medians). Lines are compared on
+The current record defaults to the repo's BENCH_DETAIL.json. BOTH records
+must be BENCH_DETAIL payloads (per-query minima live there; the compact
+BENCH_r{N}.json line holds medians) — a record without ``queries_min``,
+e.g. the historical total-less BENCH_r06-r08 driver artifacts, is
+rejected with its own message instead of silently adjudicating every
+line NO-BASELINE (VERDICT r16 what's-wrong #3). Lines are compared on
 MIN per the bench methodology. Output: one row per common line with the
-move, its bracketing-burst state in the CURRENT run, and the verdict:
+move, its bracketing-burst state, and the verdict:
 
     REAL          moved past both thresholds under flat brackets
-    LOAD          moved past both thresholds with brackets moved the
-                  same direction
+    LOAD          moved past both thresholds with a bracket moved the
+                  same direction (any-bracket; headline: least-moved)
     FLAT          under the relative OR absolute move threshold
+    INDETERMINATE moved past both thresholds but the previous record
+                  carries no same-labeled bursts to compare against
     NO-BASELINE   line absent from the previous record
 
-Exit status 1 iff any REAL regression (slower, not faster) is found, so
-the round workflow can gate on it.
+Exit status: 1 iff any REAL regression (slower, not faster); else 2 iff
+any INDETERMINATE regression; else 0 — so the round workflow can gate on
+it without a pre-burst baseline ever reading as a pass.
 """
 
 from __future__ import annotations
@@ -41,7 +61,7 @@ import json
 import os
 import sys
 
-LOAD_THRESHOLD = 1.15  # bracket >= 15% over the run's quietest burst
+LOAD_THRESHOLD = 1.15  # bracket moved >= 15% position-wise
 MOVE_THRESHOLD = 0.15  # |delta| below this needs no adjudication
 # sub-second lines jitter past 15% on min-of-5 sampling alone (measured:
 # two same-code r16 runs moved embedding_knn_bruteforce +17% and
@@ -49,24 +69,23 @@ MOVE_THRESHOLD = 0.15  # |delta| below this needs no adjudication
 # absolute floor before it can be called REAL
 ABS_FLOOR_SEC = 0.25
 
-# Which canary bursts bracket which bench block. Headline lines are
-# round-interleaved — each line's min can come from ANY round — so their
-# bracket set is every headline-round burst (conservative: a single quiet
-# round is enough for the min to be a quiet-host number, so headline
-# brackets use the QUIETEST headline burst, not the loudest).
+# Which canary bursts bracket which bench block. Labels are the
+# canary_burst() call sites in bench.py; _require_block_labels errors if
+# a current record lacks one (a malformed/edited record must not thin a
+# block's brackets silently — ADVICE r16 #3).
 _BLOCK_BRACKETS = {
     "candle_chain_cold": ("pre_cold", "post_chain_cold"),
     "candle_cache_cold": ("post_chain_cold", "post_cache_cold"),
     "kmeans_train_cold": ("post_cache_cold", "post_train_cold"),
     "ivf_index_build_cold": ("post_train_cold", "post_index_cold"),
-    "events_scan_full": ("post_headline_round_5", "post_pruning_lines"),
-    "events_scan_pruned_3d": ("post_headline_round_5", "post_pruning_lines"),
+    "events_scan_full": ("_last_headline", "post_pruning_lines"),
+    "events_scan_pruned_3d": ("_last_headline", "post_pruning_lines"),
     "join_orderkey_bucketed": ("post_pruning_lines", "post_bucket_lines"),
     "join_orderkey_shuffled": ("post_pruning_lines", "post_bucket_lines"),
     "skew_join_agg_naive": ("post_bucket_lines", "post_skew_lines"),
     "skew_join_agg_salted": ("post_bucket_lines", "post_skew_lines"),
 }
-_HEADLINE_BURSTS = tuple(f"post_headline_round_{i}" for i in range(1, 6))
+_HEADLINE_PREFIX = "post_headline_round_"
 
 
 def _burst_mins(detail: dict) -> dict[str, float]:
@@ -74,49 +93,109 @@ def _burst_mins(detail: dict) -> dict[str, float]:
     return {b["at"]: b["min_sec"] for b in bursts}
 
 
+def _headline_labels(bursts: dict[str, float]) -> list[str]:
+    """Headline-round burst labels PRESENT in the record — derived, not
+    hardcoded to bench.py's current N_RUNS (ADVICE r16 #3: a hardcoded
+    range(1, 6) would silently vanish if the round count changed)."""
+    return sorted(
+        (k for k in bursts if k.startswith(_HEADLINE_PREFIX)),
+        key=lambda k: int(k[len(_HEADLINE_PREFIX):]),
+    )
+
+
 def _bracket_keys(name: str, bursts: dict[str, float]) -> list[str]:
-    if name in _BLOCK_BRACKETS:
-        return [k for k in _BLOCK_BRACKETS[name] if k in bursts]
-    return [k for k in _HEADLINE_BURSTS if k in bursts]
+    headline = _headline_labels(bursts)
+    if name not in _BLOCK_BRACKETS:
+        return headline
+    keys = []
+    for k in _BLOCK_BRACKETS[name]:
+        if k == "_last_headline":
+            # the pruning block opens where the last headline round ends
+            keys.append(headline[-1] if headline else k)
+        else:
+            keys.append(k)
+    return keys
+
+
+def _require_block_labels(cur_bursts: dict[str, float]) -> None:
+    """Error on expected-but-missing brackets in the CURRENT record: the
+    current run is produced by this repo's bench.py, so every block label
+    must be present — thinning would quietly widen/weaken brackets."""
+    if not _headline_labels(cur_bursts):
+        raise SystemExit(
+            "current record has no post_headline_round_* bursts — "
+            "malformed BENCH_DETAIL"
+        )
+    missing = {
+        k
+        for pair in _BLOCK_BRACKETS.values()
+        for k in pair
+        if k != "_last_headline" and k not in cur_bursts
+    }
+    if missing:
+        raise SystemExit(
+            f"current record is missing block bracket bursts {sorted(missing)}"
+            " — malformed BENCH_DETAIL (bench.py emits every label)"
+        )
 
 
 def _bracket_ratio(
-    name: str, cur_bursts: dict[str, float], prev_bursts: dict[str, float],
+    name: str,
+    delta: float,
+    cur_bursts: dict[str, float],
+    prev_bursts: dict[str, float],
 ) -> float | None:
-    """Bracketing-burst movement for this line's block.
+    """Position-wise bracketing-burst movement for this line's block, in
+    the DIRECTION of the line's move; None when the previous record
+    carries no same-labeled bursts (pre-r16 → INDETERMINATE upstream).
 
-    Position-wise when the previous record carries the burst series:
-    worst same-label cur/prev ratio over the block's brackets — except
-    headline lines, where the BEST (least-moved) round counts, because
-    min-of-5 needs only one quiet round. Fallback (prev record pre-r16):
-    worst bracket over the current run's own quietest burst."""
-    keys = _bracket_keys(name, cur_bursts)
-    if not keys:
+    Block lines: the ANY-bracket rule, direction-aware — a regression
+    compares against the most-RISEN bracket (load arriving mid-block
+    moves only one bracket), an improvement against the most-DROPPED one
+    (load draining mid-block likewise). The r16 version took max(pairs)
+    for both directions, which read a one-bracket drop as flat for
+    improvements (over-claiming wins).
+
+    Headline lines: the LEAST-moved round in the move's direction —
+    min-of-N needs only one quiet round, so a regression is excused only
+    if every round rose, an improvement only if some round dropped."""
+    keys = [k for k in _bracket_keys(name, cur_bursts) if k in cur_bursts]
+    if not keys or not prev_bursts:
         return None
-    if prev_bursts:
-        pairs = [
-            cur_bursts[k] / prev_bursts[k]
-            for k in keys
-            if prev_bursts.get(k)
-        ]
-        if not pairs:
-            return None
-        is_headline = name not in _BLOCK_BRACKETS
+    pairs = [
+        cur_bursts[k] / prev_bursts[k] for k in keys if prev_bursts.get(k)
+    ]
+    if not pairs:
+        return None
+    is_headline = name not in _BLOCK_BRACKETS
+    if delta >= 0:
+        # slower line: excusable iff brackets ROSE — any for blocks,
+        # all-rounds (i.e. the least-risen) for headline
         return min(pairs) if is_headline else max(pairs)
-    floor = min(cur_bursts.values())
-    agg = min if name not in _BLOCK_BRACKETS else max
-    return agg(cur_bursts[k] for k in keys) / floor
+    # faster line: excusable iff brackets DROPPED — any-bracket both ways
+    return min(pairs)
 
 
 def adjudicate(prev: dict, cur: dict) -> list[dict]:
-    prev_min = prev.get("queries_min", {})
-    cur_min = cur.get("queries_min", {})
+    if "queries_min" not in prev:
+        raise SystemExit(
+            "previous record has no queries_min — not a BENCH_DETAIL "
+            "payload (the historical BENCH_r06-r08 driver artifacts hold "
+            "no parsed totals; pass a committed BENCH_DETAIL.json)"
+        )
+    if "queries_min" not in cur:
+        raise SystemExit(
+            "current record has no queries_min — not a BENCH_DETAIL payload"
+        )
+    prev_min = prev["queries_min"]
+    cur_min = cur["queries_min"]
     bursts = _burst_mins(cur)
     prev_bursts = _burst_mins(prev)
     if not bursts:
         raise SystemExit(
             "current record has no cpu_codegen_bursts — run the r16+ bench"
         )
+    _require_block_labels(bursts)
     rows = []
     for name in sorted(cur_min):
         cm = cur_min[name]
@@ -125,16 +204,22 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
             rows.append({"line": name, "cur": cm, "verdict": "NO-BASELINE"})
             continue
         delta = cm / pm - 1.0
-        ratio = _bracket_ratio(name, bursts, prev_bursts)
+        ratio = _bracket_ratio(name, delta, bursts, prev_bursts)
         # loaded iff the brackets moved past the threshold in the SAME
-        # direction as the line (slower line under slower brackets, or
-        # faster line under faster brackets = host, not engine)
+        # direction as the line (slower line under risen brackets, or
+        # faster line under dropped brackets = host, not engine)
         loaded = ratio is not None and (
             (delta > 0 and ratio >= LOAD_THRESHOLD)
             or (delta < 0 and ratio <= 1 / LOAD_THRESHOLD)
         )
         if abs(delta) < MOVE_THRESHOLD or abs(cm - pm) < ABS_FLOOR_SEC:
             verdict = "FLAT"
+        elif ratio is None:
+            # no same-labeled prior bursts (pre-r16 record): the bracket
+            # rule CANNOT run — never silently pass a big move (ADVICE
+            # r16 #1: the old within-run-floor fallback read every
+            # pre-r16 bracket at 1.3-3.4x and excused any regression)
+            verdict = "INDETERMINATE"
         elif loaded:
             verdict = "LOAD"
         else:
@@ -164,7 +249,8 @@ def main() -> None:
     with open(cur_path) as f:
         cur = json.load(f)
     rows = adjudicate(prev, cur)
-    regressed = False
+    real_regression = False
+    indeterminate_regression = False
     for r in rows:
         if r["verdict"] == "NO-BASELINE":
             print(f'{r["line"]:32s} cur={r["cur"]:8.3f}  NO-BASELINE')
@@ -174,9 +260,20 @@ def main() -> None:
             f'({r["delta_pct"]:+6.1f}%)  bracket x{r["bracket_ratio"]}'
             f'  {r["verdict"]}'
         )
-        if r["verdict"] == "REAL" and r["delta_pct"] > 0:
-            regressed = True
-    sys.exit(1 if regressed else 0)
+        if r["delta_pct"] > 0:
+            if r["verdict"] == "REAL":
+                real_regression = True
+            elif r["verdict"] == "INDETERMINATE":
+                indeterminate_regression = True
+    if real_regression:
+        sys.exit(1)
+    if indeterminate_regression:
+        print(
+            "NOTE: regression(s) with NO bracket baseline (pre-r16 prev "
+            "record) — re-run against a committed BENCH_DETAIL with bursts"
+        )
+        sys.exit(2)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
