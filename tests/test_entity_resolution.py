@@ -35,6 +35,30 @@ def _bag_lb(a: str, b: str) -> int:
     return max(sum((ca - cb).values()), sum((cb - ca).values()))
 
 
+def _pos_unmatched(a: str, b: str, d: int = 3, q: int = 2) -> int:
+    """Independent Python recomputation of the positional q-gram filter
+    (Gravano et al. 2001) the operator ships in
+    analytics._pos_qgram_unmatched_sql: positional bigrams of ``a`` with
+    no equal bigram in ``b`` within offset ±d. 0-based here, 1-based in
+    SQL — offsets are identical."""
+    if len(a) < q:
+        return 0
+    grams_b: dict = {}
+    for j in range(len(b) - q + 1):
+        grams_b.setdefault(b[j : j + q], []).append(j)
+    return sum(
+        1
+        for i in range(len(a) - q + 1)
+        if not any(abs(i - j) <= d for j in grams_b.get(a[i : i + q], ()))
+    )
+
+
+def _pos_ok(a: str, b: str, d: int = 3, q: int = 2) -> bool:
+    """The shipped pair predicate: both directions within d·q."""
+    return _pos_unmatched(a, b, d, q) <= d * q and \
+        _pos_unmatched(b, a, d, q) <= d * q
+
+
 def _rarest_k(name: str, freq: dict, k: int) -> set:
     """The operator's blocking-key rule: the K globally-rarest distinct
     tokens, frequency ascending, token-string tie-break."""
@@ -89,6 +113,7 @@ def test_fuzzy_match_equals_bruteforce(spark):
                 if (
                     abs(len(a) - len(b)) <= FUZZY_MAX_DIST
                     and _bag_lb(a, b) <= FUZZY_MAX_DIST
+                    and _pos_ok(a, b, FUZZY_MAX_DIST)
                 ):
                     filtered += 1
             d = _lev(a, b)
@@ -274,14 +299,21 @@ _CHARS = st.text(alphabet="ab c~", max_size=8)
 @given(_CHARS, _CHARS)
 @settings(max_examples=300, deadline=None)
 def test_filter_bounds_are_sound_lower_bounds(a, b):
-    """The two generation-time filters are PROVABLE Levenshtein lower
+    """The three generation-time filters are PROVABLE Levenshtein lower
     bounds — the property the output-invariance argument rests on:
-    |len(a)−len(b)| ≤ lev(a,b) and bag(a,b) ≤ lev(a,b). Fuzzed over a
-    small alphabet (including space and the probe's copy-tag char) so
-    collisions are dense."""
+    |len(a)−len(b)| ≤ lev(a,b), bag(a,b) ≤ lev(a,b), and (positional
+    bigram filter, r17) lev(a,b) ≤ d ⟹ unmatched-band-d bigrams ≤ d·q in
+    BOTH directions — i.e. the shipped pair predicate never rejects a
+    true ≤d pair. Fuzzed over a small alphabet (including space and the
+    probe's copy-tag char) so collisions are dense."""
     d = _lev(a, b)
     assert abs(len(a) - len(b)) <= d
     assert _bag_lb(a, b) <= d
+    if d <= 3:
+        assert _pos_ok(a, b, 3), (
+            f"positional filter rejected a true lev={d} pair: "
+            f"{a!r} / {b!r} — soundness theorem violated"
+        )
 
 
 def test_bag_sql_expression_matches_python(spark):
@@ -312,6 +344,140 @@ def test_bag_sql_expression_matches_python(spark):
     for r in got:
         expect = _bag_lb(r["name_a"], r["name_b"])
         assert r["bag"] == expect, (r["name_a"], r["name_b"], r["bag"], expect)
+
+
+def test_pos_qgram_sql_expression_matches_python(spark):
+    """The Spark expression in analytics._pos_qgram_unmatched_sql (the
+    locate-banded form) must compute the SAME banded unmatched-bigram
+    count as the independent Python recomputation on EVERY pair — the
+    locate formulation is exact at any length combination (first
+    occurrence at-or-after i−d ≤ i+d ⟺ banded exists; not found → 0 →
+    unmatched). Same dense small-alphabet square as the bag test, plus
+    permutation-shaped names so the anagram regime (the filter's raison
+    d'être) is exercised."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.queries.analytics import (
+        FUZZY_MAX_DIST,
+        _pos_qgram_unmatched_sql,
+    )
+
+    alpha = "ab "
+    strings = ["red gear", "red ring", "cold anvil", "c old anvil",
+               "gear red", "anvil cold misty", "misty cold anvil", ""]
+    for n in (1, 2, 3):
+        strings += ["".join(t) for t in itertools.product(alpha, repeat=n)]
+    pairs = list(itertools.combinations(strings, 2))
+    df = spark.createDataFrame(pairs, "name_a string, name_b string")
+    got = (
+        df.withColumn(
+            "ab", F.expr(_pos_qgram_unmatched_sql("name_a", "name_b"))
+        )
+        .withColumn(
+            "ba", F.expr(_pos_qgram_unmatched_sql("name_b", "name_a"))
+        )
+        .collect()
+    )
+    for r in got:
+        ea = _pos_unmatched(r["name_a"], r["name_b"], FUZZY_MAX_DIST)
+        eb = _pos_unmatched(r["name_b"], r["name_a"], FUZZY_MAX_DIST)
+        assert (r["ab"], r["ba"]) == (ea, eb), (
+            r["name_a"], r["name_b"], r["ab"], r["ba"], ea, eb,
+        )
+
+
+def test_pos_qgram_filter_cuts_anagram_pairs(spark):
+    """The effectiveness claim behind VERDICT r16 task #2, as a unit
+    test: on permutation-dense 4-token names (identical character bags,
+    token displacement ≥ token length > d) the full shipped chain must
+    cut the length+bag survivors by ≥ 2× while keeping EVERY true ≤3
+    pair — soundness re-checked against the DP truth on the same pairs,
+    Spark-side this time (the hypothesis test covers the Python
+    mirror)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from trading_etl_spark.queries.analytics import (
+        FUZZY_MAX_DIST,
+        _apply_lev_lb_filters,
+        _bag_lb_sql,
+    )
+
+    vocab = ["blue", "cold", "hot", "misty", "plum", "red", "warm", "dark"]
+    names = [" ".join(p) for p in itertools.permutations(vocab, 4)][:40]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    df = spark.createDataFrame(pairs, "name_a string, name_b string")
+    old = (
+        df.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        )
+        .filter(F.expr(_bag_lb_sql("name_a", "name_b")) <= FUZZY_MAX_DIST)
+        .count()
+    )
+    survivors = _apply_lev_lb_filters(df)
+    new = survivors.count()
+    true_pairs = {
+        (r["name_a"], r["name_b"])
+        for r in df.filter(
+            F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+        ).collect()
+    }
+    kept = {
+        (r["name_a"], r["name_b"])
+        for r in survivors.filter(
+            F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+        ).collect()
+    }
+    assert kept == true_pairs, "positional filter dropped a true pair"
+    assert new * 2 <= old, (
+        f"anagram cut too weak: length+bag pass {old}, full chain passes "
+        f"{new} — expected ≥ 2× reduction in the permutation-dense regime"
+    )
+
+
+def test_pos_bound_evaluates_before_bag_in_join_condition(spark):
+    """The r17 evaluation-order pin: Catalyst folds all three provable
+    bounds into the blocked join's condition, and the rand-disjunct
+    delay in _apply_pos_qgram_filter must land the CHEAP, anagram-
+    selective positional bound deepest-left (= evaluated first under
+    short-circuit), ahead of the expensive character-bag aggregate —
+    measured 7x on the 6400-name closed-vocab leg (~8 s vs ~60 s,
+    identical output). A Spark upgrade that reorders the conjuncts
+    keeps correctness but loses the shield; this test catches it from
+    the optimized plan. rand itself must be GONE (constant-folded) —
+    if it survived to the final plan it would block pushdown outright
+    and change the plan shape the PLANS.md audit pins."""
+    from trading_etl_spark.queries.analytics import (
+        _fuzzy_match_pairs,
+        _name_token_relation,
+    )
+
+    parts = spark.createDataFrame(
+        [("red gear",), ("red ring",), ("cold anvil",), ("gear red",)],
+        "p_name string",
+    )
+    toks = _name_token_relation(parts)
+    plan = (
+        _fuzzy_match_pairs(toks, 100)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "rand" not in plan, "rand survived to the optimized plan"
+    join_line = next(
+        line for line in plan.split("\n") if "Join Inner" in line
+        and "locate" in line
+    )
+    pos_at = join_line.index("locate(")
+    bag_at = join_line.index("array_distinct(")
+    assert pos_at < bag_at, (
+        "positional bound no longer evaluates before the bag bound in "
+        "the blocked join's condition — the short-circuit shield is gone "
+        "(correct but ~7x slower on dense blocks); re-pin the order"
+    )
 
 
 def test_fuzzy_toks_relation_cached_per_session(spark):

@@ -200,22 +200,32 @@ def _salted_part(spark, copies: int, out_dir: str) -> None:
 # is an exact all-pairs levenshtein (affordable at 6400 names: 20.5M
 # pairs, one Spark job, probe-only cost).
 CLOSED_VOCAB_SCALES = [64, 640, 6400]
-# The assertions the leg exists to pin, with measured headroom. First
-# measurement (r16, 64/640/6400 names): generated/all-pairs 0.31/0.36/0.35
-# (blocked generation IS a constant fraction of N² in the uniform regime —
-# the documented degeneracy), filtered/generated 0.029/0.033/0.037 (the
-# provable filters remove >96% of generated candidates at every scale),
-# filtered/all-pairs 0.009/0.012/0.013. BUT filtered/true = 153x at 640
-# and 52x at 6400 names: permutation-dense names share character BAGS, so
-# the bag bound is weak exactly here and the surviving candidates are NOT
-# near the true pairs — the "near true pairs" density the r15 verdict
-# measured (9.9% vs 4.8%) is a property of real vocabularies (length/bag
-# spread), not of this anagram worst case. The operator docstring states
-# the scoped claim; these two pins hold what IS true at scale: the
-# filters stay >95% effective against generation, and the distinct+DP
-# stages run under 2% of the naive all-pairs square.
-CLOSED_VOCAB_FILTERED_OVER_GENERATED_MAX = 0.05
-CLOSED_VOCAB_FILTERED_OVER_ALLPAIRS_MAX = 0.02
+# The assertions the leg exists to pin, with measured headroom. r16 first
+# measurement (length+bag filters only): generated/all-pairs
+# 0.31/0.36/0.35 (blocked generation IS a constant fraction of N² in the
+# uniform regime — the documented degeneracy), filtered/generated
+# 0.029/0.033/0.037, BUT filtered/true = 153x at 640 / 52x at 6400:
+# permutation-dense names share character BAGS, so the bag bound was weak
+# exactly here. r17 (VERDICT r16 task #2) added the order-aware
+# positional-bigram bound to the chain: measured filtered/generated
+# 0.000/0.0002/0.0016, filtered/all-pairs 0.000/0.0001/0.0006, and
+# filtered/true 1.12x at 640 / 2.24x at 6400 — the DP now runs
+# essentially on the true pairs even in the anagram worst case (the r16
+# verdict's target was ≤20x). Pins keep ~3x headroom over the measured
+# worst scale.
+CLOSED_VOCAB_FILTERED_OVER_GENERATED_MAX = 0.005
+CLOSED_VOCAB_FILTERED_OVER_ALLPAIRS_MAX = 0.002
+# DP-input density vs the exact truth (the r16 verdict's ≤20x target,
+# beaten 9x): only meaningful where the fixture holds true pairs.
+CLOSED_VOCAB_FILTERED_OVER_TRUE_MAX = 5.0
+# Blocking-recall floor (VERDICT r16 task #3): the measured anagram-
+# regime recall is 0.8125 at 640 names (13/16; EVERY miss verified below
+# to satisfy the documented disjoint-rarest-K condition) and 0.9815 at
+# 6400 — the floor pins the 640-name worst case with a little slack for
+# fixture drift, and the per-miss check keeps the accepted loss honest:
+# a miss OUTSIDE the stated condition fails the leg regardless of the
+# aggregate recall.
+CLOSED_VOCAB_BLOCKING_RECALL_FLOOR = 0.78
 
 
 def _closed_vocab_names(n: int) -> list[str]:
@@ -249,29 +259,38 @@ def closed_vocab_er_block(spark) -> dict:
         b = keyed.select(F.col("p_name").alias("name_b"), "blk")
         cand = a.join(b, "blk").filter(F.col("name_a") < F.col("name_b"))
         generated = cand.select("name_a", "name_b").distinct().count()
+        # the SHIPPED filter chain (length → bag → positional bigrams),
+        # via the shared helper — ADVICE r16: the probe hand-copied the
+        # filter expressions, so a change to the shipped filters would
+        # have silently decoupled the pinned ratios from the shipped code
         filtered = (
-            cand.filter(
-                F.abs(F.length("name_a") - F.length("name_b"))
-                <= analytics.FUZZY_MAX_DIST
-            )
-            .filter(
-                F.expr(analytics._bag_lb_sql("name_a", "name_b"))
-                <= analytics.FUZZY_MAX_DIST
-            )
+            analytics._apply_lev_lb_filters(cand)
             .select("name_a", "name_b")
             .distinct()
             .count()
         )
-        contract_true = analytics._fuzzy_match_pairs(toks, key_rows).count()
+        contract_pairs = {
+            (r["name_a"], r["name_b"])
+            for r in analytics._fuzzy_match_pairs(toks, key_rows)
+            .select("name_a", "name_b")
+            .collect()
+        }
+        contract_true = len(contract_pairs)
         nm = parts.select(F.col("p_name").alias("x"))
-        global_true = (
-            nm.crossJoin(nm.select(F.col("x").alias("y")))
+        # exact truth as a SET (not just a count) so every blocking miss
+        # can be verified against the documented disjoint-rarest-K
+        # condition below (VERDICT r16 task #3); true pairs are ≤ ~5k
+        # rows at the largest scale — collect is probe-only and bounded
+        global_true_pairs = {
+            (r["x"], r["y"])
+            for r in nm.crossJoin(nm.select(F.col("x").alias("y")))
             .filter(F.col("x") < F.col("y"))
             .filter(
-                F.levenshtein("x", "y") <= analytics.FUZZY_MAX_DIST
+                F.levenshtein("x", "y", analytics.FUZZY_MAX_DIST) >= 0
             )
-            .count()
-        )
+            .collect()
+        }
+        global_true = len(global_true_pairs)
         runs = []
         for _ in range(N_RUNS):
             t0 = time.time()
@@ -324,6 +343,51 @@ def closed_vocab_er_block(spark) -> dict:
             f"{CLOSED_VOCAB_FILTERED_OVER_ALLPAIRS_MAX} pin — the "
             "distinct+DP stages no longer run well under the naive square"
         )
+        if global_true:
+            assert (
+                filtered / global_true <= CLOSED_VOCAB_FILTERED_OVER_TRUE_MAX
+            ), (
+                f"closed-vocab {n} names: filtered/true = "
+                f"{filtered / global_true:.2f} breached the "
+                f"{CLOSED_VOCAB_FILTERED_OVER_TRUE_MAX} pin — the DP input "
+                "is no longer near the true pairs (did the positional "
+                "bigram bound fall out of the chain?)"
+            )
+            # recall floor + per-miss honesty (VERDICT r16 task #3): every
+            # missed true pair must satisfy the DOCUMENTED loss condition —
+            # its rarest-K key sets are disjoint — recomputed here with the
+            # operator's own key rule (frequency over distinct names, token
+            # tie-break). A miss outside the condition is a blocking BUG,
+            # not the accepted tradeoff, and fails the leg regardless of
+            # the aggregate recall.
+            recall = contract_true / global_true
+            assert recall >= CLOSED_VOCAB_BLOCKING_RECALL_FLOOR, (
+                f"closed-vocab {n} names: blocking recall {recall:.4f} fell "
+                f"below the {CLOSED_VOCAB_BLOCKING_RECALL_FLOOR} floor"
+            )
+            freq: dict = {}
+            for name in names:
+                for t in set(name.split(" ")):
+                    freq[t] = freq.get(t, 0) + 1
+
+            def _rarest_k(name: str) -> set:
+                return set(
+                    sorted(
+                        set(name.split(" ")), key=lambda t: (freq[t], t)
+                    )[: analytics.FUZZY_BLOCK_K]
+                )
+
+            unmissable = contract_pairs - global_true_pairs
+            assert not unmissable, (
+                f"contract returned pairs outside the exact truth: "
+                f"{sorted(unmissable)[:3]}"
+            )
+            for x, y in sorted(global_true_pairs - contract_pairs):
+                assert not (_rarest_k(x) & _rarest_k(y)), (
+                    f"closed-vocab {n} names: missed true pair ({x!r}, "
+                    f"{y!r}) SHARES a rarest-K key — a blocking bug, not "
+                    "the documented disjoint-rarest-K loss"
+                )
         out[f"names_{n}"] = entry
     return out
 
