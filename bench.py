@@ -158,12 +158,17 @@ def main() -> None:
     # the bench's block structure so a loaded burst localizes the noise to
     # the exact lines it poisoned. Adjudication rule (mechanized in
     # tools/adjudicate.py, also in PLANS.md): a line's move is
-    # attributable to host load iff the canary bursts bracketing its
-    # block moved >=15% in the same direction, POSITION-WISE vs the
+    # attributable to host load iff A canary burst bracketing its block
+    # moved >=15% in the same direction, POSITION-WISE vs the
     # same-labeled bursts of the prior round's record (the JVM matures
     # over the run, so early bursts sit structurally above the end-of-run
-    # floor in every round — same-label comparison holds that constant);
-    # a line that moves under flat brackets is real.
+    # floor in every round — same-label comparison holds that constant).
+    # ANY-bracket by design: load arriving mid-block moves only the
+    # closing bracket, load draining mid-block only the opening one —
+    # requiring both would misread either case as an engine move
+    # (headline lines, whose mins interleave rounds, instead compare
+    # against the LEAST-moved round burst); a line that moves under
+    # flat brackets is real.
     bench_t0 = time.time()
     canary_bursts: list[dict] = []
 
@@ -499,10 +504,11 @@ def main() -> None:
         # burst-local series (VERDICT r15 task #2): one burst before the
         # cold block, one after each cold line's block, one after every
         # headline round, one after each proof-line block, one at end.
-        # Adjudicate a line move as HOST LOAD iff the bursts bracketing
+        # Adjudicate a line move as HOST LOAD iff A burst bracketing
         # its block moved >=15% in the same direction vs the same-labeled
-        # bursts of the prior round (tools/adjudicate.py); flat brackets
-        # = the move is real engine behavior.
+        # bursts of the prior round (any-bracket — mid-block load moves
+        # only one bracket; tools/adjudicate.py documents the full rule);
+        # flat brackets = the move is real engine behavior.
         "cpu_codegen_bursts": canary_bursts,
         "fs_list_min_sec": min(fs_canary),
         "fs_list_runs": fs_canary,
