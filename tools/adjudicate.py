@@ -53,6 +53,17 @@ move, its bracketing-burst state, and the verdict:
 Exit status: 1 iff any REAL regression (slower, not faster); else 2 iff
 any INDETERMINATE regression; else 0 — so the round workflow can gate on
 it without a pre-burst baseline ever reading as a pass.
+
+Known blind spot (measured r17): the canary is a CPU-bound codegen
+probe, so IO/page-cache/memory pressure moves query lines WITHOUT moving
+the bursts — a bench run started right after tools/scaling_probe.py
+churned its 100x fixtures through memory read two git-identical lines
++22%/+24% REAL under brackets x0.69 (the probe's own independent sf0.1
+timings minutes earlier were FASTER than the prior record; a 60 s-settle
+re-run read +0.9%/-3.6% FLAT). Therefore: a REAL verdict on a line whose
+implementation is git-identical to the prior round warrants (a) an
+independent-context timing and (b) a settle-delayed re-run before
+acceptance; REAL on changed code stands as-is.
 """
 
 from __future__ import annotations
