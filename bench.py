@@ -97,6 +97,63 @@ WARMUP = "text_lang_id"
 # see the r5 phantom-regression adjudication in VERDICT r5 #1).
 N_RUNS = 5
 
+# --- Page-cache canary (closes the r17 adjudication blind spot) ---------
+# The CPU codegen canary cannot see IO/page-cache/memory pressure: the r17
+# bench run started right after the scaling probe churned its 100x fixtures
+# read two git-identical lines +22%/+24% REAL under DROPPED cpu brackets
+# (tools/adjudicate.py docstring). This probe makes that pressure class
+# observable: a fixed canary file, warmed once at bench start, re-read and
+# timed at every burst. Memory pressure that evicts page cache evicts this
+# file too, and the FIRST re-read of the next burst pays the disk cold
+# read. Calibrated on this host: warm re-read 6-11 ms (max/min jitter
+# <= 2x), cold read after eviction 0.26 s — a 43x step, so the
+# adjudicator's 3x-relative + 0.05 s-absolute excusal thresholds sit an
+# order of magnitude above jitter and an order below the signal.
+PAGECACHE_CANARY_MB = 64
+
+
+def _pagecache_read_sec(path: str) -> float:
+    """Time one full sequential unbuffered-layer read of the canary file.
+    Warm (cached) on this host: ~0.006-0.011 s for 64 MiB; cold: ~0.26 s."""
+    t0 = time.time()
+    with open(path, "rb", buffering=0) as f:
+        while f.read(8 << 20):
+            pass
+    return round(time.time() - t0, 4)
+
+
+def _evict_pagecache(path: str) -> bool:
+    """Drop THIS file's pages from the page cache (no system-wide effect).
+    Returns False where posix_fadvise is unavailable (non-POSIX)."""
+    if not hasattr(os, "posix_fadvise"):
+        return False
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+    finally:
+        os.close(fd)
+    return True
+
+
+def make_pagecache_canary(dirpath: str, mb: int = PAGECACHE_CANARY_MB):
+    """Create + fsync the canary file, then self-calibrate: evict our own
+    pages (posix_fadvise DONTNEED), time the cold read, time the warm
+    re-read. Returns (path, cold_sec, warm_sec); cold_sec is None when
+    eviction is unsupported. The calibration pair ships in host_canary so
+    every record carries its own sensitivity proof — if cold/warm is small
+    on some future host/filesystem, the io excusal rule is visibly weak
+    there rather than silently miscalibrated."""
+    path = os.path.join(dirpath, "pagecache_canary.bin")
+    blk = bytes(range(256)) * 4096  # 1 MiB
+    with open(path, "wb") as f:
+        for _ in range(mb):
+            f.write(blk)
+        f.flush()
+        os.fsync(f.fileno())  # dirty pages survive DONTNEED; flush first
+    cold = _pagecache_read_sec(path) if _evict_pagecache(path) else None
+    warm = _pagecache_read_sec(path)
+    return path, cold, warm
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,6 +229,13 @@ def main() -> None:
     bench_t0 = time.time()
     canary_bursts: list[dict] = []
 
+    # Page-cache canary file on the same filesystem the bench writes to
+    # (the warehouse dir). Self-calibrates at creation; see
+    # make_pagecache_canary / the r17 blind-spot note at the top.
+    _wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    os.makedirs(_wh, exist_ok=True)
+    pc_path, pc_cold, pc_warm = make_pagecache_canary(_wh)
+
     # warm the canary plan itself before the first timed burst: the first
     # two samples of a cold canary pay Janino/JIT (measured 0.544/0.167 vs
     # the 0.09 steady state), which would poison the pre_cold bracket and
@@ -185,12 +249,24 @@ def main() -> None:
             t0 = time.time()
             spark.range(200_000_000).groupBy().sum("id").collect()
             samples.append(round(time.time() - t0, 3))
+        # Page-cache probe AFTER the cpu samples. The adjudication
+        # statistic is the FIRST read (io_first_sec): if memory pressure
+        # evicted the canary since the previous burst, only that read pays
+        # the disk (it re-warms the cache for the rest) — a min over the
+        # burst would hide exactly the signal we want. The later reads
+        # (io_rewarm_min_sec) are the re-warmed within-burst baseline:
+        # first >> rewarm = eviction since the prior burst; all elevated =
+        # ongoing IO contention at this bracket.
+        io_samples = [_pagecache_read_sec(pc_path) for _ in range(2)]
         canary_bursts.append(
             {
                 "at": label,
                 "t_rel_sec": round(time.time() - bench_t0, 1),
                 "samples": samples,
                 "min_sec": min(samples),
+                "io_samples": io_samples,
+                "io_first_sec": io_samples[0],
+                "io_rewarm_min_sec": min(io_samples[1:]),
             }
         )
         return samples
@@ -513,7 +589,19 @@ def main() -> None:
         "fs_list_min_sec": min(fs_canary),
         "fs_list_runs": fs_canary,
         "fs_files_listed": n_listed,
+        # page-cache canary self-calibration (r17 blind-spot closure):
+        # cold = read after fadvise-evicting our own file, warm = cached
+        # re-read. The io_first_sec series in the bursts above is
+        # meaningful evidence of pressure only while cold >> warm — ship
+        # both so each record proves its own sensitivity.
+        "pagecache_file_mb": PAGECACHE_CANARY_MB,
+        "pagecache_calib_cold_sec": pc_cold,
+        "pagecache_calib_warm_sec": pc_warm,
     }
+    try:
+        os.remove(pc_path)
+    except OSError:
+        pass
 
     spark.stop()
     headline_json, detail = summarize(runs, sf)

@@ -231,3 +231,194 @@ def test_missing_block_bracket_label_is_rejected():
             _detail({"x": 1.0}, _FLAT_BURSTS),
             _detail({"x": 1.0}, thinned),
         )
+
+
+# --- IO (page-cache) excusal rule — r17 blind-spot closure --------------
+# The measured failure class: memory pressure (the scaling probe churning
+# its 100x fixtures) moved query lines +22%/+24% on git-identical code
+# while the CPU brackets read QUIETER. The page-cache canary sees exactly
+# that class: eviction turns the burst's first re-read cold (43x / +0.25 s
+# calibrated; warm jitter <= 2x / ~0.005 s), so the io rule excuses moves
+# the cpu rule cannot — and warm jitter must never qualify.
+
+WARM_IO = 0.008
+COLD_IO = 0.30  # calibrated eviction reading (0.26 s measured + margin)
+
+
+def _io_detail(queries_min, bursts, io):
+    """bursts: the cpu series; io: {label: io_first_sec} (default warm)."""
+    return {
+        "queries_min": queries_min,
+        "host_canary": {
+            "cpu_codegen_bursts": [
+                {
+                    "at": at,
+                    "t_rel_sec": i,
+                    "samples": [m],
+                    "min_sec": m,
+                    "io_samples": [io.get(at, WARM_IO), WARM_IO],
+                    "io_first_sec": io.get(at, WARM_IO),
+                    "io_rewarm_min_sec": WARM_IO,
+                }
+                for i, (at, m) in enumerate(bursts)
+            ]
+        },
+    }
+
+
+def _io_verdicts(prev_min, cur_min, cur_io, prev_io=None):
+    rows = adjudicate(
+        _io_detail(prev_min, _FLAT_BURSTS, prev_io or {}),
+        _io_detail(cur_min, _FLAT_BURSTS, cur_io),
+    )
+    return {r["line"]: (r["verdict"], r["io_excused"]) for r in rows}
+
+
+def test_block_regression_under_evicted_io_bracket_is_load():
+    # cpu brackets flat (the r17 incident read them QUIETER), closing io
+    # bracket cold -> the move is page-cache pressure, not the engine
+    v = _io_verdicts(
+        {"candle_cache_cold": 3.0},
+        {"candle_cache_cold": 4.0},
+        {"post_cache_cold": COLD_IO},
+    )
+    assert v["candle_cache_cold"] == ("LOAD", True)
+
+
+def test_io_warm_jitter_cannot_excuse_a_real_regression():
+    # 2x relative (< 3x threshold) AND +0.008 s (< 0.05 s floor): warm
+    # jitter both ways — the regression stays REAL
+    v = _io_verdicts(
+        {"candle_cache_cold": 3.0},
+        {"candle_cache_cold": 4.0},
+        {"post_cache_cold": WARM_IO * 2},
+    )
+    assert v["candle_cache_cold"] == ("REAL", False)
+
+
+def test_io_relative_move_below_abs_floor_cannot_excuse():
+    # a 4x relative move that is still only +0.024 s absolute (fast-fs
+    # noise) must not clear the 0.05 s floor
+    v = _io_verdicts(
+        {"candle_cache_cold": 3.0},
+        {"candle_cache_cold": 4.0},
+        {"post_cache_cold": WARM_IO * 4},
+    )
+    assert v["candle_cache_cold"] == ("REAL", False)
+
+
+def test_missing_io_series_falls_back_to_cpu_rule():
+    # prev record predates the io series: the io rule cannot run
+    # (io_excused None) but the cpu rule still adjudicates — REAL under
+    # flat cpu brackets, never INDETERMINATE
+    rows = adjudicate(
+        _detail({"candle_cache_cold": 3.0}, _FLAT_BURSTS),
+        _io_detail({"candle_cache_cold": 4.0}, _FLAT_BURSTS, {}),
+    )
+    (row,) = [r for r in rows if r["line"] == "candle_cache_cold"]
+    assert row["verdict"] == "REAL" and row["io_excused"] is None
+
+
+def test_headline_regression_needs_every_round_io_loaded():
+    # min-of-N needs only one quiet round: four cold rounds + one warm
+    # round cannot excuse a headline regression...
+    four_cold = {f"post_headline_round_{i}": COLD_IO for i in range(1, 5)}
+    v = _io_verdicts(
+        {"event_asof_tick": 2.0}, {"event_asof_tick": 2.6}, four_cold
+    )
+    assert v["event_asof_tick"] == ("REAL", False)
+    # ...but every round cold can
+    all_cold = {f"post_headline_round_{i}": COLD_IO for i in range(1, 6)}
+    v = _io_verdicts(
+        {"event_asof_tick": 2.0}, {"event_asof_tick": 2.6}, all_cold
+    )
+    assert v["event_asof_tick"] == ("LOAD", True)
+
+
+def test_improvement_after_prior_round_eviction_is_load():
+    # the mirror case: LAST round's bracket was cold (pressure), this
+    # round is warm — the line's "improvement" is the pressure draining
+    v = _io_verdicts(
+        {"candle_cache_cold": 4.0},
+        {"candle_cache_cold": 3.0},
+        {},
+        prev_io={"post_chain_cold": COLD_IO},
+    )
+    assert v["candle_cache_cold"] == ("LOAD", True)
+
+
+# --- Sustained host-speed shift (r17, measured on a VM reboot) ----------
+# The floor rule's raison d'être: after a reboot the whole run was
+# uniformly ~25-50% slower (fixed-work canary floor +59%), yet the
+# position-wise bracket rule read six git-identical lines REAL because a
+# single NOISY prior-round burst (round_1 at 0.128 vs the 0.064 floor)
+# set a flat baseline. When the floor ratio crosses 1.25x, a REAL whose
+# line ratio lies within floor_shift x 1.3 in the shift's direction
+# demotes to HOST-SHIFT; beyond the envelope it stays REAL.
+
+
+def _shifted_bursts(level, noisy_round1=None):
+    bursts = [(at, level) for at, _ in _FLAT_BURSTS]
+    if noisy_round1 is not None:
+        bursts = [
+            (at, noisy_round1 if at == "post_headline_round_1" else m)
+            for at, m in bursts
+        ]
+    return bursts
+
+
+def test_uniform_slowdown_with_noisy_prior_round_is_host_shift():
+    # prev: quiet 0.10 floor but round_1 burst noisy at 0.16; cur: ALL
+    # bursts 0.16 (floor x1.6). The headline least-moved rule compares
+    # against round_1 (ratio 1.0 — not loaded), so pre-r17 this read
+    # REAL; the floor rule demotes it.
+    v = _verdicts(
+        {"event_asof_tick": 2.0},
+        {"event_asof_tick": 2.8},  # +40%, within 1.6 * 1.3 = 2.08
+        _shifted_bursts(0.16),
+        prev_bursts=_shifted_bursts(0.10, noisy_round1=0.16),
+    )
+    assert v["event_asof_tick"] == "HOST-SHIFT"
+
+
+def test_move_beyond_shifted_envelope_stays_real():
+    # same floor shift, but the line moved x2.2 > 1.6 * 1.3 — an engine
+    # regression ON TOP of the host shift must still block
+    v = _verdicts(
+        {"event_asof_tick": 2.0},
+        {"event_asof_tick": 4.4},
+        _shifted_bursts(0.16),
+        prev_bursts=_shifted_bursts(0.10, noisy_round1=0.16),
+    )
+    assert v["event_asof_tick"] == "REAL"
+
+
+def test_improvement_on_faster_host_is_host_shift_not_win():
+    # the mirror: a faster host (floor x0.4, visible only in a NON-
+    # bracket burst — the block's own brackets read flat position-wise,
+    # so the bracket rule cannot excuse) must not over-claim a block
+    # line's drop as an engine win. (For headline lines a genuine floor
+    # drop always moves some round bracket, so the bracket rule already
+    # excuses those — the floor rule matters exactly here.)
+    prev = _shifted_bursts(0.16)
+    cur = [
+        (at, 0.064 if at == "post_headline_round_3" else 0.155)
+        for at, _ in _FLAT_BURSTS
+    ]
+    v = _verdicts(
+        {"candle_cache_cold": 2.8},
+        {"candle_cache_cold": 2.0},  # -29%, within the 0.4 / 1.3 envelope
+        cur,
+        prev_bursts=prev,
+    )
+    assert v["candle_cache_cold"] == "HOST-SHIFT"
+
+
+def test_flat_floor_never_demotes_real():
+    # floor ratio 1.0: the demotion branch must not run — the original
+    # REAL semantics are untouched on a stable host
+    v = _verdicts(
+        {"candle_cache_cold": 3.0}, {"candle_cache_cold": 4.0}, _FLAT_BURSTS,
+        prev_bursts=_FLAT_BURSTS,
+    )
+    assert v["candle_cache_cold"] == "REAL"

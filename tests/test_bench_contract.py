@@ -118,3 +118,38 @@ def test_committed_detail_file_has_required_proof_blocks():
     labels = [b["at"] for b in bursts]
     assert labels[0] == "pre_cold" and labels[-1] == "end"
     assert len(labels) >= 8, "burst series too sparse to localize load"
+    # and PAGE-CACHE instrumented (r17 blind-spot closure): every burst
+    # carries the eviction-sensitive first-read statistic, and the record
+    # ships its own cold/warm sensitivity calibration — without these the
+    # io excusal rule in tools/adjudicate.py silently cannot run
+    assert all("io_first_sec" in b for b in bursts), (
+        "committed record lost the page-cache canary series"
+    )
+    calib_cold = on_disk["host_canary"]["pagecache_calib_cold_sec"]
+    calib_warm = on_disk["host_canary"]["pagecache_calib_warm_sec"]
+    assert calib_cold is None or calib_cold / calib_warm >= 3.0, (
+        "committed record's own calibration shows the io canary cannot "
+        "separate eviction from warm jitter on the bench host"
+    )
+
+
+def test_pagecache_canary_probe_separates_cold_from_warm(tmp_path):
+    """r17 blind-spot closure: the io excusal rule in tools/adjudicate.py
+    is meaningful only while an evicted (cold) canary read is far above a
+    cached (warm) one. make_pagecache_canary self-calibrates exactly that
+    pair; on this host the 64 MiB file measures 43x. Assert the separation
+    on a smaller file with a generous margin — if a future host/filesystem
+    collapses it (e.g. DONTNEED unsupported), this fails here instead of
+    the adjudicator silently losing its io signal."""
+    import pytest as _pytest
+
+    path, cold, warm = bench.make_pagecache_canary(str(tmp_path), mb=16)
+    assert warm > 0
+    if cold is None:
+        _pytest.skip("posix_fadvise unavailable — io canary self-disables")
+    # well above the adjudicator's 3x excusal threshold, well below the
+    # measured 40x+, so the assertion is robust to fs/host variation
+    assert cold / warm >= 3.0, (
+        f"eviction cold read {cold:.4f}s is not separable from warm "
+        f"{warm:.4f}s — the io excusal rule would be miscalibrated here"
+    )

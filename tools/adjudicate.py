@@ -45,25 +45,43 @@ move, its bracketing-burst state, and the verdict:
     REAL          moved past both thresholds under flat brackets
     LOAD          moved past both thresholds with a bracket moved the
                   same direction (any-bracket; headline: least-moved)
+    HOST-SHIFT    would be REAL, but the run-wide canary floor moved
+                  >= 25% between records (differently-fast hosts —
+                  reboot/migration/sustained throttle) and the line's
+                  ratio lies within the floor shift x1.3, in the
+                  shift's direction
     FLAT          under the relative OR absolute move threshold
     INDETERMINATE moved past both thresholds but the previous record
                   carries no same-labeled bursts to compare against
     NO-BASELINE   line absent from the previous record
 
 Exit status: 1 iff any REAL regression (slower, not faster); else 2 iff
-any INDETERMINATE regression; else 0 — so the round workflow can gate on
-it without a pre-burst baseline ever reading as a pass.
+any INDETERMINATE regression; else 3 iff any HOST-SHIFT regression
+(shippable only with the floor shift documented in the round notes);
+else 0 — so the round workflow can gate on it without a pre-burst
+baseline or a rebooted host ever reading as a clean pass.
 
-Known blind spot (measured r17): the canary is a CPU-bound codegen
-probe, so IO/page-cache/memory pressure moves query lines WITHOUT moving
-the bursts — a bench run started right after tools/scaling_probe.py
-churned its 100x fixtures through memory read two git-identical lines
-+22%/+24% REAL under brackets x0.69 (the probe's own independent sf0.1
-timings minutes earlier were FASTER than the prior record; a 60 s-settle
-re-run read +0.9%/-3.6% FLAT). Therefore: a REAL verdict on a line whose
-implementation is git-identical to the prior round warrants (a) an
-independent-context timing and (b) a settle-delayed re-run before
-acceptance; REAL on changed code stands as-is.
+IO excusal rule (r17, closing the blind spot measured earlier that
+round): the CPU codegen probe cannot see IO/page-cache/memory pressure —
+a bench run started right after tools/scaling_probe.py churned its 100x
+fixtures through memory read two git-identical lines +22%/+24% REAL
+under cpu brackets x0.69 (the probe's own independent sf0.1 timings
+minutes earlier were FASTER than the prior record; a 60 s-settle re-run
+read +0.9%/-3.6% FLAT). bench.py now times a page-cache canary re-read
+(io_first_sec) at every burst: eviction by memory pressure turns the
+first re-read cold (calibrated 43x warm on this host, shipped per-record
+as pagecache_calib_{cold,warm}_sec). A line's move is ALSO attributable
+to LOAD iff a bracketing burst's io_first_sec moved in the same
+direction past BOTH IO_LOAD_THRESHOLD (3x — an order above the measured
+<=2x warm jitter, an order below the 43x eviction step) and
+IO_ABS_FLOOR_SEC (0.05 s — 5x the warm read itself), under the same
+any-bracket / least-moved-round structure as the cpu rule. Both records
+must carry the io series for the rule to run (first adjudicable pair:
+r18); when only the cpu rule can run, a REAL verdict on git-identical
+code still warrants an independent-context timing and a settle-delayed
+re-run before acceptance. Residual blind spots (cgroup CPU throttling
+would move the cpu brackets; pressure classes that evict neither probe)
+keep that protocol worth retaining for git-identical REALs generally.
 """
 
 from __future__ import annotations
@@ -72,8 +90,26 @@ import json
 import os
 import sys
 
-LOAD_THRESHOLD = 1.15  # bracket moved >= 15% position-wise
+LOAD_THRESHOLD = 1.15  # cpu bracket moved >= 15% position-wise
 MOVE_THRESHOLD = 0.15  # |delta| below this needs no adjudication
+# io (page-cache) bracket excusal: BOTH must clear — relative 3x (warm
+# jitter measured <= 2x, eviction step 43x) and absolute 0.05 s (5x the
+# warm 64 MiB read) — so warm-read noise can never excuse a line move
+IO_LOAD_THRESHOLD = 3.0
+IO_ABS_FLOOR_SEC = 0.05
+# Sustained host-speed shift (r17, measured on a VM reboot): when the
+# run-wide fixed-work canary floor — the host's best-case speed for the
+# run — moved >= 25% between records, the records were produced by
+# differently-fast hosts and line-level comparison is invalid: every line
+# moves together with the floor, yet the position-wise bracket rule can
+# still read REAL because a single NOISY prior-round burst sets a flat
+# baseline (measured: floor +59%, end-burst +23%, all 35 lines +5-71%,
+# six read REAL on git-identical code because prior round_1's burst was
+# itself elevated). A REAL verdict whose line ratio lies within the
+# floor shift x a 1.3 margin, in the shift's direction, demotes to
+# HOST-SHIFT; a move that exceeds even the shifted envelope stays REAL.
+FLOOR_SHIFT_THRESHOLD = 1.25
+FLOOR_SHIFT_MARGIN = 1.3
 # sub-second lines jitter past 15% on min-of-5 sampling alone (measured:
 # two same-code r16 runs moved embedding_knn_bruteforce +17% and
 # rsi_14_1h +17% under flat brackets) — a move must ALSO clear this
@@ -102,6 +138,62 @@ _HEADLINE_PREFIX = "post_headline_round_"
 def _burst_mins(detail: dict) -> dict[str, float]:
     bursts = detail.get("host_canary", {}).get("cpu_codegen_bursts", [])
     return {b["at"]: b["min_sec"] for b in bursts}
+
+
+def _canary_floor(detail: dict) -> float | None:
+    """Run-wide fixed-work canary floor: the quietest cpu-probe moment of
+    the whole run (cpu_codegen_run_floor_sec, r17+; min over the burst
+    series for r16 records). The floor RATIO between two records measures
+    relative host speed independent of any query — fixed work, best case,
+    so external load can only raise it."""
+    hc = detail.get("host_canary", {})
+    if hc.get("cpu_codegen_run_floor_sec"):
+        return hc["cpu_codegen_run_floor_sec"]
+    bursts = hc.get("cpu_codegen_bursts", [])
+    return min((b["min_sec"] for b in bursts), default=None)
+
+
+def _burst_io_firsts(detail: dict) -> dict[str, float]:
+    """Per-burst page-cache canary FIRST-read times (the eviction-sensitive
+    statistic — later reads re-warm the cache; see bench.canary_burst).
+    Empty for pre-r18 records, which predate the io series."""
+    bursts = detail.get("host_canary", {}).get("cpu_codegen_bursts", [])
+    return {b["at"]: b["io_first_sec"] for b in bursts if "io_first_sec" in b}
+
+
+def _io_bracket_excuses(
+    name: str,
+    delta: float,
+    cur_io: dict[str, float],
+    prev_io: dict[str, float],
+    cpu_bursts: dict[str, float],
+) -> bool | None:
+    """IO (page-cache) excusal for this line's move; None when either
+    record lacks the io series (rule cannot run — cpu rule still applies,
+    so this is NOT an INDETERMINATE condition).
+
+    A bracket is io-loaded in a direction iff its io_first_sec moved that
+    way past BOTH the 3x relative threshold and the 0.05 s absolute floor
+    (warm jitter <= 2x / ~0.005 s can never qualify; eviction is 43x /
+    +0.25 s). Same structure as the cpu rule: block lines excuse on ANY
+    bracket, headline regressions only if EVERY round bracket is loaded
+    (min-of-N needs only one quiet round), headline improvements on ANY."""
+    keys = [k for k in _bracket_keys(name, cpu_bursts) if k in cur_io]
+    pairs = [(cur_io[k], prev_io[k]) for k in keys if prev_io.get(k)]
+    if not pairs:
+        return None
+
+    def _risen(c: float, p: float) -> bool:
+        return c / p >= IO_LOAD_THRESHOLD and c - p >= IO_ABS_FLOOR_SEC
+
+    def _dropped(c: float, p: float) -> bool:
+        return p / c >= IO_LOAD_THRESHOLD and p - c >= IO_ABS_FLOOR_SEC
+
+    is_headline = name not in _BLOCK_BRACKETS
+    if delta >= 0:
+        flags = [_risen(c, p) for c, p in pairs]
+        return all(flags) if is_headline else any(flags)
+    return any(_dropped(c, p) for c, p in pairs)
 
 
 def _headline_labels(bursts: dict[str, float]) -> list[str]:
@@ -202,6 +294,14 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
     cur_min = cur["queries_min"]
     bursts = _burst_mins(cur)
     prev_bursts = _burst_mins(prev)
+    cur_io = _burst_io_firsts(cur)
+    prev_io = _burst_io_firsts(prev)
+    pf, cf = _canary_floor(prev), _canary_floor(cur)
+    floor_ratio = cf / pf if pf and cf else None
+    shifted = floor_ratio is not None and (
+        floor_ratio >= FLOOR_SHIFT_THRESHOLD
+        or floor_ratio <= 1 / FLOOR_SHIFT_THRESHOLD
+    )
     if not bursts:
         raise SystemExit(
             "current record has no cpu_codegen_bursts — run the r16+ bench"
@@ -216,13 +316,19 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
             continue
         delta = cm / pm - 1.0
         ratio = _bracket_ratio(name, delta, bursts, prev_bursts)
+        io_excused = _io_bracket_excuses(name, delta, cur_io, prev_io, bursts)
         # loaded iff the brackets moved past the threshold in the SAME
         # direction as the line (slower line under risen brackets, or
-        # faster line under dropped brackets = host, not engine)
-        loaded = ratio is not None and (
-            (delta > 0 and ratio >= LOAD_THRESHOLD)
-            or (delta < 0 and ratio <= 1 / LOAD_THRESHOLD)
-        )
+        # faster line under dropped brackets = host, not engine) — by the
+        # cpu rule OR the page-cache io rule (each sees a pressure class
+        # the other is blind to)
+        loaded = (
+            ratio is not None
+            and (
+                (delta > 0 and ratio >= LOAD_THRESHOLD)
+                or (delta < 0 and ratio <= 1 / LOAD_THRESHOLD)
+            )
+        ) or bool(io_excused)
         if abs(delta) < MOVE_THRESHOLD or abs(cm - pm) < ABS_FLOOR_SEC:
             verdict = "FLAT"
         elif ratio is None:
@@ -235,6 +341,19 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
             verdict = "LOAD"
         else:
             verdict = "REAL"
+        if verdict == "REAL" and shifted:
+            # sustained host-speed shift: demote a REAL that moved WITH
+            # the floor and within its envelope; a move past even the
+            # shifted envelope is an engine move on top of the shift
+            line_ratio = cm / pm
+            if floor_ratio > 1 and delta > 0 and (
+                line_ratio <= floor_ratio * FLOOR_SHIFT_MARGIN
+            ):
+                verdict = "HOST-SHIFT"
+            elif floor_ratio < 1 and delta < 0 and (
+                line_ratio >= floor_ratio / FLOOR_SHIFT_MARGIN
+            ):
+                verdict = "HOST-SHIFT"
         rows.append(
             {
                 "line": name,
@@ -242,6 +361,9 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
                 "cur": cm,
                 "delta_pct": round(delta * 100, 1),
                 "bracket_ratio": round(ratio, 3) if ratio else None,
+                # True = io brackets excuse the move; False = io series
+                # present and flat; None = a record predates the io series
+                "io_excused": io_excused,
                 "verdict": verdict,
             }
         )
@@ -260,22 +382,34 @@ def main() -> None:
     with open(cur_path) as f:
         cur = json.load(f)
     rows = adjudicate(prev, cur)
+    pf, cf = _canary_floor(prev), _canary_floor(cur)
+    if pf and cf:
+        print(
+            f"canary floor {pf:.3f} -> {cf:.3f} (x{cf / pf:.3f}; host-shift "
+            f"threshold x{FLOOR_SHIFT_THRESHOLD})"
+        )
     real_regression = False
     indeterminate_regression = False
+    host_shift_regression = False
     for r in rows:
         if r["verdict"] == "NO-BASELINE":
             print(f'{r["line"]:32s} cur={r["cur"]:8.3f}  NO-BASELINE')
             continue
+        io_tag = {True: " io:LOADED", False: " io:flat", None: ""}[
+            r["io_excused"]
+        ]
         print(
             f'{r["line"]:32s} {r["prev"]:8.3f} -> {r["cur"]:8.3f} '
             f'({r["delta_pct"]:+6.1f}%)  bracket x{r["bracket_ratio"]}'
-            f'  {r["verdict"]}'
+            f'{io_tag}  {r["verdict"]}'
         )
         if r["delta_pct"] > 0:
             if r["verdict"] == "REAL":
                 real_regression = True
             elif r["verdict"] == "INDETERMINATE":
                 indeterminate_regression = True
+            elif r["verdict"] == "HOST-SHIFT":
+                host_shift_regression = True
     if real_regression:
         sys.exit(1)
     if indeterminate_regression:
@@ -284,6 +418,16 @@ def main() -> None:
             "record) — re-run against a committed BENCH_DETAIL with bursts"
         )
         sys.exit(2)
+    if host_shift_regression:
+        print(
+            "NOTE: the fixed-work canary floor moved >= 25% between the "
+            "records — the host itself changed speed (reboot/migration/"
+            "sustained throttle), so line-level deltas within the shifted "
+            "envelope are host attribution, not engine moves. Ship only "
+            "with the shift documented in the round notes; the next "
+            "same-host round re-baselines automatically."
+        )
+        sys.exit(3)
     sys.exit(0)
 
 
