@@ -235,6 +235,12 @@ def main() -> None:
     _wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     os.makedirs(_wh, exist_ok=True)
     pc_path, pc_cold, pc_warm = make_pagecache_canary(_wh)
+    import atexit
+
+    # the happy path removes the file after the end burst; this covers
+    # mid-bench exceptions/interrupts so a failed run cannot leak the
+    # 64 MiB canary into the warehouse dir
+    atexit.register(lambda: os.path.exists(pc_path) and os.remove(pc_path))
 
     # warm the canary plan itself before the first timed burst: the first
     # two samples of a cold canary pay Janino/JIT (measured 0.544/0.167 vs

@@ -394,24 +394,45 @@ def test_move_beyond_shifted_envelope_stays_real():
 
 
 def test_improvement_on_faster_host_is_host_shift_not_win():
-    # the mirror: a faster host (floor x0.4, visible only in a NON-
-    # bracket burst — the block's own brackets read flat position-wise,
-    # so the bracket rule cannot excuse) must not over-claim a block
-    # line's drop as an engine win. (For headline lines a genuine floor
-    # drop always moves some round bracket, so the bracket rule already
-    # excuses those — the floor rule matters exactly here.)
-    prev = _shifted_bursts(0.16)
+    # the mirror: a genuinely faster host — MOST bursts dropped (median
+    # x0.7, floor x0.7) — but the block's OWN brackets happen to read
+    # flat position-wise (x0.95), so the bracket rule cannot excuse and
+    # pre-floor-rule the line's drop would over-claim as an engine win.
+    # (For headline lines a genuine floor drop always moves some round
+    # bracket, so the bracket rule already excuses those — the floor
+    # rule matters exactly for block lines with flat brackets.)
     cur = [
-        (at, 0.064 if at == "post_headline_round_3" else 0.155)
+        (at, 0.095 if at in ("post_chain_cold", "post_cache_cold") else 0.07)
         for at, _ in _FLAT_BURSTS
     ]
     v = _verdicts(
         {"candle_cache_cold": 2.8},
-        {"candle_cache_cold": 2.0},  # -29%, within the 0.4 / 1.3 envelope
+        {"candle_cache_cold": 2.0},  # -29%, within the 0.7 / 1.3 envelope
         cur,
-        prev_bursts=prev,
+        prev_bursts=_shifted_bursts(0.10),
     )
     assert v["candle_cache_cold"] == "HOST-SHIFT"
+
+
+def test_single_outlier_prior_sample_cannot_fake_a_host_shift():
+    # the floor is a min over single samples; one anomalously FAST
+    # sample in the prior record (turbo dip: one burst at 0.07 vs the
+    # 0.10 steady state) yields floor ratio 1.43 >= 1.25 — but the
+    # median position-wise burst ratio stays ~1.0, so the sustained
+    # guard refuses the shift and a genuine regression STAYS REAL
+    # (r17 self-review: without the median guard this demoted blocking
+    # regressions to shippable exit 3 on one noisy sample)
+    prev = _shifted_bursts(0.10, noisy_round1=None)
+    prev = [
+        (at, 0.07 if at == "post_headline_round_2" else m) for at, m in prev
+    ]
+    v = _verdicts(
+        {"event_asof_tick": 2.0},
+        {"event_asof_tick": 2.8},
+        _shifted_bursts(0.10),
+        prev_bursts=prev,
+    )
+    assert v["event_asof_tick"] == "REAL"
 
 
 def test_flat_floor_never_demotes_real():

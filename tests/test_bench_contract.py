@@ -143,6 +143,28 @@ def test_pagecache_canary_probe_separates_cold_from_warm(tmp_path):
     the adjudicator silently losing its io signal."""
     import pytest as _pytest
 
+    def _fs_type(path):
+        # longest-prefix mount-point match from /proc/mounts
+        best, fs = "", None
+        try:
+            for line in open("/proc/mounts"):
+                parts = line.split()
+                if len(parts) >= 3 and path.startswith(parts[1]) and len(
+                    parts[1]
+                ) > len(best):
+                    best, fs = parts[1], parts[2]
+        except OSError:
+            pass
+        return fs
+
+    if _fs_type(str(tmp_path)) in ("tmpfs", "ramfs"):
+        # memory-backed fs: the pages ARE the file, DONTNEED evicts
+        # nothing, cold ~= warm by construction. The bench-side canary
+        # fails SAFE there (io never clears the 0.05 s absolute floor,
+        # so it can never excuse a move) and the committed-record
+        # calibration assert above makes the neutering visible.
+        _pytest.skip("tmp_path is memory-backed — fadvise cannot evict")
+
     path, cold, warm = bench.make_pagecache_canary(str(tmp_path), mb=16)
     assert warm > 0
     if cold is None:

@@ -585,3 +585,56 @@ def test_rarest_k_recall_tradeoff_on_zipfian_multitoken_names(spark):
         assert not (ka & kb)
         shared = set(a.split(" ")) & set(b.split(" "))
         assert shared == {"industrial"}, (a, b, shared)
+
+
+@st.composite
+def _pair_with_small_unshared_sides(draw):
+    """A name pair where EACH side has at most K-1 tokens outside the
+    intersection (K = FUZZY_BLOCK_K), over a random vocabulary with a
+    random frequency map — the hypothesis of the blocking guarantee."""
+    from trading_etl_spark.queries.analytics import FUZZY_BLOCK_K
+
+    vocab = [f"t{i}" for i in range(draw(st.integers(4, 14)))]
+    freq = {t: draw(st.integers(1, 5)) for t in vocab}
+    order = draw(st.permutations(vocab))
+    n_a = draw(st.integers(1, min(6, len(vocab) - (FUZZY_BLOCK_K - 1))))
+    a_toks = order[:n_a]
+    rm = draw(st.integers(0, min(FUZZY_BLOCK_K - 1, n_a - 1)))
+    add = draw(st.integers(0, FUZZY_BLOCK_K - 1))
+    b_toks = a_toks[rm:] + order[n_a : n_a + add]
+    return " ".join(a_toks), " ".join(b_toks), freq
+
+
+@given(_pair_with_small_unshared_sides())
+@settings(max_examples=300, deadline=None)
+def test_rarest_k_blocking_guarantee_small_unshared_sides(case):
+    """THEOREM (r17): rarest-K blocking CANNOT miss a pair in which each
+    name carries at most K−1 tokens outside the intersection — in
+    particular, EVERY pair whose difference is confined to edits inside
+    one token (the real-data mass: a single-token typo in a multi-token
+    name) is generated, regardless of the frequency distribution.
+
+    Proof: let c be the (freq, token)-minimal SHARED token. Any token of
+    either name preceding c in the global order is unshared (a shared
+    one would contradict c's minimality), and each side has ≤ K−1
+    unshared tokens, so at most K−1 tokens precede c on either side —
+    c is in both rarest-K key sets and the blocked join emits the pair.
+
+    Contrapositive: a blocking miss REQUIRES ≥ K unshared tokens rarer
+    than every shared token on some side — the documented
+    disjoint-rarest-K miss condition, now certified as exactly the
+    boundary rather than only observed on the measured misses. Fuzzed
+    over random vocabularies, frequencies (dense ties — the tie-break
+    is part of the order) and add/remove mixes up to K−1 per side."""
+    from trading_etl_spark.queries.analytics import FUZZY_BLOCK_K
+
+    name_a, name_b, freq = case
+    ka = _rarest_k(name_a, freq, FUZZY_BLOCK_K)
+    kb = _rarest_k(name_b, freq, FUZZY_BLOCK_K)
+    shared = set(name_a.split(" ")) & set(name_b.split(" "))
+    assert shared, "strategy must keep the intersection non-empty"
+    assert ka & kb & shared, (
+        f"blocking guarantee violated: {name_a!r} / {name_b!r} with "
+        f"<= K-1 unshared tokens per side produced disjoint key sets "
+        f"{ka} / {kb}"
+    )
