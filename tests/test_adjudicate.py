@@ -443,3 +443,58 @@ def test_flat_floor_never_demotes_real():
         prev_bursts=_FLAT_BURSTS,
     )
     assert v["candle_cache_cold"] == "REAL"
+
+
+# --- Real-record regression tests (frozen r17 fixtures) -----------------
+# Two genuine BENCH_DETAIL records captured the same day on the same
+# code: a discarded cold-boot run (VM restart — empty page cache, test-
+# suite churn residue; candle_chain_cold 4.5x the settled run) and the
+# settled run shipped as the round's record. Frozen under
+# tests/fixtures/bench/ so the io-rule and sustained-guard behavior on
+# real data stays reproducible — these are the records the rules were
+# calibrated and validated against, not synthetic bursts.
+
+import json as _json
+
+_FIX = Path(__file__).resolve().parent / "fixtures" / "bench"
+
+
+def _load(name):
+    return _json.loads((_FIX / name).read_text())
+
+
+def test_real_coldboot_record_chain_cold_excused_by_io_bracket():
+    rows = adjudicate(
+        _load("r17_settled_shipped.json"),
+        _load("r17_coldboot_discarded.json"),
+    )
+    by = {r["line"]: r for r in rows}
+    chain = by["candle_chain_cold"]
+    # the +350% cold-boot blowup is excused: the post_chain_cold burst's
+    # io_first read 0.074 vs 0.014 warm (x5.2, +0.060 s — past both the
+    # 3x and 0.05 s floors), the eviction signature the probe exists for
+    assert chain["verdict"] == "LOAD" and chain["io_excused"] is True
+    assert chain["delta_pct"] > 300
+    # and the whole pair adjudicates with NO real regression in the
+    # slower direction — the cold boot is load, not an engine move
+    assert not [
+        r for r in rows
+        if r["verdict"] == "REAL" and r.get("delta_pct", 0) > 0
+    ]
+
+
+def test_real_record_pair_drained_direction_is_load_not_host_shift():
+    # the settled run is ~32% faster than the cold-boot run overall;
+    # floor ratio x0.676 crosses the 1.25x threshold but the median
+    # burst ratio x0.895 sits inside 1/1.15 — the sustained guard holds,
+    # so the drained-pressure improvements read bracket LOAD (or FLAT),
+    # never HOST-SHIFT and never REAL wins
+    rows = adjudicate(
+        _load("r17_settled_shipped.json"),
+        _load("r17_coldboot_discarded.json"),
+    )
+    assert not [r for r in rows if r["verdict"] == "HOST-SHIFT"]
+    assert not [
+        r for r in rows
+        if r["verdict"] == "REAL" and r.get("delta_pct", 0) < 0
+    ]
