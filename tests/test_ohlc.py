@@ -120,12 +120,20 @@ def test_clear_candle_caches_evicts_and_unpersists(spark):
     from trading_etl_spark.queries import trading as tq
 
     base = tq._ohlc_1m(spark, "/root/testdata/sf0.001")
-    assert base.storageLevel.useMemory  # cached by the chain builder
+    # r17: the chain builder MATERIALIZES via localCheckpoint (lineage
+    # truncated to the checkpointed partitions) instead of .cache() — the
+    # relation must be served from the materialized RDD, not re-derived
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
     assert tq._CHAIN_CACHE
     n = tq.clear_candle_caches(spark)
     assert n >= 1
     assert not tq._CHAIN_CACHE and not tq._CANDLE_CACHE
-    assert not base.storageLevel.useMemory
+    # a fresh call rebuilds (new checkpoint identity, not the evicted one)
+    rebuilt = tq._ohlc_1m(spark, "/root/testdata/sf0.001")
+    assert rebuilt._jdf.queryExecution().id() != base._jdf.queryExecution().id()
+    tq.clear_candle_caches(spark)
 
 
 def test_candle_gap_fill_flat_candles(spark, tmp_path, monkeypatch):

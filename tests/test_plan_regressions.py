@@ -369,13 +369,16 @@ def test_zscore_single_window_shuffle_no_python(spark):
 
     import re
 
-    _ticks(spark, sf_dir).count()  # materialize the shared tick cache
+    _ticks(spark, sf_dir).count()  # materialize the shared tick relation
     plan = _physical(q_tick_zscore_outliers(spark, sf_dir))
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
-    assert "InMemoryTableScan" in plan, plan  # reads the cached ticks
+    # reads the MATERIALIZED tick relation (r17: localCheckpoint truncates
+    # the lineage, so the marker is the checkpointed-RDD scan), never a
+    # re-derivation from the raw events parquet
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
     # exactly ONE exchange keyed on the pair alone (the window's); the
-    # (pair, time) exchanges in the display belong to the cached dedup
-    # subtree InMemoryRelation prints, which does not re-execute
+    # materialized relation scan-side needs none
     pair_only = re.findall(
         r"Exchange hashpartitioning\(currency_pair_code#\d+, \d+\)", plan
     )

@@ -142,7 +142,14 @@ def _shingles_cached(docs: DataFrame) -> DataFrame:
     key = plan_cache_key(docs)
     sh = _SHINGLE_REL_CACHE.get(key)
     if sh is None:
-        sh = shingles(docs).cache()
+        # r17: materialize with truncated lineage (localCheckpoint) rather
+        # than .cache() — every LSH/dedup consumer references this relation
+        # 3-4× per query (signatures, intersections, both size sides), so
+        # the full docs→tokens→explode subtree used to be re-analyzed that
+        # many times per build; see queries.trading._materialize.
+        from ..queries.trading import _materialize
+
+        sh = _materialize(shingles(docs))
         _cache_put(_SHINGLE_REL_CACHE, key, sh)
     return sh
 

@@ -90,10 +90,11 @@ def _split_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        df = (
+        from .trading import _materialize
+
+        df = _materialize(
             tx.shingles(_docs(spark, sf_dir), n=tx.CONTAM_SHINGLE_N)
             .withColumn("split", tx._split_col())
-            .cache()
         )
         _cache_put(_SHINGLE_CACHE, key, df)
     return df
@@ -119,7 +120,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _IVF_INDEX_CACHE.get(key)
     if df is None:
-        df = sim.ivf_inverted_index(_emb(spark, sf_dir), _codebook(spark, sf_dir)).cache()
+        from .trading import _materialize
+
+        df = _materialize(
+            sim.ivf_inverted_index(_emb(spark, sf_dir), _codebook(spark, sf_dir))
+        )
         _cache_put(_IVF_INDEX_CACHE, key, df)
     return df
 
