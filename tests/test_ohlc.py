@@ -120,20 +120,18 @@ def test_clear_candle_caches_evicts_and_unpersists(spark):
     from trading_etl_spark.queries import trading as tq
 
     base = tq._ohlc_1m(spark, "/root/testdata/sf0.001")
-    # r17: the chain builder MATERIALIZES via localCheckpoint (lineage
-    # truncated to the checkpointed partitions) instead of .cache() — the
-    # relation must be served from the materialized RDD, not re-derived
-    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert base.storageLevel.useMemory  # chain pair stays a plain cache
+    # the DOWNSTREAM relations are materialized with truncated lineage
+    # (r17): served from the checkpointed RDD, never re-derived
+    hourly = tq._ohlc_1h(spark, "/root/testdata/sf0.001")
+    plan = hourly._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert tq._CHAIN_CACHE
     n = tq.clear_candle_caches(spark)
     assert n >= 1
     assert not tq._CHAIN_CACHE and not tq._CANDLE_CACHE
-    # a fresh call rebuilds (new checkpoint identity, not the evicted one)
-    rebuilt = tq._ohlc_1m(spark, "/root/testdata/sf0.001")
-    assert rebuilt._jdf.queryExecution().id() != base._jdf.queryExecution().id()
-    tq.clear_candle_caches(spark)
+    assert not base.storageLevel.useMemory
 
 
 def test_candle_gap_fill_flat_candles(spark, tmp_path, monkeypatch):

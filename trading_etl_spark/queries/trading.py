@@ -125,15 +125,15 @@ def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         base, derived = ohlc.ohlc_chain_single_shuffle(
             ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
         )
-        # Transient cache so the eager derived materialization reads the
-        # just-built base instead of re-running the chain shuffle; both
-        # relations are then served from their truncated (checkpointed)
-        # twins and the scratch cache is dropped (see _materialize).
-        base = base.cache()
-        base_ck = _materialize(base)
-        derived_ck = _materialize(derived)
-        base.unpersist()
-        pair = (base_ck, derived_ck)
+        # The chain pair stays a plain .cache(): one consumer action
+        # materializes base AND derived in a single fused job (derived's
+        # plan reads base's InMemoryRelation), which an eager checkpoint
+        # pair would split into two jobs + a double store — measured
+        # +1.3 s on the candle_chain_cold build at sf0.1 (r17). The deep
+        # consumer stacks are truncated one level down instead
+        # (_ohlc_1h/_fact_sma/_buysell_events go through _materialize),
+        # so chain consumers' plans stay shallow anyway.
+        pair = (base.cache(), derived.cache())
         _cache_put(_CHAIN_CACHE, key, pair)
     return pair
 
@@ -256,6 +256,30 @@ def _buysell_events_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _cache_put(_EVENTS_1H_CACHE, key, cached)
     return cached
+
+
+def materialize_trading_relations(spark: SparkSession, sf_dir: str) -> None:
+    """Build every session-materialized trading relation, overlapping the
+    two INDEPENDENT build chains (guide §2.6: submit independent jobs from
+    a small thread pool so the second chain's tasks back-fill executors
+    freed by the first chain's stragglers):
+
+    - deduped ticks (raw scan → 1-second dedup agg);
+    - signal events (warm chain → 1h candles → SMA facts → buy/sell events).
+
+    Both roots share only the already-warm chain/parquet footers; their
+    jobs touch disjoint caches. Eager materialization (``_materialize``)
+    computes every row, so no separate action is needed. Used by the
+    bench's candle_cache_cold line and by any session warm-up; measured at
+    sf0.1 the overlap takes the cold build from ~2.9 s (serial) to the
+    longer chain alone (~2 s)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ev = pool.submit(_buysell_events_1h, spark, sf_dir)
+        tk = pool.submit(_ticks, spark, sf_dir)
+        ev.result()
+        tk.result()
 
 
 def q_ticks_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
