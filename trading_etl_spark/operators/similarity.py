@@ -514,7 +514,9 @@ def assign_cells_rows(
     return emb.select("vec_id", nearest(F.col("emb")).alias("cell"), "emb")
 
 
-def ivf_inverted_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def ivf_inverted_index(
+    emb: DataFrame, cent: DataFrame, cent_rows: list | None = None
+) -> DataFrame:
     """The IVF INVERTED-LIST relation — (neighbor_id, cell, nv, nnorm):
     every corpus vector tagged with its trained coarse cell, its norm
     materialized once per row (r10). This is index-BUILD state, exactly
@@ -524,7 +526,12 @@ def ivf_inverted_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the serving path is the probe join alone; at 100 TB the lists are a
     written table partitioned by cell, and a probe reads nprobe
     partitions."""
-    return assign_cells(emb, cent).select(
+    assigned = (
+        assign_cells_rows(emb, cent_rows)
+        if cent_rows is not None
+        else assign_cells(emb, cent)
+    )
+    return assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("emb").alias("nv"),
@@ -985,6 +992,7 @@ def semantic_dedup(
     n_cells: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     cent: DataFrame | None = None,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the trained k-means codebook,
@@ -1010,9 +1018,13 @@ def semantic_dedup(
     6dp (the shared Spark/NumPy/DuckDB regime) before the threshold compare,
     so the DuckDB oracle replays the identical drop set.
     """
-    if cent is None:
-        cent = kmeans_codebook(emb, n_cells, iters)
-    assigned = assign_cells(emb, cent)  # (vec_id, cell, emb)
+    # cent_rows: the already-collected codebook (queries/datapipe caches it
+    # next to the trained relation, r17) — skips a per-call driver collect
+    if cent_rows is None:
+        if cent is None:
+            cent = kmeans_codebook(emb, n_cells, iters)
+        cent_rows = [(int(r["cell"]), list(r["cv"])) for r in cent.collect()]
+    assigned = assign_cells_rows(emb, cent_rows)  # (vec_id, cell, emb)
 
     def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

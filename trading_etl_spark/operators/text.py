@@ -1268,10 +1268,32 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+# FIFO-bounded session cache for the banded LSH index relation
+# (doc_id, band_idx, band_key) (r17): FIVE operators (all-pairs LSH dedup,
+# incremental probe, fuzzy decontamination, containment screening, the LSH
+# eval report) each re-derived signatures + band keys from the shingle
+# relation per call. The docstrings already state this relation IS the
+# persisted index at 100 TB (built once, appended to); the in-session
+# analog is one eager materialization per shingle relation. Keyed on the
+# shingle relation's plan identity; cleared via clear_model_caches.
+_BANDS_REL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _band_keys_cached(sh: DataFrame) -> DataFrame:
+    from ..queries.trading import _cache_put, _materialize
+
+    key = plan_cache_key(sh)
+    df = _BANDS_REL_CACHE.get(key)
+    if df is None:
+        df = _materialize(_band_keys(_minhash_from_shingles(sh)))
+        _cache_put(_BANDS_REL_CACHE, key, df)
+    return df
+
+
 def _minhash_band_candidates(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs from a shingle relation: signatures → band keys
     → band-bucket equi-join, distinct (doc_a < doc_b)."""
-    doc_bands = _band_keys(_minhash_from_shingles(sh))
+    doc_bands = _band_keys_cached(sh)
     return (
         doc_bands.alias("a")
         .join(doc_bands.alias("b"), ["band_idx", "band_key"])
@@ -1378,7 +1400,7 @@ def dedup_incremental_minhash(docs: DataFrame, threshold: float = 0.5) -> DataFr
     Verification touches only the colliding corpus docs' shingles."""
     is_batch = (F.col("doc_id") % INCREMENTAL_BATCH_MOD) == INCREMENTAL_BATCH_REM
     sh = _shingles_cached(docs)
-    doc_bands = _band_keys(_minhash_from_shingles(sh))
+    doc_bands = _band_keys_cached(sh)
     return incremental_probe(
         doc_bands.filter(is_batch), doc_bands.filter(~is_batch), sh, threshold
     )
@@ -1724,6 +1746,11 @@ def dsir_resample(
 BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap — ~1% fp at ~100k keys (m/n≈10, k=7)
 BLOOM_K = 7
 
+# Session cache for the built Bloom bitmap (r17) — the decontamination
+# filter artifact, keyed on the TEST side's plan identity + sizing so a
+# different eval set or corpus rebuilds it. Entries are m/8-byte strings.
+_BLOOM_CACHE: dict[tuple, bytes] = {}
+
 
 def _bloom_positions(h, m_bits: int, k: int):
     """k probe positions per 64-bit key via Kirsch–Mitzenmacher double
@@ -1823,10 +1850,21 @@ def decontaminate_bloom(
         )
     # no .distinct() before the build: bitmap insertion is idempotent, so
     # deduping the hashes would only add a full shuffle to what is
-    # otherwise a single map-only pass over the test scan
-    bloom = bloom_build(
-        test.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
-    )
+    # otherwise a single map-only pass over the test scan.
+    # The bitmap is cached per (test-relation plan, sizing) (r17): it is
+    # the persisted filter artifact of a decontamination rollout — built
+    # once per eval-set release, probed by every ingest — and rebuilding
+    # the m/8-byte partials job per query call re-paid a full test-side
+    # scan for bytes that cannot change under the same test relation.
+    from ..queries.trading import _cache_put
+
+    bkey = plan_cache_key(test) + (m_bits, k)
+    bloom = _BLOOM_CACHE.get(bkey)
+    if bloom is None:
+        bloom = bloom_build(
+            test.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
+        )
+        _cache_put(_BLOOM_CACHE, bkey, bloom)
     probe = _bloom_probe_udf(bloom, m_bits, k)
     candidates = (
         train.withColumn("h", F.xxhash64("shingle"))
@@ -1883,6 +1921,42 @@ EXSUB_K = 8          # detection shingle width (tokens)
 EXSUB_MIN_TOKENS = 16  # minimum duplicated span length to report
 
 
+# FIFO-bounded session cache for the POSITIONAL shingle-hash relation
+# (doc_id, pos, h) the two exact-substring operators share (r17, guide
+# §2.4/§5): the span finder and the span stripper each referenced this
+# relation TWICE per query (the dup/first-occurrence agg side and the
+# join-back probe side), so one query re-ran the tokenize→posexplode→
+# xxhash64 map stage — the family's most expensive stage — twice, and the
+# two operators together four times. Like the distinct-shingle relation
+# above, at 100 TB this is a materialized intermediate table (one compact
+# row per corpus token); in-session one eager localCheckpoint serves all
+# four references. Cleared through queries.datapipe.clear_model_caches.
+_POS_REL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _positions_cached(docs: DataFrame, k: int) -> DataFrame:
+    from ..queries.trading import _cache_put, _materialize
+
+    key = plan_cache_key(docs) + (k,)
+    pos = _POS_REL_CACHE.get(key)
+    if pos is None:
+        pos_hashes = F.expr(
+            f"IF(size(toks) >= {k},"
+            f" transform(sequence(1, size(toks) - {k - 1}),"
+            f" i -> xxhash64(array_join(slice(toks, i, {k}), ' '))),"
+            f" array())"
+        )
+        pos = _materialize(
+            with_tokens(docs)
+            .select("doc_id", F.posexplode(pos_hashes).alias("idx", "h"))
+            .select(
+                "doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h"
+            )
+        )
+        _cache_put(_POS_REL_CACHE, key, pos)
+    return pos
+
+
 def exact_substring_spans(
     docs: DataFrame, k: int = EXSUB_K, min_tokens: int = EXSUB_MIN_TOKENS
 ) -> DataFrame:
@@ -1927,15 +2001,7 @@ def exact_substring_spans(
     document length. Output: (doc_id, start_pos, end_pos, n_tokens),
     1-indexed inclusive token positions.
     """
-    pos_hashes = F.expr(
-        f"IF(size(toks) >= {k},"
-        f" transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> xxhash64(array_join(slice(toks, i, {k}), ' '))),"
-        f" array())"
-    )
-    pos = with_tokens(docs).select(
-        "doc_id", F.posexplode(pos_hashes).alias("idx", "h")
-    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h")
+    pos = _positions_cached(docs, k)
     dup = (
         pos.groupBy("h")
         .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
@@ -1978,16 +2044,8 @@ def strip_duplicate_spans(
     one doc-keyed agg; raw text never shuffles, only (doc, pos, token)
     rows do.
     """
-    pos_hashes = F.expr(
-        f"IF(size(toks) >= {k},"
-        f" transform(sequence(1, size(toks) - {k - 1}),"
-        f" i -> xxhash64(array_join(slice(toks, i, {k}), ' '))),"
-        f" array())"
-    )
     toked = with_tokens(docs)
-    pos = toked.select(
-        "doc_id", F.posexplode(pos_hashes).alias("idx", "h")
-    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "h")
+    pos = _positions_cached(docs, k)
     first = pos.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
     marked = (
         pos.join(first, "h")

@@ -18,12 +18,32 @@ from ..operators import similarity as sim
 from ..operators import text as tx
 
 
+# Lazy HANDLE cache for the two base scans (r17, guide §1/§6): every call
+# to spark.read.parquet re-lists the path and re-reads the footer on the
+# DRIVER (~70 ms here, worse on object stores), and every downstream
+# plan_cache_key() re-analyzes the fresh plan. ~40 builders in this module
+# each paid that per call. The cached value is the UNMATERIALIZED
+# DataFrame — no rows are computed or pinned; execution still scans
+# parquet every run. Keyed like every session cache; entries hold no
+# storage so eviction's unpersist is a no-op.
+_BASE_REL_CACHE: dict = {}
+
+
+def _base_rel(spark: SparkSession, sf_dir: str, name: str, loader) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _BASE_REL_CACHE.get(key)
+    if df is None:
+        df = loader(spark, sf_dir)
+        _cache_put(_BASE_REL_CACHE, key, df)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.load_documents(spark, sf_dir)
+    return _base_rel(spark, sf_dir, "docs", tx.load_documents)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.load_embeddings(spark, sf_dir)
+    return _base_rel(spark, sf_dir, "emb", sim.load_embeddings)
 
 
 def _as_long(df: DataFrame, *cols: str) -> DataFrame:
@@ -46,6 +66,7 @@ def _as_long(df: DataFrame, *cols: str) -> DataFrame:
 from .trading import _cache_put  # noqa: E402
 
 _CODEBOOK_CACHE: dict = {}
+_CODEBOOK_ROWS_CACHE: dict = {}  # driver-local collected twin of _CODEBOOK_CACHE
 _IVF_INDEX_CACHE: dict = {}
 _PQ_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
@@ -60,8 +81,9 @@ def clear_model_caches(spark: SparkSession | None = None) -> int:
 
     app_id = spark.sparkContext.applicationId if spark is not None else None
     return clear_caches(
-        (_CODEBOOK_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE, _SHINGLE_CACHE,
-         _BPE_CACHE, tx._SHINGLE_REL_CACHE),
+        (_CODEBOOK_CACHE, _CODEBOOK_ROWS_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE,
+         _SHINGLE_CACHE, _BPE_CACHE, _BASE_REL_CACHE, tx._SHINGLE_REL_CACHE,
+         tx._POS_REL_CACHE, tx._BANDS_REL_CACHE, tx._BLOOM_CACHE),
         app_id,
     )
 
@@ -106,7 +128,26 @@ def _codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = sim.kmeans_codebook(_emb(spark, sf_dir))
         _cache_put(_CODEBOOK_CACHE, key, df)
+        # the rows twin must never outlive a retrained codebook entry
+        _CODEBOOK_ROWS_CACHE.pop(key, None)
     return df
+
+
+def _codebook_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The trained codebook as driver-local (cell, vector) rows — the form
+    the Arrow assignment kernels close over. Collected ONCE per (app,
+    corpus) (r17, guide §5): consumers that re-collect the k×dim local
+    relation per call pay a ~0.25 s driver job each for bytes that never
+    change (training is deterministic per corpus). k×dim doubles — tiny."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _CODEBOOK_ROWS_CACHE.get(key)
+    if rows is None:
+        rows = [
+            (int(r["cell"]), list(r["cv"]))
+            for r in _codebook(spark, sf_dir).collect()
+        ]
+        _cache_put(_CODEBOOK_ROWS_CACHE, key, rows)
+    return rows
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +164,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .trading import _materialize
 
         df = _materialize(
-            sim.ivf_inverted_index(_emb(spark, sf_dir), _codebook(spark, sf_dir))
+            sim.ivf_inverted_index(
+                _emb(spark, sf_dir),
+                _codebook(spark, sf_dir),
+                cent_rows=_codebook_rows(spark, sf_dir),
+            )
         )
         _cache_put(_IVF_INDEX_CACHE, key, df)
     return df
@@ -720,7 +765,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare; within-cell duplicate balls keep their min-id member. Output =
     surviving (vec_id, cell)."""
     return _as_long(
-        sim.semantic_dedup(_emb(spark, sf_dir), cent=_codebook(spark, sf_dir)),
+        sim.semantic_dedup(
+            _emb(spark, sf_dir), cent_rows=_codebook_rows(spark, sf_dir)
+        ),
         "cell",
     )
 
