@@ -374,6 +374,54 @@ def main() -> None:
     runs["ivf_index_build_cold"] = index_cold
     canary_burst("post_index_cold")
 
+    # Cold TEXT-index builds (r17): the banded LSH index relation, the
+    # positional shingle-hash relation, and the decontamination Bloom
+    # bitmap became session caches this round (they are the persisted
+    # index/filter artifacts of a corpus rollout — built once, probed by
+    # every consumer), so the warm dedup/decontaminate headline lines now
+    # measure serving. These lines keep each moved build cost measured,
+    # same honesty contract as kmeans_train_cold / ivf_index_build_cold.
+    # Each repeat clears ONLY its own cache (the upstream shingle relation
+    # stays warm — its build precedent predates these lines and lands in
+    # first_run_total_sec); the last build leaves the cache warm.
+    from trading_etl_spark.operators import text as text_mod
+    from trading_etl_spark.queries.datapipe import _docs, _split_shingles
+
+    docs_rel = _docs(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+
+    bands_cold: list[float] = []
+    for _ in range(N_RUNS):
+        trading_mod.clear_caches((text_mod._BANDS_REL_CACHE,), app_id)
+        t0 = time.time()
+        text_mod._band_keys_cached(text_mod._shingles_cached(docs_rel))
+        bands_cold.append(round(time.time() - t0, 3))
+    runs["lsh_bands_build_cold"] = bands_cold
+
+    pos_cold: list[float] = []
+    for _ in range(N_RUNS):
+        trading_mod.clear_caches((text_mod._POS_REL_CACHE,), app_id)
+        t0 = time.time()
+        text_mod._positions_cached(docs_rel, text_mod.EXSUB_K)
+        pos_cold.append(round(time.time() - t0, 3))
+    runs["exsub_positions_build_cold"] = pos_cold
+
+    # the exact test relation decontaminate_bloom caches on (same
+    # _split_shingles handle → same plan identity)
+    test_rel = (
+        _split_shingles(spark, sf_dir)
+        .filter(F.col("split") == "test")
+        .select(F.col("doc_id").alias("test_doc_id"), "shingle")
+    )
+    bloom_cold: list[float] = []
+    for _ in range(N_RUNS):
+        trading_mod.clear_caches((text_mod._BLOOM_CACHE,), app_id)
+        t0 = time.time()
+        text_mod._bloom_cached(test_rel)
+        bloom_cold.append(round(time.time() - t0, 3))
+    runs["bloom_build_cold"] = bloom_cold
+    canary_burst("post_text_index_cold")
+
     # Round-interleaved headline measurement (VERDICT r6 task #7): the
     # whole headline set runs once per round over the warm caches, and the
     # rounds repeat N_RUNS times — a query's samples are spread across the

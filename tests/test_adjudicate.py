@@ -224,13 +224,22 @@ def test_headline_labels_derived_from_record_not_hardcoded():
 
 def test_missing_block_bracket_label_is_rejected():
     # a record thinned of a block bracket label must error, not silently
-    # adjudicate that block against a weaker bracket set
+    # adjudicate that block against a weaker bracket set — the guard is
+    # scoped to blocks whose LINE the current record carries (r17: so a
+    # record frozen before a block existed stays adjudicable)
     thinned = [(at, m) for at, m in _FLAT_BURSTS if at != "post_bucket_lines"]
     with pytest.raises(SystemExit, match="post_bucket_lines"):
         adjudicate(
-            _detail({"x": 1.0}, _FLAT_BURSTS),
-            _detail({"x": 1.0}, thinned),
+            _detail({"join_orderkey_bucketed": 1.0}, _FLAT_BURSTS),
+            _detail({"join_orderkey_bucketed": 1.0}, thinned),
         )
+    # the same thinned burst series is fine when the record does not carry
+    # the block's line (a pre-block frozen record as the current side)
+    rows = adjudicate(
+        _detail({"x": 1.0}, _FLAT_BURSTS),
+        _detail({"x": 1.0}, thinned),
+    )
+    assert rows[0]["verdict"] == "FLAT"
 
 
 # --- IO (page-cache) excusal rule — r17 blind-spot closure --------------

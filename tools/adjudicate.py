@@ -137,6 +137,10 @@ _BLOCK_BRACKETS = {
     "candle_cache_cold": ("post_chain_cold", "post_cache_cold"),
     "kmeans_train_cold": ("post_cache_cold", "post_train_cold"),
     "ivf_index_build_cold": ("post_train_cold", "post_index_cold"),
+    # r17 text-index cold lines run together between these two bursts
+    "lsh_bands_build_cold": ("post_index_cold", "post_text_index_cold"),
+    "exsub_positions_build_cold": ("post_index_cold", "post_text_index_cold"),
+    "bloom_build_cold": ("post_index_cold", "post_text_index_cold"),
     "events_scan_full": ("_last_headline", "post_pruning_lines"),
     "events_scan_pruned_3d": ("_last_headline", "post_pruning_lines"),
     "join_orderkey_bucketed": ("post_pruning_lines", "post_bucket_lines"),
@@ -248,10 +252,15 @@ def _bracket_keys(name: str, bursts: dict[str, float]) -> list[str]:
     return keys
 
 
-def _require_block_labels(cur_bursts: dict[str, float]) -> None:
+def _require_block_labels(
+    cur_bursts: dict[str, float], cur_lines: dict
+) -> None:
     """Error on expected-but-missing brackets in the CURRENT record: the
     current run is produced by this repo's bench.py, so every block label
-    must be present — thinning would quietly widen/weaken brackets."""
+    must be present — thinning would quietly widen/weaken brackets. Only
+    brackets of blocks whose LINE the record carries are required, so a
+    record frozen before a block existed (e.g. the pre-text-index r17
+    fixtures) stays adjudicable as a current record."""
     if not _headline_labels(cur_bursts):
         raise SystemExit(
             "current record has no post_headline_round_* bursts — "
@@ -259,7 +268,8 @@ def _require_block_labels(cur_bursts: dict[str, float]) -> None:
         )
     missing = {
         k
-        for pair in _BLOCK_BRACKETS.values()
+        for line, pair in _BLOCK_BRACKETS.items()
+        if line in cur_lines
         for k in pair
         if k != "_last_headline" and k not in cur_bursts
     }
@@ -349,7 +359,7 @@ def adjudicate(prev: dict, cur: dict) -> list[dict]:
         raise SystemExit(
             "current record has no cpu_codegen_bursts — run the r16+ bench"
         )
-    _require_block_labels(bursts)
+    _require_block_labels(bursts, cur_min)
     rows = []
     for name in sorted(cur_min):
         cm = cur_min[name]

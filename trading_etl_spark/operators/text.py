@@ -1809,6 +1809,28 @@ def _bloom_probe_udf(bloom: bytes, m_bits: int, k: int):
     return probe
 
 
+def _bloom_cached(
+    test: DataFrame, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> bytes:
+    """The decontamination bitmap through the session cache, keyed per
+    (test-relation plan, sizing) (r17): it is the persisted filter artifact
+    of a decontamination rollout — built once per eval-set release, probed
+    by every ingest — and rebuilding the m/8-byte partials job per query
+    call re-paid a full test-side scan for bytes that cannot change under
+    the same test relation. bench.py's bloom_build_cold line clears this
+    cache and times the build alone, keeping the moved cost measured."""
+    from ..queries.trading import _cache_put
+
+    bkey = plan_cache_key(test) + (m_bits, k)
+    bloom = _BLOOM_CACHE.get(bkey)
+    if bloom is None:
+        bloom = bloom_build(
+            test.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
+        )
+        _cache_put(_BLOOM_CACHE, bkey, bloom)
+    return bloom
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     n: int = CONTAM_SHINGLE_N,
@@ -1851,21 +1873,7 @@ def decontaminate_bloom(
     # no .distinct() before the build: bitmap insertion is idempotent, so
     # deduping the hashes would only add a full shuffle to what is
     # otherwise a single map-only pass over the test scan.
-    # The bitmap is cached per (test-relation plan, sizing) (r17): it is
-    # the persisted filter artifact of a decontamination rollout — built
-    # once per eval-set release, probed by every ingest — and rebuilding
-    # the m/8-byte partials job per query call re-paid a full test-side
-    # scan for bytes that cannot change under the same test relation.
-    from ..queries.trading import _cache_put
-
-    bkey = plan_cache_key(test) + (m_bits, k)
-    bloom = _BLOOM_CACHE.get(bkey)
-    if bloom is None:
-        bloom = bloom_build(
-            test.select(F.xxhash64("shingle").alias("h")), "h", m_bits, k
-        )
-        _cache_put(_BLOOM_CACHE, bkey, bloom)
-    probe = _bloom_probe_udf(bloom, m_bits, k)
+    probe = _bloom_probe_udf(_bloom_cached(test, m_bits, k), m_bits, k)
     candidates = (
         train.withColumn("h", F.xxhash64("shingle"))
         .filter(probe(F.col("h")))
