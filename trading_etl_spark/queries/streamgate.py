@@ -116,16 +116,22 @@ def q_streaming_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = ticks.stream_events(spark, sf_dir)
     dim = dims_mod.dim_currency(spark)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # one-evaluation parse guard + pushable value pre-filter, exactly as
+    # sources.ticks.tickify (r17, guide §4.4) — bid is an exact alias of
+    # value, so filtering value > 0 below the guard is the same predicate
+    k = F.when(
+        F.spark_partition_id() >= 0,
+        F.get_json_object("props", "$.k").cast("int"),
+    )
     enriched = (
-        ev.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
+        ev.filter(F.col("value") > 0)
+        .withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
         .join(F.broadcast(dim), F.col("pair_id") == dim.id)
+        .withColumn("k", k)
         .withColumn("bid", F.col("value"))
-        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("ask", F.col("value") + ((F.col("k") % 10) + 1) * F.lit(0.001))
         .withColumn("time", F.date_trunc("second", F.col("ts")))
-        .filter(
-            (F.col("bid") > 0) & (F.col("ask") > 0) & (F.col("bid") <= F.col("ask"))
-        )
+        .filter((F.col("ask") > 0) & (F.col("bid") <= F.col("ask")))
         .select(
             "event_id",
             "currency_pair_code",

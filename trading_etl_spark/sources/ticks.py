@@ -150,14 +150,33 @@ def tickify(events: DataFrame) -> DataFrame:
     batch AND streaming inputs — the dim join is stream-static broadcast.
     """
     dim = dim_currency(events.sparkSession)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # Parse the props JSON ONCE per row (r17, guide §4.4 applied to a
+    # builtin): the ask spread and two of the three validity predicates
+    # derive from $.k, and with a plain deterministic projection the
+    # optimizer re-inlines the parse into every consumer — 4
+    # get_json_object calls in the executed plan, measured ~0.9 s of the
+    # 1.4 s single-split streaming tickify at sf0.1. The always-true
+    # nondeterministic guard pins the projection (CollapseProject will not
+    # duplicate a multi-referenced nondeterministic expression), so the
+    # parse runs once; the VALUE is unchanged (partition ids are always
+    # >= 0; a rand() guard does NOT work — Spark 4 range-folds rand
+    # comparisons to a literal and re-inlines). The pushable validity
+    # predicate (bid = value > 0, an exact alias) moves BELOW the guard so
+    # the events scan keeps its PushedFilters; the two k-derived
+    # predicates stay above, same conjunction, same NULL-drop semantics.
+    k = F.when(
+        F.spark_partition_id() >= 0,
+        F.get_json_object("props", "$.k").cast("int"),
+    )
     return (
-        events.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
+        events.filter(F.col("value") > 0)
+        .withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
         .join(F.broadcast(dim), F.col("pair_id") == dim.id, "inner")
+        .withColumn("k", k)
         .withColumn("bid", F.col("value"))
-        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("ask", F.col("value") + ((F.col("k") % 10) + 1) * F.lit(0.001))
         .withColumn("time", F.date_trunc("second", F.col("ts")))
-        .filter((F.col("bid") > 0) & (F.col("ask") > 0) & (F.col("bid") <= F.col("ask")))
+        .filter((F.col("ask") > 0) & (F.col("bid") <= F.col("ask")))
         .select("currency_pair_code", "time", "bid", "ask", "ts", "event_id")
     )
 
@@ -246,12 +265,20 @@ def tickify_with_dlq(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     priority order so each bad row gets exactly one verdict.
     """
     dim = dim_currency(events.sparkSession)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # same one-evaluation guard as tickify (r17, guide §4.4): the reason
+    # chain references ask three more times, so an unguarded parse would
+    # re-inline per consumer. No value pre-filter here — the DLQ must KEEP
+    # invalid rows.
+    k = F.when(
+        F.spark_partition_id() >= 0,
+        F.get_json_object("props", "$.k").cast("int"),
+    )
     parsed = (
         events.withColumn("pair_id", (F.col("user_id") % 6 + 1).cast("int"))
         .join(F.broadcast(dim), F.col("pair_id") == dim.id, "left")
+        .withColumn("k", k)
         .withColumn("bid", F.col("value"))
-        .withColumn("ask", F.col("value") + ((k % 10) + 1) * F.lit(0.001))
+        .withColumn("ask", F.col("value") + ((F.col("k") % 10) + 1) * F.lit(0.001))
         .withColumn("time", F.date_trunc("second", F.col("ts")))
     )
     reason = (
