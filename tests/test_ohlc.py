@@ -167,3 +167,40 @@ def test_candle_gap_fill_flat_candles(spark, tmp_path, monkeypatch):
     assert (gap["open"], gap["high"], gap["low"], gap["close"]) == (100.5,) * 4
     real = out[datetime(2024, 1, 1, 2)]
     assert real["is_gap"] is False and real["open"] == 101.0
+
+
+def test_driver_local_durations_match_the_dim_relation(spark):
+    """r17: the chain's LCM granule is computed from the driver-local
+    duration list (dims.timeframe_durations) instead of collecting the
+    6-row literal dim — a ~0.3 s analyze+schedule round trip per cold
+    chain build. Pin the two sources in lockstep: same durations, same
+    LCM, including under a config-added timeframe."""
+    from trading_etl_spark.config import EngineConfig
+    from trading_etl_spark.operators import ohlc as ohlc_ops
+    from trading_etl_spark.sources import dims
+
+    for cfg in (None, EngineConfig.from_env({"ETL_EXTRA_TIMEFRAMES": "2h:7200"})):
+        tf = dims.dim_timeframe(spark, cfg)
+        local = dims.timeframe_durations(cfg)
+        collected = [r["duration_seconds"] for r in tf.collect()]
+        assert local == collected
+        assert ohlc_ops.chain_bucket_seconds(tf, durations=local) == (
+            ohlc_ops.chain_bucket_seconds(tf)
+        )
+
+
+def test_scan_splits_cache_matches_fresh_probe(spark):
+    """r17: raw_ticks caches the under-split probe per (app, path) —
+    driver-side metadata reuse, not result caching. The cached count must
+    equal a fresh .rdd probe of the same scan (same files, same conf)."""
+    from trading_etl_spark.sources import ticks
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = ticks.load_events(spark, sf_dir)
+    fresh = ev.rdd.getNumPartitions()
+    cached = ticks._scan_splits(spark, f"{sf_dir}/events.parquet", ev)
+    assert cached == fresh
+    # second lookup hits the cache (no re-probe) and agrees
+    assert ticks._scan_splits(
+        spark, f"{sf_dir}/events.parquet", ticks.load_events(spark, sf_dir)
+    ) == fresh

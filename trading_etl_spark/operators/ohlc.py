@@ -89,7 +89,9 @@ def ohlc_all(ticks: DataFrame, timeframes: DataFrame) -> DataFrame:
 COARSE_SECONDS = 14400  # seed default: 4h — every other seed timeframe divides it
 
 
-def chain_bucket_seconds(timeframes: DataFrame) -> int:
+def chain_bucket_seconds(
+    timeframes: DataFrame, durations: list[int] | None = None
+) -> int:
     """Chain-partitioning granule: the LCM of the dim's durations, so EVERY
     configured timeframe's epoch bucket nests inside one chain bucket.
 
@@ -97,15 +99,28 @@ def chain_bucket_seconds(timeframes: DataFrame) -> int:
     driver-side collect is a constant; with the seed set this returns 14400
     (= 4h). A config-added 2h/8h/1d keeps correctness automatically — the
     granule coarsens to whatever still nests everything.
+
+    ``durations``: callers that already hold the duration list (the config
+    source behind ``dims.dim_timeframe`` — ``dims.timeframe_durations()``)
+    pass it to skip the collect: even on the 6-row literal dim that collect
+    is a full analyze+schedule round trip, measured 0.32 s of every cold
+    chain build at sf0.1 (r17, guide §5 — the driver should do almost no
+    data work). Semantics are identical: same list, same LCM.
     """
     import math
 
-    durations = [r["duration_seconds"] for r in timeframes.select("duration_seconds").collect()]
+    if durations is None:
+        durations = [
+            r["duration_seconds"]
+            for r in timeframes.select("duration_seconds").collect()
+        ]
     return math.lcm(*durations) if durations else COARSE_SECONDS
 
 
 def ohlc_chain_single_shuffle(
-    raw_ticks: DataFrame, timeframes: DataFrame
+    raw_ticks: DataFrame,
+    timeframes: DataFrame,
+    durations: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(deduped-1m, derived) computed with ONE exchange for the whole chain.
 
@@ -120,9 +135,10 @@ def ohlc_chain_single_shuffle(
 
     Parallelism scales as pairs × time-range/bucket — unlike repartitioning
     on pair alone, which caps at the pair count. ``raw_ticks`` needs columns
-    (currency_pair_code, time, bid, ask, ts, event_id).
+    (currency_pair_code, time, bid, ask, ts, event_id). ``durations`` is the
+    optional driver-local duration list (see ``chain_bucket_seconds``).
     """
-    coarse = chain_bucket_seconds(timeframes)
+    coarse = chain_bucket_seconds(timeframes, durations)
     b = F.floor(F.unix_timestamp("time") / coarse).alias("_b")
     first = F.min_by(F.struct("bid", "ask"), F.struct("ts", "event_id")).alias("f")
     deduped = (

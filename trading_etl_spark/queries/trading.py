@@ -123,7 +123,11 @@ def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     pair = _CHAIN_CACHE.get(key)
     if pair is None:
         base, derived = ohlc.ohlc_chain_single_shuffle(
-            ticks.raw_ticks(spark, sf_dir), dims.dim_timeframe(spark)
+            ticks.raw_ticks(spark, sf_dir),
+            dims.dim_timeframe(spark),
+            # driver-local duration list from the SAME config source as the
+            # dim relation — skips the per-build 6-row collect (r17, §5)
+            durations=dims.timeframe_durations(),
         )
         # The chain pair stays a plain .cache(): one consumer action
         # materializes base AND derived in a single fused job (derived's

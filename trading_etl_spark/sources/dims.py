@@ -52,6 +52,16 @@ def timeframe_rows(cfg: EngineConfig | None = None) -> list[tuple]:
     ]
 
 
+def timeframe_durations(cfg: EngineConfig | None = None) -> list[int]:
+    """The configured timeframe durations (seconds) WITHOUT a Spark job —
+    the driver-side twin of ``dim_timeframe`` for consumers that only need
+    the duration list (the chain-bucket LCM). Built from the same
+    ``timeframe_rows`` config source, so it can never diverge from the dim
+    relation; collecting the 6-row literal dim instead costs a full
+    analyze+schedule round trip (~0.3 s) per cold chain build (r17)."""
+    return [seconds for _, _, _, seconds in timeframe_rows(cfg)]
+
+
 def dim_currency(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(CURRENCY_SEED, DIM_CURRENCY_SCHEMA)
 

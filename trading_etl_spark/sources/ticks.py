@@ -181,6 +181,27 @@ def tickify(events: DataFrame) -> DataFrame:
     )
 
 
+# Scan-split probe cache (r17, guide §5): ``df.rdd.getNumPartitions()``
+# plans the scan to count its splits — ~0.15 s of pure driver work per
+# fresh DataFrame handle, re-paid by every cold chain/cache build. The
+# split count of the same parquet path in the same session is a pure
+# function of (file set, reader conf), both fixed across the gate/bench
+# runs, so one probe per (applicationId, path) is exact metadata reuse —
+# no rows are computed or pinned (same discipline as datapipe._base_rel).
+_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _scan_splits(spark: SparkSession, path_key: str, df: DataFrame) -> int:
+    key = (spark.sparkContext.applicationId, path_key)
+    n = _SPLITS_CACHE.get(key)
+    if n is None:
+        if len(_SPLITS_CACHE) >= 64:  # bound long-lived embedding sessions
+            _SPLITS_CACHE.clear()
+        n = df.rdd.getNumPartitions()
+        _SPLITS_CACHE[key] = n
+    return n
+
+
 def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parsed, validated ticks before dedup — batch entry point.
 
@@ -196,7 +217,7 @@ def raw_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning."""
     ev = load_events(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < par:
+    if _scan_splits(spark, f"{sf_dir}/events.parquet", ev) < par:
         ev = ev.repartition(par)
     return tickify(ev)
 
