@@ -572,6 +572,29 @@ def test_mean_update_matches_explode_shape(spark):
     assert (0, (0.15, 0.15, 0.55)) in got  # exact hand-computed means
 
 
+def test_mean_update_rows_matches_relation_shape(spark):
+    # r17: the Lloyd loops now collect the (cell, pos) agg directly and
+    # assemble centroid arrays in the driver (_mean_update_rows) instead
+    # of paying a second (cell) shuffle + collect_list/array_sort per
+    # iteration. The collected rows must equal the relation-shaped
+    # _mean_update exactly (same values, cell-sorted), so the training
+    # trajectory — and every oracle replaying it — is unchanged.
+    rows = [
+        (0, [0.1, 0.25, 0.7]),
+        (1, [0.3, 0.15, 0.1]),
+        (0, [0.2, 0.05, 0.4]),
+        (2, [0.9, 0.85, 0.3]),
+    ]
+    assigned = spark.createDataFrame(rows, "cell int, sv array<double>")
+    got = sim._mean_update_rows(assigned, "sv")
+    want = sorted(
+        (r["cell"], list(r["cv"]))
+        for r in sim._mean_update(assigned, "sv", 3).collect()
+    )
+    assert got == want
+    assert got[0] == (0, [0.15, 0.15, 0.55])  # exact hand-computed means
+
+
 def test_kmeans_codebook_deterministic(spark):
     emb = spark.createDataFrame(
         [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(20)],

@@ -419,6 +419,33 @@ def _mean_update(assigned: DataFrame, col: str, dim: int) -> DataFrame:
     )
 
 
+def _mean_update_rows(assigned: DataFrame, col: str) -> list[tuple[int, list[float]]]:
+    """Centroid mean update collected straight off the (cell, pos) agg —
+    the driver-loop twin of :func:`_mean_update` (r17, guide §5). Both
+    Lloyd loops pull the k×dim result to the driver every iteration
+    anyway, so the second (cell) shuffle plus the collect_list /
+    array_sort / transform assembly — re-analyzed per iteration, the loop
+    re-plans by construction — buys nothing: collect the k·dim
+    per-component rows (same posexplode → (cell, pos) hash-agg, same 6dp
+    rounding — values identical by construction, pinned by
+    test_mean_update_rows_matches_relation_shape) and sort by pos in the
+    driver. Cells that lost every member vanish from the agg output in
+    both shapes. Rows are returned sorted by cell for determinism."""
+    rows = (
+        assigned.select("cell", F.posexplode(col).alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("av"))
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), []).append((r["pos"], r["av"]))
+    return [
+        (cell, [av for _, av in sorted(pv)])
+        for cell, pv in sorted(by_cell.items())
+    ]
+
+
 def kmeans_codebook(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -449,11 +476,9 @@ def kmeans_codebook(
     )
     cent_rows = [(i, [float(x) for x in r["emb"]]) for i, r in enumerate(seeds)]
     schema = "cell int, cv array<double>"
-    dim = len(cent_rows[0][1])
     for _ in range(iters):
         assigned = assign_cells_rows(emb, cent_rows)
-        new = _mean_update(assigned, "emb", dim)
-        cent_rows = [(int(r["cell"]), list(r["cv"])) for r in new.collect()]
+        cent_rows = _mean_update_rows(assigned, "emb")
     return spark.createDataFrame(cent_rows, schema)
 
 
@@ -675,12 +700,10 @@ def _lloyd_rows(
     returns the trained centroid rows. Same reduce shape as
     :func:`kmeans_codebook`: per-iteration output is k×dim doubles pulled
     to the driver and re-closed-over — lineage truncated every round."""
-    dim = len(cent_rows[0][1])
     for _ in range(iters):
         nearest = _nearest_cell_udf(cent_rows)
         assigned = vecs.select(nearest(F.col(col)).alias("cell"), F.col(col).alias("sv"))
-        new = _mean_update(assigned, "sv", dim)
-        cent_rows = [(int(r["cell"]), list(r["cv"])) for r in new.collect()]
+        cent_rows = _mean_update_rows(assigned, "sv")
     return cent_rows
 
 
