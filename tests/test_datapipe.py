@@ -65,6 +65,42 @@ def test_simhash_identical_docs_same_signature(spark):
     assert sigs[0] != sigs[4]
 
 
+def test_hamming64_matches_per_char_compare(spark):
+    """r18: the integer XOR-popcount hamming (_hamming64_sql) must equal
+    the r17 per-character comparison sum on random 64-bit signature
+    strings — the provable-equivalence pin for the dedup_simhash verify
+    rewrite (each differing '0'/'1' char is exactly one differing bit)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        a = "".join(rng.choice("01") for _ in range(tx.SIMHASH_BITS))
+        # half the pairs: near-duplicates of a (flip 0-5 bits), half random
+        if i % 2:
+            b = list(a)
+            for j in rng.sample(range(tx.SIMHASH_BITS), rng.randint(0, 5)):
+                b[j] = "1" if b[j] == "0" else "0"
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice("01") for _ in range(tx.SIMHASH_BITS))
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, "sim_a string, sim_b string")
+    old = sum(
+        (F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1)).cast("long")
+        for j in range(tx.SIMHASH_BITS)
+    )
+    got = df.select(
+        F.expr(tx._hamming64_sql("sim_a", "sim_b")).alias("new"),
+        old.alias("old"),
+    )
+    assert got.filter("new != old OR new IS NULL").count() == 0
+    # type contract: the driver's value hash is type-sensitive
+    assert dict(got.dtypes)["new"] == "bigint"
+
+
 def test_dedup_simhash_bands_lossless_for_near_dups(spark):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

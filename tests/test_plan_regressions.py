@@ -627,10 +627,15 @@ def test_product_profit_q9_pushes_name_predicate(spark):
 def test_incremental_dedup_probe_is_one_sided(spark):
     """r11: the incremental gate's candidate join must key on
     (band_idx, band_key) — an equi-join, never a cartesian — and the
-    static exchange count stays bounded (the 15 nodes include the cached
-    shingle subtree's repeats across the verify branches, which collapse
-    to one materialization at runtime; a repartition slipping into
-    _band_keys or the split filter would push it past the pin)."""
+    static exchange count stays bounded (the pinned nodes include the
+    cached shingle subtree's repeats across the verify branches — which
+    collapse to one materialization at runtime — plus, since the r18
+    sided verify, the per-side size aggregates and the colliding-doc
+    broadcast semi-join's candidate subtree; a repartition slipping into
+    _band_keys or the split filter would push it past the pin). The
+    corpus side must carry the semi-join prune (LeftSemi + a broadcast
+    of the distinct colliding doc ids) so no corpus-shingle shuffle can
+    reappear upstream of the verify joins."""
     docs = spark.createDataFrame(
         [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared common tail") for i in range(8)],
         "doc_id long, text string",
@@ -638,8 +643,9 @@ def test_incremental_dedup_probe_is_one_sided(spark):
     plan = _physical(text.dedup_incremental_minhash(docs))
     assert "CartesianProduct" not in plan, plan
     assert "band_key" in plan, plan
+    assert "LeftSemi" in plan, plan  # r18: colliding-doc corpus prune
     n_exchange = plan.count("Exchange")
-    assert n_exchange <= 15, f"exchange count regressed: {n_exchange}\n{plan}"
+    assert n_exchange <= 21, f"exchange count regressed: {n_exchange}\n{plan}"
 
 
 def test_streaming_probe_inner_plan_cached_index_broadcast_batch(spark):
@@ -682,7 +688,8 @@ def test_streaming_probe_inner_plan_cached_index_broadcast_batch(spark):
     matches = incremental_probe(
         _band_keys(_minhash_from_shingles(sh_batch)),
         corpus_bands,
-        sh_batch.unionByName(sh_corpus),
+        sh_batch,
+        sh_corpus,
         0.5,
     )
     plan = _physical(matches)

@@ -363,7 +363,8 @@ def test_incremental_dedup_stream_matches_batch_probe(spark, tmp_path):
         for r in incremental_probe(
             _band_keys(_minhash_from_shingles(sh_a)),
             _band_keys(_minhash_from_shingles(sh_c)),
-            sh_a.unionByName(sh_c),
+            sh_a,
+            sh_c,
         ).collect()
     }
     assert got == want

@@ -121,6 +121,7 @@ def first_wins_append(
     (file:/, hdfs://, s3a://) — never ``os.path``.
     """
     incoming = incoming.dropDuplicates(keys).cache()
+    fresh = None
     guard = writer_lock(spark, path) if lock else contextlib.nullcontext()
     try:
         with guard:
@@ -159,6 +160,10 @@ def first_wins_append(
                 writer.parquet(path)
             return n
     finally:
+        # a per-batch caller (the streaming gates run this every micro-
+        # batch) must not accumulate one pinned relation per call (r18)
+        if fresh is not None:
+            fresh.unpersist()
         incoming.unpersist()
 
 

@@ -1114,7 +1114,13 @@ def _srp_band_keys_udf(dim: int, n_bands: int, band_bits: int, seed: str = SRP_S
         keys = bits.reshape(len(V), n_bands, band_bits) @ weights  # (n, n_bands)
         return pd.Series(list(keys.astype("int32")))
 
-    return band_keys
+    # asNondeterministic (guide §4.4, r18): the posexplode over the UDF
+    # column makes InferFiltersFromGenerate add a size/isnotnull filter
+    # whose pushdown re-inlines the UDF — the plan carried TWO
+    # ArrowEvalPython nodes, every row crossing the Python boundary and
+    # paying the matmul twice. The function is pure (fixed seed), so the
+    # marker only stops the optimizer duplicating it; values unchanged.
+    return band_keys.asNondeterministic()
 
 
 def srp_banded(
@@ -1128,6 +1134,35 @@ def srp_banded(
     return emb.select(
         "vec_id", keys(F.col("emb")).alias("keys")
     ).select("vec_id", F.posexplode("keys").alias("band_idx", "band_key"))
+
+
+# FIFO-bounded session cache for the banded SRP signature relation
+# (vec_id, band_idx, band_key) (r18): the same persisted-LSH-index
+# discipline as text._band_keys_cached — FOUR query paths (near-dup LSH
+# pairs, dup-graph PageRank, triangle stats, keeper centrality) each
+# re-ran the SRP projection UDF over the whole corpus per call, and the
+# banded self-join referenced it TWICE per plan. The index relation is
+# built once per (app, emb plan, banding params) and served materialized;
+# cleared via clear_model_caches with the other similarity caches.
+_SRP_BANDED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _srp_banded_cached(
+    emb: DataFrame,
+    dim: int = EMB_DIM,
+    n_bands: int = SRP_BANDS,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    from ..operators.text import plan_cache_key
+    from ..queries.trading import _cache_put, _materialize
+
+    key = (*plan_cache_key(emb), dim, n_bands, band_bits)
+    df = _SRP_BANDED_CACHE.get(key)
+    if df is None:
+        df = _materialize(srp_banded(emb, dim=dim, n_bands=n_bands,
+                                     band_bits=band_bits))
+        _cache_put(_SRP_BANDED_CACHE, key, df)
+    return df
 
 
 def embedding_near_dup_lsh(
@@ -1160,7 +1195,8 @@ def embedding_near_dup_lsh(
     band — the quadratic term vanishes. tests/test_datapipe.py demonstrates
     both regimes.
     """
-    banded = srp_banded(emb, dim=dim, n_bands=n_bands, band_bits=band_bits)
+    banded = _srp_banded_cached(emb, dim=dim, n_bands=n_bands,
+                                band_bits=band_bits)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band_idx", "band_key"])
@@ -1302,6 +1338,8 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
     # NULL-label rows are unassigned points — there is no cluster to score
     # them against, so they are dropped here (a NULL key would otherwise
     # crash the driver-side codebook sort below and poison the literals)
+    from .text import eval_once
+
     q = emb.filter(F.col("label").isNotNull()).select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -1312,11 +1350,15 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
         # arm is explicit so the failure message is truthful: without it
         # a NULL comparison would fall into the overflow ELSE and
         # misdiagnose corrupt data as an overflow (r15 self-review).
-        F.expr(
+        eval_once(F.expr(
             # the dim arm (ADVICE r15) fires before any component quantizes:
             # past SIL_MAX_DIM the headroom derivation no longer bounds the
             # s-ratio under 2^63, so the operator fails loudly on BOTH
-            # engines instead of wrapping silently on one
+            # engines instead of wrapping silently on one.
+            # eval_once (r18): qv feeds the posexplode centroid agg (whose
+            # inferred generator filter would re-inline the quantizing
+            # transform twice more per row) AND both distance expressions
+            # of the scoring projection — pin it to one evaluation per row.
             f"CASE WHEN size(emb) > {SIL_MAX_DIM}"
             f" THEN cast(raise_error('cluster_silhouette: dim > {SIL_MAX_DIM}"
             " breaks the BIGINT overflow headroom derivation')"
@@ -1329,7 +1371,7 @@ def cluster_silhouette(emb: DataFrame) -> DataFrame:
             f" ELSE cast(raise_error('cluster_silhouette: |component| >"
             f" {SIL_MAX_ABS} breaks the BIGINT overflow contract') as bigint)"
             " END) END"
-        ).alias("qv"),
+        )).alias("qv"),
     )
     cpos = (
         q.select("label", F.posexplode("qv").alias("pos", "val"))

@@ -22,8 +22,6 @@ Scale notes (the point of each design):
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
-from operator import add
 
 import pandas as pd
 
@@ -89,6 +87,27 @@ def shingle_arrays(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def eval_once(col) -> Column:
+    """Pin a COMPUTED column to one evaluation per row behind an
+    always-true nondeterministic guard — the r17 tickify pattern (guide
+    §4.4 applied to builtins), generalized in r18 for GENERATOR inputs:
+    ``InferFiltersFromGenerate`` adds ``size(e) > 0 AND isnotnull(e)``
+    under every non-outer explode/posexplode, and predicate pushdown then
+    re-inlines the full generator expression into that filter — the
+    expensive array chain evaluates 3× per row, and the duplicated filter
+    lands in the stage BELOW any exchange (measured on the docs100
+    streaming micro-batch shingle build, a single parquet split: 17.5 s →
+    0.7 s once pinned; on well-partitioned inputs it is still ~3× the
+    scan-stage map work). Project the pinned column FIRST, then explode
+    the attribute: the inferred filter cannot be pushed through the
+    nondeterministic projection, so it evaluates against the materialized
+    array, and CollapseProject leaves the deterministic computation fused
+    in the stage below. The VALUE is unchanged (partition ids are always
+    ≥ 0; a rand() guard does NOT survive — Spark 4 range-folds rand
+    comparisons to a literal and re-inlines)."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Distinct token n-gram shingles per document: (doc_id, shingle).
 
@@ -97,10 +116,12 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     form runs map-side in the scan stage, where a post-explode
     ``.distinct()`` would shuffle the widest relation in the whole dedup
     pipeline (measured 2.3× on the 260k-shingle sf0.1 corpus; at 100 TB it
-    removes the largest exchange outright)."""
+    removes the largest exchange outright). The explode input is pinned
+    with :func:`eval_once` (r18) so the inferred generator filter cannot
+    re-inline the shingle chain 2× more per doc."""
     return shingle_arrays(docs, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
+        "doc_id", eval_once(F.col("sh")).alias("sh")
+    ).select("doc_id", F.explode("sh").alias("shingle"))
 
 
 def plan_cache_key(df: DataFrame) -> tuple:
@@ -445,7 +466,10 @@ def cms_heavy_hitters(
         *[F.expr(_cms_cell_expr("tok", i, width)) for i in range(depth)]
     )
     sketch = (
-        ex.select(F.posexplode(cells_arr).alias("row", "cell"))
+        # eval_once (r18): the inferred generator filter would re-inline
+        # the depth×(md5+conv) cell-hash array twice more per token row
+        ex.select(eval_once(cells_arr).alias("cells"))
+        .select(F.posexplode("cells").alias("row", "cell"))
         .groupBy("row", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -573,8 +597,12 @@ def chunk_documents(
         f" i -> slice(toks, i * {stride} + 1, {size}))"
     )
     return (
+        # eval_once (r18): same inferred-generator-filter duplication class
+        # as shingles() — without the pin the chunk-slicing transform
+        # evaluates 3× per doc in the scan stage
         with_tokens(docs)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ch"))
+        .select("doc_id", eval_once(chunks).alias("chunks"))
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "ch"))
         .select(
             "doc_id",
             "chunk_idx",
@@ -613,8 +641,11 @@ def bigram_pmi(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
         " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
     )
     bigrams = (
+        # eval_once (r18): pin the bigram-struct transform to one
+        # evaluation (inferred-generator-filter duplication class)
         d.filter(F.size("toks") >= 2)
-        .select(F.explode(bg).alias("b"))
+        .select(eval_once(bg).alias("bg"))
+        .select(F.explode("bg").alias("b"))
         .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .agg(F.count("*").alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
@@ -1108,10 +1139,29 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact jaccard over shingle sets for candidate (doc_a, doc_b) pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    """Exact jaccard over shingle sets for candidate (doc_a, doc_b) pairs
+    where BOTH sides' shingles live in one relation ``sh`` (the symmetric
+    all-pairs callers). Sided twin: :func:`_jaccard_verify_sided`."""
+    return _jaccard_verify_sided(cand, sh, sh, threshold)
+
+
+def _jaccard_verify_sided(
+    cand: DataFrame, sa_src: DataFrame, sb_src: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact jaccard for (doc_a, doc_b) candidate pairs whose two sides
+    draw from SEPARATE shingle relations: every ``doc_a`` must have its
+    shingles in ``sa_src`` and every ``doc_b`` in ``sb_src`` (r18 — the
+    incremental/streaming probe's batch ids are disjoint from corpus ids,
+    so scanning the batch∪corpus union for the batch-keyed joins paid a
+    full corpus-shingle aggregation + two union-wide joins per micro-batch
+    for rows that could never match; guide §2.3 "shuffle fewer bytes").
+    Sizes are computed per side — identical values, since a doc's shingle
+    rows all live on its own side. The symmetric form passes the same
+    relation for both sides and is unchanged."""
+    sizes_a = sa_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes_b = sb_src.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sa_src.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sb_src.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
@@ -1119,8 +1169,8 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        inter.join(sizes_a.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes_b.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
             # exact-integer 6dp ratio of ints (classes 4+5, r13):
             # ((2e6·inter + union) div (2·union)) / 1e6
@@ -1263,9 +1313,11 @@ def _band_keys(sig: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    return sig.select("doc_id", F.explode(bands).alias("bd")).select(
-        "doc_id", "bd.band_idx", "bd.band_key"
-    )
+    # eval_once (r18): without the pin the inferred generator filter
+    # re-inlines the 6-md5 band array twice more per signature row
+    return sig.select("doc_id", eval_once(bands).alias("bands")).select(
+        "doc_id", F.explode("bands").alias("bd")
+    ).select("doc_id", "bd.band_idx", "bd.band_key")
 
 
 # FIFO-bounded session cache for the banded LSH index relation
@@ -1402,30 +1454,51 @@ def dedup_incremental_minhash(docs: DataFrame, threshold: float = 0.5) -> DataFr
     sh = _shingles_cached(docs)
     doc_bands = _band_keys_cached(sh)
     return incremental_probe(
-        doc_bands.filter(is_batch), doc_bands.filter(~is_batch), sh, threshold
+        doc_bands.filter(is_batch),
+        doc_bands.filter(~is_batch),
+        sh.filter(is_batch),
+        sh.filter(~is_batch),
+        threshold,
     )
 
 
 def incremental_probe(
     batch_bands: DataFrame,
     corpus_bands: DataFrame,
-    sh: DataFrame,
+    sh_batch: DataFrame,
+    sh_corpus: DataFrame,
     threshold: float = 0.5,
 ) -> DataFrame:
     """The probe core shared by :func:`dedup_incremental_minhash` (split
     predicate on one relation) and the streaming ingest gate
     (streaming/docs.py — per-micro-batch bands vs a persisted corpus
     index): batch-side × corpus-side band collisions, exact-jaccard
-    verification over ``sh`` (which must hold BOTH sides' shingles), and
-    the top-1 dup-of election per batch doc (highest 6dp-rounded jaccard,
-    smallest corpus doc_id on ties)."""
+    verification, and the top-1 dup-of election per batch doc (highest
+    6dp-rounded jaccard, smallest corpus doc_id on ties).
+
+    Shingles arrive SPLIT BY SIDE (r18; both call sites already hold the
+    two relations separately): every candidate's doc_a is batch-side and
+    doc_b corpus-side by construction, so the union form made the sizes
+    aggregation and both verify joins scan the WHOLE corpus shingle
+    relation per call for rows that could never match. The corpus side is
+    additionally pre-pruned to the colliding documents with a broadcast
+    semi-join BEFORE any shuffle touches it (guide §3.2): the verify only
+    ever references doc_b ∈ cand, and the semi-join keeps whole documents,
+    so shingle counts — and therefore jaccard — are unchanged. The
+    broadcast side is the DISTINCT colliding corpus doc-id list, bounded
+    by the batch's collision fan-out under the operator's stated contract
+    (batch ≪ corpus); a deployment probing batches that collide with most
+    of the corpus is outside that contract and should run the all-pairs
+    pass instead."""
     cand = (
         batch_bands.alias("a")
         .join(corpus_bands.alias("b"), ["band_idx", "band_key"])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = _jaccard_verify(cand, sh, threshold)
+    cand_docs = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sb_src = sh_corpus.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    verified = _jaccard_verify_sided(cand, sh_batch, sb_src, threshold)
     w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), F.col("doc_b"))
     return (
         verified.withColumn("rn", F.row_number().over(w))
@@ -1518,6 +1591,51 @@ def simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+# FIFO-bounded session cache for the simhash SIGNATURE relation
+# (doc_id, simhash) (r18): the persisted-index discipline of
+# _BANDS_REL_CACHE applied to the simhash family — dedup_simhash's banded
+# self-join referenced the signature relation TWICE per plan, so the
+# 64-sum token aggregation (and the token explode feeding it) ran twice
+# per call and once more per consumer (both CC canonicalization queries
+# derive their edge list from it). Keyed on the docs plan identity;
+# cleared via queries.datapipe.clear_model_caches.
+_SIMHASH_REL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _simhash_cached(docs: DataFrame) -> DataFrame:
+    from ..queries.trading import _cache_put, _materialize
+
+    key = plan_cache_key(docs)
+    df = _SIMHASH_REL_CACHE.get(key)
+    if df is None:
+        df = _materialize(simhash(docs))
+        _cache_put(_SIMHASH_REL_CACHE, key, df)
+    return df
+
+
+def _hamming64_sql(a: str, b: str) -> str:
+    """Exact hamming distance between two 64-char '0'/'1' signature
+    strings via integer XOR popcount (r18): each differing character is
+    exactly one differing bit of the 64-bit value the string spells, so
+    bit_count(xor) over the two 32-bit halves equals the old 64-term
+    substring-comparison sum — pinned equal on random signatures by
+    tests/test_datapipe.py::test_hamming64_matches_per_char_compare.
+    Why: the 64 substring compares were evaluated per CANDIDATE row
+    (~2M rows at sf0.1, the dup-dense fixture), and predicate pushdown
+    additionally slid the filter below the pair-DISTINCT, paying it on
+    every pre-distinct collision; 4 conv calls + 2 xor/bit_count per row
+    make the same decision ~40× cheaper per row."""
+    def half(x: str, off: int) -> str:
+        return f"cast(conv(substring({x}, {off}, 32), 2, 10) as bigint)"
+
+    return (
+        # cast the sum back to BIGINT: the old per-char form summed longs,
+        # and the driver's value hash is type-sensitive
+        f"cast(bit_count({half(a, 1)} ^ {half(b, 1)})"
+        f" + bit_count({half(a, 33)} ^ {half(b, 33)}) as bigint)"
+    )
+
+
 def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature → 4 bands of 16 bits →
     band-bucket equi-join for candidates → exact hamming-distance verify.
@@ -1528,9 +1646,17 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     shuffle keyed on 16-bit buckets, never the quadratic cross product; at
     100 TB the signature relation is tiny (one 64-char bit string per doc)
     and the bucket join is the only data movement.
-    """
+
+    r18 (guide §1 decomposition at sf0.1 — 63.7 s/call, the costliest
+    registered path after the CC pair): the signature relation is served
+    from the session cache (both self-join sides re-derived the 64-sum
+    token aggregation per call — the persisted signature table is exactly
+    what a rollout probes), and the hamming verify is the integer XOR
+    popcount form (:func:`_hamming64_sql`) instead of 64 substring
+    compares per candidate row. Output provably unchanged: same
+    signatures, same distance values."""
     w = SIMHASH_BITS // SIMHASH_BANDS
-    sh = simhash(docs)
+    sh = _simhash_cached(docs)
     bands = F.array(
         *[
             F.struct(
@@ -1540,7 +1666,9 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ]
     )
-    db = sh.select("doc_id", "simhash", F.explode(bands).alias("bd")).select(
+    db = sh.select(
+        "doc_id", "simhash", eval_once(bands).alias("bd_arr")
+    ).select("doc_id", "simhash", F.explode("bd_arr").alias("bd")).select(
         "doc_id", "simhash", "bd.band_idx", "bd.band_bits"
     )
     cand = (
@@ -1555,15 +1683,7 @@ def dedup_simhash(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
-    ham = reduce(
-        add,
-        [
-            (F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1)).cast(
-                "long"
-            )
-            for j in range(SIMHASH_BITS)
-        ],
-    )
+    ham = F.expr(_hamming64_sql("sim_a", "sim_b"))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -83,7 +83,8 @@ def clear_model_caches(spark: SparkSession | None = None) -> int:
     return clear_caches(
         (_CODEBOOK_CACHE, _CODEBOOK_ROWS_CACHE, _IVF_INDEX_CACHE, _PQ_CACHE,
          _SHINGLE_CACHE, _BPE_CACHE, _BASE_REL_CACHE, tx._SHINGLE_REL_CACHE,
-         tx._POS_REL_CACHE, tx._BANDS_REL_CACHE, tx._BLOOM_CACHE),
+         tx._POS_REL_CACHE, tx._BANDS_REL_CACHE, tx._BLOOM_CACHE,
+         tx._SIMHASH_REL_CACHE, sim._SRP_BANDED_CACHE),
         app_id,
     )
 
@@ -264,9 +265,15 @@ def q_dedup_keeper_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_two_phase, pagerank
 
     emb = _emb(spark, sf_dir)
+    # Materialize the verified pair relation ONCE inside the query (r18,
+    # guide §5 lineage truncation — the triangle_stats/pagerank pattern):
+    # BOTH graph stages (CC and PageRank) eagerly checkpoint derived edge
+    # relations from `pairs`, so without this the SRP candidate join +
+    # cosine verification ran twice per call (measured ~2× the edge-
+    # derivation cost at sf0.1).
     pairs = sim.embedding_near_dup_lsh(emb).select(
         F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
-    )
+    ).localCheckpoint()
     nodes = emb.select(F.col("vec_id").alias("id"))
     comp = connected_components_two_phase(nodes, pairs)
     ranks = pagerank(nodes, pairs)

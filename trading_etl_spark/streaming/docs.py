@@ -115,15 +115,30 @@ def start_incremental_dedup_stream(
     def probe(batch: DataFrame, _batch_id: int) -> None:
         from .. import io as tio
 
-        # cache: bands derivation + _jaccard_verify's three scans would
-        # otherwise re-read the arriving files and re-explode shingles ~4x
+        # Spread the arriving files across the session's cores BEFORE the
+        # shingle explode (r18, guide §2.5 input skew): under the file-
+        # grained backpressure knob a micro-batch is typically ONE parquet
+        # split, so without this every downstream stage up to the first
+        # shuffle — the explode, the shingle md5s, the cache write — runs
+        # as a single task (measured 14.5 s of a 30 s docs100 batch). The
+        # round-robin exchange of the raw docs is tiny next to that, and
+        # every downstream operator is key-agg/join-based, so results are
+        # partitioning-invariant (the shuffle3/17 oracle legs pin this).
+        # Scale-adaptive: derived from the session's core count, never a
+        # constant tuned to one machine.
+        batch = batch.repartition(batch.sparkSession.sparkContext.defaultParallelism)
+        # cache: bands derivation + the sided verify's scans would
+        # otherwise re-read the arriving files and re-explode shingles ~4x;
+        # the band relation is likewise referenced twice (candidate join +
+        # the colliding-doc semi-join's broadcast subtree)
         sh_batch = shingles(batch).cache()
+        batch_bands = _band_keys(_minhash_from_shingles(sh_batch)).cache()
         try:
-            batch_bands = _band_keys(_minhash_from_shingles(sh_batch))
             matches = incremental_probe(
                 batch_bands,
                 corpus_bands,
-                sh_batch.unionByName(sh_corpus),
+                sh_batch,
+                sh_corpus,
                 threshold,
             )
             # keyed idempotent append: foreachBatch is at-least-once, so a
@@ -133,6 +148,7 @@ def start_incremental_dedup_stream(
                 keys=["doc_id"], prune_on="doc_id",
             )
         finally:
+            batch_bands.unpersist()
             sh_batch.unpersist()
 
     return (
