@@ -43,10 +43,10 @@ SIBLING = {
     # dedup_minhash_lsh, dedup_exact_substring, bpe_train_merges,
     # priority_shipmonth_q12, local_supplier_volume, candle_rollup,
     # atr_14_1h and dupgraph_pagerank rotated back INTO the window.)
-    "ticks_freshness_sla": "watermark_max_time",
-    "rsi_14_1h": "streaming_rsi_14_1h",
-    "sma_golden_cross": "sma_14_1h",
-    "stochastic_14_3_1h": "macd_12_26_9_1h",
+    # (r18 wave 12: ticks_freshness_sla, rsi_14_1h, sma_golden_cross and
+    # stochastic_14_3_1h — the last r8-evidence rows — rotated back INTO
+    # the window at the staleness bound; see the wave-12 block at the end
+    # of this map.)
     # r10 rotation wave 4: the 10 never-driver-certified queries (9 r9-born +
     # media_resize) moved INTO the window; these 10 r9-driver-green queries
     # rotated out, each with a same-family twin in the window
@@ -54,16 +54,12 @@ SIBLING = {
     # events_compaction_plan / decontaminate_fuzzy_lsh / donchian_20_1h /
     # ichimoku_9_26_52_1h / dupgraph_triangle_stats / customer_rfm_segments /
     # media_dhash are the incoming family twins).
-    "media_extract_meta": "media_frame_sample",
-    "events_retention_plan": "events_orphan_files",
-    "events_zorder_stats": "events_orphan_files",
-    "decontaminate_bloom_prefilter": "decontaminate_fuzzy_lsh",
-    "dedup_keeper_centrality": "dedup_cc_two_phase",
-    "volatility_20_1h": "sma_14_1h",
-    "pair_rolling_correlation": "sma_14_1h",
-    "events_value_winsorize": "candle_returns_quartile",
-    "embedding_knn_ivfadc": "embedding_ann_recall_eval",
-    "streaming_firstwins_append": "idempotent_append_fresh",
+    # (r18 wave 12: the ten r9-evidence rows that stood here —
+    # media_extract_meta, events_retention_plan, events_zorder_stats,
+    # decontaminate_bloom_prefilter, dedup_keeper_centrality,
+    # volatility_20_1h, pair_rolling_correlation, events_value_winsorize,
+    # embedding_knn_ivfadc, streaming_firstwins_append — rotated back INTO
+    # the window; see the wave-12 block at the end of this map.)
     # r11 rotation wave 5: ALL 14 never-driver-certified r10-born queries
     # moved INTO the window (backlog emptied again); these 14 r10-driver-green
     # queries rotated out, each with a same-family twin in the window — the
@@ -77,14 +73,15 @@ SIBLING = {
     "ichimoku_9_26_52_1h": "sma_14_1h",
     "shipping_priority_q3": "market_share_q8",
     "disjunctive_revenue_q19": "market_share_q8",
-    "customer_rfm_segments": "candle_returns_quartile",
+    # (r18 wave 12: customer_rfm_segments rotated back INTO the window.)
     "events_compaction_plan": "events_orphan_files",
     "embedding_knn_ivf_kmeans": "embedding_ann_recall_eval",
     "text_quality_score": "text_ccnet_ppl_buckets",
     "dedup_lsh_eval": "streaming_ingest_dedup_gate",
     "holt_forecast_1h": "macd_12_26_9_1h",
     "returned_item_q10": "large_volume_q18",
-    "customers_no_open_orders_anti": "custdist_q13",
+    # (r18 wave 12: customers_no_open_orders_anti rotated back INTO the
+    # window.)
     "media_resize": "media_frame_sample",
     "media_audio_features": "media_frame_sample",
     # r12 rotation wave 6: ALL 15 r11-born + the newly registered
@@ -226,12 +223,36 @@ SIBLING = {
     "events_snapshot_diff": "events_orphan_files",
     "star_join_revenue": "market_share_q8",
     "returned_order_priority_semi": "custdist_q13",
-    "forecast_revenue_q6": "tpch_pricing_summary",
-    "min_cost_supplier_q2": "local_supplier_volume",
+    # (r18 wave 12 repointed forecast_revenue_q6 / min_cost_supplier_q2 /
+    # corpus_strip_dup_spans: their former siblings rotated out this wave.)
+    "forecast_revenue_q6": "large_volume_q18",
+    "min_cost_supplier_q2": "market_share_q8",
     "excess_share_supplier_q20": "parts_supplier_q16",
     "streaming_dedup_exact": "streaming_ingest_dedup_gate",
     "streaming_ema_14_1h": "streaming_rsi_14_1h",
-    "corpus_strip_dup_spans": "dedup_exact_substring",
+    "corpus_strip_dup_spans": "text_rolling_fingerprint",
+    # r18 rotation wave 12: the 16 RECERT_QUEUE rows written at r17 (the
+    # four r8-evidence rows at the MAX_STALENESS_ROUNDS bound, the ten r9
+    # rows and the two oldest r10 rows) moved INTO the window; these 16
+    # freshly-r17-certified rows rotated out, each with a same-family twin
+    # staying in the window — for several, the incoming oldest-evidence
+    # queries ARE the twins.
+    "atr_14_1h": "volatility_20_1h",
+    "backtest_pnl": "sma_golden_cross",
+    "bpe_train_merges": "text_unigram_logprob",
+    "candle_rollup": "ohlc_1m",
+    "dedup_exact_substring": "text_rolling_fingerprint",
+    "dedup_minhash_lsh": "decontaminate_fuzzy_lsh",
+    "dupgraph_pagerank": "dedup_keeper_centrality",
+    "event_asof_tick": "event_asof_nearest_tick",
+    "events_value_histogram": "events_value_winsorize",
+    "local_supplier_volume": "market_share_q8",
+    "priority_shipmonth_q12": "custdist_q13",
+    "streaming_sma_cross": "streaming_rsi_14_1h",
+    "streaming_tick_sessions": "streaming_ohlc_1m",
+    "streaming_view_click_join": "streaming_heavy_hitters",
+    "text_lang_id": "text_ccnet_ppl_buckets",
+    "tpch_pricing_summary": "large_volume_q18",
 }
 
 
@@ -264,35 +285,34 @@ def test_deferred_queries_register_last_and_have_siblings():
     )
 
 
-def test_round17_rotation_in_window():
-    # VERDICT r16 task #1 (rotation wave 11): the 16 RECERT_QUEUE rows
-    # written at r16 — the five r7-evidence rows, whose driver evidence
-    # reaches MAX_STALENESS_ROUNDS = 10 exactly at r17, plus the eleven
-    # oldest r8 rows — are inside the 50-row correctness window this
-    # round, alongside the staying family-only representatives.
-    # (Earlier rounds' in-window assertions are superseded by rotation;
-    # their driver certifications are on record in CORRECTNESS_r*.json.)
+def test_round18_rotation_in_window():
+    # VERDICT r17 task #7 (rotation wave 12): the 16 RECERT_QUEUE rows
+    # written at r17 — the four r8-evidence rows, whose driver evidence
+    # reaches MAX_STALENESS_ROUNDS = 10 exactly at r18, the ten r9 rows
+    # and the two oldest r10 rows — are inside the 50-row correctness
+    # window this round, alongside the staying family-only
+    # representatives. (Earlier rounds' in-window assertions are
+    # superseded by rotation; their driver certifications are on record
+    # in CORRECTNESS_r*.json.)
     keys = list(build_queries())[:DRIVER_WINDOW]
     for q in [
-        # wave 11 incoming (the full r16 RECERT_QUEUE, front-first)
-        "streaming_sma_cross",
-        "streaming_tick_sessions",
-        "streaming_view_click_join",
-        "text_lang_id",
-        "tpch_pricing_summary",
-        "atr_14_1h",
-        "backtest_pnl",
-        "bpe_train_merges",
-        "candle_rollup",
-        "dedup_exact_substring",
-        "dedup_minhash_lsh",
-        "dupgraph_pagerank",
-        "event_asof_tick",
-        "events_value_histogram",
-        "local_supplier_volume",
-        "priority_shipmonth_q12",
-        # deliberate stay: post-positional-filter re-certification
-        "part_name_fuzzy_match",
+        # wave 12 incoming (the full r17 RECERT_QUEUE, front-first)
+        "rsi_14_1h",
+        "sma_golden_cross",
+        "stochastic_14_3_1h",
+        "ticks_freshness_sla",
+        "decontaminate_bloom_prefilter",
+        "dedup_keeper_centrality",
+        "embedding_knn_ivfadc",
+        "events_retention_plan",
+        "events_value_winsorize",
+        "events_zorder_stats",
+        "media_extract_meta",
+        "pair_rolling_correlation",
+        "streaming_firstwins_append",
+        "volatility_20_1h",
+        "customer_rfm_segments",
+        "customers_no_open_orders_anti",
         # staying family-only representatives (sibling targets)
         "media_frame_sample",
         "watermark_max_time",
@@ -300,6 +320,8 @@ def test_round17_rotation_in_window():
         "sma_14_1h",
         "ohlc_1m",
         "text_simhash",
+        "text_rolling_fingerprint",
+        "text_unigram_logprob",
         "streaming_ohlc_1m",
         "streaming_ingest_dedup_gate",
         "streaming_heavy_hitters",
@@ -309,11 +331,14 @@ def test_round17_rotation_in_window():
         "bm25_search",
         "market_share_q8",
         "parts_supplier_q16",
+        "large_volume_q18",
         "embedding_ann_recall_eval",
         "embedding_cluster_silhouette",
         "events_orphan_files",
+        "event_asof_nearest_tick",
         "text_ccnet_ppl_buckets",
         "decontaminate_fuzzy_lsh",
+        "idempotent_append_fresh",
     ]:
         assert q in keys, f"{q} still outside the driver window"
 

@@ -76,12 +76,10 @@ _DEFER: list[str] = [
     # priority_shipmonth_q12, local_supplier_volume, candle_rollup,
     # atr_14_1h, dupgraph_pagerank — back INTO the window; see the
     # wave-11 block at the END of this list.)
-    "ticks_freshness_sla",    # MAX-watermark SLA; events_retention_plan keeps the MAX-agg family [twin: watermark_max_time]
-    "rsi_14_1h",              # grouped Wilder recursion; streaming_rsi_14_1h runs the SAME
-                              # oracle through the stricter stateful-streaming path
-    "sma_golden_cross",       # J1 self-join over SMA windows; pair_rolling_correlation + [twin: sma_14_1h]
-                              # volatility_20_1h keep the keyed native-window family
-    "stochastic_14_3_1h",     # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
+    # (r18 rotation wave 12 moved the four r8-evidence rows that opened
+    # this block — ticks_freshness_sla, rsi_14_1h, sma_golden_cross,
+    # stochastic_14_3_1h — back INTO the window; see the wave-12 block at
+    # the END of this list.)
     # r10 rotation wave 4 (VERDICT r9 task #1): the 10 never-driver-certified
     # queries (9 r9-born + media_resize) moved INTO the window — for the first
     # time NO registered query lacks a driver-green row in its history. These
@@ -91,16 +89,12 @@ _DEFER: list[str] = [
     # ichimoku_9_26_52_1h / customer_rfm_segments / media_dhash are the
     # incoming twins; idempotent_append_fresh runs streaming_firstwins_append's
     # EXACT oracle). All stay oracle-verified by tools/check.py.
-    "media_extract_meta",     # mapInPandas metadata probe; media_frame_sample does real pixel work in window
-    "events_retention_plan",  # partition-drop dry-run; events_compaction_plan keeps maintenance [twin: events_orphan_files]
-    "events_zorder_stats",    # Morton layout stats; events_compaction_plan keeps maintenance [twin: events_orphan_files]
-    "decontaminate_bloom_prefilter",  # exact decontam; decontaminate_fuzzy_lsh keeps the family
-    "dedup_keeper_centrality",  # PageRank keeper election; two-phase CC keeps dup-graph [twin: dedup_cc_two_phase]
-    "volatility_20_1h",       # stddev window; donchian_20_1h keeps the keyed native-window family [twin: sma_14_1h]
-    "pair_rolling_correlation",  # corr window; ichimoku_9_26_52_1h keeps the keyed window family [twin: sma_14_1h]
-    "events_value_winsorize",  # two-pass clamp; customer_rfm_segments keeps two-pass thresholds [twin: candle_returns_quartile]
-    "embedding_knn_ivfadc",   # cell-pruned ADC; embedding_knn_ivf_kmeans keeps the IVF family [twin: embedding_ann_recall_eval]
-    "streaming_firstwins_append",  # idempotent_append_fresh runs the SAME oracle in window
+    # (r18 rotation wave 12 moved the ten r9-evidence rows that stood here —
+    # media_extract_meta, events_retention_plan, events_zorder_stats,
+    # decontaminate_bloom_prefilter, dedup_keeper_centrality,
+    # volatility_20_1h, pair_rolling_correlation, events_value_winsorize,
+    # embedding_knn_ivfadc, streaming_firstwins_append — back INTO the
+    # window; see the wave-12 block at the END of this list.)
     # r11 rotation wave 5 (VERDICT r10 task #1): ALL 14 never-driver-certified
     # r10-born queries moved INTO the window — the certification backlog is
     # empty again. These 14 r10-driver-green queries rotated out to make room;
@@ -115,14 +109,16 @@ _DEFER: list[str] = [
     "ichimoku_9_26_52_1h",    # shifted midpoint windows; twin: cci_20_1h [twin: sma_14_1h]
     "shipping_priority_q3",   # TPC-H star join; twin: late_shipment_q4 [twin: market_share_q8]
     "disjunctive_revenue_q19",  # disjunctive predicate join; twin: promo_revenue_q14 [twin: market_share_q8]
-    "customer_rfm_segments",  # two-pass quantile thresholds; twin: revenue_concentration_q11 [twin: candle_returns_quartile]
+    # (r18 rotation wave 12 moved customer_rfm_segments — the oldest r10
+    # row of this block — back INTO the window; wave-12 block at the END.)
     "events_compaction_plan",  # small-file maintenance dry-run; twin: events_orphan_files
     "embedding_knn_ivf_kmeans",  # trained-cell IVF serving; twin: embedding_knn_filtered [twin: embedding_ann_recall_eval]
     "text_quality_score",     # zero-shuffle text gate; twin: text_ngram_diversity [twin: text_ccnet_ppl_buckets]
     "dedup_lsh_eval",         # banded-candidate evaluation; twin: dedup_minhash_containment [twin: streaming_ingest_dedup_gate]
     "holt_forecast_1h",       # grouped Arrow kernel; MACD keeps the kernel family [twin: macd_12_26_9_1h]
     "returned_item_q10",      # TPC-H star agg; twin: top_supplier_q15 [twin: large_volume_q18]
-    "customers_no_open_orders_anti",  # anti join; twin: idle_rich_customers_q22 [twin: custdist_q13]
+    # (r18 rotation wave 12 moved customers_no_open_orders_anti back INTO
+    # the window; wave-12 block at the END of this list.)
     "media_resize",           # BMP pixel kernel; twin: media_frame_sample
     "media_audio_features",   # WAV sample kernel; twin: media_frame_sample
     # r12 rotation wave 6 (VERDICT r11 task #2): ALL 15 never-driver-certified
@@ -297,12 +293,39 @@ _DEFER: list[str] = [
     "events_snapshot_diff",   # snapshot diff; twin: events_orphan_files (staying maintenance dry-run rep)
     "star_join_revenue",      # star join; twin: market_share_q8 (staying star-join rep)
     "returned_order_priority_semi",  # semi-join; twin: custdist_q13 (staying set-ops/anti rep)
-    "forecast_revenue_q6",    # lineitem conditional agg; twin: tpch_pricing_summary (incoming, same family)
-    "min_cost_supplier_q2",   # min-cost correlated join; twin: local_supplier_volume (incoming star-join rep)
+    "forecast_revenue_q6",    # lineitem conditional agg; twin: large_volume_q18 (staying TPC-H
+                              # agg rep — repointed at r18 when tpch_pricing_summary rotated out)
+    "min_cost_supplier_q2",   # min-cost correlated join; twin: market_share_q8 (staying star-join
+                              # rep — repointed at r18 when local_supplier_volume rotated out)
     "excess_share_supplier_q20",  # supplier/part share; twin: parts_supplier_q16 (staying supplier-part rep)
     "streaming_dedup_exact",  # streaming watermark dedup; twin: streaming_ingest_dedup_gate (staying streaming-dedup rep)
     "streaming_ema_14_1h",    # stateful EMA recursion; twin: streaming_rsi_14_1h (staying stateful-recursion rep)
-    "corpus_strip_dup_spans",  # span application; twin: dedup_exact_substring (incoming, FINDS the spans this applies)
+    "corpus_strip_dup_spans",  # span application; twin: text_rolling_fingerprint (staying, same
+                              # positional shingle-hash kernel — repointed at r18 when
+                              # dedup_exact_substring rotated out)
+    # r18 rotation wave 12 (VERDICT r17 task #7): the 16 RECERT_QUEUE rows
+    # written at r17 — the four r8-evidence rows (which hit
+    # MAX_STALENESS_ROUNDS = 10 exactly at r18), the ten r9 rows and the
+    # two oldest r10 rows — moved INTO the window; these 16
+    # freshly-r17-certified rows rotated out, each with a same-family twin
+    # staying in the window — for several, the incoming oldest-evidence
+    # queries ARE the twins.
+    "atr_14_1h",              # true-range window; twin: volatility_20_1h (incoming volatility-window rep)
+    "backtest_pnl",           # signal-driven backtest; twin: sma_golden_cross (incoming — generates the signals this consumes)
+    "bpe_train_merges",       # tokenizer-merge training; twin: text_unigram_logprob (staying corpus token-statistics rep)
+    "candle_rollup",          # candle re-agg; twin: ohlc_1m (staying candle-agg rep)
+    "dedup_exact_substring",  # positional-shingle span finder; twin: text_rolling_fingerprint (staying, same positional shingle-hash kernel)
+    "dedup_minhash_lsh",      # banded MinHash all-pairs; twin: decontaminate_fuzzy_lsh (staying, same banded-candidate+verify kernel)
+    "dupgraph_pagerank",      # dup-graph centrality; twin: dedup_keeper_centrality (incoming — runs CC AND PageRank in one composition)
+    "event_asof_tick",        # backward as-of; twin: event_asof_nearest_tick (staying as-of rep)
+    "events_value_histogram",  # value-distribution histogram; twin: events_value_winsorize (incoming value-distribution rep)
+    "local_supplier_volume",  # star join; twin: market_share_q8 (staying star-join rep)
+    "priority_shipmonth_q12",  # lineitem conditional agg; twin: custdist_q13 (staying join-agg rep)
+    "streaming_sma_cross",    # streaming signal cross; twin: streaming_rsi_14_1h (staying stateful-indicator rep)
+    "streaming_tick_sessions",  # streaming session windows; twin: streaming_ohlc_1m (staying streaming window-agg rep)
+    "streaming_view_click_join",  # stream-stream interval join; twin: streaming_heavy_hitters (staying stateful-streaming rep)
+    "text_lang_id",           # token-gate classifier; twin: text_ccnet_ppl_buckets (staying text-gate rep)
+    "tpch_pricing_summary",   # lineitem scan-agg; twin: large_volume_q18 (staying TPC-H agg rep)
 ]
 
 # Steady-state window posture (VERDICT r11 task #7): with 174 registered
@@ -356,6 +379,13 @@ _DEFER: list[str] = [
 # (wave-11 block at the end of _DEFER). No births — the birth freeze
 # holds; all freed slots went to re-certification. part_name_fuzzy_match
 # stays in-window for post-positional-filter re-certification.
+#
+# r18 executed rotation wave 12 (VERDICT r17 task #7): the 16 RECERT_QUEUE
+# rows written at r17 — the four r8-evidence rows, which reach
+# MAX_STALENESS_ROUNDS = 10 exactly this round, the ten r9 rows and the
+# two oldest r10 rows — are IN the window; 16 freshly-r17-certified rows
+# rotated out (wave-12 block at the end of _DEFER). No births — the birth
+# freeze holds; all freed slots went to re-certification.
 
 # RECERT_QUEUE — the next rotation wave, MACHINE-CHECKED (VERDICT r13 task
 # #6): the 16 oldest-evidence deferred queries, ordered strictly by
@@ -367,27 +397,27 @@ _DEFER: list[str] = [
 # embedding_knn_ivf_multiprobe, whose evidence was the oldest on record).
 # Rotation waves consume this list front-first; recompute it (the test
 # failure message prints the expected value) whenever a wave executes or
-# a new CORRECTNESS file lands. After wave 11 the queue holds the four
-# remaining r8-evidence rows, the ten r9 rows and the two oldest r10
-# rows — wave 12's worklist (the r8 rows reach the staleness bound at
-# r18, so wave 12 is mandatory next round).
+# a new CORRECTNESS file lands. After wave 12 the queue holds the twelve
+# remaining r10-evidence rows and the four oldest r11 rows — wave 13's
+# worklist (the r10 rows reach the staleness bound at r20, so there is a
+# round of slack; standing bookkeeping says execute the wave anyway).
 RECERT_QUEUE: list[str] = [
-    "rsi_14_1h",                   # r8
-    "sma_golden_cross",            # r8
-    "stochastic_14_3_1h",          # r8
-    "ticks_freshness_sla",         # r8
-    "decontaminate_bloom_prefilter",  # r9
-    "dedup_keeper_centrality",     # r9
-    "embedding_knn_ivfadc",        # r9
-    "events_retention_plan",       # r9
-    "events_value_winsorize",      # r9
-    "events_zorder_stats",         # r9
-    "media_extract_meta",          # r9
-    "pair_rolling_correlation",    # r9
-    "streaming_firstwins_append",  # r9
-    "volatility_20_1h",            # r9
-    "customer_rfm_segments",       # r10
-    "customers_no_open_orders_anti",  # r10
+    "dedup_lsh_eval",              # r10
+    "disjunctive_revenue_q19",     # r10
+    "donchian_20_1h",              # r10
+    "embedding_knn_ivf_kmeans",    # r10
+    "events_compaction_plan",      # r10
+    "holt_forecast_1h",            # r10
+    "ichimoku_9_26_52_1h",         # r10
+    "media_audio_features",        # r10
+    "media_resize",                # r10
+    "returned_item_q10",           # r10
+    "shipping_priority_q3",        # r10
+    "text_quality_score",          # r10
+    "adx_14_1h",                   # r11
+    "backtest_max_drawdown",       # r11
+    "candle_unpivot",              # r11
+    "cci_20_1h",                   # r11
 ]
 
 # Max-staleness alarm (VERDICT r14 task #3, policy dated in PLANS.md r15):
