@@ -193,9 +193,15 @@ def test_scan_splits_cache_matches_fresh_probe(spark):
     """r17: raw_ticks caches the under-split probe per (app, path) —
     driver-side metadata reuse, not result caching. The cached count must
     equal a fresh .rdd probe of the same scan (same files, same conf)."""
+    import os
+
+    import pytest
+
     from trading_etl_spark.sources import ticks
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = os.environ.get("SPARK_GRAFT_FIXTURE_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata corpus not present")
     ev = ticks.load_events(spark, sf_dir)
     fresh = ev.rdd.getNumPartitions()
     cached = ticks._scan_splits(spark, f"{sf_dir}/events.parquet", ev)

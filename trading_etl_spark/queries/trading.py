@@ -122,12 +122,18 @@ def candle_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     key = (spark.sparkContext.applicationId, sf_dir)
     pair = _CHAIN_CACHE.get(key)
     if pair is None:
+        # ONE config read feeds both the dim relation and the driver-local
+        # duration list (ADVICE r17: two independent from_env() reads could
+        # in principle diverge mid-call; the durations MUST come from the
+        # same config as the timeframes or the LCM buckets on the wrong
+        # grid)
+        cfg = dims.EngineConfig.from_env()
         base, derived = ohlc.ohlc_chain_single_shuffle(
             ticks.raw_ticks(spark, sf_dir),
-            dims.dim_timeframe(spark),
-            # driver-local duration list from the SAME config source as the
+            dims.dim_timeframe(spark, cfg),
+            # driver-local duration list from the SAME config object as the
             # dim relation — skips the per-build 6-row collect (r17, §5)
-            durations=dims.timeframe_durations(),
+            durations=dims.timeframe_durations(cfg),
         )
         # The chain pair stays a plain .cache(): one consumer action
         # materializes base AND derived in a single fused job (derived's
