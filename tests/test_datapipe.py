@@ -65,6 +65,24 @@ def test_simhash_identical_docs_same_signature(spark):
     assert sigs[0] != sigs[4]
 
 
+def test_cms_cell_expr_spark_matches_portable(spark):
+    """r18: the Spark-side one-md5 conv cell index must equal the
+    engine-portable instr-sum form (the one the DuckDB oracle replays)
+    for every hash row on random-ish tokens — the provable-equivalence
+    pin for the CMS hash rewrite (Σ digit·16^(8−i) IS the base-16 value
+    conv parses)."""
+    from pyspark.sql import functions as F
+
+    toks = [(f"tok{i}",) for i in range(500)] + [("",), ("a",), ("日本語",)]
+    df = spark.createDataFrame(toks, "tok string")
+    for row in range(tx.CMS_DEPTH):
+        bad = df.filter(
+            F.expr(tx._cms_cell_expr("tok", row, tx.CMS_WIDTH))
+            != F.expr(tx._cms_cell_expr_spark("tok", row, tx.CMS_WIDTH))
+        ).count()
+        assert bad == 0, f"row {row}: conv form diverges from instr form"
+
+
 def test_hamming64_matches_per_char_compare(spark):
     """r18: the integer XOR-popcount hamming (_hamming64_sql) must equal
     the r17 per-character comparison sum on random 64-bit signature

@@ -1204,12 +1204,29 @@ def embedding_near_dup_lsh(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"))
+    # Per-VECTOR norms computed below the join (r18, guide §2.3): the
+    # inline cosine() ran three interpreted array folds per candidate
+    # PAIR (dot + both self-norms) — on the near-orthogonal fixture the
+    # banding admits ~all pairs, so two of the three folds repeated per
+    # pair what is a per-vector quantity. sqrt(dot(v, v)) of the same
+    # vector is the same IEEE double either way, and the final expression
+    # is the identical dot/(na*nb) association — bit-for-bit the same
+    # cos_sim (oracle hash unchanged).
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("va"),
+        F.sqrt(_dot("emb", "emb")).alias("_na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("vb"),
+        F.sqrt(_dot("emb", "emb")).alias("_nb"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )

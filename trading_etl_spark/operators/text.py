@@ -422,7 +422,10 @@ CMS_THRESHOLD = 500
 def _cms_cell_expr(tok_col: str, row: int, width: int) -> str:
     """Count-min cell index for hash row ``row``: the md5-hex-prefix integer
     of ``tok:row`` mod width — deterministic and evaluable verbatim in both
-    Spark SQL and DuckDB (same instr trick as :func:`hex32_unit_expr`)."""
+    Spark SQL and DuckDB (same instr trick as :func:`hex32_unit_expr`).
+    This is the ENGINE-PORTABLE form the DuckDB oracle replays; the Spark
+    operators evaluate :func:`_cms_cell_expr_spark` instead (identical
+    value, one md5 per cell)."""
     h = f"md5(concat({tok_col}, ':', '{row}'))"
     terms = " + ".join(
         f"CAST(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1 AS BIGINT)"
@@ -430,6 +433,20 @@ def _cms_cell_expr(tok_col: str, row: int, width: int) -> str:
         for i in range(1, 9)
     )
     return f"(({terms}) % {width})"
+
+
+def _cms_cell_expr_spark(tok_col: str, row: int, width: int) -> str:
+    """Spark-side twin of :func:`_cms_cell_expr` (r18): the instr form
+    inlines the md5 into each of its 8 digit terms, so every token row
+    paid 8 md5 evaluations per hash row — 32 per token at depth 4
+    (measured 4.97 s of the 4.7 s sketch aggregation at sf0.1). ``conv``
+    of the same 8-hex-digit prefix is the SAME integer (Σ digit_i·16^(8−i)
+    is by definition the base-16 value of those digits) computed with ONE
+    md5 — pinned equal to the portable form on random tokens by
+    tests/test_datapipe.py::test_cms_cell_expr_spark_matches_portable.
+    DuckDB has no conv(), which is why the oracle keeps the instr form."""
+    h = f"md5(concat({tok_col}, ':', '{row}'))"
+    return f"(cast(conv(substr({h}, 1, 8), 16, 10) as bigint) % {width})"
 
 
 def cms_heavy_hitters(
@@ -463,7 +480,7 @@ def cms_heavy_hitters(
     # array (each expression bakes in its literal row id) — pos IS the
     # sketch row, so no d-way union rescans the exploded-token relation
     cells_arr = F.array(
-        *[F.expr(_cms_cell_expr("tok", i, width)) for i in range(depth)]
+        *[F.expr(_cms_cell_expr_spark("tok", i, width)) for i in range(depth)]
     )
     sketch = (
         # eval_once (r18): the inferred generator filter would re-inline

@@ -373,14 +373,17 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     ex = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # the Spark-side one-md5 cell form + eval_once pin, exactly as the
+    # batch operator (r18 — identical values, see _cms_cell_expr_spark)
     cells_arr = F.array(
         *[
-            F.expr(tx._cms_cell_expr("tok", i, tx.CMS_WIDTH))
+            F.expr(tx._cms_cell_expr_spark("tok", i, tx.CMS_WIDTH))
             for i in range(tx.CMS_DEPTH)
         ]
     )
     sketch = (
-        ex.select(F.posexplode(cells_arr).alias("row", "cell"))
+        ex.select(tx.eval_once(cells_arr).alias("cells"))
+        .select(F.posexplode("cells").alias("row", "cell"))
         .groupBy("row", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
